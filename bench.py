@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line with per-query wall seconds.
+
+Each query is fully materialized through the noop sink (count() would let
+Spark prune away the computed columns and under-report).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pokemon_showdown_airflow_etl_spark.plans import ALL_QUERIES
+from pokemon_showdown_airflow_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j8_star_join_revenue",
+    "j2_ingest_anti_join",
+    "g3_lifecycle_stats",
+    "g5_ids_by_date",
+    "g11_lifecycle_cube",
+    "w1_latest_per_key",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard_pairs",
+    "d3_minhash_lsh_candidates",
+    "d5_simhash_near_dups",
+    "s1_similarity_topk",
+    "s2_ann_srp_topk",
+    "t1_quality_features",
+    "t2_lang_id",
+]
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the parquet reader / codegen paths so query 1 doesn't pay
+    # one-time JVM costs.
+    from pokemon_showdown_airflow_etl_spark.io import table
+
+    table(spark, SF_DIR, "lineitem").limit(1).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        query = ALL_QUERIES[name]
+        t0 = time.perf_counter()
+        query.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_wall_time",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,2 @@
+from . import scalars  # noqa: F401
+from . import logparse  # noqa: F401

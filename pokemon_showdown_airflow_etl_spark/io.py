@@ -1,0 +1,110 @@
+"""Table loaders for the driver testdata and the partitioned replay lake.
+
+Testdata (TESTDATA.md): one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``. The replay lake mirrors the
+reference's physical layout (constants.py:7-10 —
+``replays/{format_id}/{YYYY-MM-DD}/{id}.json``) as a Hive-partitioned
+parquet table ``partitionBy(format_id, date)`` so Catalyst prunes on
+format/date the way the reference prunes by directory.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+_NANOS_TS_COLS: dict[str, list[str]] = {}
+
+
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark refuses them
+    natively (PARQUET_TYPE_ILLEGAL), so they are read as nano longs and
+    converted. Footer is inspected once per path."""
+    if path not in _NANOS_TS_COLS:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        schema = pq.read_schema(path)
+        _NANOS_TS_COLS[path] = [
+            f.name for f in schema if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    return _NANOS_TS_COLS[path]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table.
+
+    Nanosecond-timestamp columns are converted to TimestampType via
+    integer floor-division to microseconds (`div`, not `/` — int64 nanos
+    exceed double's 53-bit mantissa), matching DuckDB's nanos->micros
+    truncation so oracle comparisons agree.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_ts_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TESTDATA_TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# --- replay lake ------------------------------------------------------------
+
+
+def write_replay_lake(df: DataFrame, path: str, mode: str = "append") -> None:
+    """K1 sink: partitioned write of replay documents.
+
+    Reference writes one JSON file per replay under
+    ``replays/{format}/{date}/`` (tasks/download.py:76-87); at scale one
+    file per record is pathological, so the lake is parquet partitioned
+    by the same two keys — identical pruning, ~1000x fewer files.
+    Requires ``format`` and ``date`` columns.
+    """
+    df.write.partitionBy("format", "date").mode(mode).parquet(path)
+
+
+def read_replay_lake(spark: SparkSession, path: str) -> DataFrame:
+    """S3 scan: read the replay lake with partition discovery."""
+    return spark.read.parquet(path)
+
+
+def write_metadata(df: DataFrame, path: str) -> None:
+    """Persist the replay_status metadata table, partitioned by format_id
+
+    (the reference's most-used index, db.py:73).
+    """
+    df.write.partitionBy("format_id").mode("overwrite").parquet(path)
+
+
+def read_metadata(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (SURVEY.md section 2.11).
+
+Embeddings are ``array<float>`` columns. Dot products use
+``F.zip_with`` + ``F.aggregate`` (JVM-side higher-order functions —
+no Python in the loop). Two strategies:
+
+- brute-force top-k: broadcast the (small) query set against the corpus,
+  window top-k. Exact; cost O(|queries| * |corpus|) — the right baseline
+  and the verifier for the approximate path.
+- LSH-bucketed ANN: sign-random-projection buckets; candidates only meet
+  within a bucket, so cost is O(n * bucket_size). The scale path for
+  corpus-vs-corpus similarity at 100 TB.
+
+All float math is done in double, summed left-to-right (array order), so
+results are reproducible across engines for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every query against the full corpus.
+
+    ``queries`` is expected to be small — it is broadcast, so the corpus
+    never shuffles; the only shuffle is the per-query top-k window over
+    |queries| * k candidate rows after local ranking.
+    """
+    c = emb.select(F.col(id_col).alias("nn_id"), as_double(F.col(vec_col)).alias("cv"))
+    qs = F.broadcast(queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")))
+    scored = (
+        c.join(qs, F.col("query_id") != F.col("nn_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def srp_bucket(vec: Column, n_bits: int = 4) -> Column:
+    """Sign-random-projection bucket id from the first ``n_bits``
+    components' signs (deterministic axis projections — at production
+    scale use seeded random hyperplanes materialized as a literal array).
+    """
+    b = F.lit(0)
+    for i in range(n_bits):
+        b = b + F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return b
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    k: int = 1,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs nearest neighbor: candidates share an SRP
+    bucket. Equi-join on bucket id — shuffle partitions by bucket, no
+    cross join ever materializes.
+    """
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("bucket", srp_bucket(F.col("v"), n_bits))
+    a, b = v.alias("a"), v.alias("b")
+    scored = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") != F.col("b.vid"))
+    ).select(
+        F.col("a.vid").alias("query_id"),
+        F.col("b.vid").alias("nn_id"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float,
+    n_bits: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (doc_a < doc_b, cos >= t).
+
+    With n_bits=0 this is the exact all-pairs check (test scale); with
+    n_bits>0 pairs must share an SRP bucket first (scale path).
+    """
+    v = emb.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
+    if n_bits:
+        v = v.withColumn("bucket", srp_bucket(F.col("v"), n_bits))
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.vid") < F.col("b.vid")
+    if n_bits:
+        cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

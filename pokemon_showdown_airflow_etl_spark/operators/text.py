@@ -1,0 +1,112 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md 2.11):
+language-ID, quality scoring, token counting, document fingerprinting.
+
+Everything is built-in column expressions — these run inside whole-stage
+codegen over the raw text column, one scan, no shuffle at all (pure map),
+which is exactly what you want for a 100 TB quality-filter pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text, tokens
+
+# Marker stopwords per language for the n-gram/marker-word heuristic
+# language id. Deterministic and cheap; a real pipeline would swap in a
+# fastText-style model via pandas_udf without changing the plan shape.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "los", "de", "que"),
+    "fr": ("le", "la", "les", "des", "et"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+# A small English stopword list for quality features.
+STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "it")
+
+# BPE-ish tokenizer regex: runs of letters, runs of digits, or a single
+# non-space symbol — the standard pre-tokenization split.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text)).cast("long")
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens via regexp_extract_all."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0)).cast("long")
+
+
+def _ratio(tok_pred: Column, tk: Column) -> Column:
+    return F.size(F.filter(tk, tok_pred)) / F.greatest(F.size(tk), F.lit(1))
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features: length, token stats, punctuation and
+    stopword ratios, mean token length. One projection, zero shuffles."""
+    text = F.col(text_col)
+    tk = tokens(text)
+    n_tok = F.size(tk)
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    return df.select(
+        F.col(id_col),
+        F.length(text).cast("long").alias("n_chars_actual"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(
+            F.aggregate(tk, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+            / F.greatest(n_tok, F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+        F.round(punct / F.greatest(F.length(text), F.lit(1)), 4).alias("punct_ratio"),
+        F.round(_ratio(lambda x: x.isin(*STOPWORDS), tk), 4).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Scalar quality score in [0,1]: length sweet-spot x stopword signal.
+
+    Heuristic stand-in for a model-based scorer; the plan shape (pure map
+    over the corpus) is the deliverable.
+    """
+    feats = quality_features(df, id_col, text_col)
+    len_ok = F.when(F.col("n_tokens").between(10, 100000), F.lit(0.5)).otherwise(F.lit(0.0))
+    stop_ok = F.when(F.col("stopword_ratio").between(0.01, 0.6), F.lit(0.5)).otherwise(F.lit(0.0))
+    return feats.select(F.col(id_col), F.round(len_ok + stop_ok, 2).alias("quality"))
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language ID: argmax over per-language marker counts,
+    'und' (undetermined) when nothing matches."""
+    tk = tokens(F.col(text_col))
+
+    def in_set(markers):
+        # closure factory: a default-arg lambda would be mis-read by
+        # PySpark's higher-order-function signature inspection
+        return lambda x: x.isin(*markers)
+
+    counts = {
+        lang: F.size(F.filter(tk, in_set(markers))) for lang, markers in LANG_MARKERS.items()
+    }
+    best = None
+    best_count = None
+    for lang, cnt in counts.items():
+        if best is None:
+            best, best_count = F.lit(lang), cnt
+        else:
+            cond = cnt > best_count
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_count = F.when(cond, cnt).otherwise(best_count)
+    pred = F.when(best_count > 0, best).otherwise(F.lit("und"))
+    return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stable content fingerprint: md5 of normalized text (C-equivalent of
+    the reference's id-based identity, content-addressed instead)."""
+    return df.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    )

@@ -1,0 +1,225 @@
+"""Join-layer queries (SURVEY.md section 2.3) plus headline analytic joins.
+
+The reference does all of its "joins" as set operations over id
+collections pulled into Python (IN-lists, dict probes, set differences);
+here each becomes the canonical distributed join shape: broadcast hash
+join for small dims, left-semi/anti for existence/difference, and
+sort-merge (AQE-managed) for fact-fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .base import Query, t
+
+QUERIES: list[Query] = []
+
+
+def q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES.append(Query(name=name, spark=fn, oracle=oracle, doc=doc))
+        return fn
+
+    return deco
+
+
+SPLIT_TS = "2024-01-20 00:00:00"
+
+
+@q(
+    "j1_existence_flag",
+    """
+    SELECT c.c_custkey,
+           (o.o_custkey IS NOT NULL) AS has_order
+    FROM customer c
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F') o
+      ON c.c_custkey = o.o_custkey
+    """,
+    doc="J1 bulk existence check (db.py:702-734): id-list -> flag map with "
+    "missing ids defaulting to false; IN-list probe becomes a left join + "
+    "IS NOT NULL (broadcast when the id set is small).",
+)
+def j1_existence_flag(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .distinct()
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", F.col("o_custkey").isNotNull().alias("has_order")
+    )
+
+
+@q(
+    "j2_ingest_anti_join",
+    f"""
+    SELECT DISTINCT user_id FROM events e
+    WHERE ts >= TIMESTAMP '{SPLIT_TS}'
+      AND NOT EXISTS (
+        SELECT 1 FROM events old
+        WHERE old.ts < TIMESTAMP '{SPLIT_TS}' AND old.user_id = e.user_id
+      )
+    """,
+    doc="J2 idempotent-ingest anti-join (db.py:853-912): insert only rows "
+    "whose key is not already present — incoming LEFT ANTI existing.",
+)
+def j2_ingest_anti_join(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    incoming = e.filter(F.col("ts") >= F.lit(SPLIT_TS).cast("timestamp")).select("user_id")
+    existing = e.filter(F.col("ts") < F.lit(SPLIT_TS).cast("timestamp")).select("user_id")
+    return incoming.join(existing, "user_id", "left_anti").distinct()
+
+
+@q(
+    "j3_compaction_anti_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber
+    FROM lineitem l
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_orderstatus = 'F' AND o.o_orderkey = l.l_orderkey
+    )
+    """,
+    doc="J3 compaction dedup anti-join (tasks/compaction.py:158-180): skip "
+    "records already present in the existing compacted day file.",
+)
+def j3_compaction_anti_join(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    done = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return l.join(done, l.l_orderkey == done.o_orderkey, "left_anti").select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+@q(
+    "j4_reconcile_semi_join",
+    """
+    SELECT o.o_orderkey
+    FROM orders o
+    WHERE o.o_orderstatus = 'P'
+      AND EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey
+      )
+    """,
+    doc="J4 reconciliation intersect (scripts/fix_compacted_status.py:196): "
+    "left-semi join of candidate ids against observed ids.",
+)
+def j4_reconcile_semi_join(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(c, o.o_custkey == c.c_custkey, "left_semi").select("o_orderkey")
+
+
+@q(
+    "j5_broadcast_lookup",
+    """
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="J5 metadata broadcast lookup (tasks/download.py:164-172): the "
+    "driver-side dict probe becomes an explicit broadcast hash join — no "
+    "shuffle of the big side.",
+)
+def j5_broadcast_lookup(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@q(
+    "j7_membership_flag",
+    """
+    SELECT p.p_partkey,
+           (l.l_partkey IS NOT NULL) AS is_used
+    FROM part p
+    LEFT JOIN (SELECT DISTINCT l_partkey FROM lineitem) l
+      ON p.p_partkey = l.l_partkey
+    """,
+    doc="J7 membership flag join (scripts/import_existing_replays.py:183-188): "
+    "is_compacted = id IN compacted_ids.",
+)
+def j7_membership_flag(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    used = t(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    return p.join(used, p.p_partkey == used.l_partkey, "left").select(
+        "p_partkey", F.col("l_partkey").isNotNull().alias("is_used")
+    )
+
+
+@q(
+    "j8_star_join_revenue",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="Headline star join (TPC-H Q5 shape): fact-fact sort-merge join on "
+    "orderkey, then broadcast joins up the dimension chain; grouped revenue. "
+    "Exercises join reordering, broadcast selection, partial aggregation.",
+)
+def j8_star_join_revenue(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(sum(l_quantity), 2) AS sum_qty,
+           ROUND(sum(l_extendedprice), 2) AS sum_base_price,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(avg(l_quantity), 4) AS avg_qty,
+           ROUND(avg(l_extendedprice), 4) AS avg_price,
+           ROUND(avg(l_discount), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Headline scan-heavy aggregation (TPC-H Q1 shape) — the classic "
+    "conditional-aggregation lifecycle-stats generalization (G3 at scale): "
+    "one scan, map-side partials, tiny shuffle.",
+)
+def q1_pricing_summary(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").cast("long").alias("count_order"),
+    )

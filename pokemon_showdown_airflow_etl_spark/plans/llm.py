@@ -1,0 +1,443 @@
+"""LLM-data-pipeline queries (SURVEY.md section 2.11) over the
+``documents`` and ``embeddings`` tables, each with a DuckDB oracle.
+
+Cross-engine determinism strategy:
+- hashing: md5 hex (identical in Spark/DuckDB); MinHash = lexicographic
+  min over hex digests; 16-bit token hashes parse the first 4 hex chars.
+- floats: computed in double, rounded identically on both sides.
+- token/shingle definitions share one normalization (lower, collapse
+  whitespace, split on single space).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, text
+from .base import Query, t
+
+QUERIES: list[Query] = []
+
+
+def q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES.append(Query(name=name, spark=fn, oracle=oracle, doc=doc))
+        return fn
+
+    return deco
+
+
+# Shared SQL fragments (single normalization across all oracles).
+NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+TOKENS_SQL = f"string_split({NORM_SQL}, ' ')"
+SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, len(tk) - 1), "
+    "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))"
+)
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+
+@q(
+    "d1_exact_dedup",
+    f"""
+    SELECT md5({NORM_SQL}) AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup via content-hash groupBy: one row per distinct "
+    "normalized content with keeper id and copy count. Single shuffle on "
+    "the digest; at 100 TB this is the cheapest dedup pass and runs first.",
+)
+def d1_exact_dedup(spark, sf_dir):
+    return dedup.exact_dup_groups(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+JACCARD_THRESHOLD = 0.8
+
+
+@q(
+    "d2_ngram_jaccard_pairs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+    ), sh AS (
+        SELECT doc_id, {SHINGLES_SQL} AS shingles
+        FROM toks WHERE len(tk) >= 3
+    ), sized AS (
+        SELECT doc_id, len(shingles) AS sz FROM sh WHERE len(shingles) > 0
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter), 4) AS jaccard
+    FROM pairs p
+    JOIN sized sa ON p.doc_a = sa.doc_id
+    JOIN sized sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= {JACCARD_THRESHOLD}
+    """,
+    doc="Near-dup pairs by word-3-gram Jaccard >= 0.8 via inverted-index "
+    "join (explode shingles, equi-join on shingle, pair group-by) — "
+    "O(candidate pairs), not O(n^2). The planted ~0.98-Jaccard duplicate "
+    "pairs in the synthetic corpus surface here.",
+)
+def d2_ngram_jaccard_pairs(spark, sf_dir):
+    pairs = dedup.shingle_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
+    )
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _minhash_sql(num_hashes: int = 8, rows_per_band: int = 2) -> str:
+    mins = ",\n           ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(num_hashes)
+    )
+    n_bands = num_hashes // rows_per_band
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, {bi} AS band_no, mh{a} || '|' || mh{b} AS band_key FROM sig".format(
+            bi=bi, a=bi * rows_per_band, b=bi * rows_per_band + 1
+        )
+        for bi in range(n_bands)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+    ), sh AS (
+        SELECT doc_id, {SHINGLES_SQL} AS shingles
+        FROM toks WHERE len(tk) >= 3
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0
+    ), sig AS (
+        SELECT doc_id,
+           {mins}
+        FROM ex GROUP BY doc_id
+    ), bands AS (
+        {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_no = b.band_no AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+    """
+
+
+@q(
+    "d3_minhash_lsh_candidates",
+    _minhash_sql(),
+    doc="MinHash+LSH candidate pairs: 8 MinHashes (lexicographic min of "
+    "seeded md5 per shingle — engine-independent), 4 bands x 2 rows; pairs "
+    "agreeing on any band. Candidate volume is set by band geometry, so "
+    "the plan never materializes n^2 — the 100 TB near-dup path.",
+)
+def d3_minhash_lsh_candidates(spark, sf_dir):
+    return dedup.minhash_lsh_candidates(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
+    )
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS b{i}" for i in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents
+    ), h AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::INT AS h FROM tk
+    ), bits AS (
+        SELECT doc_id, {sums} FROM h GROUP BY doc_id
+    )
+    SELECT doc_id AS doc, CAST({fp} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@q(
+    "d4_simhash_fingerprint",
+    _simhash_sql(),
+    doc="16-bit frequency-weighted SimHash fingerprint per document "
+    "(token hash = first 4 hex chars of md5, parsed base 16 — "
+    "engine-independent). Explode + groupBy, both map-side combinable.",
+)
+def d4_simhash_fingerprint(spark, sf_dir):
+    return dedup.simhash16(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+D5_SQL = f"""
+    WITH fp AS ({_simhash_sql()})
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc < b.doc
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+"""
+
+
+@q(
+    "d5_simhash_near_dups",
+    D5_SQL,
+    doc="SimHash near-dup pairs within Hamming distance 1, found via "
+    "pigeonhole bit-block equi-joins (never n^2); the oracle verifies "
+    "against the exhaustive pair join.",
+)
+def d5_simhash_near_dups(spark, sf_dir):
+    return dedup.simhash_near_dups(t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=1)
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+COS_SQL = (
+    "list_dot_product(q.v, c.v) / "
+    "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))"
+)
+
+
+@q(
+    "s1_similarity_topk",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), qs AS (
+        SELECT vec_id, v FROM e WHERE vec_id < 5
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS nn_id, {COS_SQL} AS cs
+        FROM qs q JOIN e c ON q.vec_id != c.vec_id
+    ), ranked AS (
+        SELECT query_id, nn_id, cs,
+               row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, nn_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, nn_id, CAST(rnk AS INT) AS rank, ROUND(cs, 6) AS cos_sim
+    FROM ranked WHERE rnk <= 3
+    """,
+    doc="Brute-force cosine top-3 for 5 query vectors against the corpus: "
+    "broadcast the query set, JVM-side zip_with/aggregate dot products, "
+    "per-query window top-k. Exact baseline for the ANN path.",
+)
+def s1_similarity_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+@q(
+    "s2_ann_srp_topk",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS nn_id, {COS_SQL} AS cs
+        FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+    ), ranked AS (
+        SELECT query_id, nn_id, cs,
+               row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, nn_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, nn_id, CAST(rnk AS INT) AS rank, ROUND(cs, 6) AS cos_sim
+    FROM ranked WHERE rnk <= 1
+    """,
+    doc="LSH-bucketed approximate nearest neighbor: sign-projection buckets "
+    "(4 bits), candidates meet only within a bucket (equi-join shuffle, no "
+    "cross join), top-1 per vector. The corpus-vs-corpus scale path.",
+)
+def s2_ann_srp_topk(spark, sf_dir):
+    return similarity.lsh_bucketed_topk(t(spark, sf_dir, "embeddings"), k=1, n_bits=4)
+
+
+NEAR_DUP_COS = 0.45
+
+
+@q(
+    "s3_embedding_near_dups",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, ROUND({COS_SQL}, 6) AS cos_sim
+    FROM e q JOIN e c ON q.vec_id < c.vec_id
+    WHERE ROUND({COS_SQL}, 6) >= {NEAR_DUP_COS}
+    """,
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.45). Exact "
+    "all-pairs at test scale; embedding_near_dups(n_bits>0) is the "
+    "SRP-bucketed variant used at scale.",
+)
+def s3_embedding_near_dups(spark, sf_dir):
+    return similarity.embedding_near_dups(t(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_COS)
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+@q(
+    "t1_quality_features",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, text, {TOKENS_SQL} AS tk FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           ROUND(list_sum(list_transform(tk, t -> length(t))) / greatest(len(tk), 1), 4)
+               AS avg_token_len,
+           ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(length(text), 1), 4)
+               AS punct_ratio,
+           ROUND(len(list_filter(tk, t -> t IN ('a','the','and','of','to','in','is','it')))
+                 / greatest(len(tk), 1), 4) AS stopword_ratio
+    FROM toks
+    """,
+    doc="Per-document quality features (length, token stats, punctuation "
+    "and stopword ratios): pure map over the corpus, zero shuffles — the "
+    "100 TB quality-filter pass shape.",
+)
+def t1_quality_features(spark, sf_dir):
+    return text.quality_features(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "t2_lang_id",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+    ), counts AS (
+        SELECT doc_id,
+               len(list_filter(tk, t -> t IN ('the','a','and','of','to'))) AS en_c,
+               len(list_filter(tk, t -> t IN ('el','la','los','de','que'))) AS es_c,
+               len(list_filter(tk, t -> t IN ('le','la','les','des','et'))) AS fr_c,
+               len(list_filter(tk, t -> t IN ('der','die','das','und','ist'))) AS de_c
+        FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(en_c, es_c, fr_c, de_c) = 0 THEN 'und'
+                WHEN en_c >= es_c AND en_c >= fr_c AND en_c >= de_c THEN 'en'
+                WHEN es_c >= fr_c AND es_c >= de_c THEN 'es'
+                WHEN fr_c >= de_c THEN 'fr'
+                ELSE 'de' END AS pred_lang
+    FROM counts
+    """,
+    doc="Marker-word language ID (earliest-argmax over per-language marker "
+    "counts, 'und' when none match) — the n-gram-heuristic shape; a model "
+    "scorer swaps in as a pandas_udf without changing the plan.",
+)
+def t2_lang_id(spark, sf_dir):
+    return text.lang_id(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "t3_token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(len({TOKENS_SQL}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens and BPE-ish pre-tokens "
+    "(letter runs | digit runs | single symbols) via regexp_extract_all.",
+)
+def t3_token_counts(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        text.token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+@q(
+    "t4_fingerprint",
+    f"""
+    SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM documents
+    """,
+    doc="Stable content fingerprint: md5 of normalized text — the "
+    "content-addressed identity used for incremental dedup at scale.",
+)
+def t4_fingerprint(spark, sf_dir):
+    return text.fingerprint(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "t5_corpus_stats",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           ROUND(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 4) AS median_chars,
+           ROUND(CAST(quantile_cont(n_chars, 0.9) AS DOUBLE), 4) AS p90_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Corpus distribution stats per language: exact distinct + exact "
+    "interpolated quantiles (oracle-checkable); the package also exposes "
+    "approx_count_distinct/percentile_approx for the sketch path at scale.",
+)
+def t5_corpus_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("median_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+    )
+
+
+@q(
+    "t6_token_explode",
+    f"""
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest({TOKENS_SQL}) AS token FROM documents)
+    GROUP BY token
+    """,
+    doc="UDTF-shaped table-generating op (SURVEY 2.9): text -> one row per "
+    "token (explode(split(...))) + frequency — the battle-log line "
+    "explosion shape on the documents stand-in.",
+)
+def t6_token_explode(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(dedup.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+@q(
+    "m1_payload_metadata",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    doc="Multimodal binary-column plumbing: text encoded to an opaque "
+    "binary payload; byte length + content digest computed without any "
+    "decode (JVM-side, prunable). Real media decode is the mapInPandas "
+    "stub in operators.multimodal.",
+)
+def m1_payload_metadata(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    from ..operators.multimodal import attach_payload_metadata
+
+    return attach_payload_metadata(d).select("doc_id", "n_bytes", "content_md5")

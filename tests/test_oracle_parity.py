@@ -1,0 +1,81 @@
+"""Local mirror of the driver's correctness gate: every cataloged query
+runs in Spark AND in DuckDB; results must match on row count, column
+names, and (order-insensitively) values — the same contract the driver
+checks at sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pokemon_showdown_airflow_etl_spark.plans import ALL_QUERIES
+
+ORACLE_QUERIES = [q for q in ALL_QUERIES.values() if q.oracle is not None]
+ROWS_ONLY_QUERIES = [q for q in ALL_QUERIES.values() if q.oracle is None]
+
+
+def _normalize(value):
+    import datetime
+    from decimal import Decimal
+
+    if isinstance(value, Decimal):
+        return float(value)
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        # collapse -0.0 / 0.0 and format to kill representation noise
+        return f"{value + 0.0:.9g}"
+    if isinstance(value, datetime.datetime):
+        return value.replace(tzinfo=None).isoformat()
+    return value
+
+
+def _rows_to_set(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        out.append(tuple(_normalize(row[i]) for i in order))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("query", ORACLE_QUERIES, ids=lambda q: q.name)
+def test_matches_oracle(query, spark, duck, sf_dir):
+    sdf = query.spark(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.sql(query.oracle)
+    duck_cols = list(rel.columns)
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{query.name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{query.name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    s = _rows_to_set(spark_cols, spark_rows)
+    d = _rows_to_set(duck_cols, duck_rows)
+    if s != d:
+        only_s = [r for r in s if r not in d][:5]
+        only_d = [r for r in d if r not in s][:5]
+        raise AssertionError(
+            f"{query.name}: value mismatch\n spark-only: {only_s}\n duck-only: {only_d}"
+        )
+
+
+@pytest.mark.parametrize("query", ROWS_ONLY_QUERIES, ids=lambda q: q.name)
+def test_rows_only_runs(query, spark, sf_dir):
+    df = query.spark(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
