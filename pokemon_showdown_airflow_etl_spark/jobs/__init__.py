@@ -1,0 +1,35 @@
+"""Pipeline + maintenance jobs mirroring the reference's Airflow DAGs."""
+
+from .lake import MetadataStore, ReplayLake, load_state, save_state, state_df
+from .maintenance import (
+    deduplicate_metadata,
+    fix_compacted_status,
+    import_existing,
+    optimize_lake,
+)
+from .pipeline import (
+    compact,
+    discover,
+    discover_backfill,
+    download,
+    retry_failed,
+    run_daily_pipeline,
+)
+
+__all__ = [
+    "MetadataStore",
+    "ReplayLake",
+    "load_state",
+    "save_state",
+    "state_df",
+    "discover",
+    "discover_backfill",
+    "download",
+    "retry_failed",
+    "compact",
+    "run_daily_pipeline",
+    "import_existing",
+    "fix_compacted_status",
+    "deduplicate_metadata",
+    "optimize_lake",
+]

@@ -1,0 +1,218 @@
+"""End-to-end pipeline tests against the deterministic fake API:
+discover -> download -> retry -> compact over a temp lake, asserting the
+reference's lifecycle semantics (idempotence, watermark stop, failure
+dead-lettering, compaction dedup) hold in the Spark formulation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pokemon_showdown_airflow_etl_spark.jobs import (
+    MetadataStore,
+    ReplayLake,
+    compact,
+    deduplicate_metadata,
+    discover,
+    discover_backfill,
+    download,
+    fix_compacted_status,
+    import_existing,
+    load_state,
+    retry_failed,
+)
+from pokemon_showdown_airflow_etl_spark.sources.api import ReplayApiClient
+from pokemon_showdown_airflow_etl_spark.sources.fake import (
+    FakeShowdownTransport,
+    make_replays,
+)
+
+FMT = "gen9ou"
+N = 130  # 2 full pages + 1 short page
+
+
+@pytest.fixture
+def lake(tmp_path):
+    return ReplayLake(str(tmp_path / "lake"))
+
+
+def healthy_client(n=N):
+    return ReplayApiClient(
+        transport=FakeShowdownTransport({FMT: make_replays(FMT, n)}),
+        sleeper=lambda s: None,
+    )
+
+
+def test_discover_ingests_and_is_idempotent(spark, lake):
+    client = healthy_client()
+    stats = discover(spark, lake, client, FMT, max_pages=10)
+    assert stats["new_replays"] == N
+    meta = MetadataStore(spark, lake.metadata_path).read()
+    assert meta.count() == N
+    assert meta.filter(F.col("is_downloaded")).count() == 0
+    # second run: watermark stops paging on the first stale row
+    stats2 = discover(spark, lake, client, FMT, max_pages=10)
+    assert stats2["new_replays"] == 0 and stats2["pages_fetched"] == 1
+    assert MetadataStore(spark, lake.metadata_path).read().count() == N
+    assert load_state(lake, FMT)["last_seen_ts"] is not None
+
+
+def test_discover_picks_up_only_new_rows(spark, lake):
+    corpus = make_replays(FMT, N)
+    transport = FakeShowdownTransport({FMT: corpus})
+    client = ReplayApiClient(transport=transport, sleeper=lambda s: None)
+    discover(spark, lake, client, FMT, max_pages=10)
+    # 9 fresh replays appear with later uploadtimes
+    transport.replays_by_format[FMT] = make_replays(FMT, N + 9)
+    stats = discover(spark, lake, client, FMT, max_pages=10)
+    assert stats["new_replays"] == 9
+    assert MetadataStore(spark, lake.metadata_path).read().count() == N + 9
+
+
+def test_backfill_walks_to_oldest(spark, lake):
+    client = healthy_client()
+    # incremental first sees everything; wipe nothing — backfill from MIN
+    discover(spark, lake, client, FMT, max_pages=1)  # only newest 51
+    stats = discover_backfill(spark, lake, client, FMT, max_pages=10)
+    assert stats["new_replays"] == N - 51
+    assert MetadataStore(spark, lake.metadata_path).read().count() == N
+    assert load_state(lake, FMT)["oldest_ts"] is not None
+
+
+def test_download_lands_docs_and_flags(spark, lake):
+    # every 13th replay 404s permanently -> dead-lettered with Failed: prefix
+    transport = FakeShowdownTransport({FMT: make_replays(FMT, N)}, dead_every=13)
+    client = ReplayApiClient(transport=transport, sleeper=lambda s: None)
+    discover(spark, lake, client, FMT, max_pages=10)
+    stats = download(spark, lake, client, FMT, parallelism=4)
+    assert stats["total"] == N
+    assert stats["failed"] == len([i for i in range(N) if i % 13 == 0 and i > 0])
+    assert stats["downloaded"] == N - stats["failed"]
+
+    docs = spark.read.parquet(lake.replays_path)
+    assert docs.count() == stats["downloaded"]
+    assert set(docs.select("format").distinct().toPandas()["format"]) == {FMT}
+    assert docs.filter(F.col("log").contains("|t:|")).count() == stats["downloaded"]
+
+    meta = MetadataStore(spark, lake.metadata_path).read()
+    failed = meta.filter(~F.coalesce("is_downloaded", F.lit(False)))
+    assert failed.count() == stats["failed"]
+    assert failed.filter(F.col("download_details").startswith("Failed:")).count() == stats["failed"]
+    # second run re-attempts only the failures (F2 keeps them in the
+    # work list — db.py:505-509) and they fail again (still 404)
+    stats2 = download(spark, lake, client, FMT)
+    assert stats2["total"] == stats["failed"] and stats2["downloaded"] == 0
+
+
+def test_retry_recovers_healed_failures(spark, lake):
+    dead = FakeShowdownTransport({FMT: make_replays(FMT, N)}, dead_every=13)
+    sick = ReplayApiClient(transport=dead, sleeper=lambda s: None)
+    discover(spark, lake, sick, FMT, max_pages=10)
+    dl = download(spark, lake, sick, FMT, parallelism=4)
+    assert dl["failed"] > 1
+
+    # outage heals for all but replay index 26 before the retry stage
+    still_dead = FakeShowdownTransport({FMT: make_replays(FMT, N)}, dead_every=26)
+    healed = ReplayApiClient(transport=still_dead, sleeper=lambda s: None)
+    stats = retry_failed(spark, lake, healed, FMT, parallelism=4)
+    assert stats["total"] == dl["failed"]
+    assert stats["failed"] == len([i for i in range(N) if i % 26 == 0 and i > 0])
+    assert stats["recovered"] == dl["failed"] - stats["failed"]
+
+    meta = MetadataStore(spark, lake.metadata_path).read()
+    retried = meta.filter(F.coalesce("is_retry_attempted", F.lit(False)))
+    assert retried.count() == dl["failed"]  # exactly-once retry flag
+    # a second retry run finds nothing (is_retry_attempted=TRUE excluded)
+    assert retry_failed(spark, lake, healed, FMT)["total"] == 0
+
+
+def test_compact_groups_by_day_and_dedups(spark, lake):
+    client = healthy_client()
+    discover(spark, lake, client, FMT, max_pages=10)
+    download(spark, lake, client, FMT, parallelism=4)
+    stats = compact(spark, lake, FMT)
+    assert stats["compacted"] == N
+    assert stats["skipped_existing"] == 0
+
+    compacted = spark.read.parquet(lake.compacted_path)
+    assert compacted.count() == N
+    assert compacted.select("id").distinct().count() == N
+    # replays span 130 hours => 6-7 calendar days
+    assert stats["dates_processed"] == compacted.select("date").distinct().count()
+
+    meta = MetadataStore(spark, lake.metadata_path).read()
+    assert meta.filter(F.col("is_compacted")).count() == N
+    # idempotent: re-run compacts nothing, loses nothing
+    stats2 = compact(spark, lake, FMT)
+    assert stats2["compacted"] == 0
+    assert spark.read.parquet(lake.compacted_path).count() == N
+
+
+def test_compact_incremental_day_merge(spark, lake):
+    """New replays landing on an already-compacted day must merge into
+    that day's partition without duplicating it (compaction.py:149-225)."""
+    transport = FakeShowdownTransport({FMT: make_replays(FMT, 40)})
+    client = ReplayApiClient(transport=transport, sleeper=lambda s: None)
+    discover(spark, lake, client, FMT, max_pages=10)
+    download(spark, lake, client, FMT, parallelism=4)
+    compact(spark, lake, FMT)
+    # 8 more replays, interleaved into the same days (step stays 3600)
+    transport.replays_by_format[FMT] = make_replays(FMT, 48)
+    discover(spark, lake, client, FMT, max_pages=10)
+    download(spark, lake, client, FMT, parallelism=4)
+    stats = compact(spark, lake, FMT)
+    assert stats["compacted"] == 8
+    compacted = spark.read.parquet(lake.compacted_path)
+    assert compacted.count() == 48
+    assert compacted.select("id").distinct().count() == 48
+
+
+def test_import_existing_and_fix_status(spark, lake):
+    client = healthy_client(40)
+    discover(spark, lake, client, FMT, max_pages=10)
+    download(spark, lake, client, FMT, parallelism=4)
+    compact(spark, lake, FMT)
+
+    # wipe metadata: import_existing must rebuild it from the lake (O10)
+    import shutil
+
+    shutil.rmtree(lake.metadata_path)
+    stats = import_existing(spark, lake)
+    assert stats["imported"] == 40
+    meta = MetadataStore(spark, lake.metadata_path).read()
+    assert meta.filter(F.col("is_downloaded")).count() == 40
+    assert meta.filter(F.col("is_compacted")).count() == 40
+    # re-run: nothing new (J6 anti-join)
+    assert import_existing(spark, lake)["imported"] == 0
+
+
+def test_fix_compacted_status_dry_run_then_execute(spark, lake):
+    client = healthy_client(40)
+    discover(spark, lake, client, FMT, max_pages=10)
+    download(spark, lake, client, FMT, parallelism=4)
+    compact(spark, lake, FMT)
+
+    # forge stale status: clear the compacted flag on every row (O11 setup)
+    meta = MetadataStore(spark, lake.metadata_path)
+    broken = meta.read().withColumn("is_compacted", F.lit(False)).localCheckpoint(eager=True)
+    broken.write.partitionBy("format_id").mode("overwrite").parquet(lake.metadata_path)
+
+    dry = fix_compacted_status(spark, lake, FMT, execute=False)
+    assert dry == {"would_fix": 40, "fixed": 0}
+    run = fix_compacted_status(spark, lake, FMT, execute=True)
+    assert run["fixed"] == 40
+    assert meta.read().filter(F.col("is_compacted")).count() == 40
+
+
+def test_deduplicate_metadata(spark, lake):
+    client = healthy_client(20)
+    discover(spark, lake, client, FMT, max_pages=10)
+    meta = MetadataStore(spark, lake.metadata_path)
+    # forge duplicates by double-appending
+    meta.read().localCheckpoint(eager=True).write.partitionBy("format_id").mode(
+        "append"
+    ).parquet(lake.metadata_path)
+    assert meta.read().count() == 40
+    stats = deduplicate_metadata(spark, lake)
+    assert stats["duplicate_keys"] == 20 and stats["rows_removed"] == 20
+    assert meta.read().count() == 20
