@@ -8,12 +8,12 @@ expose to the driver.
 from __future__ import annotations
 
 from .base import Query
-from . import relational, joins, llm
+from . import relational, joins, llm, battlelog
 
 
 def _merge() -> dict[str, Query]:
     out: dict[str, Query] = {}
-    for mod in (relational, joins, llm):
+    for mod in (relational, joins, llm, battlelog):
         for q in mod.QUERIES:
             if q.name in out:
                 raise ValueError(f"duplicate query name: {q.name}")

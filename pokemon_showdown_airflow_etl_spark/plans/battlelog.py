@@ -1,0 +1,258 @@
+"""Battle-log analysis queries (SURVEY.md §7 Phase 4) — the
+table-generating layer over replay ``log`` text.
+
+A replay log is newline-separated ``|command|args...`` protocol lines
+with embedded ``|t:|<epoch>`` timestamps; the reference only ever pulls
+the first timestamp (scripts/import_existing_replays.py:46-49), but the
+log is the reason the data exists, so this layer generalizes C5 into
+explode -> parse -> event-time fill -> analytics.
+
+Cross-engine verification trick: no battle corpus ships in the driver
+testdata, so each query synthesizes the SAME deterministic corpus from
+``range(N_REPLAYS)`` in both engines — pure arithmetic + string concat,
+identical formulas — and the oracle then checks the *parsing pipeline*
+(split/explode with ordinality, 1-indexed part extraction, running
+last-non-null event-time window, per-group aggregation) value-for-value
+against DuckDB. sf_dir is ignored: the corpus is scale-free on purpose.
+
+At 100 TB the log column dominates storage; everything here is built-in
+split/posexplode/regexp/window expressions — single scan, no Python in
+the hot path, shuffles only on the final per-replay/per-player group
+keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.logparse import battle_events, explode_log_lines, parse_protocol_lines
+from .base import Query
+
+QUERIES: list[Query] = []
+
+
+def q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES.append(Query(name=name, spark=fn, oracle=oracle, doc=doc))
+        return fn
+
+    return deco
+
+
+N_REPLAYS = 2000
+T0 = 1_700_000_000
+STEP = 3600
+
+
+def corpus(spark: SparkSession, n: int = N_REPLAYS) -> DataFrame:
+    """Deterministic replay documents (same shape as sources.fake
+    make_replays): id, format, uploadtime, p1, p2, and an 8-line battle
+    log with two |t:| stamps, two |move| lines and a |win| line."""
+    i = F.col("i")
+    ts = (F.lit(T0) + i * STEP).cast("long")
+    p1 = F.concat(F.lit("player"), (i % 17).cast("string"))
+    p2 = F.concat(F.lit("player"), ((i * 7 + 3) % 23).cast("string"))
+    log = F.concat_ws(
+        "\n",
+        F.concat(F.lit("|player|p1|"), p1),
+        F.concat(F.lit("|player|p2|"), p2),
+        F.concat(F.lit("|t:|"), ts.cast("string")),
+        F.lit("|start"),
+        F.concat(F.lit("|move|p1a: Mon"), (i % 9).cast("string"), F.lit("|Tackle")),
+        F.concat(F.lit("|t:|"), (ts + 30).cast("string")),
+        F.concat(F.lit("|move|p2a: Mon"), ((i + 4) % 9).cast("string"), F.lit("|Growl")),
+        F.concat(F.lit("|win|"), F.when(i % 2 == 0, p1).otherwise(p2)),
+    )
+    return (
+        spark.range(n)
+        .select(F.col("id").cast("int").alias("i"))
+        .select(
+            F.concat(F.lit("gen9ou-"), (F.lit(1000) + i).cast("string")).alias("id"),
+            F.lit("gen9ou").alias("format"),
+            ts.alias("uploadtime"),
+            p1.alias("p1"),
+            p2.alias("p2"),
+            log.alias("log"),
+        )
+    )
+
+
+# The identical corpus as a DuckDB CTE (1-indexed list ops; chr(10) joins).
+CORPUS_SQL = f"""
+    WITH base AS (
+        SELECT CAST(i AS INT) AS i,
+               'gen9ou-' || CAST(1000 + i AS VARCHAR) AS id,
+               CAST({T0} + i * {STEP} AS BIGINT) AS uploadtime,
+               'player' || CAST(i % 17 AS VARCHAR) AS p1,
+               'player' || CAST((i * 7 + 3) % 23 AS VARCHAR) AS p2
+        FROM range({N_REPLAYS}) t(i)
+    ), docs AS (
+        SELECT *,
+               '|player|p1|' || p1 || chr(10) ||
+               '|player|p2|' || p2 || chr(10) ||
+               '|t:|' || CAST(uploadtime AS VARCHAR) || chr(10) ||
+               '|start' || chr(10) ||
+               '|move|p1a: Mon' || CAST(i % 9 AS VARCHAR) || '|Tackle' || chr(10) ||
+               '|t:|' || CAST(uploadtime + 30 AS VARCHAR) || chr(10) ||
+               '|move|p2a: Mon' || CAST((i + 4) % 9 AS VARCHAR) || '|Growl' || chr(10) ||
+               '|win|' || CASE WHEN i % 2 = 0 THEN p1 ELSE p2 END AS log
+        FROM base
+    ), lines AS (
+        SELECT id AS replay_id,
+               unnest(range(1, len(string_split(log, chr(10))) + 1)) AS line_no,
+               unnest(string_split(log, chr(10))) AS line
+        FROM docs
+    ), parsed AS (
+        SELECT replay_id, line_no,
+               string_split(line, '|')[2] AS command,
+               string_split(line, '|')[3:] AS args
+        FROM lines WHERE line <> ''
+    )
+"""
+
+
+@q(
+    "b1_log_command_histogram",
+    CORPUS_SQL
+    + """
+    SELECT command, CAST(count(*) AS BIGINT) AS n_lines
+    FROM parsed GROUP BY command
+    """,
+    doc="UDTF-shaped log explode: one scan, split+posexplode into "
+    "protocol lines, command histogram. Catalyst keeps the whole "
+    "explode+parse in one codegen stage; the only shuffle is the "
+    "8-group aggregate.",
+)
+def b1_log_command_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = parse_protocol_lines(explode_log_lines(corpus(spark)))
+    return lines.groupBy("command").agg(F.count("*").cast("long").alias("n_lines"))
+
+
+@q(
+    "b2_battle_event_times",
+    CORPUS_SQL
+    + """
+    , stamped AS (
+        SELECT replay_id, line_no,
+               last_value(CASE WHEN command = 't:' THEN CAST(args[1] AS BIGINT) END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY replay_id ORDER BY line_no
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS event_ts
+        FROM parsed
+    )
+    SELECT replay_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(event_ts) AS BIGINT) AS n_stamped,
+           CAST(max(event_ts) - min(event_ts) AS BIGINT) AS duration_s
+    FROM stamped GROUP BY replay_id
+    """,
+    doc="Event-time fill: every protocol line inherits the most recent "
+    "|t:| stamp at-or-before it (running last-non-null window per "
+    "replay), then per-battle duration. This is the C5 seed generalized "
+    "into the event-time backbone of the analysis layer.",
+)
+def b2_battle_event_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = battle_events(corpus(spark))
+    return ev.groupBy("replay_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.count("event_ts").cast("long").alias("n_stamped"),
+        (F.max("event_ts") - F.min("event_ts")).cast("long").alias("duration_s"),
+    )
+
+
+@q(
+    "b3_player_win_rates",
+    CORPUS_SQL
+    + """
+    , appearances AS (
+        SELECT p1 AS player FROM docs
+        UNION ALL
+        SELECT p2 AS player FROM docs
+    ), games AS (
+        SELECT player, count(*) AS n_games FROM appearances GROUP BY player
+    ), wins AS (
+        SELECT args[1] AS player, count(*) AS n_wins
+        FROM parsed WHERE command = 'win' GROUP BY 1
+    )
+    SELECT g.player,
+           CAST(g.n_games AS BIGINT) AS n_games,
+           CAST(coalesce(w.n_wins, 0) AS BIGINT) AS n_wins,
+           ROUND(CAST(coalesce(w.n_wins, 0) AS DOUBLE) / g.n_games, 4) AS win_rate
+    FROM games g LEFT JOIN wins w ON g.player = w.player
+    """,
+    doc="Win-rate per player: |win| lines joined against per-player game "
+    "appearances. The wins side is tiny after its aggregate, so Spark "
+    "broadcast-joins it into the games side.",
+)
+def b3_player_win_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = corpus(spark)
+    games = (
+        docs.select(F.explode(F.array("p1", "p2")).alias("player"))
+        .groupBy("player")
+        .agg(F.count("*").cast("long").alias("n_games"))
+    )
+    parsed = parse_protocol_lines(explode_log_lines(docs))
+    wins = (
+        parsed.filter(F.col("command") == "win")
+        .select(F.element_at("args", 1).alias("player"))
+        .groupBy("player")
+        .agg(F.count("*").cast("long").alias("n_wins"))
+    )
+    return games.join(F.broadcast(wins), "player", "left").select(
+        "player",
+        "n_games",
+        F.coalesce("n_wins", F.lit(0)).cast("long").alias("n_wins"),
+        F.round(F.coalesce("n_wins", F.lit(0)) / F.col("n_games"), 4).alias("win_rate"),
+    )
+
+
+@q(
+    "b4_move_usage",
+    CORPUS_SQL
+    + """
+    SELECT regexp_extract(args[1], ': (.*)$', 1) AS pokemon,
+           args[2] AS move,
+           CAST(count(*) AS BIGINT) AS n_uses
+    FROM parsed WHERE command = 'move'
+    GROUP BY 1, 2
+    """,
+    doc="Usage stats from |move| lines: actor 'p1a: MonX' regexp-parsed "
+    "to the pokemon, grouped with the move. Single scan + one shuffle "
+    "on the (pokemon, move) key.",
+)
+def b4_move_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = parse_protocol_lines(explode_log_lines(corpus(spark)))
+    return (
+        parsed.filter(F.col("command") == "move")
+        .select(
+            F.regexp_extract(F.element_at("args", 1), r": (.*)$", 1).alias("pokemon"),
+            F.element_at("args", 2).alias("move"),
+        )
+        .groupBy("pokemon", "move")
+        .agg(F.count("*").cast("long").alias("n_uses"))
+    )
+
+
+@q(
+    "b5_first_log_timestamp",
+    CORPUS_SQL
+    + """
+    SELECT id AS replay_id,
+           CAST(regexp_extract(log, '\\|t:\\|(\\d+)', 1) AS BIGINT) AS first_log_ts,
+           CAST(regexp_extract(log, '\\|t:\\|(\\d+)', 1) AS BIGINT) = uploadtime
+               AS matches_uploadtime
+    FROM docs
+    """,
+    doc="C5 verbatim (import_existing_replays.py:46-49): the reference's "
+    "only log consumer — first |t:| stamp as the replay's event time, "
+    "cross-checked against uploadtime.",
+)
+def b5_first_log_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import scalars as C
+
+    return corpus(spark).select(
+        F.col("id").alias("replay_id"),
+        C.log_timestamp("log").alias("first_log_ts"),
+        (C.log_timestamp("log") == F.col("uploadtime")).alias("matches_uploadtime"),
+    )
