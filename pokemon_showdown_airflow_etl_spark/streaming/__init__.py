@@ -1,0 +1,19 @@
+"""Structured Streaming formulation of the batch-incremental ingest."""
+
+from .ingest import (
+    daily_rollup,
+    dedup_within_watermark,
+    start_daily_rollup,
+    start_metadata_registration,
+    stream_replay_docs,
+    with_late_data_bounds,
+)
+
+__all__ = [
+    "stream_replay_docs",
+    "with_late_data_bounds",
+    "dedup_within_watermark",
+    "daily_rollup",
+    "start_metadata_registration",
+    "start_daily_rollup",
+]

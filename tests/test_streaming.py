@@ -1,0 +1,97 @@
+"""Structured Streaming ingest tests: file-source discovery with
+exactly-once metadata registration across incremental runs, tumbling
+daily rollup with watermark finalization, in-stream dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pokemon_showdown_airflow_etl_spark.jobs.lake import MetadataStore
+from pokemon_showdown_airflow_etl_spark.schemas import REPLAY_DOCUMENT
+from pokemon_showdown_airflow_etl_spark.sources.fake import make_replays
+from pokemon_showdown_airflow_etl_spark.streaming import (
+    dedup_within_watermark,
+    start_daily_rollup,
+    start_metadata_registration,
+    stream_replay_docs,
+)
+
+
+def land_docs(spark, landing_dir: str, replays: list[dict]) -> None:
+    rows = [
+        tuple(r.get(f.name) for f in REPLAY_DOCUMENT.fields) for r in replays
+    ]
+    spark.createDataFrame(rows, REPLAY_DOCUMENT).write.mode("append").parquet(landing_dir)
+
+
+@pytest.fixture
+def dirs(tmp_path):
+    return {
+        "landing": str(tmp_path / "landing"),
+        "meta": str(tmp_path / "meta"),
+        "rollup": str(tmp_path / "rollup"),
+        "ck1": str(tmp_path / "ck1"),
+        "ck2": str(tmp_path / "ck2"),
+    }
+
+
+def test_streaming_registration_is_incremental_and_exactly_once(spark, dirs):
+    corpus = make_replays("gen9ou", 60)
+    land_docs(spark, dirs["landing"], corpus[:40])
+
+    docs = stream_replay_docs(spark, dirs["landing"])
+    q = start_metadata_registration(docs, dirs["meta"], dirs["ck1"])
+    q.awaitTermination()
+    meta = MetadataStore(spark, dirs["meta"])
+    assert meta.read().count() == 40
+
+    # second run over the same checkpoint: only the 20 new files'
+    # rows are processed; re-landed duplicates insert nothing (T5)
+    land_docs(spark, dirs["landing"], corpus[20:])  # 20 dupes + 20 new
+    q = start_metadata_registration(
+        stream_replay_docs(spark, dirs["landing"]), dirs["meta"], dirs["ck1"]
+    )
+    q.awaitTermination()
+    assert meta.read().count() == 60
+    assert meta.read().select("replay_id").distinct().count() == 60
+
+
+def test_daily_rollup_emits_finalized_days(spark, dirs):
+    # 5 days of replays, one per hour
+    corpus = make_replays("gen9ou", 120)
+    land_docs(spark, dirs["landing"], corpus)
+    q = start_daily_rollup(
+        stream_replay_docs(spark, dirs["landing"]),
+        dirs["rollup"],
+        dirs["ck2"],
+        lateness="1 day",
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(dirs["rollup"])
+    # append mode emits only windows older than watermark (max_ts - 1 day):
+    # of the 6 calendar days spanned, the trailing day(s) stay open
+    emitted = out.count()
+    assert emitted >= 3
+    total = out.agg(F.sum("n_replays")).first()[0]
+    assert total <= 120
+    # each finalized day counts 24 hourly replays (boundary days partial)
+    full_days = out.filter(F.col("n_replays") == 24).count()
+    assert full_days >= 2
+
+
+def test_dedup_within_watermark_drops_reuploads(spark, dirs):
+    corpus = make_replays("gen9ou", 30)
+    land_docs(spark, dirs["landing"], corpus)
+    land_docs(spark, dirs["landing"], corpus[:10])  # re-uploads
+    deduped = dedup_within_watermark(stream_replay_docs(spark, dirs["landing"]))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT id) AS d FROM dedup_sink").first()
+    assert got["n"] == 30 and got["d"] == 30
