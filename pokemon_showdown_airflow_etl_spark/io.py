@@ -98,6 +98,29 @@ def read_replay_lake(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def export_compacted_json(df: DataFrame, path: str) -> None:
+    """Reference-format export: the compacted lake as JSON files under
+    ``format=X/date=Y/`` directories — interop with the reference's
+    per-day compacted files (tasks/compaction.py:149,219-225). One file
+    per (format, date) partition, line-delimited JSON documents."""
+    df.repartition("format", "date").write.partitionBy("format", "date").mode(
+        "overwrite"
+    ).json(path)
+
+
+def read_compacted_json(spark: SparkSession, path: str, multi_line: bool = False) -> DataFrame:
+    """S4 scan: read compacted JSON day files. ``multi_line=True`` reads
+    the reference's whole-day JSON *array* files
+    (tasks/compaction.py:155-163, import_existing_replays.py:70-82);
+    False reads line-delimited exports."""
+    from .schemas import REPLAY_DOCUMENT
+
+    reader = spark.read.schema(REPLAY_DOCUMENT)
+    if multi_line:
+        reader = reader.option("multiLine", True)
+    return reader.json(path)
+
+
 def write_metadata(df: DataFrame, path: str) -> None:
     """Persist the replay_status metadata table, partitioned by format_id
 

@@ -8,12 +8,12 @@ expose to the driver.
 from __future__ import annotations
 
 from .base import Query
-from . import relational, joins, llm, battlelog
+from . import relational, joins, llm, battlelog, extras
 
 
 def _merge() -> dict[str, Query]:
     out: dict[str, Query] = {}
-    for mod in (relational, joins, llm, battlelog):
+    for mod in (relational, joins, llm, battlelog, extras):
         for q in mod.QUERIES:
             if q.name in out:
                 raise ValueError(f"duplicate query name: {q.name}")

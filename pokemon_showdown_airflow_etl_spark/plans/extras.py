@@ -1,0 +1,144 @@
+"""Gap-filling queries for SURVEY.md §2 rows not covered elsewhere:
+G8 retry-outcome counters, W3 sorted iteration, C9/C11 path + fallback
+scalars, and the §2.11 approximate sketches (rows-only: HLL/quantile
+estimates are engine-specific by design, so DuckDB hash-equality is the
+wrong oracle — tests/test_extras.py bounds their error against exact
+values instead)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .base import Query, t
+
+QUERIES: list[Query] = []
+
+
+def q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES.append(Query(name=name, spark=fn, oracle=oracle, doc=doc))
+        return fn
+
+    return deco
+
+
+@q(
+    "g8_retry_counters",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS total,
+           CAST(sum(CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END) AS BIGINT)
+               AS recovered,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+           CAST(sum(CASE WHEN event_type NOT IN ('click','view','error') THEN 1 ELSE 0 END)
+                AS BIGINT) AS skipped
+    FROM events
+    """,
+    doc="G8 retry outcome counters (tasks/retry.py:51-57,76-132): one "
+    "conditional-aggregation pass classifying every attempt — "
+    "total/recovered/failed/skipped, map-side partial aggregation so the "
+    "shuffle carries 4 longs regardless of input size.",
+)
+def g8_retry_counters(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").cast("long").alias("total"),
+        F.sum(F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0))
+        .cast("long")
+        .alias("recovered"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("failed"),
+        F.sum(
+            F.when(~F.col("event_type").isin("click", "view", "error"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("skipped"),
+    )
+
+
+@q(
+    "w3_sorted_dates",
+    """
+    SELECT d AS date, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS day_rank,
+           CAST(n AS BIGINT) AS n_orders
+    FROM (SELECT o_orderdate AS d, count(*) AS n FROM orders GROUP BY 1)
+    """,
+    doc="W3 sorted iteration (fix_compacted_status.py:177 sorts dates "
+    "before per-date processing): global sort made observable via "
+    "row_number rank — a single-partition window only over the tiny "
+    "post-aggregation date list, never over raw rows.",
+)
+def w3_sorted_dates(spark, sf_dir):
+    per_date = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("date"))
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+    w = Window.orderBy("date")
+    return per_date.select(
+        "date", F.row_number().over(w).cast("long").alias("day_rank"), "n_orders"
+    )
+
+
+@q(
+    "c9_filename_to_id",
+    """
+    SELECT doc_id,
+           regexp_extract('replays/gen9ou/2024-01-15/doc-' || CAST(doc_id AS VARCHAR)
+                          || '.json', '([^/]+)\\.json$', 1) AS replay_id
+    FROM documents
+    """,
+    doc="C9 filename->id (import_existing_replays.py:32-34): the basename-"
+    "stem extraction applied to reconstructed lake paths; on a real scan "
+    "the input is input_file_name() (functions/scalars.py:filename_to_id).",
+)
+def c9_filename_to_id(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("replays/gen9ou/2024-01-15/doc-"), F.col("doc_id").cast("string"), F.lit(".json")
+    )
+    return docs.select(
+        "doc_id", F.regexp_extract(path, r"([^/]+)\.json$", 1).alias("replay_id")
+    )
+
+
+@q(
+    "c11_mtime_fallback",
+    """
+    SELECT doc_id,
+           CAST(coalesce(CASE WHEN doc_id % 5 = 0 THEN NULL ELSE doc_id * 1000 END,
+                         1700000000) AS BIGINT) AS uploadtime
+    FROM documents
+    """,
+    doc="C11 epoch-from-mtime fallback (import_existing_replays.py:54): "
+    "documents missing uploadtime fall back to file modification time "
+    "(here a fixed stand-in epoch) via coalesce.",
+)
+def c11_mtime_fallback(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    uploadtime = F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(
+        F.col("doc_id") * 1000
+    )
+    return docs.select(
+        "doc_id",
+        F.coalesce(uploadtime, F.lit(1_700_000_000)).cast("long").alias("uploadtime"),
+    )
+
+
+@q(
+    "a1_approx_sketches",
+    None,  # engine-specific estimates; error bounded in tests/test_extras.py
+    doc="§2.11 sketch path: approx_count_distinct (HLL++) and "
+    "percentile_approx per event_type — the constant-memory substitutes "
+    "for exact distinct/median at 100 TB. Rows-only by design: sketch "
+    "estimates differ across engines, so the check is an error bound "
+    "against exact values, not hash equality.",
+)
+def a1_approx_sketches(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+        F.percentile_approx("value", 0.99).alias("approx_p99_value"),
+    )

@@ -1,0 +1,66 @@
+"""Tests for the gap-filling extras: approx-sketch error bounds (the
+check DuckDB hash equality can't express) and the S4 JSON compacted
+interop scan (multiLine array files + line-delimited exports)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from pokemon_showdown_airflow_etl_spark.io import (
+    export_compacted_json,
+    read_compacted_json,
+)
+from pokemon_showdown_airflow_etl_spark.plans import ALL_QUERIES
+from pokemon_showdown_airflow_etl_spark.sources.fake import make_replays
+
+
+def test_approx_sketches_error_bounds(spark, sf_dir):
+    from pokemon_showdown_airflow_etl_spark.io import table
+
+    approx = {r["event_type"]: r for r in ALL_QUERIES["a1_approx_sketches"].spark(spark, sf_dir).collect()}
+    exact = {
+        r["event_type"]: r
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("median_value"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        # HLL++ default rsd is 5%
+        assert abs(a["approx_users"] - e["users"]) <= max(3, 0.1 * e["users"])
+        # percentile_approx returns a true element near the median
+        assert a["approx_median_value"] <= a["approx_p99_value"]
+
+
+def test_compacted_json_roundtrip(spark, tmp_path):
+    docs = spark.createDataFrame(make_replays("gen9ou", 30)).withColumn(
+        "date", F.date_format(F.timestamp_seconds("uploadtime"), "yyyy-MM-dd")
+    ).withColumn("extras", F.lit(None).cast("map<string,string>"))
+    out = str(tmp_path / "compacted_json")
+    export_compacted_json(docs, out)
+    back = read_compacted_json(spark, out)
+    assert back.count() == 30
+    assert back.select("id").distinct().count() == 30
+    assert back.filter(F.col("log").contains("|t:|")).count() == 30
+
+
+def test_multiline_array_day_file_scan(spark, tmp_path):
+    """The reference writes each day as one JSON *array* file
+    (compaction.py:219-225); multiLine read ingests that format."""
+    replays = make_replays("gen9ou", 7)
+    day_dir = tmp_path / "compacted_replays" / "gen9ou"
+    os.makedirs(day_dir)
+    with open(day_dir / "2023-11-14.json", "w") as f:
+        json.dump(replays, f)
+    df = read_compacted_json(spark, str(day_dir), multi_line=True)
+    assert df.count() == 7
+    assert df.select("id").distinct().count() == 7
+    assert df.schema["uploadtime"].dataType.typeName() == "long"
