@@ -28,6 +28,8 @@ HEADLINE = [
     "g5_ids_by_date",
     "g11_lifecycle_cube",
     "w1_latest_per_key",
+    "b2_battle_event_times",
+    "b3_player_win_rates",
     "d1_exact_dedup",
     "d2_ngram_jaccard_pairs",
     "d3_minhash_lsh_candidates",
@@ -39,22 +41,37 @@ HEADLINE = [
 ]
 
 
+def _run(name: str) -> None:
+    ALL_QUERIES[name].spark(_SPARK, SF_DIR).write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
+    global _SPARK
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    spark = _SPARK = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        # local[32] puts driver + executors in one JVM: the 1g default
+        # heap GC-thrashes under 32 concurrent tasks.
+        extra_conf={"spark.driver.memory": "24g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the parquet reader / codegen paths so query 1 doesn't pay
-    # one-time JVM costs.
-    from pokemon_showdown_airflow_etl_spark.io import table
+    # Untimed warmup: touch every table (file listing + footers) and run
+    # the full set once so the timed pass measures steady-state engine
+    # throughput, not one-time JVM/codegen compilation.
+    from pokemon_showdown_airflow_etl_spark.io import TESTDATA_TABLES, table
 
-    table(spark, SF_DIR, "lineitem").limit(1).count()
+    for t in TESTDATA_TABLES:
+        table(spark, SF_DIR, t).limit(1).count()
+    for name in HEADLINE:
+        _run(name)
 
     times: dict[str, float] = {}
     for name in HEADLINE:
-        query = ALL_QUERIES[name]
         t0 = time.perf_counter()
-        query.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        _run(name)
         times[name] = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

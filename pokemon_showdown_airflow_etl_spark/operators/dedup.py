@@ -105,12 +105,27 @@ def shingle_jaccard_pairs(
         _shingle_df(df, id_col, text_col, n)
         .withColumn("shingles", F.array_sort("shingles"))
         .withColumn("sz", F.size("shingles"))
+        # one materialization shared by all four plan references (both
+        # self-join sides + both verify re-attachments); without it the
+        # tokenize+shingle stage runs 4x.
+        .localCheckpoint(eager=False)
     )
     prefix_len = F.col("sz") - F.ceil(F.col("sz") * threshold).cast("int") + 1
-    ex = sh.select("doc", F.explode(F.slice(F.col("shingles"), F.lit(1), prefix_len)).alias("shingle"))
+    ex = sh.select(
+        "doc", "sz", F.explode(F.slice(F.col("shingles"), F.lit(1), prefix_len)).alias("shingle")
+    )
     a, b = ex.alias("a"), ex.alias("b")
+    # PPJoin length filter: jaccard >= t forces t*|a| <= |b| <= |a|/t, so
+    # size-incompatible pairs are pruned inside the join before the
+    # (more expensive) exact verification. No false negatives.
     cands = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("b.sz") >= F.col("a.sz") * threshold)
+            & (F.col("a.sz") >= F.col("b.sz") * threshold),
+        )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
@@ -156,6 +171,13 @@ def minhash_lsh_candidates(
     signature slots) -> explode bands -> self-join on (band_no, key) ->
     distinct pairs. The band join is the scale path: candidate count is
     controlled by band geometry, never O(n^2).
+
+    The signature stays in per-row array-transform form on purpose: the
+    alternative explode + groupBy(min(md5)) formulation measures ~9x
+    slower — min over *string* buffers is ineligible for the primitive
+    hash-aggregate fast path, so it falls back to sort-based
+    aggregation, while the array transforms are a narrow (shuffle-free)
+    map stage.
     """
     sh = _shingle_df(df, id_col, text_col, n)
     sig = sh.select("doc", *minhash_signature(F.col("shingles"), num_hashes))

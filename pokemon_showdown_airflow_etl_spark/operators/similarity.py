@@ -50,12 +50,22 @@ def brute_force_topk(
     ``queries`` is expected to be small — it is broadcast, so the corpus
     never shuffles; the only shuffle is the per-query top-k window over
     |queries| * k candidate rows after local ranking.
+
+    Norms are computed once per vector BEFORE the join (cos = dot /
+    (norm_a * norm_b)), so the per-pair work is a single array traversal;
+    the result is bit-identical to inlining cosine() but ~3x fewer
+    higher-order-function evaluations in the O(|q| * |corpus|) stage.
     """
-    c = emb.select(F.col(id_col).alias("nn_id"), as_double(F.col(vec_col)).alias("cv"))
-    qs = F.broadcast(queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")))
+    c = emb.select(
+        F.col(id_col).alias("nn_id"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    qs = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+        .withColumn("qn", l2_norm(F.col("qv")))
+    )
     scored = (
         c.join(qs, F.col("query_id") != F.col("nn_id"))
-        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
     return (
@@ -87,17 +97,21 @@ def lsh_bucketed_topk(
     bucket. Equi-join on bucket id — shuffle partitions by bucket, no
     cross join ever materializes.
     """
-    v = emb.select(
-        F.col(id_col).alias("vid"),
-        as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("bucket", srp_bucket(F.col("v"), n_bits))
+    v = (
+        emb.select(
+            F.col(id_col).alias("vid"),
+            as_double(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("bucket", srp_bucket(F.col("v"), n_bits))
+        .withColumn("nrm", l2_norm(F.col("v")))  # once per vector, not per pair
+    )
     a, b = v.alias("a"), v.alias("b")
     scored = a.join(
         b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") != F.col("b.vid"))
     ).select(
         F.col("a.vid").alias("query_id"),
         F.col("b.vid").alias("nn_id"),
-        cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
     return (
@@ -119,7 +133,9 @@ def embedding_near_dups(
     With n_bits=0 this is the exact all-pairs check (test scale); with
     n_bits>0 pairs must share an SRP bucket first (scale path).
     """
-    v = emb.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
+    v = emb.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
     if n_bits:
         v = v.withColumn("bucket", srp_bucket(F.col("v"), n_bits))
     a, b = v.alias("a"), v.alias("b")
@@ -131,7 +147,9 @@ def embedding_near_dups(
         .select(
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -47,21 +47,33 @@ def _ratio(tok_pred: Column, tk: Column) -> Column:
 
 def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document quality features: length, token stats, punctuation and
-    stopword ratios, mean token length. One projection, zero shuffles."""
+    stopword ratios, mean token length. Pure map, zero shuffles.
+
+    The token array is materialized in its own projection so the five
+    consumers reference it instead of re-tokenizing (Catalyst's
+    CollapseProject keeps non-cheap multi-referenced aliases staged).
+    """
     text = F.col(text_col)
-    tk = tokens(text)
-    n_tok = F.size(tk)
-    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
-    return df.select(
+    staged = df.select(
         F.col(id_col),
         F.length(text).cast("long").alias("n_chars_actual"),
+        tokens(text).alias("_tk"),
+        F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).alias("_punct"),
+    )
+    tk = F.col("_tk")
+    n_tok = F.size(tk)
+    return staged.select(
+        F.col(id_col),
+        "n_chars_actual",
         n_tok.cast("long").alias("n_tokens"),
         F.round(
             F.aggregate(tk, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
             / F.greatest(n_tok, F.lit(1)),
             4,
         ).alias("avg_token_len"),
-        F.round(punct / F.greatest(F.length(text), F.lit(1)), 4).alias("punct_ratio"),
+        F.round(F.col("_punct") / F.greatest(F.col("n_chars_actual"), F.lit(1)), 4).alias(
+            "punct_ratio"
+        ),
         F.round(_ratio(lambda x: x.isin(*STOPWORDS), tk), 4).alias("stopword_ratio"),
     )
 
@@ -80,20 +92,31 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Marker-word language ID: argmax over per-language marker counts,
-    'und' (undetermined) when nothing matches."""
-    tk = tokens(F.col(text_col))
+    'und' (undetermined) when nothing matches.
+
+    Staged in three projections — tokenize once, count each language's
+    markers once, then run the (cheap, int-only) argmax when-chain —
+    because the chain references every count ~3x and would otherwise
+    re-tokenize the text a dozen times per row (measured ~4x slower).
+    """
 
     def in_set(markers):
         # closure factory: a default-arg lambda would be mis-read by
         # PySpark's higher-order-function signature inspection
         return lambda x: x.isin(*markers)
 
-    counts = {
-        lang: F.size(F.filter(tk, in_set(markers))) for lang, markers in LANG_MARKERS.items()
-    }
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    counted = toked.select(
+        F.col(id_col),
+        *[
+            F.size(F.filter(F.col("_tk"), in_set(markers))).alias(f"_c_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
     best = None
     best_count = None
-    for lang, cnt in counts.items():
+    for lang in LANG_MARKERS:
+        cnt = F.col(f"_c_{lang}")
         if best is None:
             best, best_count = F.lit(lang), cnt
         else:
@@ -101,7 +124,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             best = F.when(cond, F.lit(lang)).otherwise(best)
             best_count = F.when(cond, cnt).otherwise(best_count)
     pred = F.when(best_count > 0, best).otherwise(F.lit("und"))
-    return df.select(F.col(id_col), pred.alias("pred_lang"))
+    return counted.select(F.col(id_col), pred.alias("pred_lang"))
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
