@@ -1,0 +1,119 @@
+"""CLI entry points mirroring the reference's operational surface
+(SURVEY.md §2.10/§3.3): the four pipeline stages plus every maintenance
+script, each as a subcommand over a lake root.
+
+Reference scripts: import_existing_replays.py, fix_compacted_status.py
+(dry-run default, --execute gate kept), cleanup_db.py (analyze/
+deduplicate), init_db.py (init + migrations), reset_format_state.py
+(vacuum -> optimize).
+
+Usage:
+    python -m pokemon_showdown_airflow_etl_spark.cli <cmd> --lake DIR [opts]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pokemon-showdown-etl-spark")
+    p.add_argument("--lake", required=True, help="lake root directory")
+    p.add_argument("--master", default=None, help="spark master (default: local[*])")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="full daily pipeline (O1 DAG topology)")
+    run.add_argument("--format", dest="format_id", required=True)
+    run.add_argument("--max-pages", type=int, default=5)
+
+    for name in ("discover", "download", "retry", "compact"):
+        s = sub.add_parser(name, help=f"{name} stage only")
+        s.add_argument("--format", dest="format_id", required=True)
+        if name == "discover":
+            s.add_argument("--max-pages", type=int, default=5)
+            s.add_argument("--backfill", action="store_true")
+            s.add_argument("--ignore-history", action="store_true")
+
+    sub.add_parser("init", help="initialize metadata table + version table (O13)")
+
+    imp = sub.add_parser("import-existing", help="register lake files missing from metadata (O10)")
+
+    fix = sub.add_parser("fix-compacted-status", help="reconcile compacted flags (O11)")
+    fix.add_argument("--format", dest="format_id", required=True)
+    fix.add_argument("--execute", action="store_true", help="apply (default: dry run)")
+
+    sub.add_parser("analyze", help="lifecycle stats per format (cleanup_db.py analyze)")
+    sub.add_parser("deduplicate", help="remove duplicate metadata rows (O12)")
+    opt = sub.add_parser("optimize", help="small-file compaction rewrite (O12 vacuum)")
+    opt.add_argument("--files-per-partition", type=int, default=1)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from .jobs import (
+        ReplayLake,
+        compact,
+        deduplicate_metadata,
+        discover,
+        discover_backfill,
+        download,
+        fix_compacted_status,
+        import_existing,
+        optimize_lake,
+        retry_failed,
+        run_daily_pipeline,
+    )
+    from .session import get_spark
+    from .sources.api import ReplayApiClient
+
+    spark = get_spark(app_name=f"etl-{args.cmd}", master=args.master)
+    lake = ReplayLake(args.lake)
+
+    if args.cmd in ("run", "discover", "download", "retry"):
+        client = ReplayApiClient()
+    result: object
+    if args.cmd == "run":
+        result = run_daily_pipeline(spark, lake, client, args.format_id, args.max_pages)
+    elif args.cmd == "discover":
+        if args.backfill:
+            result = discover_backfill(spark, lake, client, args.format_id, args.max_pages)
+        else:
+            result = discover(
+                spark, lake, client, args.format_id, args.max_pages, args.ignore_history
+            )
+    elif args.cmd == "download":
+        result = download(spark, lake, client, args.format_id)
+    elif args.cmd == "retry":
+        result = retry_failed(spark, lake, client, args.format_id)
+    elif args.cmd == "compact":
+        result = compact(spark, lake, args.format_id)
+    elif args.cmd == "init":
+        from .jobs.migrations import init_lake
+
+        result = init_lake(spark, lake)
+    elif args.cmd == "import-existing":
+        result = import_existing(spark, lake)
+    elif args.cmd == "fix-compacted-status":
+        result = fix_compacted_status(spark, lake, args.format_id, execute=args.execute)
+    elif args.cmd == "analyze":
+        from .jobs.lake import MetadataStore
+        from .operators.metadata import lifecycle_stats
+
+        rows = lifecycle_stats(MetadataStore(spark, lake.metadata_path).read()).collect()
+        result = {r["format_id"]: r.asDict() for r in rows}
+    elif args.cmd == "deduplicate":
+        result = deduplicate_metadata(spark, lake)
+    elif args.cmd == "optimize":
+        result = optimize_lake(spark, lake, args.files_per_partition)
+    else:  # pragma: no cover
+        raise SystemExit(2)
+
+    print(json.dumps(result, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

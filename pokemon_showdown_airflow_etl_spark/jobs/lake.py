@@ -83,7 +83,9 @@ class MetadataStore:
         self.path = path
 
     def exists(self) -> bool:
-        return os.path.exists(self.path)
+        # an empty directory is not a table (parquet cannot infer a schema
+        # from zero files)
+        return os.path.exists(self.path) and any(os.scandir(self.path))
 
     def read(self) -> DataFrame:
         if not self.exists():

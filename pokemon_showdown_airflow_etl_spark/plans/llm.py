@@ -441,3 +441,56 @@ def m1_payload_metadata(spark, sf_dir):
     from ..operators.multimodal import attach_payload_metadata
 
     return attach_payload_metadata(d).select("doc_id", "n_bytes", "content_md5")
+
+
+@q(
+    "m2_image_decode_features",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+           CAST(64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 64 AS INT) AS width,
+           CAST(64 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 64 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    doc="Arrow-batched mapInPandas decode plumbing, end-to-end: binary "
+    "payloads cross to Python in columnar batches and the (stubbed, "
+    "digest-derived) decoder emits typed image features. The oracle "
+    "recomputes the digest math in SQL, so the whole Python batch path — "
+    "schema, pruned column transfer, batch shape — is value-checked "
+    "cross-engine, not just smoke-tested.",
+)
+def m2_image_decode_features(spark, sf_dir):
+    from ..operators.multimodal import decode_image_features
+
+    assets = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return decode_image_features(assets)
+
+
+@q(
+    "m3_frame_sample_plan",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+           CAST(unnest(generate_series(0, greatest(n_chars * 40 - 1, 0), 1000)) AS BIGINT)
+               AS frame_ms
+    FROM documents
+    """,
+    doc="Video frame-sampling plan: duration metadata explodes to one row "
+    "per sampled frame offset (JVM-side sequence+explode; the per-frame "
+    "decode is the deploy-time stub). The explosion is what matters for "
+    "partitioning at scale: rows fan out ~40x/document here without any "
+    "Python involvement.",
+)
+def m3_frame_sample_plan(spark, sf_dir):
+    from ..operators.multimodal import frame_sample_plan
+
+    assets = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        (F.col("n_chars") * 40).cast("long").alias("duration_ms"),
+    )
+    return frame_sample_plan(assets).select(
+        "asset_id", F.col("frame_ms").cast("long").alias("frame_ms")
+    )

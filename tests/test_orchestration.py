@@ -1,0 +1,109 @@
+"""Tests for the orchestration surface: CLI subcommands, schema-version
+migrations (O13 incl. the v1 event-log collapse), and DAG importability
+without Airflow installed."""
+
+from __future__ import annotations
+
+import datetime
+import importlib.util
+import sys
+
+from pyspark.sql import functions as F
+
+from pokemon_showdown_airflow_etl_spark.jobs import ReplayLake
+from pokemon_showdown_airflow_etl_spark.jobs.migrations import (
+    SCHEMA_VERSION,
+    current_version,
+    init_lake,
+    migrate_v1_event_log,
+)
+
+
+def test_init_lake_stamps_version_idempotently(spark, tmp_path):
+    lake = ReplayLake(str(tmp_path / "lake"))
+    out = init_lake(spark, lake)
+    assert out == {"version_before": 0, "version": SCHEMA_VERSION}
+    assert current_version(spark, lake) == SCHEMA_VERSION
+    out2 = init_lake(spark, lake)
+    assert out2["version_before"] == SCHEMA_VERSION
+    assert current_version(spark, lake) == SCHEMA_VERSION
+
+
+def test_migrate_v1_event_log_collapse(spark):
+    t = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    processing = spark.createDataFrame(
+        [
+            # r1: downloaded (older failure superseded by newer success - W1)
+            ("r1", "downloaded", "failed", t, "Failed: HTTP 500 (batch b0)"),
+            ("r1", "downloaded", "success", t + datetime.timedelta(hours=1),
+             "Downloaded (batch b1)"),
+            # r1 compacted
+            ("r1", "compacted", "success", t + datetime.timedelta(hours=2),
+             "Compacted (batch c1)"),
+            # r2: failed download, retried
+            ("r2", "downloaded", "failed", t, "Failed: HTTP 404 (batch b1)"),
+            ("r2", "retried", "failed", t + datetime.timedelta(hours=3),
+             "Failed: HTTP 404 (batch retry_1)"),
+        ],
+        "replay_id string, stage string, status string, processed_at timestamp, details string",
+    )
+    metadata = spark.createDataFrame(
+        [
+            ("r1", "gen9ou", t, 1700000000, "a vs b"),
+            ("r2", "gen9ou", t, 1700000100, "c vs d"),
+            ("r3", "gen9ou", t, 1700000200, "e vs f"),  # no events at all
+        ],
+        "replay_id string, format_id string, discovered_at timestamp, uploadtime long, players string",
+    )
+    wide = {r["replay_id"]: r for r in migrate_v1_event_log(processing, metadata).collect()}
+    assert wide["r1"]["is_downloaded"] is True  # latest event wins
+    assert wide["r1"]["downloaded_batch"] == "b1"
+    assert wide["r1"]["is_compacted"] is True
+    assert wide["r2"]["is_downloaded"] is False
+    assert wide["r2"]["is_retry_attempted"] is False  # retry event was a failure
+    assert wide["r2"]["retry_batch"] == "retry_1"
+    assert wide["r3"]["is_downloaded"] is False and wide["r3"]["is_retry_attempted"] is None
+
+
+def test_cli_init_analyze_roundtrip(spark, tmp_path, capsys):
+    from pokemon_showdown_airflow_etl_spark.cli import main
+    from pokemon_showdown_airflow_etl_spark.jobs import MetadataStore, discover
+    from pokemon_showdown_airflow_etl_spark.sources.api import ReplayApiClient
+    from pokemon_showdown_airflow_etl_spark.sources.fake import (
+        FakeShowdownTransport,
+        make_replays,
+    )
+
+    lake_dir = str(tmp_path / "lake")
+    assert main(["--lake", lake_dir, "init"]) == 0
+    lake = ReplayLake(lake_dir)
+    client = ReplayApiClient(
+        transport=FakeShowdownTransport({"gen9ou": make_replays("gen9ou", 20)}),
+        sleeper=lambda s: None,
+    )
+    discover(spark, lake, client, "gen9ou", max_pages=5)
+    assert main(["--lake", lake_dir, "analyze"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    import json
+
+    analyzed = json.loads(out[-1])
+    assert analyzed["gen9ou"]["total"] == 20
+
+
+def test_dags_import_without_airflow(tmp_path):
+    """The DAG modules must import cleanly (dag=None) when airflow is
+    absent, so the repo doubles as a deployable Airflow dags folder."""
+    import os
+
+    for mod in ("showdown_replay_etl_dag", "showdown_replay_backfill_etl_dag"):
+        path = os.path.join(os.path.dirname(__file__), "..", "dags", f"{mod}.py")
+        sys.path.insert(0, os.path.dirname(path))
+        try:
+            spec = importlib.util.spec_from_file_location(mod, path)
+            m = importlib.util.module_from_spec(spec)
+            sys.modules[mod] = m
+            spec.loader.exec_module(m)
+            assert m.dag is None  # no airflow in this container
+            assert callable(m._run_stage) or hasattr(m, "_backfill_discover")
+        finally:
+            sys.path.pop(0)
