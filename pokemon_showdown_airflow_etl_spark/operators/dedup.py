@@ -198,6 +198,10 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select("doc", "band.band_no", "band.band_key")
+    # materialize once: the self-join would otherwise compute the full
+    # shingle+signature stage for each side (no ReusedExchange fires
+    # across the a/b aliases)
+    bands = bands.localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -266,9 +270,11 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: in
                 F.shiftright("simhash", off).bitwiseAND((1 << wd) - 1).alias("block_val"),
             )
         )
-    blocked = fp.select(
-        "doc", "simhash", F.explode(F.array(*blocks)).alias("blk")
-    ).select("doc", "simhash", "blk.block_no", "blk.block_val")
+    blocked = (
+        fp.select("doc", "simhash", F.explode(F.array(*blocks)).alias("blk"))
+        .select("doc", "simhash", "blk.block_no", "blk.block_val")
+        .localCheckpoint(eager=False)  # one fingerprint pass for both join sides
+    )
     a, b = blocked.alias("a"), blocked.alias("b")
     cands = (
         a.join(

@@ -8,6 +8,7 @@ from .ingest import (
     stream_replay_docs,
     with_late_data_bounds,
 )
+from .stateful import start_cursor_tracking, track_format_cursors
 
 __all__ = [
     "stream_replay_docs",
@@ -16,4 +17,6 @@ __all__ = [
     "daily_rollup",
     "start_metadata_registration",
     "start_daily_rollup",
+    "track_format_cursors",
+    "start_cursor_tracking",
 ]

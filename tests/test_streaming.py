@@ -95,3 +95,32 @@ def test_dedup_within_watermark_drops_reuploads(spark, dirs):
     q.awaitTermination()
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT id) AS d FROM dedup_sink").first()
     assert got["n"] == 30 and got["d"] == 30
+
+
+def test_stateful_cursor_tracking_across_runs(spark, dirs, tmp_path):
+    """applyInPandasWithState keyed cursor state: totals accumulate
+    across micro-batches AND across restarted queries (checkpointed
+    state store), mirroring the reference's persistent cursor file."""
+    from pokemon_showdown_airflow_etl_spark.streaming.stateful import (
+        start_cursor_tracking,
+    )
+
+    out = str(tmp_path / "cursor_log")
+    ck = str(tmp_path / "cursor_ck")
+    corpus = make_replays("gen9ou", 50)
+    land_docs(spark, dirs["landing"], corpus[:30])
+    q = start_cursor_tracking(stream_replay_docs(spark, dirs["landing"]), out, ck)
+    q.awaitTermination()
+    log = spark.read.parquet(out)
+    latest = log.orderBy(F.desc("total_replays")).first()
+    assert latest["total_replays"] == 30
+    assert latest["last_seen_ts"] == max(r["uploadtime"] for r in corpus[:30])
+
+    # restart with 20 more docs: state resumes, cursor advances
+    land_docs(spark, dirs["landing"], corpus[30:])
+    q = start_cursor_tracking(stream_replay_docs(spark, dirs["landing"]), out, ck)
+    q.awaitTermination()
+    log = spark.read.parquet(out)
+    latest = log.orderBy(F.desc("total_replays")).first()
+    assert latest["total_replays"] == 50
+    assert latest["last_seen_ts"] == max(r["uploadtime"] for r in corpus)
