@@ -24,6 +24,13 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Alias for property-based tests (hypothesis cannot take the
+    function-scoped fixture name twice)."""
+    return spark
+
+
+@pytest.fixture(scope="session")
 def sf_dir() -> str:
     return TEST_SF_DIR
 

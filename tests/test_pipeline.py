@@ -216,3 +216,51 @@ def test_deduplicate_metadata(spark, lake):
     stats = deduplicate_metadata(spark, lake)
     assert stats["duplicate_keys"] == 20 and stats["rows_removed"] == 20
     assert meta.read().count() == 20
+
+
+def test_two_formats_stay_partition_isolated(spark, lake):
+    """Jobs for one format must not disturb another format's partitions
+    (the property dynamic partition overwrite is there to protect)."""
+    t1 = FakeShowdownTransport({"gen9ou": make_replays("gen9ou", 30)})
+    t2 = FakeShowdownTransport({"gen9uu": make_replays("gen9uu", 20, t0=1_700_500_000)})
+    c1 = ReplayApiClient(transport=t1, sleeper=lambda s: None)
+    c2 = ReplayApiClient(transport=t2, sleeper=lambda s: None)
+
+    discover(spark, lake, c1, "gen9ou", max_pages=10)
+    discover(spark, lake, c2, "gen9uu", max_pages=10)
+    download(spark, lake, c1, "gen9ou", parallelism=4)
+    compact(spark, lake, "gen9ou")
+    # second format's full run must leave gen9ou's lake + flags intact
+    download(spark, lake, c2, "gen9uu", parallelism=4)
+    compact(spark, lake, "gen9uu")
+
+    meta = MetadataStore(spark, lake.metadata_path).read()
+    by_fmt = {r["format_id"]: r for r in meta.groupBy("format_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_compacted").cast("int")).alias("n_comp"),
+    ).collect()}
+    assert by_fmt["gen9ou"]["n"] == 30 and by_fmt["gen9ou"]["n_comp"] == 30
+    assert by_fmt["gen9uu"]["n"] == 20 and by_fmt["gen9uu"]["n_comp"] == 20
+    compacted = spark.read.parquet(lake.compacted_path)
+    assert compacted.filter(F.col("format") == "gen9ou").count() == 30
+    assert compacted.filter(F.col("format") == "gen9uu").count() == 20
+
+
+def test_timing_instrumentation_wraps_stage(spark, lake, capsys):
+    from pokemon_showdown_airflow_etl_spark.functions.metrics import (
+        throughput,
+        time_process,
+    )
+
+    client = healthy_client(20)
+    with time_process("discover", spark=spark, format_id=FMT) as stats:
+        out = discover(spark, lake, client, FMT, max_pages=10)
+        stats.update(out)
+    err = capsys.readouterr().err.strip().splitlines()
+    import json
+
+    rec = json.loads(err[-1])
+    assert rec["section"] == "discover" and rec["new_replays"] == 20
+    assert rec["seconds"] > 0
+    tp = throughput(rec["new_replays"], rec["seconds"])
+    assert tp["per_second"] > 0
