@@ -121,6 +121,63 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 1,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate all-pairs top-k: a coarse quantizer assigns
+    every vector to its nearest cell; queries probe their ``n_probe``
+    nearest cells and score only those cells' members.
+
+    Centroids here are the ``n_cells`` lexicographically-first vectors
+    (deterministic; production swaps in k-means centroids — the plan is
+    identical). The centroid assignment is a broadcast cross join
+    against a CONSTANT-size centroid table (n x n_cells rows — by
+    design, not a skew risk); the candidate join is an equi-join on
+    cell_id, so the heavy stage shuffle-partitions by cell. Cost is
+    O(n * n_probe * avg_cell_size) instead of O(n^2).
+    """
+    v = emb.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    cents = (
+        v.orderBy("vid")
+        .limit(n_cells)
+        .select(
+            F.col("vid").alias("cell_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+        )
+    )
+    scored_cells = v.crossJoin(F.broadcast(cents)).withColumn(
+        "cell_sim", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    )
+    w_cell = Window.partitionBy("vid").orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    ranked = scored_cells.withColumn("cell_rank", F.row_number().over(w_cell)).select(
+        "vid", "v", "nrm", "cell_id", "cell_rank"
+    )
+    ranked = ranked.localCheckpoint(eager=False)  # shared by build + probe sides
+    members = ranked.filter(F.col("cell_rank") == 1).select(
+        F.col("vid").alias("nn_id"), F.col("v").alias("mv"), F.col("nrm").alias("mn"), "cell_id"
+    )
+    probes = ranked.filter(F.col("cell_rank") <= n_probe).select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"), "cell_id"
+    )
+    scored = (
+        probes.join(members, "cell_id")
+        .filter(F.col("query_id") != F.col("nn_id"))
+        .withColumn("cos_sim", dot(F.col("qv"), F.col("mv")) / (F.col("qn") * F.col("mn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float,

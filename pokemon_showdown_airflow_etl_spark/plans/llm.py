@@ -506,3 +506,42 @@ def m3_frame_sample_plan(spark, sf_dir):
     return frame_sample_plan(assets).select(
         "asset_id", F.col("frame_ms").cast("long").alias("frame_ms")
     )
+
+
+@q(
+    "s4_ivf_ann_topk",
+    None,  # approximate by design; recall bounded in tests/test_skew_and_ivf.py
+    doc="IVF-style ANN all-pairs top-1: coarse-quantizer cell assignment "
+    "(broadcast against a constant-size centroid table), n_probe-cell "
+    "search, equi-join on cell_id so the heavy stage shuffle-partitions "
+    "by cell — O(n * probe * cell) instead of O(n^2). Rows-only: recall "
+    "vs the exact brute-force path is asserted in tests instead of a "
+    "SQL oracle.",
+)
+def s4_ivf_ann_topk(spark, sf_dir):
+    return similarity.ivf_topk(t(spark, sf_dir, "embeddings"), k=1, n_cells=8, n_probe=2)
+
+
+@q(
+    "x1_salted_agg",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS count,
+           ROUND(sum(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-mitigated aggregation: two-phase (key, salt) partial "
+    "aggregate then per-key recombine — the hot-key treatment when one "
+    "key owns most of the table. The oracle is the PLAIN group-by: "
+    "salting must be invisible in results, and this entry proves it "
+    "value-for-value.",
+)
+def x1_salted_agg(spark, sf_dir):
+    from ..operators.skew import salted_agg_by_key, salted_count_by_key
+
+    ev = t(spark, sf_dir, "events")
+    counts = salted_count_by_key(ev, "event_type", n_salts=8)
+    sums = salted_agg_by_key(ev, "event_type", ["value"], n_salts=8)
+    return counts.join(sums, "event_type").select(
+        "event_type", "count", F.round("sum_value", 4).alias("sum_value")
+    )
