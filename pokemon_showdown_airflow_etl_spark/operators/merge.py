@@ -15,7 +15,7 @@ to the table, so they broadcast into the anti-join/ window.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -63,30 +63,6 @@ def merge_patch(current: DataFrame, patch: DataFrame, keys: list[str]) -> DataFr
     return joined.select(*out_cols)
 
 
-def write_upsert(
-    spark: SparkSession,
-    table_path: str,
-    updates: DataFrame,
-    keys: list[str],
-    partition_col: str = "format_id",
-) -> None:
-    """Physical upsert into a partitioned parquet table, touching only the
-    partitions present in ``updates`` (dynamic partition overwrite)."""
-    import os
-
-    if not os.path.exists(table_path):
-        updates.write.partitionBy(partition_col).mode("overwrite").parquet(table_path)
-        return
-    current = spark.read.parquet(table_path)
-    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    merged = upsert(current.filter(F.col(partition_col).isin(touched)), updates, keys)
-    with_dyn = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # localCheckpoint materializes the merged rows before the
-        # overwrite clobbers the files they were read from.
-        merged.localCheckpoint(eager=True).write.partitionBy(partition_col).mode(
-            "overwrite"
-        ).parquet(table_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_dyn)
+# The physical partition-scoped write lives in jobs.lake.MetadataStore
+# (insert_new / patch / upsert_rows + _dynamic_overwrite), which composes
+# the logical merges above with dynamic partition overwrite.

@@ -545,3 +545,48 @@ def x1_salted_agg(spark, sf_dir):
     return counts.join(sums, "event_type").select(
         "event_type", "count", F.round("sum_value", 4).alias("sum_value")
     )
+
+
+@q(
+    "d6_drop_exact_dups",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY md5({NORM_SQL}) ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, source FROM ranked WHERE rn = 1
+    """,
+    doc="Exact dedup, surviving-rows form: keep the min-id row per "
+    "distinct normalized content (window top-1 over the content hash) — "
+    "the operator a dedup PASS applies after d1's group inventory.",
+)
+def d6_drop_exact_dups(spark, sf_dir):
+    kept = dedup.drop_exact_dups(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return kept.select("doc_id", "lang", "source")
+
+
+@q(
+    "t7_quality_score",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+    ), feats AS (
+        SELECT doc_id, len(tk) AS n_tokens,
+               len(list_filter(tk, t -> t IN ('a','the','and','of','to','in','is','it')))
+                 / greatest(len(tk), 1) AS stop_ratio
+        FROM toks
+    )
+    SELECT doc_id,
+           ROUND(CAST((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END)
+               + (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 0.5 ELSE 0.0 END)
+               AS DOUBLE), 2) AS quality
+    FROM feats
+    """,
+    doc="Scalar quality score in [0,1] (length sweet-spot + stopword "
+    "signal): the filter column a corpus-cleaning pass thresholds on. "
+    "Pure map; heuristic stand-in for a model scorer with the same plan "
+    "shape.",
+)
+def t7_quality_score(spark, sf_dir):
+    return text.quality_score(t(spark, sf_dir, "documents"), "doc_id", "text")
