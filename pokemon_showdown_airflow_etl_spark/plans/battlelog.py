@@ -256,3 +256,43 @@ def b5_first_log_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         C.log_timestamp("log").alias("first_log_ts"),
         (C.log_timestamp("log") == F.col("uploadtime")).alias("matches_uploadtime"),
     )
+
+
+@q(
+    "b6_event_gaps",
+    CORPUS_SQL
+    + """
+    , stamped AS (
+        SELECT replay_id, line_no,
+               last_value(CASE WHEN command = 't:' THEN CAST(args[1] AS BIGINT) END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY replay_id ORDER BY line_no
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS event_ts
+        FROM parsed
+    ), gaps AS (
+        SELECT replay_id, event_ts,
+               event_ts - lag(event_ts) OVER (PARTITION BY replay_id ORDER BY line_no)
+                   AS gap_s
+        FROM stamped WHERE event_ts IS NOT NULL
+    )
+    SELECT replay_id,
+           CAST(count(gap_s) AS BIGINT) AS n_transitions,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(sum(gap_s) AS BIGINT) AS elapsed_s
+    FROM gaps GROUP BY replay_id
+    """,
+    doc="Inter-event pacing via lag(): per-line event-time deltas within "
+    "each battle (the analytic-frame shape beyond top-1 ranking), rolled "
+    "up to per-battle transition count / max gap / elapsed time.",
+)
+def b6_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = battle_events(corpus(spark)).filter(F.col("event_ts").isNotNull())
+    w = Window.partitionBy("replay_id").orderBy("line_no")
+    gaps = ev.withColumn("gap_s", F.col("event_ts") - F.lag("event_ts").over(w))
+    return gaps.groupBy("replay_id").agg(
+        F.count("gap_s").cast("long").alias("n_transitions"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+        F.sum("gap_s").cast("long").alias("elapsed_s"),
+    )
