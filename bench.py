@@ -74,6 +74,38 @@ def main() -> None:
         _run(name)
         times[name] = round(time.perf_counter() - t0, 3)
 
+    # End-to-end ETL throughput (discover -> download -> retry -> compact
+    # against the deterministic fake API over a tmp lake). Reported as a
+    # separate key: it measures the pipeline, not the query set.
+    import tempfile
+
+    from pokemon_showdown_airflow_etl_spark.jobs import ReplayLake, run_daily_pipeline
+    from pokemon_showdown_airflow_etl_spark.sources.api import ReplayApiClient
+    from pokemon_showdown_airflow_etl_spark.sources.fake import (
+        FakeShowdownTransport,
+        make_replays,
+    )
+
+    n_replays = 2000
+    corpus = {"gen9ou": make_replays("gen9ou", n_replays)}
+    pipe = {}
+    for attempt in range(2):  # first run warms the job graph; second is timed
+        with tempfile.TemporaryDirectory() as d:
+            client = ReplayApiClient(
+                transport=FakeShowdownTransport(corpus), sleeper=lambda s: None
+            )
+            t0 = time.perf_counter()
+            stats = run_daily_pipeline(
+                spark, ReplayLake(d + "/lake"), client, "gen9ou", max_pages=100
+            )
+            dt = time.perf_counter() - t0
+    assert stats["compact"]["compacted"] == n_replays
+    pipe = {
+        "replays": n_replays,
+        "sec": round(dt, 3),
+        "replays_per_sec": round(n_replays / dt, 1),
+    }
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -82,6 +114,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "pipeline": pipe,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
