@@ -250,9 +250,16 @@ def download(
     )
     meta.patch(patch, format_id)
 
-    n_ok = fetched.filter("ok").count()
-    n_fail = fetched.filter("not ok").count()
-    return {"batch_id": batch, "total": n_ok + n_fail, "downloaded": n_ok, "failed": n_fail}
+    counts = fetched.agg(
+        F.count("*").alias("total"), F.sum(F.col("ok").cast("int")).alias("ok")
+    ).first()
+    n_ok = counts["ok"] or 0
+    return {
+        "batch_id": batch,
+        "total": counts["total"],
+        "downloaded": n_ok,
+        "failed": counts["total"] - n_ok,
+    }
 
 
 # --- stage 3: retry (T4 dead-letter re-drive) -------------------------------
@@ -294,9 +301,16 @@ def retry_failed(
     )
     meta.patch(patch, format_id)
 
-    n_ok = fetched.filter("ok").count()
-    n_fail = fetched.filter("not ok").count()
-    return {"batch_id": batch, "total": n_ok + n_fail, "recovered": n_ok, "failed": n_fail}
+    counts = fetched.agg(
+        F.count("*").alias("total"), F.sum(F.col("ok").cast("int")).alias("ok")
+    ).first()
+    n_ok = counts["ok"] or 0
+    return {
+        "batch_id": batch,
+        "total": counts["total"],
+        "recovered": n_ok,
+        "failed": counts["total"] - n_ok,
+    }
 
 
 # --- stage 4: compaction (K2 day-partition rewrite) -------------------------
@@ -380,7 +394,9 @@ def compact(spark: SparkSession, lake: ReplayLake, format_id: str) -> dict:
     )
     meta.patch(patch, format_id)
 
-    n_days = fresh.select("date").distinct().count()
+    n_days = (
+        fresh.agg(F.countDistinct("date")).first()[0] if n_fresh else 0
+    )
     return {
         "batch_id": batch,
         "dates_processed": n_days,

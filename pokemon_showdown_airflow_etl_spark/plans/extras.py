@@ -142,3 +142,51 @@ def a1_approx_sketches(spark, sf_dir):
         F.percentile_approx("value", 0.5).alias("approx_median_value"),
         F.percentile_approx("value", 0.99).alias("approx_p99_value"),
     )
+
+
+@q(
+    "w5_session_windows",
+    """
+    WITH o AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ), m AS (
+        SELECT user_id, ts,
+               CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM o
+    ), s AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS span_s
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="T6 session windows (absent in the reference, free in Spark): "
+    "per-user sessions with a 30-minute inactivity gap via "
+    "session_window(), checked against a gaps-and-islands lag/cumsum "
+    "oracle. State is per-session, merged by Spark's native session "
+    "operator — the streaming-safe formulation.",
+)
+def w5_session_windows(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("long")
+            .alias("span_s"),
+        )
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events", "span_s"
+        )
+    )
