@@ -34,6 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
         if name == "discover":
             s.add_argument("--max-pages", type=int, default=5)
             s.add_argument("--backfill", action="store_true")
+            s.add_argument(
+                "--parallel-ranges",
+                type=int,
+                default=0,
+                help="backfill with N concurrent cursor ranges (0 = sequential)",
+            )
             s.add_argument("--ignore-history", action="store_true")
 
     sub.add_parser("init", help="initialize metadata table + version table (O13)")
@@ -78,7 +84,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "run":
         result = run_daily_pipeline(spark, lake, client, args.format_id, args.max_pages)
     elif args.cmd == "discover":
-        if args.backfill:
+        if args.backfill and args.parallel_ranges:
+            from .jobs import discover_backfill_parallel
+
+            result = discover_backfill_parallel(
+                spark, lake, client, args.format_id, n_ranges=args.parallel_ranges
+            )
+        elif args.backfill:
             result = discover_backfill(spark, lake, client, args.format_id, args.max_pages)
         else:
             result = discover(

@@ -1,5 +1,6 @@
 """Pipeline + maintenance jobs mirroring the reference's Airflow DAGs."""
 
+from .backfill import discover_backfill_parallel
 from .lake import MetadataStore, ReplayLake, load_state, save_state, state_df
 from .maintenance import (
     deduplicate_metadata,
@@ -24,6 +25,7 @@ __all__ = [
     "state_df",
     "discover",
     "discover_backfill",
+    "discover_backfill_parallel",
     "download",
     "retry_failed",
     "compact",

@@ -264,3 +264,26 @@ def test_timing_instrumentation_wraps_stage(spark, lake, capsys):
     assert rec["seconds"] > 0
     tp = throughput(rec["new_replays"], rec["seconds"])
     assert tp["per_second"] > 0
+
+
+def test_parallel_backfill_partitions_time_ranges(spark, lake):
+    """Distributed cursor-range backfill: disjoint [start, end) windows
+    fetched concurrently must find exactly the sequential result —
+    everything below the low watermark, no duplicates."""
+    from pokemon_showdown_airflow_etl_spark.jobs import discover_backfill_parallel
+
+    n = 300  # 300 hourly replays ~ 12.5 days
+    client = healthy_client(n)
+    discover(spark, lake, client, FMT, max_pages=1)  # newest 51 seed the watermark
+    stats = discover_backfill_parallel(
+        spark, lake, client, FMT, window_s=3 * 86_400, n_ranges=5
+    )
+    assert stats["new_replays"] == n - 51
+    meta = MetadataStore(spark, lake.metadata_path).read()
+    assert meta.count() == n
+    assert meta.select("replay_id").distinct().count() == n
+    # idempotent: the same windows re-fetch but insert nothing
+    stats2 = discover_backfill_parallel(
+        spark, lake, client, FMT, window_s=3 * 86_400, n_ranges=5
+    )
+    assert stats2["new_replays"] == 0
