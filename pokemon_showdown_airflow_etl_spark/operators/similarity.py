@@ -121,6 +121,56 @@ def lsh_bucketed_topk(
     )
 
 
+def bucketed_gemm_topk(
+    emb: DataFrame,
+    k: int = 1,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SRP-bucketed ANN with a vectorized-numpy inner loop: same bucket
+    geometry as ``lsh_bucketed_topk``, but each bucket's similarity
+    matrix is one BLAS GEMM inside ``applyInPandas`` instead of per-pair
+    zip_with/aggregate expressions.
+
+    This is the Arrow-batch escape hatch for when the JVM higher-order-
+    function path becomes the bottleneck: per bucket, vectors land in
+    one pandas group, are L2-normalized as a matrix, and V @ V.T scores
+    every pair at BLAS speed. Bucket size bounds both memory and the
+    O(b^2) work; the shuffle key is the bucket, exactly like the
+    expression variant, so the plan scales identically.
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = emb.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", srp_bucket(F.col("v"), n_bits))
+
+    out_schema = "query_id long, nn_id long, rank int, cos_sim double"
+
+    def topk_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        ids = pdf["vid"].to_numpy()
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        np.fill_diagonal(sims, -np.inf)
+        rows = []
+        kk = min(k, len(ids) - 1)
+        if kk <= 0:
+            return pd.DataFrame(columns=["query_id", "nn_id", "rank", "cos_sim"])
+        for i in range(len(ids)):
+            # stable top-k: sort by (-sim, nn_id) like the window variant
+            order = sorted(range(len(ids)), key=lambda j: (-sims[i, j], ids[j]))[:kk]
+            for r, j in enumerate(order, start=1):
+                rows.append((ids[i], ids[j], r, round(float(sims[i, j]), 6)))
+        return pd.DataFrame(rows, columns=["query_id", "nn_id", "rank", "cos_sim"])
+
+    return v.groupBy("bucket").applyInPandas(topk_in_bucket, out_schema)
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 1,

@@ -590,3 +590,22 @@ def d6_drop_exact_dups(spark, sf_dir):
 )
 def t7_quality_score(spark, sf_dir):
     return text.quality_score(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# s5 reuses s2's oracle verbatim: the GEMM variant must produce the
+# exact same rows as the expression variant, so one SQL string checks
+# both execution strategies.
+_S5_ORACLE = QUERIES[[q_.name for q_ in QUERIES].index("s2_ann_srp_topk")].oracle
+
+
+@q(
+    "s5_gemm_ann_topk",
+    _S5_ORACLE,
+    doc="Same bucketed-ANN semantics as s2, executed as one numpy GEMM "
+    "per bucket inside applyInPandas (Arrow batches, BLAS inner loop) — "
+    "the vectorized-Python escape hatch for when JVM higher-order "
+    "functions bottleneck. Sharing s2's oracle proves both execution "
+    "strategies are value-identical.",
+)
+def s5_gemm_ann_topk(spark, sf_dir):
+    return similarity.bucketed_gemm_topk(t(spark, sf_dir, "embeddings"), k=1, n_bits=4)

@@ -78,3 +78,26 @@ def test_ivf_structure_and_recall(spark, sf_dir):
     # IVF similarity can never exceed the exact top-1 similarity
     for q, (_, sim) in got.items():
         assert sim <= exact[q][1] + 1e-9
+
+
+def test_gemm_topk_matches_expression_variant(spark, sf_dir):
+    """The numpy-GEMM bucketed ANN must agree with the pure-expression
+    lsh_bucketed_topk (same buckets, same tie-breaks): nearest-neighbor
+    ids identical, similarities equal to 6 decimals."""
+    from pokemon_showdown_airflow_etl_spark.operators.similarity import (
+        bucketed_gemm_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    expr = {
+        r["query_id"]: (r["nn_id"], r["cos_sim"])
+        for r in lsh_bucketed_topk(emb, k=1, n_bits=4).collect()
+    }
+    gemm = {
+        r["query_id"]: (r["nn_id"], r["cos_sim"])
+        for r in bucketed_gemm_topk(emb, k=1, n_bits=4).collect()
+    }
+    assert set(gemm) == set(expr)
+    mismatched = [q for q in gemm if gemm[q] != expr[q]]
+    assert not mismatched, f"{len(mismatched)} mismatches, e.g. {mismatched[:3]}"
