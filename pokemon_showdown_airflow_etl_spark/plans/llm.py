@@ -609,3 +609,37 @@ _S5_ORACLE = QUERIES[[q_.name for q_ in QUERIES].index("s2_ann_srp_topk")].oracl
 )
 def s5_gemm_ann_topk(spark, sf_dir):
     return similarity.bucketed_gemm_topk(t(spark, sf_dir, "embeddings"), k=1, n_bits=4)
+
+
+@q(
+    "d7_lsh_verified_dups",
+    f"""
+    WITH cand AS ({_minhash_sql()}),
+    toks AS (
+        SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+    ), sh AS (
+        SELECT doc_id, {SHINGLES_SQL} AS shingles
+        FROM toks WHERE len(tk) >= 3
+    ), sized AS (
+        SELECT doc_id, shingles, len(shingles) AS sz FROM sh WHERE len(shingles) > 0
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (a.sz + b.sz - len(list_intersect(a.shingles, b.shingles))), 4)
+               AS jaccard
+    FROM cand c
+    JOIN sized a ON c.doc_a = a.doc_id
+    JOIN sized b ON c.doc_b = b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (a.sz + b.sz - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
+    """,
+    doc="The production near-dup pipeline: MinHash-LSH candidate pruning "
+    "(bounded pair volume, ~linear scaling) composed with EXACT "
+    "full-shingle Jaccard verification of the survivors — d3's scale "
+    "path feeding d2's precision. Recall loss vs exhaustive is the band "
+    "miss probability (1-t^r)^b (~2% at t=0.8, 4x2 bands).",
+)
+def d7_lsh_verified_dups(spark, sf_dir):
+    return dedup.lsh_verified_dups(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
+    )
