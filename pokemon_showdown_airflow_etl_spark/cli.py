@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_parser("deduplicate", help="remove duplicate metadata rows (O12)")
     opt = sub.add_parser("optimize", help="small-file compaction rewrite (O12 vacuum)")
     opt.add_argument("--files-per-partition", type=int, default=1)
+
+    exp = sub.add_parser(
+        "export-json", help="export the compacted lake as reference-format JSON day files"
+    )
+    exp.add_argument("--out", required=True)
     return p
 
 
@@ -120,6 +125,12 @@ def main(argv: list[str] | None = None) -> int:
         result = deduplicate_metadata(spark, lake)
     elif args.cmd == "optimize":
         result = optimize_lake(spark, lake, args.files_per_partition)
+    elif args.cmd == "export-json":
+        from .io import export_compacted_json
+
+        docs = spark.read.parquet(lake.compacted_path)
+        export_compacted_json(docs, args.out)
+        result = {"exported": docs.count(), "path": args.out}
     else:  # pragma: no cover
         raise SystemExit(2)
 

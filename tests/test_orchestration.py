@@ -107,3 +107,33 @@ def test_dags_import_without_airflow(tmp_path):
             assert callable(m._run_stage) or hasattr(m, "_backfill_discover")
         finally:
             sys.path.pop(0)
+
+
+def test_cli_export_json_roundtrip(spark, tmp_path, capsys):
+    import json
+
+    from pokemon_showdown_airflow_etl_spark.cli import main
+    from pokemon_showdown_airflow_etl_spark.io import read_compacted_json
+    from pokemon_showdown_airflow_etl_spark.jobs import compact, discover, download
+    from pokemon_showdown_airflow_etl_spark.sources.api import ReplayApiClient
+    from pokemon_showdown_airflow_etl_spark.sources.fake import (
+        FakeShowdownTransport,
+        make_replays,
+    )
+
+    lake_dir = str(tmp_path / "lake")
+    lake = ReplayLake(lake_dir)
+    client = ReplayApiClient(
+        transport=FakeShowdownTransport({"gen9ou": make_replays("gen9ou", 25)}),
+        sleeper=lambda s: None,
+    )
+    discover(spark, lake, client, "gen9ou", max_pages=5)
+    download(spark, lake, client, "gen9ou", parallelism=4)
+    compact(spark, lake, "gen9ou")
+
+    out_dir = str(tmp_path / "json_export")
+    assert main(["--lake", lake_dir, "export-json", "--out", out_dir]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["exported"] == 25
+    back = read_compacted_json(spark, out_dir)
+    assert back.count() == 25 and back.select("id").distinct().count() == 25
