@@ -47,21 +47,35 @@ STEP = 3600
 
 def corpus(spark: SparkSession, n: int = N_REPLAYS) -> DataFrame:
     """Deterministic replay documents (same shape as sources.fake
-    make_replays): id, format, uploadtime, p1, p2, and an 8-line battle
-    log with two |t:| stamps, two |move| lines and a |win| line."""
+    make_replays): id, format, uploadtime, p1, p2, and a battle log of
+    VARIABLE length — a 4-line header, then ``i % 5 + 1`` battle rounds
+    (each a |t:| stamp plus two |move| lines), then the |win| line —
+    so per-replay line counts, durations and move mixes all differ and
+    the explode fan-out is non-uniform like real logs."""
     i = F.col("i")
     ts = (F.lit(T0) + i * STEP).cast("long")
     p1 = F.concat(F.lit("player"), (i % 17).cast("string"))
     p2 = F.concat(F.lit("player"), ((i * 7 + 3) % 23).cast("string"))
+    rounds = F.transform(
+        F.sequence(F.lit(0), i % 5),
+        lambda r: F.concat_ws(
+            "\n",
+            F.concat(F.lit("|t:|"), (ts + (r + 1) * 60).cast("string")),
+            F.concat(
+                F.lit("|move|p1a: Mon"), ((i + r) % 9).cast("string"), F.lit("|Tackle")
+            ),
+            F.concat(
+                F.lit("|move|p2a: Mon"), ((i + r + 4) % 9).cast("string"), F.lit("|Growl")
+            ),
+        ),
+    )
     log = F.concat_ws(
         "\n",
         F.concat(F.lit("|player|p1|"), p1),
         F.concat(F.lit("|player|p2|"), p2),
         F.concat(F.lit("|t:|"), ts.cast("string")),
         F.lit("|start"),
-        F.concat(F.lit("|move|p1a: Mon"), (i % 9).cast("string"), F.lit("|Tackle")),
-        F.concat(F.lit("|t:|"), (ts + 30).cast("string")),
-        F.concat(F.lit("|move|p2a: Mon"), ((i + 4) % 9).cast("string"), F.lit("|Growl")),
+        F.array_join(rounds, "\n"),
         F.concat(F.lit("|win|"), F.when(i % 2 == 0, p1).otherwise(p2)),
     )
     return (
@@ -93,9 +107,12 @@ CORPUS_SQL = f"""
                '|player|p2|' || p2 || chr(10) ||
                '|t:|' || CAST(uploadtime AS VARCHAR) || chr(10) ||
                '|start' || chr(10) ||
-               '|move|p1a: Mon' || CAST(i % 9 AS VARCHAR) || '|Tackle' || chr(10) ||
-               '|t:|' || CAST(uploadtime + 30 AS VARCHAR) || chr(10) ||
-               '|move|p2a: Mon' || CAST((i + 4) % 9 AS VARCHAR) || '|Growl' || chr(10) ||
+               array_to_string(
+                   list_transform(range(0, i % 5 + 1), r ->
+                       '|t:|' || CAST(uploadtime + (r + 1) * 60 AS VARCHAR) || chr(10) ||
+                       '|move|p1a: Mon' || CAST((i + r) % 9 AS VARCHAR) || '|Tackle' || chr(10) ||
+                       '|move|p2a: Mon' || CAST((i + r + 4) % 9 AS VARCHAR) || '|Growl'
+                   ), chr(10)) || chr(10) ||
                '|win|' || CASE WHEN i % 2 = 0 THEN p1 ELSE p2 END AS log
         FROM base
     ), lines AS (
