@@ -313,3 +313,49 @@ def b6_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_s").cast("long").alias("max_gap_s"),
         F.sum("gap_s").cast("long").alias("elapsed_s"),
     )
+
+
+@q(
+    "b7_move_ranks",
+    CORPUS_SQL
+    + """
+    , usage AS (
+        SELECT regexp_extract(args[1], ': (.*)$', 1) AS pokemon,
+               args[2] AS move,
+               count(*) AS n_uses
+        FROM parsed WHERE command = 'move'
+        GROUP BY 1, 2
+    )
+    SELECT pokemon, move,
+           CAST(n_uses AS BIGINT) AS n_uses,
+           CAST(rank() OVER (PARTITION BY pokemon ORDER BY n_uses DESC, move) AS INT)
+               AS move_rank,
+           CAST(dense_rank() OVER (ORDER BY n_uses DESC) AS INT) AS global_tier
+    FROM usage
+    """,
+    doc="Ranked usage stats: per-pokemon move ranking (rank over a "
+    "deterministic count+name order) plus a corpus-wide dense_rank tier "
+    "— the rank/dense_rank analytic surface beyond row_number top-1.",
+)
+def b7_move_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    parsed = parse_protocol_lines(explode_log_lines(corpus(spark)))
+    usage = (
+        parsed.filter(F.col("command") == "move")
+        .select(
+            F.regexp_extract(F.element_at("args", 1), r": (.*)$", 1).alias("pokemon"),
+            F.element_at("args", 2).alias("move"),
+        )
+        .groupBy("pokemon", "move")
+        .agg(F.count("*").alias("n_uses"))
+    )
+    w_mon = Window.partitionBy("pokemon").orderBy(F.desc("n_uses"), "move")
+    w_all = Window.orderBy(F.desc("n_uses"))
+    return usage.select(
+        "pokemon",
+        "move",
+        F.col("n_uses").cast("long").alias("n_uses"),
+        F.rank().over(w_mon).cast("int").alias("move_rank"),
+        F.dense_rank().over(w_all).cast("int").alias("global_tier"),
+    )
