@@ -63,6 +63,11 @@ class FakeShowdownTransport:
     heal_after: int = 2
     dead_every: int = 0  # every k-th replay permanently 404s
     _attempts: dict[str, int] = field(default_factory=dict)
+    # memoized descending-uploadtime view per format (a real API serves
+    # pages from an index; re-sorting per page request would dominate
+    # large-corpus benchmarks). Invalidated when the list object or its
+    # length changes.
+    _sorted_cache: dict[str, tuple] = field(default_factory=dict)
 
     def __call__(self, url: str, connect_timeout: float, read_timeout: float) -> tuple[int, str]:
         if "/search.json" in url:
@@ -70,15 +75,27 @@ class FakeShowdownTransport:
         m = re.search(r"/([^/]+)\.json$", url)
         return self._replay(m.group(1)) if m else (404, "not found")
 
+    def _sorted(self, fmt: str) -> list[dict]:
+        source = self.replays_by_format.get(fmt, [])
+        key = (id(source), len(source))
+        cached = self._sorted_cache.get(fmt)
+        if cached is None or cached[0] != key:
+            rows = sorted(source, key=lambda r: r["uploadtime"], reverse=True)
+            self._sorted_cache[fmt] = (key, rows)
+            return rows
+        return cached[1]
+
     def _search(self, url: str) -> tuple[int, str]:
         fmt = re.search(r"format=([^&]+)", url).group(1)
         before = re.search(r"before=(\d+)", url)
-        rows = sorted(
-            self.replays_by_format.get(fmt, []), key=lambda r: r["uploadtime"], reverse=True
-        )
+        rows = self._sorted(fmt)
         if before:
             cutoff = int(before.group(1))
-            rows = [r for r in rows if r["uploadtime"] < cutoff]
+            # rows are sorted descending: binary-search the cutoff
+            import bisect
+
+            keys = [-r["uploadtime"] for r in rows]
+            rows = rows[bisect.bisect_right(keys, -cutoff) :]
         page = [
             {k: r[k] for k in ("id", "uploadtime", "p1", "p2", "format", "rating")}
             for r in rows[:PAGE_SIZE]

@@ -287,3 +287,14 @@ def test_parallel_backfill_partitions_time_ranges(spark, lake):
         spark, lake, client, FMT, window_s=3 * 86_400, n_ranges=5
     )
     assert stats2["new_replays"] == 0
+
+
+def test_discover_ignore_history_rescans_but_stays_idempotent(spark, lake):
+    """ignore_history=True disables the watermark cutoff (full re-page,
+    discovery.py params) but the anti-join still inserts nothing twice."""
+    client = healthy_client(60)
+    discover(spark, lake, client, FMT, max_pages=10)
+    stats = discover(spark, lake, client, FMT, max_pages=10, ignore_history=True)
+    assert stats["replays_found"] == 60  # re-paged everything
+    assert stats["new_replays"] == 0  # inserted nothing
+    assert MetadataStore(spark, lake.metadata_path).read().count() == 60
