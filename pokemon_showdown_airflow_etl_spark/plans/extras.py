@@ -190,3 +190,55 @@ def w5_session_windows(spark, sf_dir):
             "user_id", F.col("w.start").alias("session_start"), "n_events", "span_s"
         )
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@q(
+    "g12_event_pivot",
+    f"""
+    SELECT CAST(ts AS DATE) AS date,
+           {", ".join(f"ROUND(sum(CASE WHEN event_type = '{t}' THEN value END), 4) AS {t}"
+                      for t in EVENT_TYPES)}
+    FROM events GROUP BY 1
+    """,
+    doc="Wide lifecycle matrix via pivot(): per-date value totals, one "
+    "column per event type — the stats-dashboard shape "
+    "(get_stats_by_format as a matrix). Spark's pivot with an explicit "
+    "value list stays a single-pass hash aggregate; never pivot on an "
+    "unbounded key at scale.",
+)
+def g12_event_pivot(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    out = (
+        ev.withColumn("date", F.col("ts").cast("date"))
+        .groupBy("date")
+        .pivot("event_type", list(EVENT_TYPES))
+        .sum("value")
+    )
+    return out.select("date", *[F.round(c, 4).alias(c) for c in EVENT_TYPES])
+
+
+@q(
+    "g13_event_unpivot",
+    f"""
+    WITH wide AS (
+        SELECT CAST(ts AS DATE) AS date,
+               {", ".join(f"ROUND(sum(CASE WHEN event_type = '{t}' THEN value END), 4) AS {t}"
+                          for t in EVENT_TYPES)}
+        FROM events GROUP BY 1
+    )
+    SELECT date, kind, metric FROM wide
+    UNPIVOT (metric FOR kind IN ({", ".join(EVENT_TYPES)}))
+    """,
+    doc="unpivot/melt back to long form (stack of the g12 matrix): "
+    "wide metric columns become (kind, metric) rows — the normalization "
+    "step before storing heterogeneous metrics in one long table. "
+    "UNPIVOT drops NULL cells on both engines.",
+)
+def g13_event_unpivot(spark, sf_dir):
+    wide = g12_event_pivot(spark, sf_dir)
+    return wide.unpivot("date", list(EVENT_TYPES), "kind", "metric").filter(
+        F.col("metric").isNotNull()
+    )
