@@ -223,3 +223,47 @@ def q1_pricing_summary(spark, sf_dir):
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
         F.count("*").cast("long").alias("count_order"),
     )
+
+
+Q3_CUTOFF = "1998-06-01 00:00:00"
+
+
+@q(
+    "q3_shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+      AND l.l_shipdate  > TIMESTAMP '{Q3_CUTOFF}'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (shipping priority): selective date predicates "
+    "pushed to both scans, customer-orders-lineitem join chain, grouped "
+    "revenue, deterministic top-10 (revenue desc, orderkey tie-break). "
+    "Exercises pushdown + join ordering + global TopK (Spark plans "
+    "TakeOrderedAndProject, not a full sort).",
+)
+def q3_shipping_priority(spark, sf_dir):
+    cutoff = F.lit(Q3_CUTOFF).cast("timestamp")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
