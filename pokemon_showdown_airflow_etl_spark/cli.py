@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
         "export-json", help="export the compacted lake as reference-format JSON day files"
     )
     exp.add_argument("--out", required=True)
+
+    rst = sub.add_parser("reset-state", help="clear a format's cursor checkpoint (O12)")
+    rst.add_argument("--format", dest="format_id", required=True)
+
+    sub.add_parser("audit", help="lake integrity check (invariant violation counts)")
     return p
 
 
@@ -131,6 +136,14 @@ def main(argv: list[str] | None = None) -> int:
         docs = spark.read.parquet(lake.compacted_path)
         export_compacted_json(docs, args.out)
         result = {"exported": docs.count(), "path": args.out}
+    elif args.cmd == "reset-state":
+        from .jobs import reset_format_state
+
+        result = reset_format_state(lake, args.format_id)
+    elif args.cmd == "audit":
+        from .jobs import audit_lake
+
+        result = audit_lake(spark, lake)
     else:  # pragma: no cover
         raise SystemExit(2)
 

@@ -3,10 +3,12 @@
 from .backfill import discover_backfill_parallel
 from .lake import MetadataStore, ReplayLake, load_state, save_state, state_df
 from .maintenance import (
+    audit_lake,
     deduplicate_metadata,
     fix_compacted_status,
     import_existing,
     optimize_lake,
+    reset_format_state,
 )
 from .pipeline import (
     compact,
@@ -33,5 +35,7 @@ __all__ = [
     "import_existing",
     "fix_compacted_status",
     "deduplicate_metadata",
+    "audit_lake",
+    "reset_format_state",
     "optimize_lake",
 ]

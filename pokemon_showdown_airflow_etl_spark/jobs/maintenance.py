@@ -140,3 +140,61 @@ def optimize_lake(spark: SparkSession, lake: ReplayLake, target_files_per_partit
         .parquet(lake.replays_path)
     )
     return {"rewritten": n}
+
+
+def reset_format_state(lake: ReplayLake, format_id: str) -> dict:
+    """O12 (scripts/reset_format_state.py:25-46): clear the cursor
+    checkpoint for a format so the next discovery run re-derives its
+    watermarks from the metadata table alone."""
+    import os
+
+    path = os.path.join(lake.state_dir, f"{format_id}_state.json")
+    existed = os.path.exists(path)
+    if existed:
+        os.remove(path)
+    return {"reset": existed}
+
+
+def audit_lake(spark: SparkSession, lake: ReplayLake) -> dict:
+    """Integrity check (cleanup_db.py:55-60's PRAGMA integrity_check,
+    lake-shaped): structural invariants across the three tables —
+    duplicate keys, compacted-but-not-downloaded rows, downloaded rows
+    missing from the raw lake, compacted-lake ids unknown to metadata.
+    Returns violation counts (all zero on a healthy lake)."""
+    import os
+
+    from ..operators import metadata as M
+
+    meta = MetadataStore(spark, lake.metadata_path).read()
+    out = {
+        "duplicate_keys": M.duplicates(meta).count(),
+        "compacted_not_downloaded": meta.filter(
+            F.coalesce("is_compacted", F.lit(False))
+            & ~F.coalesce("is_downloaded", F.lit(False))
+        ).count(),
+    }
+    if os.path.exists(lake.replays_path):
+        lake_ids = spark.read.parquet(lake.replays_path).select(
+            F.col("id").alias("replay_id")
+        )
+        out["downloaded_missing_from_lake"] = (
+            meta.filter(F.coalesce("is_downloaded", F.lit(False)))
+            .select("replay_id")
+            .join(lake_ids, "replay_id", "left_anti")
+            .count()
+        )
+    else:
+        out["downloaded_missing_from_lake"] = meta.filter(
+            F.coalesce("is_downloaded", F.lit(False))
+        ).count()
+    if os.path.exists(lake.compacted_path):
+        compacted_ids = spark.read.parquet(lake.compacted_path).select(
+            F.col("id").alias("replay_id")
+        )
+        out["compacted_ids_unknown_to_metadata"] = compacted_ids.join(
+            meta.select("replay_id"), "replay_id", "left_anti"
+        ).count()
+    else:
+        out["compacted_ids_unknown_to_metadata"] = 0
+    out["ok"] = all(v == 0 for k, v in out.items() if k != "ok")
+    return out

@@ -298,3 +298,33 @@ def test_discover_ignore_history_rescans_but_stays_idempotent(spark, lake):
     assert stats["replays_found"] == 60  # re-paged everything
     assert stats["new_replays"] == 0  # inserted nothing
     assert MetadataStore(spark, lake.metadata_path).read().count() == 60
+
+
+def test_audit_lake_detects_and_clears_violations(spark, lake):
+    from pokemon_showdown_airflow_etl_spark.jobs import (
+        audit_lake,
+        fix_compacted_status,
+        reset_format_state,
+        load_state,
+    )
+
+    client = healthy_client(30)
+    discover(spark, lake, client, FMT, max_pages=10)
+    download(spark, lake, client, FMT, parallelism=4)
+    compact(spark, lake, FMT)
+    audit = audit_lake(spark, lake)
+    assert audit["ok"], audit
+
+    # forge corruption: clear every is_downloaded flag -> two invariants break
+    meta = MetadataStore(spark, lake.metadata_path)
+    broken = meta.read().withColumn("is_downloaded", F.lit(False)).localCheckpoint(eager=True)
+    broken.write.partitionBy("format_id").mode("overwrite").parquet(lake.metadata_path)
+    audit = audit_lake(spark, lake)
+    assert not audit["ok"]
+    assert audit["compacted_not_downloaded"] == 30
+
+    # state reset clears the cursor checkpoint
+    assert load_state(lake, FMT)["last_seen_ts"] is not None
+    assert reset_format_state(lake, FMT) == {"reset": True}
+    assert load_state(lake, FMT)["last_seen_ts"] is None
+    assert reset_format_state(lake, FMT) == {"reset": False}
