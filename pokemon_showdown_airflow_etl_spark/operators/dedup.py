@@ -11,6 +11,15 @@ Cross-engine determinism note: MinHash uses the *lexicographic* min of
 md5 hex digests. md5 is identical everywhere, and ASCII hex strings
 compare identically in Spark, DuckDB and Python — so signatures are
 reproducible across engines (used by the oracle parity gate).
+
+Methods are the standard published ones: set resemblance via MinHash
+(Broder, "On the resemblance and containment of documents", 1997; LSH
+banding per Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3),
+SimHash (Charikar, "Similarity estimation techniques from rounding
+algorithms", STOC 2002; block-permuted Hamming search per Manku et al.,
+WWW 2007), and prefix-filtered all-pairs similarity join (Xiao et al.,
+"Efficient similarity joins for near duplicate detection", WWW 2008 —
+the PPJoin length/prefix filters).
 """
 
 from __future__ import annotations

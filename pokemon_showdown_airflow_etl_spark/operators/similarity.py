@@ -13,6 +13,11 @@ no Python in the loop). Two strategies:
 
 All float math is done in double, summed left-to-right (array order), so
 results are reproducible across engines for the oracle gate.
+
+Methods are the standard published ones: sign-random-projection LSH for
+cosine (Charikar, STOC 2002), inverted-file coarse quantization for ANN
+(Jégou/Douze/Schmid, "Product quantization for nearest neighbor
+search", TPAMI 2011 — the IVF part, without PQ codes).
 """
 
 from __future__ import annotations
