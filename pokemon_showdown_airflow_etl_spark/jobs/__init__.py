@@ -1,7 +1,14 @@
 """Pipeline + maintenance jobs mirroring the reference's Airflow DAGs."""
 
 from .backfill import discover_backfill_parallel
-from .lake import MetadataStore, ReplayLake, load_state, save_state, state_df
+from .lake import (
+    MetadataStore,
+    ReplayLake,
+    load_state,
+    register_lake_views,
+    save_state,
+    state_df,
+)
 from .maintenance import (
     audit_lake,
     deduplicate_metadata,
@@ -25,6 +32,7 @@ __all__ = [
     "load_state",
     "save_state",
     "state_df",
+    "register_lake_views",
     "discover",
     "discover_backfill",
     "discover_backfill_parallel",

@@ -137,6 +137,29 @@ class MetadataStore:
         _dynamic_overwrite(merged, self.path, ["format_id"])
 
 
+def register_lake_views(spark: SparkSession, lake: ReplayLake) -> list[str]:
+    """Expose the lake as SQL views — the reference's query surface IS
+    SQL (hand-written strings against SQLite, db.py throughout), so the
+    engine offers the same: ``replay_status``, ``replays`` and
+    ``compacted_replays`` become temp views and every db.py query runs
+    as ``spark.sql(...)`` with partition pruning intact."""
+    import os
+
+    registered = []
+    MetadataStore(spark, lake.metadata_path).read().createOrReplaceTempView(
+        "replay_status"
+    )
+    registered.append("replay_status")
+    for name, path in (
+        ("replays", lake.replays_path),
+        ("compacted_replays", lake.compacted_path),
+    ):
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)
+            registered.append(name)
+    return registered
+
+
 # --- K4: cursor/state checkpoint (state.py:13-49) ---------------------------
 
 

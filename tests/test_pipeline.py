@@ -328,3 +328,37 @@ def test_audit_lake_detects_and_clears_violations(spark, lake):
     assert reset_format_state(lake, FMT) == {"reset": True}
     assert load_state(lake, FMT)["last_seen_ts"] is None
     assert reset_format_state(lake, FMT) == {"reset": False}
+
+
+def test_sql_surface_over_lake_views(spark, lake):
+    """The reference queries SQLite with raw SQL; the engine exposes the
+    same surface — its literal queries (translated) run via spark.sql
+    over the registered lake views."""
+    from pokemon_showdown_airflow_etl_spark.jobs import register_lake_views
+
+    client = healthy_client(40)
+    discover(spark, lake, client, FMT, max_pages=10)
+    download(spark, lake, client, FMT, parallelism=4)
+    compact(spark, lake, FMT)
+    views = register_lake_views(spark, lake)
+    assert views == ["replay_status", "replays", "compacted_replays"]
+
+    # db.py:505-509 (undownloaded work list)
+    n_undl = spark.sql(
+        f"SELECT count(*) FROM replay_status WHERE format_id = '{FMT}' AND NOT is_downloaded"
+    ).first()[0]
+    assert n_undl == 0
+    # db.py:642-651 (lifecycle stats)
+    row = spark.sql("""
+        SELECT count(*) AS total,
+               sum(CASE WHEN is_downloaded THEN 1 ELSE 0 END) AS downloaded,
+               sum(CASE WHEN is_compacted THEN 1 ELSE 0 END) AS compacted
+        FROM replay_status
+    """).first()
+    assert (row["total"], row["downloaded"], row["compacted"]) == (40, 40, 40)
+    # db.py:590-594 (high watermark) against the raw lake join
+    hw = spark.sql("""
+        SELECT max(s.uploadtime) FROM replay_status s
+        JOIN replays r ON s.replay_id = r.id
+    """).first()[0]
+    assert hw == spark.sql("SELECT max(uploadtime) FROM compacted_replays").first()[0]
