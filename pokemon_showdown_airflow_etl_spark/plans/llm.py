@@ -643,3 +643,60 @@ def d7_lsh_verified_dups(spark, sf_dir):
     return dedup.lsh_verified_dups(
         t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
     )
+
+
+@q(
+    "t8_tfidf_top_terms",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ), ranked AS (
+        SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, ROUND(score, 6) AS tfidf, CAST(rnk AS INT) AS term_rank
+    FROM ranked WHERE rnk <= 3
+    """,
+    doc="TF-IDF top terms per document (smoothed idf = ln((N+1)/(df+1))+1, "
+    "sklearn-style): explode once, two aggregations (term-frequency per "
+    "doc, document-frequency per term), broadcast the tiny df/N sides "
+    "back, per-doc top-3 window. The keyword-extraction pass of a "
+    "corpus pipeline — every stage map-side combinable.",
+)
+def t8_tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import tokens as tok
+
+    docs = t(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.explode(tok(F.col("text"))).alias("term"))
+    tf = tk.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tk.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0)).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.round("score", 6).alias("tfidf"),
+            F.col("rnk").cast("int").alias("term_rank"),
+        )
+    )
