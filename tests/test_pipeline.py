@@ -362,3 +362,37 @@ def test_sql_surface_over_lake_views(spark, lake):
         JOIN replays r ON s.replay_id = r.id
     """).first()[0]
     assert hw == spark.sql("SELECT max(uploadtime) FROM compacted_replays").first()[0]
+
+
+def test_metadata_upsert_rows_full_row_replace(spark, lake):
+    """K3 INSERT OR REPLACE (db.py:230-236): same-key rows are replaced
+    whole (unspecified columns become the new row's values, here NULL),
+    new keys append, other partitions untouched."""
+    from pokemon_showdown_airflow_etl_spark.jobs import discover
+    from pokemon_showdown_airflow_etl_spark.schemas import REPLAY_STATUS
+
+    client = healthy_client(10)
+    discover(spark, lake, client, FMT, max_pages=5)
+    meta = MetadataStore(spark, lake.metadata_path)
+
+    def status_row(rid, fmt, uploadtime, players):
+        base = {f.name: None for f in REPLAY_STATUS.fields}
+        base.update(
+            replay_id=rid, format_id=fmt, uploadtime=uploadtime, players=players,
+            is_downloaded=True, download_details="Replaced",
+        )
+        return tuple(base[f.name] for f in REPLAY_STATUS.fields)
+
+    rows = spark.createDataFrame(
+        [status_row("gen9ou-1000", FMT, 999, "x vs y"),       # replaces
+         status_row("gen9ou-9999", FMT, 1_800_000_000, "a vs b")],  # appends
+        REPLAY_STATUS,
+    )
+    meta.upsert_rows(rows)
+    out = meta.read()
+    assert out.count() == 11
+    replaced = out.filter(F.col("replay_id") == "gen9ou-1000").first()
+    assert replaced["uploadtime"] == 999
+    assert replaced["download_details"] == "Replaced"
+    assert replaced["discovered_batch"] is None  # full-row replace, not patch
+    assert out.filter(F.col("replay_id") == "gen9ou-9999").count() == 1
