@@ -342,10 +342,10 @@ def compact(spark: SparkSession, lake: ReplayLake, format_id: str) -> dict:
     # S3 scan of the raw lake, pruned to this format's partitions, then
     # semi-joined to the (small, broadcast) work list.
     replays = spark.read.parquet(lake.replays_path).filter(F.col("format") == format_id)
+    # no broadcast hint: the work list is usually small (auto-broadcasts)
+    # but is unbounded right after a large backfill — let AQE choose.
     todo = (
-        replays.join(
-            F.broadcast(work.withColumnRenamed("replay_id", "id")), "id", "left_semi"
-        )
+        replays.join(work.withColumnRenamed("replay_id", "id"), "id", "left_semi")
         .dropDuplicates(["id"])
         .localCheckpoint(eager=True)
     )

@@ -53,7 +53,10 @@ def merge_patch(current: DataFrame, patch: DataFrame, keys: list[str]) -> DataFr
     renamed = patch
     for c in patch_cols:
         renamed = renamed.withColumnRenamed(c, f"_p_{c}")
-    joined = current.join(F.broadcast(renamed), keys, "left")
+    # No forced broadcast: a daily patch is small and auto-broadcasts,
+    # but a backfill-scale patch (millions of rows) must be allowed to
+    # sort-merge — a broadcast hint here would pin it to driver memory.
+    joined = current.join(renamed, keys, "left")
     out_cols = []
     for c in current.columns:
         if c in patch_cols:

@@ -117,8 +117,18 @@ def ids_by_date(meta: DataFrame, format_id: str) -> DataFrame:
 
 def existence_flags(ids: DataFrame, meta: DataFrame) -> DataFrame:
     """J1 (db.py:702-734): id -> is_downloaded map, missing ids false.
-    The metadata side is pre-filtered small, so broadcast it."""
-    flags = meta.select("replay_id", "is_downloaded")
+
+    The probe set (``ids``, one work batch) is the small side; the
+    metadata table is the lake-scale side. Broadcasting metadata would
+    pin the whole table to driver memory, so instead the flags are
+    semi-filtered down to the probe ids (small ids broadcast into the
+    semi-join) and the now-bounded result broadcasts back for the outer
+    probe — the IN-list replaced by two broadcast joins, zero shuffles
+    of the big table.
+    """
+    flags = meta.select("replay_id", "is_downloaded").join(
+        F.broadcast(ids.select("replay_id")), "replay_id", "left_semi"
+    )
     return ids.join(F.broadcast(flags), "replay_id", "left").select(
         "replay_id", C.flag_or_false("is_downloaded").alias("is_downloaded")
     )

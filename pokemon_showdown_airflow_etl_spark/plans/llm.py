@@ -684,7 +684,9 @@ def t8_tfidf_top_terms(spark, sf_dir):
     tf = tk.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tk.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()
-    scored = tf.join(F.broadcast(df), "term").select(
+    # no broadcast hint on df: vocabulary size is unbounded at corpus
+    # scale; AQE broadcasts it automatically while it is small
+    scored = tf.join(df, "term").select(
         "doc_id",
         "term",
         (F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0)).alias("score"),
