@@ -242,3 +242,80 @@ def g13_event_unpivot(spark, sf_dir):
     return wide.unpivot("date", list(EVENT_TYPES), "kind", "metric").filter(
         F.col("metric").isNotNull()
     )
+
+
+@q(
+    "g14_value_histogram",
+    """
+    SELECT CAST(CASE WHEN value < 0 THEN -1 ELSE floor(value / 10.0) END AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(min(value), 4) AS bin_min,
+           ROUND(max(value), 4) AS bin_max
+    FROM events GROUP BY 1
+    """,
+    doc="Histogram binning (10-unit bins, negatives to a sentinel bin): "
+    "the distribution-profiling pass — one scan, map-side partial "
+    "counts, tiny result regardless of input size. Binning is explicit "
+    "floor division so both engines evaluate the identical float "
+    "expression (Spark's width_bucket has no DuckDB twin).",
+)
+def g14_value_histogram(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    bin_col = (
+        F.when(F.col("value") < 0, F.lit(-1))
+        .otherwise(F.floor(F.col("value") / 10.0))
+        .cast("int")
+    )
+    return (
+        ev.withColumn("bin", bin_col)
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.min("value"), 4).alias("bin_min"),
+            F.round(F.max("value"), 4).alias("bin_max"),
+        )
+    )
+
+
+@q(
+    "j9_above_customer_avg",
+    """
+    WITH cents AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders
+    ), enriched AS (
+        SELECT o_orderkey, o_custkey, price_c,
+               avg(price_c) OVER (PARTITION BY o_custkey) AS avg_c
+        FROM cents
+    )
+    SELECT o_orderkey, o_custkey,
+           ROUND(price_c / 100.0, 2) AS totalprice,
+           ROUND(avg_c / 100.0, 4) AS cust_avg
+    FROM enriched WHERE price_c > avg_c
+    """,
+    doc="Correlated-subquery shape (orders above their customer's "
+    "average) decorrelated into a partitioned window average + filter — "
+    "one shuffle on the correlation key instead of a re-executed "
+    "subquery per row. Prices quantize to integer cents BEFORE the "
+    "average so the sum is exact on both engines: a float avg's "
+    "summation-order noise would flip rows sitting on the price==avg "
+    "boundary.",
+)
+def j9_above_customer_avg(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    w = Window.partitionBy("o_custkey")
+    enriched = cents.withColumn("avg_c", F.avg("price_c").over(w))
+    return enriched.filter(F.col("price_c") > F.col("avg_c")).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("price_c") / 100.0, 2).alias("totalprice"),
+        F.round(F.col("avg_c") / 100.0, 4).alias("cust_avg"),
+    )
