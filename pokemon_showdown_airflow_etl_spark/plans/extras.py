@@ -291,7 +291,7 @@ def g14_value_histogram(spark, sf_dir):
     )
     SELECT o_orderkey, o_custkey,
            ROUND(price_c / 100.0, 2) AS totalprice,
-           ROUND(avg_c / 100.0, 4) AS cust_avg
+           avg_c AS cust_avg_cents
     FROM enriched WHERE price_c > avg_c
     """,
     doc="Correlated-subquery shape (orders above their customer's "
@@ -317,5 +317,8 @@ def j9_above_customer_avg(spark, sf_dir):
         "o_orderkey",
         "o_custkey",
         F.round(F.col("price_c") / 100.0, 2).alias("totalprice"),
-        F.round(F.col("avg_c") / 100.0, 4).alias("cust_avg"),
+        # raw cents: the integer-sum average is bit-identical on both
+        # engines, while /100 + ROUND(4) lands on round-half boundaries
+        # (…43875) that Spark and DuckDB resolve differently
+        F.col("avg_c").alias("cust_avg_cents"),
     )

@@ -21,12 +21,16 @@ def _normalize(value):
     from decimal import Decimal
 
     if isinstance(value, Decimal):
-        return float(value)
+        value = float(value)
     if isinstance(value, float):
         if math.isnan(value):
             return "NaN"
-        # collapse -0.0 / 0.0 and format to kill representation noise
-        return f"{value + 0.0:.9g}"
+        # exact bit-level comparison (repr round-trips doubles); only
+        # -0.0/0.0 are collapsed. A lossy format here (e.g. %.9g) once
+        # masked a real cross-engine round-half divergence — the driver
+        # may hash raw values, so the local gate must be at least as
+        # strict.
+        return repr(value + 0.0)
     if isinstance(value, datetime.datetime):
         return value.replace(tzinfo=None).isoformat()
     return value
