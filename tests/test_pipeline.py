@@ -396,3 +396,30 @@ def test_metadata_upsert_rows_full_row_replace(spark, lake):
     assert replaced["download_details"] == "Replaced"
     assert replaced["discovered_batch"] is None  # full-row replace, not patch
     assert out.filter(F.col("replay_id") == "gen9ou-9999").count() == 1
+
+
+def test_two_scheduled_daily_runs(spark, lake):
+    """Simulate the daily schedule (O1): day-1 run processes the initial
+    corpus; overnight 24 more replays appear; the day-2 run ingests,
+    downloads and compacts exactly the delta, merging into existing day
+    partitions without touching finished ones."""
+    transport = FakeShowdownTransport({FMT: make_replays(FMT, 72)})
+    client = ReplayApiClient(transport=transport, sleeper=lambda s: None)
+    from pokemon_showdown_airflow_etl_spark.jobs import run_daily_pipeline
+
+    day1 = run_daily_pipeline(spark, lake, client, FMT, max_pages=10)
+    assert day1["discover"]["new_replays"] == 72
+    assert day1["compact"]["compacted"] == 72
+
+    transport.replays_by_format[FMT] = make_replays(FMT, 96)  # +24 hours
+    day2 = run_daily_pipeline(spark, lake, client, FMT, max_pages=10)
+    assert day2["discover"]["new_replays"] == 24
+    assert day2["download"]["total"] == 24
+    assert day2["compact"]["compacted"] == 24
+    assert day2["compact"]["skipped_existing"] == 0
+
+    compacted = spark.read.parquet(lake.compacted_path)
+    assert compacted.count() == 96
+    assert compacted.select("id").distinct().count() == 96
+    meta = MetadataStore(spark, lake.metadata_path).read()
+    assert meta.filter(F.col("is_compacted")).count() == 96
