@@ -64,3 +64,35 @@ def test_multiline_array_day_file_scan(spark, tmp_path):
     assert df.count() == 7
     assert df.select("id").distinct().count() == 7
     assert df.schema["uploadtime"].dataType.typeName() == "long"
+
+
+def test_filename_to_id_and_mtime_on_real_scan(spark, tmp_path):
+    """C9/C11 against a real file scan: binaryFile source provides
+    path + modificationTime; the basename-stem extraction and the
+    mtime-as-epoch fallback run on actual input_file_name() metadata
+    (import_existing_replays.py:32-34,54)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pokemon_showdown_airflow_etl_spark.functions import scalars as C
+
+    day_dir = tmp_path / "replays" / "gen9ou" / "2023-11-14"
+    day_dir.mkdir(parents=True)
+    for rid in ("gen9ou-1", "gen9ou-2", "gen9ou-3"):
+        (day_dir / f"{rid}.json").write_text(json.dumps({"id": rid}))
+
+    files = spark.read.format("binaryFile").load(str(day_dir) + "/*.json")
+    out = files.select(
+        F.regexp_extract("path", r"([^/]+)\.json$", 1).alias("replay_id"),
+        F.unix_timestamp("modificationTime").alias("mtime_epoch"),
+    )
+    rows = {r["replay_id"]: r["mtime_epoch"] for r in out.collect()}
+    assert set(rows) == {"gen9ou-1", "gen9ou-2", "gen9ou-3"}
+    assert all(v > 1_600_000_000 for v in rows.values())
+
+    # the json-source twin using input_file_name() (C9 exactly)
+    docs = spark.read.schema("id string").json(str(day_dir)).select(
+        "id", C.filename_to_id().alias("from_path")
+    )
+    assert all(r["id"] == r["from_path"] for r in docs.collect())
