@@ -55,22 +55,27 @@ def j1_existence_flag(spark, sf_dir):
 
 @q(
     "j2_ingest_anti_join",
-    f"""
-    SELECT DISTINCT user_id FROM events e
-    WHERE ts >= TIMESTAMP '{SPLIT_TS}'
-      AND NOT EXISTS (
-        SELECT 1 FROM events old
-        WHERE old.ts < TIMESTAMP '{SPLIT_TS}' AND old.user_id = e.user_id
-      )
+    """
+    SELECT DISTINCT o_custkey AS new_key FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_acctbal > 0 AND c.c_custkey = o.o_custkey
+    )
     """,
     doc="J2 idempotent-ingest anti-join (db.py:853-912): insert only rows "
-    "whose key is not already present — incoming LEFT ANTI existing.",
+    "whose key is not already present — incoming LEFT ANTI existing "
+    "registry. Keys here are ordering customers absent from the "
+    "positive-balance registry subset (a deliberately NON-empty result: "
+    "an all-overlapping split would make the check vacuous).",
 )
 def j2_ingest_anti_join(spark, sf_dir):
-    e = t(spark, sf_dir, "events")
-    incoming = e.filter(F.col("ts") >= F.lit(SPLIT_TS).cast("timestamp")).select("user_id")
-    existing = e.filter(F.col("ts") < F.lit(SPLIT_TS).cast("timestamp")).select("user_id")
-    return incoming.join(existing, "user_id", "left_anti").distinct()
+    incoming = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("new_key"))
+    existing = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("new_key"))
+    )
+    return incoming.join(existing, "new_key", "left_anti").distinct()
 
 
 @q(

@@ -523,16 +523,19 @@ def u3_intersect(spark, sf_dir):
 @q(
     "u4_except",
     """
-    SELECT user_id FROM events WHERE event_type = 'view'
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
     """,
-    doc="U4 difference: incoming minus existing (db.py:871).",
+    doc="U4 difference: incoming minus existing (db.py:871) — customers "
+    "with open but no finished orders. (Keyed so the result is non-empty "
+    "at every test scale: a vacuous empty difference can't distinguish a "
+    "broken subtract from a working one.)",
 )
 def u4_except(spark, sf_dir):
-    e = t(spark, sf_dir, "events")
-    a = e.filter(F.col("event_type") == "view").select("user_id")
-    b = e.filter(F.col("event_type") == "purchase").select("user_id")
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return a.subtract(b)
 
 
