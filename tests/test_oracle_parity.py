@@ -83,3 +83,14 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+@pytest.mark.parametrize("query", ORACLE_QUERIES, ids=lambda q: q.name)
+def test_result_is_not_vacuous(query, spark, sf_dir):
+    """Every oracle-checked query must return at least one row at test
+    scale: an empty result hash-matches an empty oracle even when the
+    operator is broken, so vacuous checks are forbidden (a census once
+    found two)."""
+    assert query.spark(spark, sf_dir).limit(1).count() > 0, (
+        f"{query.name} returns no rows — the parity check is vacuous"
+    )
