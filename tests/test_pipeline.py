@@ -423,3 +423,24 @@ def test_two_scheduled_daily_runs(spark, lake):
     assert compacted.select("id").distinct().count() == 96
     meta = MetadataStore(spark, lake.metadata_path).read()
     assert meta.filter(F.col("is_compacted")).count() == 96
+
+
+def test_compact_survives_duplicate_raw_docs(spark, lake):
+    """Crash-recovery property: if a download attempt dies between the
+    lake append and the metadata patch, a rerun re-fetches and appends
+    the same documents again. The raw lake tolerates duplicates; the
+    compaction dropDuplicates + anti-join guarantees the compacted lake
+    never does."""
+    client = healthy_client(20)
+    discover(spark, lake, client, FMT, max_pages=5)
+    download(spark, lake, client, FMT, parallelism=4)
+    # simulate the re-appended docs of an interrupted run
+    docs = spark.read.parquet(lake.replays_path).localCheckpoint(eager=True)
+    docs.write.partitionBy("format", "date").mode("append").parquet(lake.replays_path)
+    assert spark.read.parquet(lake.replays_path).count() == 40  # duplicated
+
+    stats = compact(spark, lake, FMT)
+    assert stats["compacted"] == 20
+    compacted = spark.read.parquet(lake.compacted_path)
+    assert compacted.count() == 20
+    assert compacted.select("id").distinct().count() == 20
