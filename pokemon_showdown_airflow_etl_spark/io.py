@@ -81,21 +81,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 # --- replay lake ------------------------------------------------------------
 
 
-def write_replay_lake(df: DataFrame, path: str, mode: str = "append") -> None:
+def write_replay_lake(
+    df: DataFrame, path: str, mode: str = "append", file_format: str = "parquet"
+) -> None:
     """K1 sink: partitioned write of replay documents.
 
     Reference writes one JSON file per replay under
     ``replays/{format}/{date}/`` (tasks/download.py:76-87); at scale one
-    file per record is pathological, so the lake is parquet partitioned
+    file per record is pathological, so the lake is columnar, partitioned
     by the same two keys — identical pruning, ~1000x fewer files.
-    Requires ``format`` and ``date`` columns.
+    Requires ``format`` and ``date`` columns. ``file_format`` may be any
+    Spark batch source (parquet default; orc supported out of the box
+    for shops standardized on it — same pruning and predicate pushdown).
     """
-    df.write.partitionBy("format", "date").mode(mode).parquet(path)
+    df.write.partitionBy("format", "date").mode(mode).format(file_format).save(path)
 
 
-def read_replay_lake(spark: SparkSession, path: str) -> DataFrame:
+def read_replay_lake(
+    spark: SparkSession, path: str, file_format: str = "parquet"
+) -> DataFrame:
     """S3 scan: read the replay lake with partition discovery."""
-    return spark.read.parquet(path)
+    return spark.read.format(file_format).load(path)
 
 
 def export_compacted_json(df: DataFrame, path: str) -> None:

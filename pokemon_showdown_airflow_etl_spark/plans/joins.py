@@ -272,3 +272,36 @@ def q3_shipping_priority(spark, sf_dir):
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+@q(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(sum(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecast revenue change): the pure scan-filter "
+    "benchmark — every predicate pushes to the parquet scan (range on "
+    "shipdate, band on discount, bound on quantity), zero joins, one "
+    "2-value aggregate. The query that measures scan + pushdown "
+    "efficiency and nothing else.",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
