@@ -23,6 +23,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q6_forecast_revenue",
     "j8_star_join_revenue",
     "j2_ingest_anti_join",
     "g3_lifecycle_stats",
