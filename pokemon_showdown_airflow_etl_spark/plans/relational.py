@@ -432,13 +432,25 @@ def w1_latest_per_key(spark, sf_dir):
     ) WHERE rn BETWEEN 101 AND 200
     """,
     doc="W2 offset pagination (scripts/reset_format_state.py:100-114): "
-    "row_number ranges; kept for parity though Spark rewrites in parallel.",
+    "page [101, 200] in event_id order. Scale-safe form: a distributed "
+    "top-(offset+page) (TakeOrderedAndProject — per-partition top-k, no "
+    "global sort, no full-table window) fetches the first 200 keys, then "
+    "row_number runs over only those 200 rows to slice the page. Cost is "
+    "O(offset+page) per partition, not O(n) through one task; the "
+    "reference's key-ordered batch-copy loop (WHERE key > last LIMIT n) "
+    "degenerates to exactly this for a single page.",
 )
 def w2_keyset_pagination(spark, sf_dir):
-    w = Window.orderBy("event_id")
-    return (
+    page_end = 200
+    head = (
         t(spark, sf_dir, "events")
-        .withColumn("rn", F.row_number().over(w))
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+        .limit(page_end)
+    )
+    w = Window.orderBy("event_id")  # over <= page_end rows, not the table
+    return (
+        head.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn").between(101, 200))
         .select("event_id", "user_id", "event_type")
     )

@@ -98,3 +98,16 @@ def test_no_python_udfs_in_relational_core(q):
     for name in ("q1_pricing_summary", "g3_lifecycle_stats", "w1_latest_per_key",
                  "t1_quality_features", "t2_lang_id", "d1_exact_dedup"):
         assert "BatchEvalPython" not in q(name), f"{name} fell back to Python"
+
+
+def test_pagination_has_no_full_table_window(q, spark, sf_dir):
+    # w2 must slice the page from a distributed top-(offset+page)
+    # (TakeOrderedAndProject), never rank the whole table through one
+    # task. The only Window allowed is the one over the limited rows.
+    plan = q("w2_keyset_pagination")
+    assert "TakeOrderedAndProject" in plan, "page fetch lost its top-k form"
+    # in the tree, the Window's input must be the limit, not the scan:
+    # TakeOrderedAndProject appears below Window in the operator listing
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+    # and the full-table form would need a single-partition Exchange
+    assert "Exchange SinglePartition" not in plan
