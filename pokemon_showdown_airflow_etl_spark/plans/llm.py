@@ -683,13 +683,18 @@ def t8_tfidf_top_terms(spark, sf_dir):
     tk = docs.select("doc_id", F.explode(tok(F.col("text"))).alias("term"))
     tf = tk.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tk.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
+    # corpus size as a lazy 1-row aggregate cross-joined in (the oracle's
+    # CROSS JOIN n shape): no driver-side count(), no extra corpus pass —
+    # Spark broadcasts the single row and shares the scan under AQE
+    n = docs.agg(F.count("*").alias("n_docs"))
     # no broadcast hint on df: vocabulary size is unbounded at corpus
     # scale; AQE broadcasts it automatically while it is small
-    scored = tf.join(df, "term").select(
+    scored = tf.join(df, "term").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "term",
-        (F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0)).alias("score"),
+        (F.col("tf") * (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + 1.0)) + 1.0)).alias(
+            "score"
+        ),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
     return (
