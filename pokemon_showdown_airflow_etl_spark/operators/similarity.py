@@ -80,14 +80,34 @@ def brute_force_topk(
     )
 
 
-def srp_bucket(vec: Column, n_bits: int = 4) -> Column:
-    """Sign-random-projection bucket id from the first ``n_bits``
-    components' signs (deterministic axis projections — at production
-    scale use seeded random hyperplanes materialized as a literal array).
+SRP_SEED = 421
+SRP_DIM = 64  # testdata embedding dimensionality (TESTDATA.md)
+
+
+def srp_hyperplanes(dim: int = SRP_DIM, n_bits: int = 4, seed: int = SRP_SEED) -> list[list[float]]:
+    """``n_bits`` seeded random hyperplanes in R^dim (Charikar SRP-LSH,
+    STOC 2002). Python's Mersenne Twister is deterministic across runs
+    and platforms, so the same literal doubles can be embedded in both
+    the Spark expression and the DuckDB oracle SQL — buckets stay
+    data-independent AND cross-engine hash-checkable.
+    """
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+
+
+def srp_bucket(vec: Column, n_bits: int = 4, dim: int = SRP_DIM, seed: int = SRP_SEED) -> Column:
+    """Sign-random-projection bucket id: bit i = sign(v . h_i) for the
+    i-th seeded hyperplane, materialized as a literal double array so the
+    projection runs JVM-side with zero data-dependent state. ``vec`` must
+    be a double array of length ``dim`` (zip_with null-pads on length
+    mismatch, which would poison the dot product).
     """
     b = F.lit(0)
-    for i in range(n_bits):
-        b = b + F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    for i, plane in enumerate(srp_hyperplanes(dim, n_bits, seed)):
+        h = F.array(*[F.lit(x) for x in plane])
+        b = b + F.when(dot(vec, h) > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return b
 
 

@@ -202,6 +202,22 @@ COS_SQL = (
 )
 
 
+def _srp_bucket_sql(vec_expr: str, n_bits: int = 4) -> str:
+    """DuckDB replica of operators.similarity.srp_bucket: the identical
+    seeded-hyperplane literals (repr round-trips doubles exactly), the
+    identical sign test — so SRP buckets hash-match across engines while
+    staying data-independent."""
+    from ..operators.similarity import srp_hyperplanes
+
+    parts = []
+    for i, plane in enumerate(srp_hyperplanes(n_bits=n_bits)):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        parts.append(
+            f"CASE WHEN list_dot_product({vec_expr}, {arr}) > 0 THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + "\n               + ".join(parts) + ")"
+
+
 @q(
     "s1_similarity_topk",
     f"""
@@ -234,10 +250,7 @@ def s1_similarity_topk(spark, sf_dir):
     f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v,
-               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
-              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-              + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
-              + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+               {_srp_bucket_sql("embedding::DOUBLE[]")} AS bucket
         FROM embeddings
     ), scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS nn_id, {COS_SQL} AS cs
@@ -268,10 +281,7 @@ NEAR_DUP_COS = 0.45
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ), b AS (
         SELECT vec_id, v,
-               (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END
-              + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
-              + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END
-              + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS bucket
+               {_srp_bucket_sql("v")} AS bucket
         FROM e
     )
     SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, ROUND({COS_SQL}, 6) AS cos_sim
