@@ -8,12 +8,15 @@ log is the reason the data exists, so this layer generalizes C5 into
 explode -> parse -> event-time fill -> analytics.
 
 Cross-engine verification trick: no battle corpus ships in the driver
-testdata, so each query synthesizes the SAME deterministic corpus from
-``range(N_REPLAYS)`` in both engines — pure arithmetic + string concat,
-identical formulas — and the oracle then checks the *parsing pipeline*
-(split/explode with ordinality, 1-indexed part extraction, running
-last-non-null event-time window, per-group aggregation) value-for-value
-against DuckDB. sf_dir is ignored: the corpus is scale-free on purpose.
+testdata, so each query synthesizes the SAME deterministic corpus in
+both engines — pure arithmetic + string concat, identical formulas —
+and the oracle then checks the *parsing pipeline* (split/explode with
+ordinality, 1-indexed part extraction, running last-non-null event-time
+window, per-group aggregation) value-for-value against DuckDB. The
+corpus index is ``i = 2 * event_id + h, h in {0, 1}`` over the sf-dir's
+``events`` table (event_id is contiguous 0..N-1 in every sf), so the
+corpus SCALES WITH SF — 2,000 replays at sf0.001, 200,000 at sf0.1 —
+with zero driver-side counts and one identical derivation per engine.
 
 At 100 TB the log column dominates storage; everything here is built-in
 split/posexplode/regexp/window expressions — single scan, no Python in
@@ -40,18 +43,22 @@ def q(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-N_REPLAYS = 2000
 T0 = 1_700_000_000
 STEP = 3600
 
 
-def corpus(spark: SparkSession, n: int = N_REPLAYS) -> DataFrame:
+def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic replay documents (same shape as sources.fake
     make_replays): id, format, uploadtime, p1, p2, and a battle log of
     VARIABLE length — a 4-line header, then ``i % 5 + 1`` battle rounds
     (each a |t:| stamp plus two |move| lines), then the |win| line —
     so per-replay line counts, durations and move mixes all differ and
-    the explode fan-out is non-uniform like real logs."""
+    the explode fan-out is non-uniform like real logs.
+
+    Sized by the sf-dir: two replays per ``events`` row (i = 2*event_id
+    + h), so benchmark numbers scale with sf while the formulas stay
+    pure functions of i."""
+    from ..io import table
     i = F.col("i")
     ts = (F.lit(T0) + i * STEP).cast("long")
     p1 = F.concat(F.lit("player"), (i % 17).cast("string"))
@@ -79,8 +86,9 @@ def corpus(spark: SparkSession, n: int = N_REPLAYS) -> DataFrame:
         F.concat(F.lit("|win|"), F.when(i % 2 == 0, p1).otherwise(p2)),
     )
     return (
-        spark.range(n)
-        .select(F.col("id").cast("int").alias("i"))
+        table(spark, sf_dir, "events")
+        .select(F.explode(F.array(F.col("event_id") * 2, F.col("event_id") * 2 + 1)).alias("ii"))
+        .select(F.col("ii").cast("int").alias("i"))
         .select(
             F.concat(F.lit("gen9ou-"), (F.lit(1000) + i).cast("string")).alias("id"),
             F.lit("gen9ou").alias("format"),
@@ -93,6 +101,8 @@ def corpus(spark: SparkSession, n: int = N_REPLAYS) -> DataFrame:
 
 
 # The identical corpus as a DuckDB CTE (1-indexed list ops; chr(10) joins).
+# The i-domain derives from the same events rows the Spark side explodes,
+# so corpus size tracks the sf dir in both engines.
 CORPUS_SQL = f"""
     WITH base AS (
         SELECT CAST(i AS INT) AS i,
@@ -100,7 +110,8 @@ CORPUS_SQL = f"""
                CAST({T0} + i * {STEP} AS BIGINT) AS uploadtime,
                'player' || CAST(i % 17 AS VARCHAR) AS p1,
                'player' || CAST((i * 7 + 3) % 23 AS VARCHAR) AS p2
-        FROM range({N_REPLAYS}) t(i)
+        FROM (SELECT 2 * event_id + h AS i
+              FROM events CROSS JOIN (SELECT unnest([0, 1]) AS h) t(h)) src
     ), docs AS (
         SELECT *,
                '|player|p1|' || p1 || chr(10) ||
@@ -142,7 +153,7 @@ CORPUS_SQL = f"""
     "8-group aggregate.",
 )
 def b1_log_command_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lines = parse_protocol_lines(explode_log_lines(corpus(spark)))
+    lines = parse_protocol_lines(explode_log_lines(corpus(spark, sf_dir)))
     return lines.groupBy("command").agg(F.count("*").cast("long").alias("n_lines"))
 
 
@@ -170,7 +181,7 @@ def b1_log_command_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "into the event-time backbone of the analysis layer.",
 )
 def b2_battle_event_times(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = battle_events(corpus(spark))
+    ev = battle_events(corpus(spark, sf_dir))
     return ev.groupBy("replay_id").agg(
         F.count("*").cast("long").alias("n_lines"),
         F.count("event_ts").cast("long").alias("n_stamped"),
@@ -203,7 +214,7 @@ def b2_battle_event_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast-joins it into the games side.",
 )
 def b3_player_win_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = corpus(spark)
+    docs = corpus(spark, sf_dir)
     games = (
         docs.select(F.explode(F.array("p1", "p2")).alias("player"))
         .groupBy("player")
@@ -239,7 +250,7 @@ def b3_player_win_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on the (pokemon, move) key.",
 )
 def b4_move_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parsed = parse_protocol_lines(explode_log_lines(corpus(spark)))
+    parsed = parse_protocol_lines(explode_log_lines(corpus(spark, sf_dir)))
     return (
         parsed.filter(F.col("command") == "move")
         .select(
@@ -268,7 +279,7 @@ def b4_move_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b5_first_log_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import scalars as C
 
-    return corpus(spark).select(
+    return corpus(spark, sf_dir).select(
         F.col("id").alias("replay_id"),
         C.log_timestamp("log").alias("first_log_ts"),
         (C.log_timestamp("log") == F.col("uploadtime")).alias("matches_uploadtime"),
@@ -305,7 +316,7 @@ def b5_first_log_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b6_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    ev = battle_events(corpus(spark)).filter(F.col("event_ts").isNotNull())
+    ev = battle_events(corpus(spark, sf_dir)).filter(F.col("event_ts").isNotNull())
     w = Window.partitionBy("replay_id").orderBy("line_no")
     gaps = ev.withColumn("gap_s", F.col("event_ts") - F.lag("event_ts").over(w))
     return gaps.groupBy("replay_id").agg(
@@ -340,7 +351,7 @@ def b6_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b7_move_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    parsed = parse_protocol_lines(explode_log_lines(corpus(spark)))
+    parsed = parse_protocol_lines(explode_log_lines(corpus(spark, sf_dir)))
     usage = (
         parsed.filter(F.col("command") == "move")
         .select(
