@@ -59,7 +59,9 @@ def _status_rows(
     data = []
     for r in rows:
         players = r.get("players") or [p for p in (r.get("p1"), r.get("p2")) if p]
-        extra = {k: json.dumps(v) if not isinstance(v, str) else v
+        # compact separators: byte-identical to the distributed parser's
+        # from_json map<string,string> rendering (jobs/backfill.py)
+        extra = {k: json.dumps(v, separators=(",", ":")) if not isinstance(v, str) else v
                  for k, v in r.items() if k not in known and v is not None}
         data.append(
             {

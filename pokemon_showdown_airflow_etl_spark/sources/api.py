@@ -39,6 +39,14 @@ class ReplayFetchError(Exception):
         self.status = status
 
 
+class PageFetchError(Exception):
+    """A search page could not be served (transport failure, non-200,
+    malformed body). Raised only in strict mode — callers that must not
+    mistake an outage for end-of-data (e.g. the parallel backfill's
+    range workers) opt in; the default degrades to an empty page like
+    the reference."""
+
+
 def urllib_transport(url: str, connect_timeout: float, read_timeout: float) -> tuple[int, str]:
     """Default transport over urllib (stdlib; no extra deps)."""
     import urllib.error
@@ -60,23 +68,40 @@ class ReplayApiClient:
     backoff_base_s: float = BACKOFF_BASE
     sleeper: Callable[[float], None] = field(default=time.sleep)
 
-    def fetch_page(self, format_id: str, before_ts: int | None = None) -> list[dict]:
+    def fetch_page(
+        self, format_id: str, before_ts: int | None = None, strict: bool = False
+    ) -> list[dict]:
         """S1: one page of the paginated search listing (api.py:13-42).
 
-        Errors (transport failure, non-200, bad JSON) degrade to an
-        empty page, matching the reference's defensive return.
+        By default errors (transport failure, non-200, bad JSON) degrade
+        to an empty page, matching the reference's defensive return.
+        ``strict=True`` raises PageFetchError instead, so callers that
+        treat an empty page as end-of-data can tell the two apart.
         """
         url = f"{self.base_url}/search.json?format={format_id}"
         if before_ts is not None:
             url += f"&before={before_ts}"
         try:
             status, body = self.transport(url, *SEARCH_TIMEOUTS)
-            if status != 200:
-                return []
-            rows = json.loads(body)
-            return rows if isinstance(rows, list) else []
-        except Exception:
+        except Exception as exc:
+            if strict:
+                raise PageFetchError(f"transport error: {exc}") from exc
             return []
+        if status != 200:
+            if strict:
+                raise PageFetchError(f"search returned status {status}")
+            return []
+        try:
+            rows = json.loads(body)
+        except ValueError as exc:
+            if strict:
+                raise PageFetchError(f"malformed search body: {exc}") from exc
+            return []
+        if not isinstance(rows, list):
+            if strict:
+                raise PageFetchError("search body is not a list")
+            return []
+        return rows
 
     def fetch_replay(self, replay_id: str) -> dict:
         """S2: point lookup of one replay document with bounded retries

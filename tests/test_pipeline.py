@@ -444,3 +444,55 @@ def test_compact_survives_duplicate_raw_docs(spark, lake):
     compacted = spark.read.parquet(lake.compacted_path)
     assert compacted.count() == 20
     assert compacted.select("id").distinct().count() == 20
+
+
+def test_parallel_backfill_failed_range_never_creates_gaps(spark, lake):
+    """A transport outage inside one backfill range must not let older
+    ranges advance the low watermark past the un-fetched window: rows
+    below the first incomplete range are dropped, the failure is
+    reported, and a healthy re-run recovers the full history."""
+    from pokemon_showdown_airflow_etl_spark.jobs import discover_backfill_parallel
+
+    n = 300
+    replays = make_replays(FMT, n)
+    base = FakeShowdownTransport({FMT: replays})
+    window_s = 3 * 86_400
+    # watermark seeds to the newest page first
+    discover(spark, lake, client=ReplayApiClient(transport=base, sleeper=lambda s: None),
+             format_id=FMT, max_pages=1)
+    oldest = (
+        MetadataStore(spark, lake.metadata_path)
+        .read().agg(F.min("uploadtime")).collect()[0][0]
+    )
+    # range index 1 ([oldest-2w, oldest-1w)) permanently 500s on search
+    lo, hi = oldest - 2 * window_s, oldest - 1 * window_s
+
+    class RangeOutage:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def __call__(self, url, ct, rt):
+            if "/search.json" in url and "before=" in url:
+                before = int(url.rsplit("before=", 1)[1])
+                if lo < before <= hi:
+                    return 500, "outage"
+            return self.inner(url, ct, rt)
+
+    client = ReplayApiClient(transport=RangeOutage(base), sleeper=lambda s: None)
+    stats = discover_backfill_parallel(
+        spark, lake, client, FMT, window_s=window_s, n_ranges=5
+    )
+    assert stats["failed_ranges"], "outage range must be reported"
+    assert stats["dropped_ranges"] >= 1
+    meta = MetadataStore(spark, lake.metadata_path).read()
+    # nothing below the failed range may have landed: the low watermark
+    # (MIN uploadtime) must still sit at-or-above the failed range floor
+    low = meta.agg(F.min("uploadtime")).collect()[0][0]
+    assert low >= lo, f"history gap: watermark {low} jumped below failed range floor {lo}"
+    # healthy re-run drains everything the outage withheld
+    healthy = ReplayApiClient(transport=base, sleeper=lambda s: None)
+    for _ in range(4):
+        discover_backfill_parallel(spark, lake, healthy, FMT, window_s=window_s, n_ranges=5)
+    meta = MetadataStore(spark, lake.metadata_path).read()
+    assert meta.count() == n
+    assert meta.select("replay_id").distinct().count() == n
