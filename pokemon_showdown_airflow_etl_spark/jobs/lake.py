@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -69,14 +70,86 @@ def _dynamic_overwrite(df: DataFrame, path: str, partition_cols: list[str]) -> N
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def _leaf_partition_dirs(root: str, depth: int) -> list[str]:
+    """Relative paths of the ``col=value`` leaf partition directories
+    exactly ``depth`` levels below ``root``."""
+    out: list[str] = []
+
+    def walk(cur: str, rel: str, level: int) -> None:
+        for entry in os.scandir(cur):
+            if not entry.is_dir() or "=" not in entry.name:
+                continue
+            sub = os.path.join(rel, entry.name) if rel else entry.name
+            if level + 1 == depth:
+                out.append(sub)
+            else:
+                walk(entry.path, sub, level + 1)
+
+    walk(root, "", 0)
+    return out
+
+
+def _atomic_partition_swap(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Durable per-partition replace: write ``df`` to a sibling staging
+    table first, then swap each staged leaf partition directory into the
+    live table with renames (stage-then-swap, like the reference's
+    backup-table copy in reset_format_state.py).
+
+    Unlike an in-place dynamic overwrite, the live files are never the
+    write target while they are also the read source, so a crash
+    mid-write leaves every live partition either fully old or fully new:
+    before the first rename nothing changed; between renames a partition
+    briefly lives at ``.swap-<name>`` (restored or superseded by the
+    next run; cleaned by maintenance.cleanup_lake). No localCheckpoint
+    pinning is needed — the lineage can lazily re-read the untouched
+    live files while staging materializes.
+    """
+    staging = path + "__staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    df.write.partitionBy(*partition_cols).mode("overwrite").parquet(staging)
+    for rel in _leaf_partition_dirs(staging, len(partition_cols)):
+        live = os.path.join(path, rel)
+        parent = os.path.dirname(live)
+        os.makedirs(parent, exist_ok=True)
+        # dot-prefixed => invisible to Spark's file listing if left behind
+        bak = os.path.join(parent, ".swap-" + os.path.basename(live))
+        shutil.rmtree(bak, ignore_errors=True)
+        if os.path.exists(live):
+            os.rename(live, bak)
+        os.rename(os.path.join(staging, rel), live)
+        shutil.rmtree(bak, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+# uploadtime -> 'yyyy-MM' month key via pure epoch-day arithmetic
+# (date_add over the epoch origin), deliberately independent of the
+# session timezone so the partition key is stable across sessions.
+def _month_col():
+    return F.date_format(
+        F.date_add(
+            F.to_date(F.lit("1970-01-01")),
+            F.floor(F.col("uploadtime") / 86400).cast("int"),
+        ),
+        "yyyy-MM",
+    )
+
+
 class MetadataStore:
     """The ``replay_status`` table (db.py:43-70) over partitioned parquet.
 
-    Writes are MERGE-shaped and touch only the ``format_id`` partitions
-    present in the update — insert_new is the one-transaction
-    existence-check+insert of db.py:832-928, patch is the in-place
-    stage-flag UPDATE of db.py:736-830.
+    Physically partitioned by (format_id, um) where ``um`` is the
+    uploadtime month: lifecycle patches touch recent replays, so a
+    daily patch rewrites only the month sub-partitions its keys live
+    in instead of a format's entire history (205M+ rows/format at
+    reference scale x1000). Writes are MERGE-shaped — insert_new is
+    the one-transaction existence-check+insert of db.py:832-928,
+    patch is the in-place stage-flag UPDATE of db.py:736-830 — and
+    every rewrite lands via stage-then-rename-swap
+    (_atomic_partition_swap), not an in-place overwrite of the files
+    being read.
     """
+
+    PARTITION_COLS = ["format_id", "um"]
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -87,54 +160,104 @@ class MetadataStore:
         # from zero files)
         return os.path.exists(self.path) and any(os.scandir(self.path))
 
-    def read(self) -> DataFrame:
+    def _read_raw(self) -> DataFrame:
+        """Physical read: REPLAY_STATUS plus the ``um`` partition column."""
         if not self.exists():
-            return self.spark.createDataFrame([], REPLAY_STATUS)
+            return self.spark.createDataFrame([], REPLAY_STATUS).withColumn(
+                "um", F.lit(None).cast("string")
+            )
         return self.spark.read.parquet(self.path)
+
+    def read(self) -> DataFrame:
+        # logical schema: physical layout details stay internal
+        return self._read_raw().drop("um")
 
     def read_format(self, format_id: str) -> DataFrame:
         # partition-pruned scan: only {path}/format_id=X is read
         return self.read().filter(F.col("format_id") == format_id)
 
+    @staticmethod
+    def _with_month(rows: DataFrame) -> DataFrame:
+        return rows.withColumn("um", _month_col())
+
     def insert_new(self, rows: DataFrame) -> int:
         """J2 idempotent ingest (db.py:853-912): left-anti vs existing
-        keys, then append. Returns the number of genuinely new rows."""
+        keys, then append. Returns the number of genuinely new rows.
+        Appends only add files under (format_id, um) leaf dirs — no
+        existing file is rewritten."""
         rows = rows.select(*[f.name for f in REPLAY_STATUS.fields])
         if not self.exists():
-            new = rows.localCheckpoint(eager=True)
+            new = self._with_month(rows).localCheckpoint(eager=True)
             n = new.count()
             if n:
-                new.write.partitionBy("format_id").mode("overwrite").parquet(self.path)
+                new.write.partitionBy(*self.PARTITION_COLS).mode("overwrite").parquet(
+                    self.path
+                )
             return n
         existing_keys = self.read().select("replay_id", "format_id")
         new = rows.join(existing_keys, ["replay_id", "format_id"], "left_anti")
-        new = new.localCheckpoint(eager=True)
+        new = self._with_month(new).localCheckpoint(eager=True)
         n = new.count()
         if n:
-            new.write.partitionBy("format_id").mode("append").parquet(self.path)
+            new.write.partitionBy(*self.PARTITION_COLS).mode("append").parquet(
+                self.path
+            )
         return n
 
     def patch(self, patch: DataFrame, format_id: str) -> None:
-        """Column-level MERGE WHEN MATCHED UPDATE for one format
-        partition. ``patch`` carries replay_id + the columns to set."""
+        """Column-level MERGE WHEN MATCHED UPDATE, month-scoped: only
+        the (format_id, um) sub-partitions containing patched keys are
+        merged and swapped; untouched months' files are never opened
+        for write. ``patch`` carries replay_id + the columns to set."""
         if not self.exists():
             return
-        current = self.read_format(format_id)
+        fmt = self._read_raw().filter(F.col("format_id") == format_id)
+        keys = patch.select("replay_id").distinct()
+        months = [
+            r[0]
+            for r in fmt.join(keys, "replay_id", "left_semi")
+            .select("um")
+            .distinct()
+            .collect()
+        ]
+        if not months:
+            return
+        current = fmt.filter(F.col("um").isin(months)).drop("um")
         merged = merge_patch(current, patch.drop("format_id"), ["replay_id"])
-        merged = merged.withColumn("format_id", F.lit(format_id))
-        _dynamic_overwrite(merged, self.path, ["format_id"])
+        merged = self._with_month(merged.withColumn("format_id", F.lit(format_id)))
+        _atomic_partition_swap(merged, self.path, self.PARTITION_COLS)
 
     def upsert_rows(self, rows: DataFrame) -> None:
-        """Full-row INSERT OR REPLACE (db.py:230-236), partition-scoped."""
+        """Full-row INSERT OR REPLACE (db.py:230-236), scoped to the
+        months present in the incoming rows PLUS the months currently
+        holding any matched key (an upsert may move a row across
+        months; both sides must rewrite or the old copy survives)."""
+        rows = rows.select(*[f.name for f in REPLAY_STATUS.fields])
         if not self.exists():
-            rows.select(*[f.name for f in REPLAY_STATUS.fields]).write.partitionBy(
-                "format_id"
-            ).mode("overwrite").parquet(self.path)
+            self._with_month(rows).write.partitionBy(*self.PARTITION_COLS).mode(
+                "overwrite"
+            ).parquet(self.path)
             return
-        touched = [r[0] for r in rows.select("format_id").distinct().collect()]
-        current = self.read().filter(F.col("format_id").isin(touched))
+        touched_fmt = [r[0] for r in rows.select("format_id").distinct().collect()]
+        raw = self._read_raw().filter(F.col("format_id").isin(touched_fmt))
+        incoming_months = {
+            r[0] for r in self._with_month(rows).select("um").distinct().collect()
+        }
+        matched_months = {
+            r[0]
+            for r in raw.join(
+                rows.select("replay_id", "format_id"),
+                ["replay_id", "format_id"],
+                "left_semi",
+            )
+            .select("um")
+            .distinct()
+            .collect()
+        }
+        months = sorted(incoming_months | matched_months)
+        current = raw.filter(F.col("um").isin(months)).drop("um")
         merged = upsert(current, rows, ["replay_id", "format_id"])
-        _dynamic_overwrite(merged, self.path, ["format_id"])
+        _atomic_partition_swap(self._with_month(merged), self.path, self.PARTITION_COLS)
 
 
 def register_lake_views(spark: SparkSession, lake: ReplayLake) -> list[str]:

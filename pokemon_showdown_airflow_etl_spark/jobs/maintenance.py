@@ -117,9 +117,14 @@ def deduplicate_metadata(spark: SparkSession, lake: ReplayLake) -> dict:
     if n_dupes == 0:
         return {"duplicate_keys": 0, "rows_removed": 0}
     before = current.count()
-    deduped = M.dedup_keep_latest(current).localCheckpoint(eager=True)
-    deduped.write.partitionBy("format_id").mode("overwrite").parquet(meta.path)
-    return {"duplicate_keys": n_dupes, "rows_removed": before - deduped.count()}
+    deduped = M.dedup_keep_latest(current)
+    # rebuild through the store's atomic swap so the physical layout
+    # (format_id, um) and durability guarantees stay uniform
+    from .lake import _atomic_partition_swap
+
+    staged = MetadataStore._with_month(deduped).localCheckpoint(eager=True)
+    _atomic_partition_swap(staged, meta.path, MetadataStore.PARTITION_COLS)
+    return {"duplicate_keys": n_dupes, "rows_removed": before - staged.count()}
 
 
 def optimize_lake(spark: SparkSession, lake: ReplayLake, target_files_per_partition: int = 1) -> dict:

@@ -194,8 +194,13 @@ def test_fix_compacted_status_dry_run_then_execute(spark, lake):
 
     # forge stale status: clear the compacted flag on every row (O11 setup)
     meta = MetadataStore(spark, lake.metadata_path)
-    broken = meta.read().withColumn("is_compacted", F.lit(False)).localCheckpoint(eager=True)
-    broken.write.partitionBy("format_id").mode("overwrite").parquet(lake.metadata_path)
+    broken = (
+        MetadataStore._with_month(meta.read().withColumn("is_compacted", F.lit(False)))
+        .localCheckpoint(eager=True)
+    )
+    broken.write.partitionBy(*MetadataStore.PARTITION_COLS).mode("overwrite").parquet(
+        lake.metadata_path
+    )
 
     dry = fix_compacted_status(spark, lake, FMT, execute=False)
     assert dry == {"would_fix": 40, "fixed": 0}
@@ -209,9 +214,9 @@ def test_deduplicate_metadata(spark, lake):
     discover(spark, lake, client, FMT, max_pages=10)
     meta = MetadataStore(spark, lake.metadata_path)
     # forge duplicates by double-appending
-    meta.read().localCheckpoint(eager=True).write.partitionBy("format_id").mode(
-        "append"
-    ).parquet(lake.metadata_path)
+    MetadataStore._with_month(meta.read()).localCheckpoint(eager=True).write.partitionBy(
+        *MetadataStore.PARTITION_COLS
+    ).mode("append").parquet(lake.metadata_path)
     assert meta.read().count() == 40
     stats = deduplicate_metadata(spark, lake)
     assert stats["duplicate_keys"] == 20 and stats["rows_removed"] == 20
@@ -496,3 +501,68 @@ def test_parallel_backfill_failed_range_never_creates_gaps(spark, lake):
     meta = MetadataStore(spark, lake.metadata_path).read()
     assert meta.count() == n
     assert meta.select("replay_id").distinct().count() == n
+
+
+def test_patch_rewrites_only_touched_month_partitions(spark, lake):
+    """The metadata table is sub-partitioned by (format_id, uploadtime
+    month); a lifecycle patch must rewrite ONLY the month partitions
+    its keys live in — untouched months' files stay byte-identical —
+    and the swap must leave no staging/backup litter behind."""
+    import hashlib
+    import os
+
+    # 90 hourly-ish replays spread across ~4 months (step 1 day)
+    n = 90
+    client = ReplayApiClient(
+        transport=FakeShowdownTransport({FMT: make_replays(FMT, n, step=86_400)}),
+        sleeper=lambda s: None,
+    )
+    discover(spark, lake, client, FMT, max_pages=10)
+    meta = MetadataStore(spark, lake.metadata_path)
+
+    def snapshot(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                with open(p, "rb") as f:
+                    out[os.path.relpath(p, root)] = hashlib.md5(f.read()).hexdigest()
+        return out
+
+    month_dirs = sorted(
+        d for d in os.listdir(os.path.join(lake.metadata_path, f"format_id={FMT}"))
+        if d.startswith("um=")
+    )
+    assert len(month_dirs) >= 3, f"test premise: multi-month table, got {month_dirs}"
+    before = snapshot(lake.metadata_path)
+
+    # patch exactly the replays of the NEWEST month
+    newest = month_dirs[-1]
+    raw = spark.read.parquet(lake.metadata_path)
+    keys = raw.filter(F.col("um") == newest.split("=")[1]).select("replay_id")
+    n_keys = keys.count()  # materialize before the swap replaces the files
+    patch = keys.localCheckpoint(eager=True).withColumn("is_downloaded", F.lit(True))
+    meta.patch(patch, FMT)
+
+    after = snapshot(lake.metadata_path)
+    touched_prefix = os.path.join(f"format_id={FMT}", newest)
+    for rel, digest in before.items():
+        if rel.startswith(touched_prefix) or os.path.basename(rel) == "_SUCCESS":
+            continue
+        assert after.get(rel) == digest, f"untouched partition file changed: {rel}"
+    # the patched month did change, and the patch took effect
+    assert any(
+        rel.startswith(touched_prefix) and before.get(rel) != after.get(rel)
+        for rel in set(before) | set(after)
+    )
+    got = meta.read().filter(F.col("is_downloaded")).count()
+    assert got == n_keys
+    # no litter from the swap
+    assert not os.path.exists(lake.metadata_path + "__staging")
+    leftovers = [
+        os.path.join(dp, d)
+        for dp, dirs, _f in os.walk(lake.metadata_path)
+        for d in dirs
+        if d.startswith(".swap-")
+    ]
+    assert leftovers == []
