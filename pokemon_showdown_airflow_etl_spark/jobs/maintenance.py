@@ -137,14 +137,29 @@ def optimize_lake(spark: SparkSession, lake: ReplayLake, target_files_per_partit
         return {"rewritten": 0}
     docs = spark.read.parquet(lake.replays_path)
     n = docs.count()
+    # parallelism must scale with the number of (format, date)
+    # partitions: repartition(N, 'format', 'date') would hash the WHOLE
+    # lake into N total shuffle partitions (N=1 => one task rewrites
+    # everything). Hash on the partition key sized to the partition
+    # count, salting the key when >1 file per partition is wanted (a
+    # pure key hash always lands one key in one task).
+    n_parts = docs.select("format", "date").distinct().count()
+    shuffle_n = max(1, n_parts * target_files_per_partition)
+    keys = ["format", "date"]
+    if target_files_per_partition > 1:
+        docs = docs.withColumn(
+            "_fsalt", (F.rand(seed=7) * target_files_per_partition).cast("int")
+        )
+        keys.append("_fsalt")
     (
-        docs.repartition(target_files_per_partition, "format", "date")
+        docs.repartition(shuffle_n, *keys)
+        .drop("_fsalt")
         .localCheckpoint(eager=True)
         .write.partitionBy("format", "date")
         .mode("overwrite")
         .parquet(lake.replays_path)
     )
-    return {"rewritten": n}
+    return {"rewritten": n, "partitions": n_parts}
 
 
 def reset_format_state(lake: ReplayLake, format_id: str) -> dict:

@@ -316,6 +316,29 @@ def retry_failed(
 
 
 # --- stage 4: compaction (K2 day-partition rewrite) -------------------------
+# The three joins are module-level so tests/test_plan_quality.py can
+# .explain() the exact frames the job executes.
+
+
+def compact_todo(replays: DataFrame, work: DataFrame) -> DataFrame:
+    """Raw-lake docs selected by the (small) work list: LEFT SEMI, never
+    an inner join that would duplicate docs per matching status row."""
+    return replays.join(
+        work.withColumnRenamed("replay_id", "id"), "id", "left_semi"
+    ).dropDuplicates(["id"])
+
+
+def compact_fresh(todo: DataFrame, existing: DataFrame) -> DataFrame:
+    """J3: drop ids already compacted — LEFT ANTI against the compacted
+    lake's id column only (column-pruned scan)."""
+    return todo.join(existing.select("id"), "id", "left_anti")
+
+
+def compact_keep(existing: DataFrame, days: DataFrame) -> DataFrame:
+    """Existing rows of the touched days, re-written alongside the fresh
+    rows so dynamic overwrite replaces complete partitions. ``days`` is
+    a distinct (format, date) list — tiny, broadcast explicitly."""
+    return existing.join(F.broadcast(days), ["format", "date"], "left_semi")
 
 
 def compact(spark: SparkSession, lake: ReplayLake, format_id: str) -> dict:
@@ -346,11 +369,7 @@ def compact(spark: SparkSession, lake: ReplayLake, format_id: str) -> dict:
     replays = spark.read.parquet(lake.replays_path).filter(F.col("format") == format_id)
     # no broadcast hint: the work list is usually small (auto-broadcasts)
     # but is unbounded right after a large backfill — let AQE choose.
-    todo = (
-        replays.join(work.withColumnRenamed("replay_id", "id"), "id", "left_semi")
-        .dropDuplicates(["id"])
-        .localCheckpoint(eager=True)
-    )
+    todo = compact_todo(replays, work).localCheckpoint(eager=True)
     n_todo = todo.count()
 
     has_compacted = os.path.exists(lake.compacted_path)
@@ -358,7 +377,7 @@ def compact(spark: SparkSession, lake: ReplayLake, format_id: str) -> dict:
         existing = spark.read.parquet(lake.compacted_path).filter(
             F.col("format") == format_id
         )
-        fresh = todo.join(existing.select("id"), "id", "left_anti")  # J3
+        fresh = compact_fresh(todo, existing)  # J3
     else:
         existing = None
         fresh = todo
@@ -370,7 +389,7 @@ def compact(spark: SparkSession, lake: ReplayLake, format_id: str) -> dict:
             # union existing rows of the touched days so the dynamic
             # overwrite rewrites complete partitions (U1, compaction.py:219)
             days = fresh.select("format", "date").distinct()
-            keep = existing.join(F.broadcast(days), ["format", "date"], "left_semi")
+            keep = compact_keep(existing, days)
             out = keep.unionByName(fresh)
         else:
             out = fresh

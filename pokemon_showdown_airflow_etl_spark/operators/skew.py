@@ -70,7 +70,17 @@ def salted_join_small(
     """Skewed equi-join when the small side is too big to broadcast:
     salt the big side, replicate the small side across all salt values
     (explode of a salt array), join on (key, salt). Each hot-key bucket
-    lands on a different reducer. Result == big.join(small, on, how)."""
+    lands on a different reducer. Result == big.join(small, on, how)
+    for the join types below ONLY — right/full outer would emit each
+    unmatched small-side row once per salt replica, so they are
+    rejected rather than silently wrong."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join_small: how={how!r} would duplicate unmatched "
+            f"small-side rows across salt replicas; use one of {sorted(allowed)}"
+        )
     salted_big = with_salt(big, n_salts)
     replicated = small.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

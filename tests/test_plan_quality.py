@@ -111,3 +111,53 @@ def test_pagination_has_no_full_table_window(q, spark, sf_dir):
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
     # and the full-table form would need a single-partition Exchange
     assert "Exchange SinglePartition" not in plan
+
+
+def test_compact_job_joins_stay_semi_anti_and_pruned(spark, tmp_path):
+    # drive the real pipeline to build a small lake, then explain the
+    # exact frames compact() executes (they are module-level helpers)
+    from pokemon_showdown_airflow_etl_spark.jobs import (
+        MetadataStore, ReplayLake, compact, discover, download,
+    )
+    from pokemon_showdown_airflow_etl_spark.jobs.pipeline import (
+        compact_fresh, compact_keep, compact_todo,
+    )
+    from pokemon_showdown_airflow_etl_spark.operators import metadata as M
+    from pokemon_showdown_airflow_etl_spark.sources.api import ReplayApiClient
+    from pokemon_showdown_airflow_etl_spark.sources.fake import (
+        FakeShowdownTransport, make_replays,
+    )
+    from pyspark.sql import functions as SF
+
+    lake = ReplayLake(str(tmp_path / "lake"))
+    client = ReplayApiClient(
+        transport=FakeShowdownTransport({"gen9ou": make_replays("gen9ou", 60)}),
+        sleeper=lambda s: None,
+    )
+    discover(spark, lake, client, "gen9ou", max_pages=10)
+    download(spark, lake, client, "gen9ou", parallelism=4)
+    compact(spark, lake, "gen9ou")  # materializes the compacted lake
+
+    meta = MetadataStore(spark, lake.metadata_path)
+    work = M.downloaded_uncompacted(meta.read(), "gen9ou").select("replay_id")
+    replays = spark.read.parquet(lake.replays_path).filter(SF.col("format") == "gen9ou")
+    existing = spark.read.parquet(lake.compacted_path).filter(SF.col("format") == "gen9ou")
+
+    todo = compact_todo(replays, work)
+    p_todo = plan_text(todo)
+    assert "LeftSemi" in p_todo and "CartesianProduct" not in p_todo
+    # the format predicate prunes raw-lake partitions at the scan
+    assert any(
+        "PartitionFilters" in l and "format" in l for l in p_todo.splitlines()
+    ), "format filter did not reach the raw-lake scan"
+
+    p_fresh = plan_text(compact_fresh(todo, existing))
+    assert "LeftAnti" in p_fresh and "CartesianProduct" not in p_fresh
+    # anti side reads only the id column from the compacted lake
+    anti_scan = [l for l in p_fresh.splitlines() if "ReadSchema" in l]
+    assert any("id" in l and "log" not in l for l in anti_scan)
+
+    days = todo.select("format", "date").distinct()
+    p_keep = plan_text(compact_keep(existing, days))
+    assert "LeftSemi" in p_keep
+    assert "BroadcastHashJoin" in p_keep or "BroadcastExchange" in p_keep

@@ -101,3 +101,13 @@ def test_gemm_topk_matches_expression_variant(spark, sf_dir):
     assert set(gemm) == set(expr)
     mismatched = [q for q in gemm if gemm[q] != expr[q]]
     assert not mismatched, f"{len(mismatched)} mismatches, e.g. {mismatched[:3]}"
+
+
+def test_salted_join_rejects_replicating_join_types(spark):
+    import pytest as _pytest
+
+    big = spark.range(10).withColumnRenamed("id", "key")
+    small = spark.range(3).withColumnRenamed("id", "key")
+    for how in ("right", "full", "right_outer", "full_outer"):
+        with _pytest.raises(ValueError, match="salt replicas"):
+            salted_join_small(big, small, "key", how=how)
