@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
     rst.add_argument("--format", dest="format_id", required=True)
 
     sub.add_parser("audit", help="lake integrity check (invariant violation counts)")
+
+    cln = sub.add_parser(
+        "cleanup", help="remove write litter (_temporary, __staging, .swap-*) (O12)"
+    )
+    cln.add_argument("--max-age-s", type=float, default=0.0)
     return p
 
 
@@ -144,6 +149,10 @@ def main(argv: list[str] | None = None) -> int:
         from .jobs import audit_lake
 
         result = audit_lake(spark, lake)
+    elif args.cmd == "cleanup":
+        from .jobs import cleanup_lake
+
+        result = cleanup_lake(lake, max_age_s=args.max_age_s)
     else:  # pragma: no cover
         raise SystemExit(2)
 

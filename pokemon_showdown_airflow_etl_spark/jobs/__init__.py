@@ -11,6 +11,7 @@ from .lake import (
 )
 from .maintenance import (
     audit_lake,
+    cleanup_lake,
     deduplicate_metadata,
     fix_compacted_status,
     import_existing,
@@ -44,6 +45,7 @@ __all__ = [
     "fix_compacted_status",
     "deduplicate_metadata",
     "audit_lake",
+    "cleanup_lake",
     "reset_format_state",
     "optimize_lake",
 ]

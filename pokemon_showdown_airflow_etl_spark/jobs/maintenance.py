@@ -218,3 +218,58 @@ def audit_lake(spark: SparkSession, lake: ReplayLake) -> dict:
         out["compacted_ids_unknown_to_metadata"] = 0
     out["ok"] = all(v == 0 for k, v in out.items() if k != "ok")
     return out
+
+
+def cleanup_lake(lake: ReplayLake, max_age_s: float = 0.0) -> dict:
+    """Remove write litter from the lake tree — the analogue of the
+    reference's backup-table sweep (cleanup_db.py:64-113, which drops
+    ``backup_*`` tables left by maintenance scripts). Targets:
+
+    - ``_temporary`` directories abandoned by a crashed Spark write job
+    - ``<table>__staging`` siblings left by an interrupted atomic swap
+    - ``.swap-*`` partition backups from a swap that died mid-rename
+      (these are first RESTORED if the live partition vanished — the
+      crash window between rename-away and rename-in — else deleted)
+
+    ``max_age_s`` guards against sweeping a directory a CONCURRENT job
+    is still writing: only litter older than this is touched (0 sweeps
+    everything — fine for single-writer maintenance windows).
+    """
+    import os
+    import shutil
+    import time
+
+    removed: list[str] = []
+    restored: list[str] = []
+    now = time.time()
+
+    def old_enough(path: str) -> bool:
+        try:
+            return now - os.path.getmtime(path) >= max_age_s
+        except OSError:
+            return False
+
+    if not os.path.exists(lake.root):
+        return {"removed": 0, "restored": 0, "paths": []}
+
+    for dirpath, dirs, _files in os.walk(lake.root, topdown=True):
+        for d in list(dirs):
+            full = os.path.join(dirpath, d)
+            if d == "_temporary" or d.endswith("__staging"):
+                if old_enough(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(os.path.relpath(full, lake.root))
+                    dirs.remove(d)
+            elif d.startswith(".swap-"):
+                if not old_enough(full):
+                    continue
+                live = os.path.join(dirpath, d[len(".swap-"):])
+                if os.path.exists(live):
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(os.path.relpath(full, lake.root))
+                else:
+                    os.rename(full, live)  # crash between the two renames
+                    restored.append(os.path.relpath(live, lake.root))
+                dirs.remove(d)
+    return {"removed": len(removed), "restored": len(restored),
+            "paths": sorted(removed + restored)}

@@ -566,3 +566,67 @@ def test_patch_rewrites_only_touched_month_partitions(spark, lake):
         if d.startswith(".swap-")
     ]
     assert leftovers == []
+
+
+def test_cleanup_lake_removes_litter_and_restores_lost_swaps(spark, lake):
+    """cleanup_lake must sweep crashed-write litter (_temporary,
+    __staging, .swap-*) and restore a partition stranded mid-swap,
+    after which the audit comes back clean."""
+    import os
+
+    from pokemon_showdown_airflow_etl_spark.jobs import audit_lake, cleanup_lake
+
+    client = healthy_client(30)
+    discover(spark, lake, client, FMT, max_pages=10)
+    download(spark, lake, client, FMT, parallelism=4)
+    compact(spark, lake, FMT)
+    meta = MetadataStore(spark, lake.metadata_path)
+    n_before = meta.read().count()
+
+    # forge crash litter
+    os.makedirs(os.path.join(lake.replays_path, "_temporary", "0"), exist_ok=True)
+    os.makedirs(lake.metadata_path + "__staging", exist_ok=True)
+    fmt_dir = os.path.join(lake.metadata_path, f"format_id={FMT}")
+    months = [d for d in os.listdir(fmt_dir) if d.startswith("um=")]
+    # a swap that died between rename-away and rename-in: live dir gone
+    lost = os.path.join(fmt_dir, months[0])
+    os.rename(lost, os.path.join(fmt_dir, ".swap-" + months[0]))
+    # and one stale backup whose live partition still exists
+    if len(months) > 1:
+        import shutil
+
+        shutil.copytree(
+            os.path.join(fmt_dir, months[1]),
+            os.path.join(fmt_dir, ".swap-" + months[1]),
+        )
+
+    stats = cleanup_lake(lake)
+    assert stats["restored"] == 1
+    assert stats["removed"] >= 2  # _temporary + __staging (+ stale swap)
+    assert not os.path.exists(lake.metadata_path + "__staging")
+    assert not any(d.startswith(".swap-") for d in os.listdir(fmt_dir))
+    # the stranded partition is back and the table is whole again
+    assert meta.read().count() == n_before
+    audit = audit_lake(spark, lake)
+    assert audit["duplicate_keys"] == 0
+
+
+def test_optimize_lake_coalesces_files_per_partition(spark, lake):
+    import glob
+    import os
+
+    from pokemon_showdown_airflow_etl_spark.jobs import optimize_lake
+
+    client = healthy_client(40)
+    discover(spark, lake, client, FMT, max_pages=10)
+    # two append rounds -> multiple files per (format, date) partition
+    download(spark, lake, client, FMT, parallelism=4)
+    n_docs = spark.read.parquet(lake.replays_path).count()
+    stats = optimize_lake(spark, lake, target_files_per_partition=1)
+    assert stats["rewritten"] == n_docs
+    assert stats["partitions"] > 0
+    # every leaf partition now holds exactly one data file
+    for day_dir in glob.glob(os.path.join(lake.replays_path, "format=*", "date=*")):
+        files = [f for f in os.listdir(day_dir) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{day_dir} has {len(files)} files"
+    assert spark.read.parquet(lake.replays_path).count() == n_docs
