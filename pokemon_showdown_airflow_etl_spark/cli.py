@@ -59,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
         "export-json", help="export the compacted lake as reference-format JSON day files"
     )
     exp.add_argument("--out", required=True)
+    exp.add_argument(
+        "--layout",
+        choices=("lines", "reference"),
+        default="lines",
+        help="'lines': partitioned line-delimited JSON; 'reference': the "
+        "reference's exact {format}/{YYYY-MM-DD}.json array day files",
+    )
 
     rst = sub.add_parser("reset-state", help="clear a format's cursor checkpoint (O12)")
     rst.add_argument("--format", dest="format_id", required=True)
@@ -136,10 +143,13 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "optimize":
         result = optimize_lake(spark, lake, args.files_per_partition)
     elif args.cmd == "export-json":
-        from .io import export_compacted_json
+        from .io import export_compacted_json, export_reference_day_files
 
         docs = spark.read.parquet(lake.compacted_path)
-        export_compacted_json(docs, args.out)
+        if args.layout == "reference":
+            export_reference_day_files(docs, args.out)
+        else:
+            export_compacted_json(docs, args.out)
         result = {"exported": docs.count(), "path": args.out}
     elif args.cmd == "reset-state":
         from .jobs import reset_format_state

@@ -114,6 +114,46 @@ def export_compacted_json(df: DataFrame, path: str) -> None:
     ).json(path)
 
 
+def export_reference_day_files(df: DataFrame, path: str) -> None:
+    """Reference-EXACT on-disk layout: one JSON *array* file per day at
+    ``{path}/{format}/{YYYY-MM-DD}.json`` (tasks/compaction.py:219-225
+    writes exactly this; import_existing_replays.py:70-82 re-reads it).
+
+    Scale shape: rows shuffle once on (format, date); each task
+    serializes its days and writes the files itself (no driver
+    round-trip, no collect). Docs are sorted by id inside each array
+    and files land via write-temp-then-rename, so the export is
+    deterministic and re-runnable. ``path`` must be a filesystem both
+    executors and consumers share — same contract as the reference's
+    compacted_replays directory.
+    """
+    doc_cols = [c for c in df.columns if c != "date"]
+    payload = df.select(
+        "format",
+        "date",
+        F.col("id").alias("_sort_id"),
+        F.to_json(F.struct(*[F.col(c) for c in doc_cols])).alias("_doc"),
+    )
+
+    def write_days(rows) -> None:
+        import collections
+        import os as _os
+
+        groups = collections.defaultdict(list)
+        for r in rows:
+            groups[(r["format"], r["date"])].append((r["_sort_id"], r["_doc"]))
+        for (fmt, date), docs in groups.items():
+            day_dir = _os.path.join(path, fmt)
+            _os.makedirs(day_dir, exist_ok=True)
+            docs.sort()
+            tmp = _os.path.join(day_dir, f".{date}.json.tmp")
+            with open(tmp, "w") as f:
+                f.write("[" + ",".join(doc for _sid, doc in docs) + "]")
+            _os.replace(tmp, _os.path.join(day_dir, f"{date}.json"))
+
+    payload.repartition("format", "date").foreachPartition(write_days)
+
+
 def read_compacted_json(spark: SparkSession, path: str, multi_line: bool = False) -> DataFrame:
     """S4 scan: read compacted JSON day files. ``multi_line=True`` reads
     the reference's whole-day JSON *array* files

@@ -139,3 +139,63 @@ def test_gzipped_day_file_scan(spark, tmp_path):
     df = read_compacted_json(spark, str(day_dir))
     assert df.count() == 9
     assert df.select("id").distinct().count() == 9
+
+
+def test_reference_day_file_export_round_trips(spark, tmp_path):
+    """export_reference_day_files must write the reference's exact
+    on-disk layout — {format}/{YYYY-MM-DD}.json, each a JSON ARRAY of
+    replay docs (tasks/compaction.py:219-225) — and re-reading those
+    array files must reproduce the parquet compacted lake."""
+    import json
+    import os
+
+    from pokemon_showdown_airflow_etl_spark.io import (
+        export_reference_day_files,
+        read_compacted_json,
+    )
+    from pokemon_showdown_airflow_etl_spark.jobs import (
+        ReplayLake, compact, discover, download,
+    )
+    from pokemon_showdown_airflow_etl_spark.sources.api import ReplayApiClient
+    from pokemon_showdown_airflow_etl_spark.sources.fake import (
+        FakeShowdownTransport, make_replays,
+    )
+    from pyspark.sql import functions as F
+
+    lake = ReplayLake(str(tmp_path / "lake"))
+    client = ReplayApiClient(
+        transport=FakeShowdownTransport({"gen9ou": make_replays("gen9ou", 60)}),
+        sleeper=lambda s: None,
+    )
+    discover(spark, lake, client, "gen9ou", max_pages=10)
+    download(spark, lake, client, "gen9ou", parallelism=4)
+    compact(spark, lake, "gen9ou")
+
+    compacted = spark.read.parquet(lake.compacted_path)
+    out = str(tmp_path / "compacted_replays")
+    export_reference_day_files(compacted, out)
+
+    # exact layout: one {format}/{date}.json per day, each a JSON array
+    days = {str(r["date"]) for r in compacted.select("date").distinct().collect()}
+    files = sorted(os.listdir(os.path.join(out, "gen9ou")))
+    assert files == sorted(f"{d}.json" for d in days)
+    total = 0
+    for fn in files:
+        with open(os.path.join(out, "gen9ou", fn)) as f:
+            arr = json.loads(f.read())
+        assert isinstance(arr, list) and arr, f"{fn} is not a non-empty array"
+        assert all(doc["id"] for doc in arr)
+        total += len(arr)
+    assert total == compacted.count()
+
+    # round-trip: the array day files re-read into the same table
+    back = read_compacted_json(spark, os.path.join(out, "*", "*.json"), multi_line=True)
+    cols = ["id", "format", "uploadtime", "p1", "p2", "log", "rating"]
+    a = {tuple(r) for r in compacted.select(*cols).collect()}
+    b = {tuple(r) for r in back.select(*cols).collect()}
+    assert a == b
+    # and the derived day matches the directory file name it came from
+    rederived = back.withColumn(
+        "date", F.date_format(F.timestamp_seconds("uploadtime"), "yyyy-MM-dd")
+    )
+    assert {r["date"] for r in rederived.select("date").distinct().collect()} == days
