@@ -60,7 +60,8 @@ def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure functions of i."""
     from ..io import table
     i = F.col("i")
-    ts = (F.lit(T0) + i * STEP).cast("long")
+    # long arithmetic from the start: i*STEP alone tops int32 at sf0.1
+    ts = F.lit(T0).cast("long") + i.cast("long") * F.lit(STEP)
     p1 = F.concat(F.lit("player"), (i % 17).cast("string"))
     p2 = F.concat(F.lit("player"), ((i * 7 + 3) % 23).cast("string"))
     rounds = F.transform(
@@ -107,7 +108,7 @@ CORPUS_SQL = f"""
     WITH base AS (
         SELECT CAST(i AS INT) AS i,
                'gen9ou-' || CAST(1000 + i AS VARCHAR) AS id,
-               CAST({T0} + i * {STEP} AS BIGINT) AS uploadtime,
+               CAST({T0} AS BIGINT) + CAST(i AS BIGINT) * {STEP} AS uploadtime,
                'player' || CAST(i % 17 AS VARCHAR) AS p1,
                'player' || CAST((i * 7 + 3) % 23 AS VARCHAR) AS p2
         FROM (SELECT 2 * event_id + h AS i
