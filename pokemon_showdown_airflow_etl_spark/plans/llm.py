@@ -271,7 +271,10 @@ def s2_ann_srp_topk(spark, sf_dir):
     return similarity.lsh_bucketed_topk(t(spark, sf_dir, "embeddings"), k=1, n_bits=4)
 
 
-NEAR_DUP_COS = 0.45
+# 0.3 keeps the check non-vacuous on the synthetic random embeddings
+# (max within-bucket cos at sf0.001 is ~0.449; real near-dup corpora
+# would sit at 0.9+ and the operator takes the threshold as a param).
+NEAR_DUP_COS = 0.3
 
 
 @q(
@@ -288,7 +291,7 @@ NEAR_DUP_COS = 0.45
     FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
     WHERE ROUND({COS_SQL}, 6) >= {NEAR_DUP_COS}
     """,
-    doc="Embedding-cosine near-duplicate pairs (threshold 0.45) via "
+    doc=f"Embedding-cosine near-duplicate pairs (threshold {NEAR_DUP_COS}) via "
     "SRP-bucketing: candidates must share a 4-bit sign-projection "
     "bucket, making the self-join an equi-join on the bucket key (a "
     "shuffle-partitionable plan) instead of a nested-loop all-pairs "
