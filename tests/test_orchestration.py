@@ -137,3 +137,30 @@ def test_cli_export_json_roundtrip(spark, tmp_path, capsys):
     assert rec["exported"] == 25
     back = read_compacted_json(spark, out_dir)
     assert back.count() == 25 and back.select("id").distinct().count() == 25
+
+
+def test_dag_params_resolve_like_reference(monkeypatch):
+    """The DAG exposes the reference's run-time params
+    (showdown_replay_etl_dag.py:42-47): format_id, max_pages,
+    ignore_history, enable_detailed_timing — merged from a run's
+    params/conf over the defaults, with the timing toggle mapped onto
+    the engine's env switch."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "dags", "showdown_replay_etl_dag.py")
+    spec = importlib.util.spec_from_file_location("etl_dag_params", path)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    monkeypatch.setenv("SHOWDOWN_DETAILED_TIMING", "unset-sentinel")  # restored on teardown
+
+    assert set(m.DAG_PARAMS) == {
+        "format_id", "max_pages", "ignore_history", "enable_detailed_timing"
+    }
+    p = m.resolve_params(
+        {"params": {"ignore_history": True, "enable_detailed_timing": True, "max_pages": 9}}
+    )
+    assert p["ignore_history"] is True and p["max_pages"] == 9
+    assert p["format_id"] == m.DAG_PARAMS["format_id"]
+    assert os.environ["SHOWDOWN_DETAILED_TIMING"] == "1"
+    assert m.resolve_params({}) == m.DAG_PARAMS
+    assert os.environ["SHOWDOWN_DETAILED_TIMING"] == "0"
