@@ -18,9 +18,13 @@ import json
 import sys
 
 
+# Subcommands that operate on the analytics catalog, not a lake.
+CATALOG_CMDS = ("queries", "query", "explain")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pokemon-showdown-etl-spark")
-    p.add_argument("--lake", required=True, help="lake root directory")
+    p.add_argument("--lake", default=None, help="lake root directory (pipeline/maintenance cmds)")
     p.add_argument("--master", default=None, help="spark master (default: local[*])")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -76,11 +80,61 @@ def build_parser() -> argparse.ArgumentParser:
         "cleanup", help="remove write litter (_temporary, __staging, .swap-*) (O12)"
     )
     cln.add_argument("--max-age-s", type=float, default=0.0)
+
+    sub.add_parser("queries", help="list the analytics query catalog")
+
+    qry = sub.add_parser("query", help="run a cataloged query against a testdata sf dir")
+    qry.add_argument("name", help="catalog query name (see `queries`)")
+    qry.add_argument("--sf-dir", required=True, help="directory of *.parquet tables")
+    qry.add_argument("--limit", type=int, default=20, help="max rows to print (0 = all)")
+
+    ex = sub.add_parser("explain", help="print a cataloged query's physical plan")
+    ex.add_argument("name", help="catalog query name (see `queries`)")
+    ex.add_argument("--sf-dir", required=True, help="directory of *.parquet tables")
+    ex.add_argument(
+        "--mode",
+        default="formatted",
+        choices=("simple", "extended", "codegen", "cost", "formatted"),
+    )
     return p
+
+
+def _catalog_query(name: str):
+    from .plans import ALL_QUERIES
+
+    q = ALL_QUERIES.get(name)
+    if q is None:
+        raise SystemExit(f"unknown query {name!r}; run the `queries` subcommand for the catalog")
+    return q
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.cmd == "queries":  # no Spark session needed
+        from .plans import ALL_QUERIES
+
+        for name, q in ALL_QUERIES.items():
+            kind = "sql-checked" if q.oracle else "rows-only"
+            print(json.dumps({"name": name, "check": kind, "doc": q.doc}))
+        return 0
+
+    if args.cmd in CATALOG_CMDS:
+        from .session import get_spark
+
+        spark = get_spark(app_name=f"etl-{args.cmd}", master=args.master)
+        df = _catalog_query(args.name).spark(spark, args.sf_dir)
+        if args.cmd == "explain":
+            print(df._sc._jvm.PythonSQLUtils.explainString(  # same string .explain prints
+                df._jdf.queryExecution(), args.mode))
+        else:
+            rows = df.limit(args.limit).collect() if args.limit else df.collect()
+            for r in rows:
+                print(json.dumps(r.asDict(recursive=True), default=str))
+        return 0
+
+    if args.lake is None:
+        raise SystemExit("--lake is required for pipeline/maintenance subcommands")
     from .jobs import (
         ReplayLake,
         compact,

@@ -8,6 +8,7 @@ import datetime
 import importlib.util
 import sys
 
+import pytest
 from pyspark.sql import functions as F
 
 from pokemon_showdown_airflow_etl_spark.jobs import ReplayLake
@@ -164,3 +165,31 @@ def test_dag_params_resolve_like_reference(monkeypatch):
     assert os.environ["SHOWDOWN_DETAILED_TIMING"] == "1"
     assert m.resolve_params({}) == m.DAG_PARAMS
     assert os.environ["SHOWDOWN_DETAILED_TIMING"] == "0"
+
+
+def test_cli_catalog_surface(spark, sf_dir, capsys):
+    """`queries` lists the whole catalog without a lake or Spark
+    session; `query` runs a cataloged query against an sf dir; `explain`
+    dumps the physical plan (the plan-first debugging loop as a CLI)."""
+    import json
+
+    from pokemon_showdown_airflow_etl_spark.cli import main
+    from pokemon_showdown_airflow_etl_spark.plans import ALL_QUERIES
+
+    assert main(["queries"]) == 0
+    listed = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {e["name"] for e in listed} == set(ALL_QUERIES)
+    assert all(e["check"] in ("sql-checked", "rows-only") for e in listed)
+
+    assert main(["query", "g9_table_count", "--sf-dir", sf_dir]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and "n_rows" in rows[0]
+
+    assert main(["explain", "q6_forecast_revenue", "--sf-dir", sf_dir]) == 0
+    plan = capsys.readouterr().out
+    assert "PushedFilters" in plan and "Scan parquet" in plan
+
+    with pytest.raises(SystemExit):
+        main(["query", "no_such_query", "--sf-dir", sf_dir])
+    with pytest.raises(SystemExit):
+        main(["audit"])  # lake-less maintenance command must refuse
