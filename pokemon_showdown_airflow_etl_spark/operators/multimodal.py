@@ -103,6 +103,58 @@ def decode_image_features(df: DataFrame, id_col: str = "asset_id", payload_col: 
     return pruned.mapInPandas(decode, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("out_bytes", LongType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, target: int = 224, id_col: str = "asset_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Aspect-preserving resize to fit a ``target`` x ``target`` box,
+    as Arrow-batched mapInPandas (the prompt's decode/resize path).
+
+    Integer math only (out = dim * target // longer_side), so the
+    result is bit-reproducible cross-engine. The resized pixel buffer
+    itself is stubbed — ``resized_md5`` is a deterministic content
+    address md5(payload + "WxH") standing in for it — because no image
+    library ships in this container; production swaps the inner loop
+    for PIL/opencv and emits a binary column with the identical plan:
+    project-prune -> columnar batch to Python -> typed batch out.
+    """
+    pruned = df.select(F.col(id_col).alias("asset_id"), F.col(payload_col).alias("payload"))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        decoder = DECODERS["image"]
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(p)
+                w, h, _ = decoder(b)
+                if w >= h:
+                    ow, oh = target, h * target // w
+                else:
+                    ow, oh = w * target // h, target
+                digest = hashlib.md5(b + f"{ow}x{oh}".encode()).hexdigest()
+                rows.append((aid, w, h, ow, oh, ow * oh * 3, digest))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields]).astype(
+                {"width": "int32", "height": "int32", "out_width": "int32",
+                 "out_height": "int32", "out_bytes": "int64"}
+            )
+
+    return pruned.mapInPandas(resize, RESIZE_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one output row per sampled frame offset.
 

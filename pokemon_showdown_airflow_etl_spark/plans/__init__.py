@@ -43,6 +43,7 @@ _PRIORITY: list[str] = [
     "m1_payload_metadata",
     "m2_image_decode_features",
     "m3_frame_sample_plan",
+    "m4_image_resize",  # new in round 2 — needs its first driver row
     "d6_drop_exact_dups",
     "d7_lsh_verified_dups",
     "s4_ivf_ann_topk",

@@ -522,6 +522,41 @@ def m3_frame_sample_plan(spark, sf_dir):
 
 
 @q(
+    "m4_image_resize",
+    """
+    WITH d AS (
+        SELECT CAST(doc_id AS VARCHAR) AS asset_id, text,
+               64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 64 AS w,
+               64 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 64 AS h
+        FROM documents
+    )
+    SELECT asset_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(CASE WHEN w >= h THEN 224 ELSE (w * 224) // h END AS INT) AS out_width,
+           CAST(CASE WHEN w >= h THEN (h * 224) // w ELSE 224 END AS INT) AS out_height,
+           CAST(out_width * out_height * 3 AS BIGINT) AS out_bytes,
+           md5(text || CAST(out_width AS VARCHAR) || 'x' || CAST(out_height AS VARCHAR))
+               AS resized_md5
+    FROM d
+    """,
+    doc="Aspect-fit image resize through the Arrow mapInPandas path: "
+    "integer-exact target-box math on the (stub-decoded) dims plus a "
+    "content-addressed stand-in for the resized buffer, so the whole "
+    "Python batch pipeline is value-checked cross-engine. A real "
+    "resampler swaps into the inner loop with the plan unchanged.",
+)
+def m4_image_resize(spark, sf_dir):
+    from ..operators.multimodal import resize_images
+
+    assets = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return resize_images(assets, target=224)
+
+
+@q(
     "s4_ivf_ann_topk",
     None,  # approximate by design; recall bounded in tests/test_skew_and_ivf.py
     doc="IVF-style ANN all-pairs top-1: coarse-quantizer cell assignment "

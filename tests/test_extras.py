@@ -199,3 +199,24 @@ def test_reference_day_file_export_round_trips(spark, tmp_path):
         "date", F.date_format(F.timestamp_seconds("uploadtime"), "yyyy-MM-dd")
     )
     assert {r["date"] for r in rederived.select("date").distinct().collect()} == days
+
+
+def test_resize_images_aspect_fit_invariants(spark):
+    """m4's mapInPandas resize: the longer side lands exactly on the
+    target, nothing exceeds the box, and aspect order is preserved.
+    (Value-level parity is the m4 oracle's job — this pins the geometry
+    contract the stub shares with a real resampler.)"""
+    from pokemon_showdown_airflow_etl_spark.operators.multimodal import resize_images
+
+    assets = spark.createDataFrame(
+        [(f"a{i}", f"payload-{i}".encode()) for i in range(64)],
+        "asset_id string, payload binary",
+    )
+    out = resize_images(assets, target=100).collect()
+    assert len(out) == 64
+    for r in out:
+        assert max(r["out_width"], r["out_height"]) == 100
+        assert r["out_width"] <= 100 and r["out_height"] <= 100
+        assert (r["width"] >= r["height"]) == (r["out_width"] >= r["out_height"])
+        assert r["out_bytes"] == r["out_width"] * r["out_height"] * 3
+        assert len(r["resized_md5"]) == 32
