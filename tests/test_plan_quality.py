@@ -161,3 +161,20 @@ def test_compact_job_joins_stay_semi_anti_and_pruned(spark, tmp_path):
     p_keep = plan_text(compact_keep(existing, days))
     assert "LeftSemi" in p_keep
     assert "BroadcastHashJoin" in p_keep or "BroadcastExchange" in p_keep
+
+
+def test_battle_event_window_shuffles_narrow_rows(q):
+    """b2's window exchange must carry only (replay_id, line_no, stamp):
+    if the |t:| extraction rode inside the window function, command and
+    the full args array would cross the shuffle for every protocol line
+    (measured 23% of the query at sf0.1)."""
+    plan = q("b2_battle_event_times")
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if l.strip().startswith("(") and ") Exchange" in l:
+            exchange_input = lines[i + 1]
+            assert "Input [3]" in exchange_input, exchange_input
+            assert "args" not in exchange_input and "command" not in exchange_input
+            break
+    else:
+        pytest.fail("no Exchange found in b2 plan")
