@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.logparse import battle_events, explode_log_lines, parse_protocol_lines
+from ..functions.logparse import (
+    battle_events,
+    command_lines,
+    explode_log_lines,
+    parse_protocol_lines,
+)
 from .base import Query
 
 QUERIES: list[Query] = []
@@ -221,9 +226,8 @@ def b3_player_win_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("player")
         .agg(F.count("*").cast("long").alias("n_games"))
     )
-    parsed = parse_protocol_lines(explode_log_lines(docs))
     wins = (
-        parsed.filter(F.col("command") == "win")
+        command_lines(docs, "win")
         .select(F.element_at("args", 1).alias("player"))
         .groupBy("player")
         .agg(F.count("*").cast("long").alias("n_wins"))
@@ -251,9 +255,8 @@ def b3_player_win_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on the (pokemon, move) key.",
 )
 def b4_move_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parsed = parse_protocol_lines(explode_log_lines(corpus(spark, sf_dir)))
     return (
-        parsed.filter(F.col("command") == "move")
+        command_lines(corpus(spark, sf_dir), "move")
         .select(
             F.regexp_extract(F.element_at("args", 1), r": (.*)$", 1).alias("pokemon"),
             F.element_at("args", 2).alias("move"),
@@ -352,9 +355,8 @@ def b6_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b7_move_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    parsed = parse_protocol_lines(explode_log_lines(corpus(spark, sf_dir)))
     usage = (
-        parsed.filter(F.col("command") == "move")
+        command_lines(corpus(spark, sf_dir), "move")
         .select(
             F.regexp_extract(F.element_at("args", 1), r": (.*)$", 1).alias("pokemon"),
             F.element_at("args", 2).alias("move"),
