@@ -70,11 +70,16 @@ def main() -> None:
     for name in HEADLINE:
         _run(name)
 
+    # Best-of-2 timed passes: single-shot numbers carry ~5% scheduler/GC
+    # noise at this scale, which is the same order as real plan changes.
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        _run(name)
-        times[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            _run(name)
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in times or dt < times[name]:
+                times[name] = dt
 
     # End-to-end ETL throughput (discover -> download -> retry -> compact
     # against the deterministic fake API over a tmp lake). Reported as a

@@ -28,21 +28,17 @@ def parse_protocol_lines(lines_df: DataFrame) -> DataFrame:
     """Parse ``|command|args...`` into (command, args array).
 
     Lines start with '|', so element 0 of the split is empty: command is
-    element 1, args are the remainder. The split is staged as its own
-    projection first: referencing the split expression from both output
+    element 1, args are the remainder. The split is staged once as its
+    own column: referencing the split expression from both output
     columns re-splits every line twice (no common-subexpression reuse
-    across projection slots — measured 15% on the b2 pipeline).
+    across projection slots — measured 15% on the b2 pipeline). Extra
+    input columns pass through untouched.
     """
     return (
-        lines_df.select(
-            "replay_id", "line_no", F.split(F.col("line"), r"\|").alias("_parts")
-        )
-        .select(
-            "replay_id",
-            "line_no",
-            F.element_at("_parts", 2).alias("command"),
-            F.slice("_parts", 3, 2147483647 - 3).alias("args"),
-        )
+        lines_df.withColumn("_parts", F.split(F.col("line"), r"\|"))
+        .withColumn("command", F.element_at("_parts", 2))
+        .withColumn("args", F.slice("_parts", 3, 2147483647 - 3))
+        .drop("_parts", "line")
     )
 
 
@@ -73,20 +69,30 @@ def battle_events(df: DataFrame, log_col: str = "log", id_col: str = "id") -> Da
     """
     from pyspark.sql import Window
 
-    parsed = parse_protocol_lines(explode_log_lines(df, log_col, id_col))
+    # The stamp is staged as a plain column BELOW the window, derived
+    # from the raw line under a prefix guard instead of from the parsed
+    # args: (a) were the when() expression the window-function argument,
+    # command and args would be window inputs and every consumer would
+    # shuffle the full args array through the exchange even when it only
+    # needs event_ts (measured 23% on b2); (b) the guarded branch only
+    # splits |t:| lines, so a consumer that never references command or
+    # args prunes the full parse away and most lines are never split.
+    # Equivalent to when(command == 't:', args[1]): the prefix |t:| is
+    # exactly command == 't:' with >= 1 argument, and a bare '|t:' line
+    # yields NULL on both paths.
+    lines = explode_log_lines(df, log_col, id_col).withColumn(
+        "_stamp",
+        F.when(
+            F.col("line").startswith("|t:|"),
+            F.element_at(F.split("line", r"\|"), 3).cast("long"),
+        ),
+    )
+    parsed = parse_protocol_lines(lines)
     w = (
         Window.partitionBy("replay_id")
         .orderBy("line_no")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # Stage the stamp extraction as a plain column BELOW the window: if
-    # the when() expression were the window-function argument, command
-    # and args would be window inputs and every consumer would shuffle
-    # the full args array through the exchange even when it only needs
-    # event_ts (measured 23% on b2, where pruning then drops both).
-    ts = F.when(F.col("command") == "t:", F.element_at("args", 1).cast("long"))
-    return (
-        parsed.withColumn("_stamp", ts)
-        .withColumn("event_ts", F.last("_stamp", ignorenulls=True).over(w))
-        .drop("_stamp")
-    )
+    return parsed.withColumn(
+        "event_ts", F.last("_stamp", ignorenulls=True).over(w)
+    ).drop("_stamp")
