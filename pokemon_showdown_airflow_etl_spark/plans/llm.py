@@ -558,13 +558,49 @@ def m4_image_resize(spark, sf_dir):
 
 @q(
     "s4_ivf_ann_topk",
-    None,  # approximate by design; recall bounded in tests/test_skew_and_ivf.py
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cents AS (
+        SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 8
+    ), ranked_cells AS (
+        SELECT vid, v, cell_id,
+               row_number() OVER (PARTITION BY vid ORDER BY cell_sim DESC, cell_id ASC)
+                   AS cell_rank
+        FROM (
+            SELECT e.vec_id AS vid, e.v, cents.cell_id,
+                   list_dot_product(e.v, cents.cv) /
+                       (sqrt(list_dot_product(e.v, e.v)) *
+                        sqrt(list_dot_product(cents.cv, cents.cv))) AS cell_sim
+            FROM e CROSS JOIN cents
+        )
+    ), members AS (
+        SELECT vid AS nn_id, v AS mv, cell_id FROM ranked_cells WHERE cell_rank = 1
+    ), probes AS (
+        SELECT vid AS query_id, v AS qv, cell_id FROM ranked_cells WHERE cell_rank <= 2
+    ), scored AS (
+        SELECT p.query_id, m.nn_id,
+               list_dot_product(p.qv, m.mv) /
+                   (sqrt(list_dot_product(p.qv, p.qv)) *
+                    sqrt(list_dot_product(m.mv, m.mv))) AS cs
+        FROM probes p JOIN members m USING (cell_id)
+        WHERE p.query_id != m.nn_id
+    ), ranked AS (
+        SELECT query_id, nn_id, cs,
+               row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, nn_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, nn_id, CAST(rnk AS INT) AS rank, ROUND(cs, 6) AS cos_sim
+    FROM ranked WHERE rnk <= 1
+    """,
     doc="IVF-style ANN all-pairs top-1: coarse-quantizer cell assignment "
     "(broadcast against a constant-size centroid table), n_probe-cell "
     "search, equi-join on cell_id so the heavy stage shuffle-partitions "
-    "by cell — O(n * probe * cell) instead of O(n^2). Rows-only: recall "
-    "vs the exact brute-force path is asserted in tests instead of a "
-    "SQL oracle.",
+    "by cell — O(n * probe * cell) instead of O(n^2). The quantizer is "
+    "fully deterministic (first-8-by-id centroids, tie-broken ranks), "
+    "so the whole approximate path is value-checked cross-engine; "
+    "recall vs exact brute force is additionally bounded in "
+    "tests/test_skew_and_ivf.py.",
 )
 def s4_ivf_ann_topk(spark, sf_dir):
     return similarity.ivf_topk(t(spark, sf_dir, "embeddings"), k=1, n_cells=8, n_probe=2)
