@@ -33,10 +33,14 @@ def parse_protocol_lines(lines_df: DataFrame) -> DataFrame:
     columns re-splits every line twice (no common-subexpression reuse
     across projection slots — measured 15% on the b2 pipeline). Extra
     input columns pass through untouched.
+
+    Malformed lines must degrade, not kill the job (ANSI mode is on by
+    default in Spark 4, where element_at past the end THROWS): a line
+    with no '|' parses to command NULL, args [].
     """
     return (
         lines_df.withColumn("_parts", F.split(F.col("line"), r"\|"))
-        .withColumn("command", F.element_at("_parts", 2))
+        .withColumn("command", F.try_element_at("_parts", F.lit(2)))
         .withColumn("args", F.slice("_parts", 3, 2147483647 - 3))
         .drop("_parts", "line")
     )
@@ -80,11 +84,13 @@ def battle_events(df: DataFrame, log_col: str = "log", id_col: str = "id") -> Da
     # Equivalent to when(command == 't:', args[1]): the prefix |t:| is
     # exactly command == 't:' with >= 1 argument, and a bare '|t:' line
     # yields NULL on both paths.
+    # try_element_at/try_cast: a malformed stamp line ("|t:|garbage")
+    # must yield NULL, not an ANSI runtime error that kills the job.
     lines = explode_log_lines(df, log_col, id_col).withColumn(
         "_stamp",
         F.when(
             F.col("line").startswith("|t:|"),
-            F.element_at(F.split("line", r"\|"), 3).cast("long"),
+            F.try_element_at(F.split("line", r"\|"), F.lit(3)).try_cast("long"),
         ),
     )
     parsed = parse_protocol_lines(lines)

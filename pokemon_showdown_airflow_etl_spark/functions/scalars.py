@@ -47,7 +47,10 @@ LOG_TS_PATTERN = r"\|t:\|(\d+)"
 
 def log_timestamp(log: Column | str) -> Column:
     c = F.col(log) if isinstance(log, str) else log
-    return F.regexp_extract(c, LOG_TS_PATTERN, 1).cast("long")
+    # try_cast: a log with no |t:| stamp extracts '' — under default
+    # ANSI mode a plain cast would fail the job instead of yielding the
+    # NULL that the C11 mtime fallback expects to fill.
+    return F.regexp_extract(c, LOG_TS_PATTERN, 1).try_cast("long")
 
 
 # C6 — players display string (import_existing_replays.py:61-64, db.py:877).

@@ -121,3 +121,79 @@ def test_discovery_collects_exactly_rows_above_watermark(n, watermark_idx, max_p
     want = want[: max_pages * PAGE_SIZE]
     assert [r["id"] for r in collected] == [r["id"] for r in want]
     assert pages <= max_pages
+
+
+# ---------------------------------------------------------------------------
+# log-parse fast paths == naive formulations on adversarial logs
+# ---------------------------------------------------------------------------
+
+# Lines deliberately include the edge shapes the optimized paths argue
+# about: bare "|t:" (no arg), "|t:extra|x" (prefix collision candidate),
+# empty lines, commands embedding the target as a prefix, and stray text.
+_line_st = st.one_of(
+    st.just("|t:"),
+    st.just("|t:|123"),
+    st.just("|t:|999999999999"),
+    st.just("|t:extra|5"),
+    st.just("|win|alice"),
+    st.just("|win"),
+    st.just("|winner|bob"),
+    st.just("|move|p1a: Mon|Tackle"),
+    st.just("|start"),
+    st.just(""),
+    st.just("plain text no pipes"),
+    st.text(alphabet="abt:|w3", min_size=0, max_size=8),
+)
+_log_st = st.lists(_line_st, min_size=0, max_size=12).map("\n".join)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(logs=st.lists(_log_st, min_size=1, max_size=5))
+def test_logparse_fast_paths_match_naive(spark_prop, logs):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pokemon_showdown_airflow_etl_spark.functions.logparse import (
+        battle_events,
+        command_lines,
+        explode_log_lines,
+        parse_protocol_lines,
+    )
+
+    docs = spark_prop.createDataFrame(
+        [(f"r{i}", log) for i, log in enumerate(logs)], "id string, log string"
+    )
+    parsed = parse_protocol_lines(explode_log_lines(docs))
+
+    # command_lines == parse-everything-then-filter, for each command
+    for cmd in ("win", "t:", "move"):
+        fast = {tuple(map(str, r)) for r in command_lines(docs, cmd).collect()}
+        naive = {
+            tuple(map(str, r))
+            for r in parsed.filter(F.col("command") == cmd).collect()
+        }
+        # the prefix guard may only drop no-arg lines (e.g. a bare
+        # "|win"), which carry no extractable payload; with >=1 arg the
+        # sets must be identical
+        assert fast <= naive
+        naive_with_args = {
+            tuple(map(str, r))
+            for r in parsed.filter(
+                (F.col("command") == cmd) & (F.size("args") >= 1)
+            ).collect()
+        }
+        assert fast == naive_with_args
+
+    # battle_events' guarded stamp == the naive args-derived stamp
+    w = (
+        Window.partitionBy("replay_id")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ts = F.when(
+        F.col("command") == "t:", F.try_element_at("args", F.lit(1)).try_cast("long")
+    )
+    naive_ev = parsed.withColumn("event_ts", F.last(ts, ignorenulls=True).over(w))
+    a = {tuple(map(str, r)) for r in battle_events(docs).collect()}
+    b = {tuple(map(str, r)) for r in naive_ev.select(*battle_events(docs).columns).collect()}
+    assert a == b
