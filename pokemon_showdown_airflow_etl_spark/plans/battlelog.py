@@ -228,7 +228,7 @@ def b3_player_win_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wins = (
         command_lines(docs, "win")
-        .select(F.element_at("args", 1).alias("player"))
+        .select(F.try_element_at("args", F.lit(1)).alias("player"))
         .groupBy("player")
         .agg(F.count("*").cast("long").alias("n_wins"))
     )
@@ -258,8 +258,8 @@ def b4_move_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         command_lines(corpus(spark, sf_dir), "move")
         .select(
-            F.regexp_extract(F.element_at("args", 1), r": (.*)$", 1).alias("pokemon"),
-            F.element_at("args", 2).alias("move"),
+            F.regexp_extract(F.try_element_at("args", F.lit(1)), r": (.*)$", 1).alias("pokemon"),
+            F.try_element_at("args", F.lit(2)).alias("move"),
         )
         .groupBy("pokemon", "move")
         .agg(F.count("*").cast("long").alias("n_uses"))
@@ -358,8 +358,8 @@ def b7_move_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     usage = (
         command_lines(corpus(spark, sf_dir), "move")
         .select(
-            F.regexp_extract(F.element_at("args", 1), r": (.*)$", 1).alias("pokemon"),
-            F.element_at("args", 2).alias("move"),
+            F.regexp_extract(F.try_element_at("args", F.lit(1)), r": (.*)$", 1).alias("pokemon"),
+            F.try_element_at("args", F.lit(2)).alias("move"),
         )
         .groupBy("pokemon", "move")
         .agg(F.count("*").alias("n_uses"))
