@@ -14,11 +14,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def explode_log_lines(df: DataFrame, log_col: str = "log", id_col: str = "id") -> DataFrame:
-    """UDTF-shaped: one row per protocol line, with line number."""
+def explode_log_lines(
+    df: DataFrame,
+    log_col: str = "log",
+    id_col: str = "id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """UDTF-shaped: one row per protocol line, with line number.
+
+    ``keep`` carries extra columns through the explode (e.g. the
+    event-time column a streaming consumer needs for its watermark)."""
     lines = F.split(F.col(log_col), "\n")
     exploded = df.select(
         F.col(id_col).alias("replay_id"),
+        *[F.col(c) for c in keep],
         F.posexplode(lines).alias("line_no", "line"),
     )
     return exploded.filter(F.col("line") != "")
@@ -47,7 +56,11 @@ def parse_protocol_lines(lines_df: DataFrame) -> DataFrame:
 
 
 def command_lines(
-    df: DataFrame, command: str, log_col: str = "log", id_col: str = "id"
+    df: DataFrame,
+    command: str,
+    log_col: str = "log",
+    id_col: str = "id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Parsed protocol lines of a single command, pre-filtered by a
     cheap string prefix BEFORE the per-line split: a |move| analysis
@@ -59,7 +72,7 @@ def command_lines(
     command filter stays after the parse, so prefix collisions are
     impossible.
     """
-    lines = explode_log_lines(df, log_col, id_col).filter(
+    lines = explode_log_lines(df, log_col, id_col, keep=keep).filter(
         F.col("line").startswith(f"|{command}|")
     )
     return parse_protocol_lines(lines).filter(F.col("command") == command)

@@ -1,5 +1,6 @@
 """Structured Streaming formulation of the batch-incremental ingest."""
 
+from .battlelog import start_move_usage_rollup, stream_move_usage
 from .ingest import (
     daily_rollup,
     dedup_within_watermark,
@@ -19,4 +20,6 @@ __all__ = [
     "start_daily_rollup",
     "track_format_cursors",
     "start_cursor_tracking",
+    "stream_move_usage",
+    "start_move_usage_rollup",
 ]

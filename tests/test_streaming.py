@@ -124,3 +124,54 @@ def test_stateful_cursor_tracking_across_runs(spark, dirs, tmp_path):
     latest = log.orderBy(F.desc("total_replays")).first()
     assert latest["total_replays"] == 50
     assert latest["last_seen_ts"] == max(r["uploadtime"] for r in corpus)
+
+
+def test_streaming_move_usage_matches_batch(spark, dirs, tmp_path):
+    """The streaming b-layer: per-day move usage rolled up over the
+    replay stream equals the same aggregation computed in batch over
+    the finalized days (explode+parse is stateless, the only state is
+    the watermarked day window)."""
+    from pokemon_showdown_airflow_etl_spark.functions.logparse import command_lines
+    from pokemon_showdown_airflow_etl_spark.streaming import (
+        start_move_usage_rollup,
+        stream_move_usage,
+    )
+
+    corpus = make_replays("gen9ou", 120)  # hourly uploads, ~5 days
+    land_docs(spark, dirs["landing"], corpus)
+    out_dir = str(tmp_path / "moves")
+    q = start_move_usage_rollup(
+        stream_replay_docs(spark, dirs["landing"]),
+        out_dir,
+        str(tmp_path / "ck_moves"),
+        lateness="1 day",
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(out_dir)
+
+    # only finalized (pre-watermark) days are emitted, each exactly once
+    assert streamed.count() == streamed.select("date", "pokemon", "move").distinct().count()
+    emitted_days = sorted(r["date"] for r in streamed.select("date").distinct().collect())
+    assert len(emitted_days) >= 3
+
+    # batch recomputation over those days must agree value-for-value
+    docs = spark.createDataFrame(
+        [(r["id"], r["uploadtime"], r["log"]) for r in corpus],
+        "id string, uploadtime long, log string",
+    ).withColumn("event_time", F.timestamp_seconds("uploadtime"))
+    batch = (
+        command_lines(docs, "move", keep=("event_time",))
+        .withColumn("date", F.col("event_time").cast("date"))
+        .filter(F.col("date").isin(emitted_days))
+        .groupBy(
+            "date",
+            F.regexp_extract(F.try_element_at("args", F.lit(1)), r": (.*)$", 1).alias(
+                "pokemon"
+            ),
+            F.try_element_at("args", F.lit(2)).alias("move"),
+        )
+        .agg(F.count("*").cast("long").alias("n_uses"))
+    )
+    a = {tuple(map(str, r)) for r in streamed.collect()}
+    b = {tuple(map(str, r)) for r in batch.select(*streamed.columns).collect()}
+    assert a == b
