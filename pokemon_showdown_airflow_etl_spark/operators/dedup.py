@@ -260,6 +260,131 @@ def lsh_verified_dups(
     )
 
 
+# --- duplicate clustering (connected components) ----------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iterations: int = 25
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node starts labeled with its own id and
+    repeatedly takes the min of its label and its neighbors' labels until
+    a fixed point. Converges in O(component diameter) rounds — near-dup
+    clusters are band-collision near-cliques (diameter 1-2), so this
+    settles in 2-3 rounds regardless of corpus size. Each round is two
+    shuffles (edge-label join + per-node min), both map-side combinable;
+    per-round ``localCheckpoint`` truncates the lineage so plans stay
+    flat, and the convergence check is a scalar existence probe, not a
+    result collect. For adversarial long-chain graphs swap in the
+    alternating large-star/small-star rounds (Kiveris et al., "Connected
+    components in MapReduce and beyond", SoCC 2014) — same join shape,
+    O(log n) rounds.
+
+    Returns (node, label) with label = min node id reachable.
+    """
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # materialize the edge list once: it is re-joined every round, and
+    # carrying the (possibly expensive) edge-producer lineage through the
+    # loop would re-run it per iteration
+    und = und.localCheckpoint(eager=True)
+    labels = und.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nbr = (
+            und.join(labels, und["u"] == labels["node"])
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select("node", F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
+
+
+def dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Group LSH-verified near-dup pairs into duplicate clusters and pick
+    one keeper per cluster — the step that turns pairwise similarity into
+    an actual dedup decision (pairs alone can't: doc B may pair with both
+    A and C, and dropping per-pair keeps B twice or zero times).
+
+    Composition: d7's bounded candidate pairs -> connected components ->
+    cluster id = min member id, keeper = the member equal to it. Returns
+    (doc_id, cluster_id, is_kept, cluster_size) for every document that
+    belongs to a cluster of near-duplicates.
+    """
+    edges = lsh_verified_dups(df, id_col, text_col, n, threshold, num_hashes, rows_per_band)
+    labels = connected_components(edges.select("doc_a", "doc_b"))
+    sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.col("label").cast("long").alias("cluster_id"),
+            (F.col("node") == F.col("label")).alias("is_kept"),
+            "cluster_size",
+        )
+    )
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+
+def eval_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at least
+    one word n-gram with a held-out evaluation corpus (the standard
+    n-gram-collision test used before LLM training runs).
+
+    Build the distinct eval n-gram set, inverted-index join the training
+    shingles against it, count distinct collisions per doc. The eval side
+    is tiny relative to the corpus, so AQE broadcast-joins it — the
+    training corpus is scanned exactly once and never shuffles on
+    anything wider than the matched shingle rows. Returns
+    (doc_id, n_shared_ngrams) for contaminated documents only.
+    """
+    ev = (
+        _shingle_df(eval_df, id_col, text_col, n)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    tr = _shingle_df(train, id_col, text_col, n).select(
+        "doc", F.explode("shingles").alias("shingle")
+    )
+    # shingle arrays are distinct per doc, so count(*) == distinct collisions
+    return (
+        tr.join(ev, "shingle")
+        .groupBy("doc")
+        .agg(F.count("*").cast("long").alias("n_shared_ngrams"))
+        .select(F.col("doc").cast("long").alias("doc_id"), "n_shared_ngrams")
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

@@ -127,6 +127,47 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return counted.select(F.col(id_col), pred.alias("pred_lang"))
 
 
+def repetition_ratio(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, flag_above: float = 0.08
+) -> DataFrame:
+    """Gopher-style repetition signal (Rae et al. 2021 §A1.1): the
+    fraction of a document's word n-gram occurrences taken by its single
+    most frequent n-gram. Boilerplate/spam repeats phrases; prose doesn't.
+
+    Unlike the dedup shingles this keeps DUPLICATE n-grams (the repeats
+    are the signal). explode -> per-(doc, gram) count -> per-doc
+    max/total: two aggregations, both map-side combinable, keyed by doc
+    so the shuffle is narrow and skew-free at corpus scale.
+
+    Returns (doc_id, n_ngrams, top_ngram_frac, is_repetitive).
+    """
+    tk_col = tokens(F.col(text_col))
+    staged = df.select(F.col(id_col).alias("doc"), tk_col.alias("_tk")).filter(
+        F.size("_tk") >= n
+    )
+    tk = F.col("_tk")
+    idx = F.sequence(F.lit(0), F.size(tk) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j + 1) for j in range(n)])
+    )
+    counts = (
+        staged.select("doc", F.explode(grams).alias("gram"))
+        .groupBy("doc", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    frac = F.max("c") / F.sum("c")
+    return counts.groupBy("doc").agg(
+        F.sum("c").cast("long").alias("n_ngrams"),
+        F.round(frac, 4).alias("top_ngram_frac"),
+        (frac > flag_above).alias("is_repetitive"),
+    ).select(
+        F.col("doc").cast("long").alias("doc_id"),
+        "n_ngrams",
+        "top_ngram_frac",
+        "is_repetitive",
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stable content fingerprint: md5 of normalized text (C-equivalent of
     the reference's id-based identity, content-addressed instead)."""

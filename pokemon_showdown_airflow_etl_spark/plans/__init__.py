@@ -63,6 +63,13 @@ _PRIORITY: list[str] = [
     "w2_keyset_pagination",
     "s2_ann_srp_topk",
     "s3_embedding_near_dups",
+    # -- new in round 2: first driver row --
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q18_top_customers",
+    "d8_dup_clusters",
+    "t9_decontaminate",
+    "t10_repetition_ratio",
     # -- round-1-green representatives filling the 50-window --
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -71,14 +78,7 @@ _PRIORITY: list[str] = [
     "d1_exact_dedup",
     "d2_ngram_jaccard_pairs",
     "d3_minhash_lsh_candidates",
-    "d4_simhash_fingerprint",
-    "d5_simhash_near_dups",
     "s1_similarity_topk",
-    "t1_quality_features",
-    "g3_lifecycle_stats",
-    "g6_dedup_keep_one",
-    "j2_ingest_anti_join",
-    "j3_compaction_anti_join",
 ]
 
 

@@ -729,6 +729,119 @@ def d7_lsh_verified_dups(spark, sf_dir):
     )
 
 
+# d8 reuses d7's oracle verbatim as the edge producer, so the recursive
+# clustering is checked on exactly the pairs the pairwise query reports.
+_D7_ORACLE = QUERIES[[q_.name for q_ in QUERIES].index("d7_lsh_verified_dups")].oracle
+
+
+@q(
+    "d8_dup_clusters",
+    f"""
+    WITH RECURSIVE verified AS ({_D7_ORACLE}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM verified
+        UNION
+        SELECT doc_b, doc_a FROM verified
+    ),
+    reach(node, r) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node
+    ),
+    lab AS (SELECT node, LEAST(node, MIN(r)) AS cluster_id FROM reach GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           node = cluster_id AS is_kept,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM lab
+    """,
+    doc="Duplicate CLUSTERS from d7's verified pairs via connected "
+    "components (iterative min-label propagation, O(diameter) rounds — "
+    "near-dup clusters are near-cliques so 2-3 rounds at any scale): "
+    "pairwise similarity alone can't make a drop decision when B pairs "
+    "with both A and C. Keeper = min id per component. The DuckDB oracle "
+    "computes the same fixed point with a recursive CTE.",
+)
+def d8_dup_clusters(spark, sf_dir):
+    return dedup.dup_clusters(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
+    )
+
+
+# 4-gram shingles for decontamination (same normalization as dedup's).
+_GRAM4_SQL = (
+    "list_distinct(list_transform(range(1, len(tk) - 2), "
+    "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))"
+)
+EVAL_SOURCE = "src0"
+
+
+@q(
+    "t9_decontaminate",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, source, {TOKENS_SQL} AS tk FROM documents
+    ), sh AS (
+        SELECT doc_id, source, {_GRAM4_SQL} AS gr FROM tk WHERE len(tk) >= 4
+    ), ev AS (
+        SELECT DISTINCT unnest(gr) AS g FROM sh WHERE source = '{EVAL_SOURCE}'
+    ), tr AS (
+        SELECT doc_id, unnest(gr) AS g FROM sh WHERE source <> '{EVAL_SOURCE}'
+    )
+    SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+    FROM tr JOIN ev ON tr.g = ev.g
+    GROUP BY tr.doc_id
+    """,
+    doc="Benchmark decontamination: training docs sharing any word 4-gram "
+    "with the held-out eval slice (source=src0) — the n-gram-collision "
+    "check run before an LLM training job. Distinct eval-gram set is "
+    "tiny, so AQE broadcasts it; the corpus is scanned once and only "
+    "colliding rows shuffle.",
+)
+def t9_decontaminate(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return dedup.eval_overlap(
+        docs.filter(F.col("source") != EVAL_SOURCE),
+        docs.filter(F.col("source") == EVAL_SOURCE),
+        "doc_id",
+        "text",
+        n=4,
+    )
+
+
+REPETITION_FLAG_ABOVE = 0.08
+
+
+@q(
+    "t10_repetition_ratio",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+    ), gr AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))
+                   AS gram
+        FROM tk WHERE len(tk) >= 2
+    ), counts AS (
+        SELECT doc_id, gram, count(*) AS c FROM gr GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_ngrams,
+           ROUND(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_ngram_frac,
+           CAST(max(c) AS DOUBLE) / sum(c) > {REPETITION_FLAG_ABOVE} AS is_repetitive
+    FROM counts GROUP BY doc_id
+    """,
+    doc="Gopher-style repetition quality signal: fraction of a doc's "
+    "bigram occurrences taken by its most frequent bigram (repeats ARE "
+    "the signal, so no array_distinct here, unlike the dedup shingles). "
+    "Two map-side-combinable aggregations keyed by doc.",
+)
+def t10_repetition_ratio(spark, sf_dir):
+    return text.repetition_ratio(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=2, flag_above=REPETITION_FLAG_ABOVE
+    )
+
+
 @q(
     "t8_tfidf_top_terms",
     f"""
