@@ -40,6 +40,14 @@ HEADLINE = [
     "s2_ann_srp_topk",
     "t1_quality_features",
     "t2_lang_id",
+    # round 2 additions
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q18_top_customers",
+    "d8_dup_clusters",
+    "t9_decontaminate",
+    "t11_pack_sequences",
+    "s6_embedding_outliers",
 ]
 
 

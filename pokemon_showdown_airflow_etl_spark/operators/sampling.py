@@ -1,0 +1,47 @@
+"""Deterministic corpus splitting and sampling.
+
+A training-data pipeline needs reproducible holdout assignment: the
+same document must land in the same split on every run, on every
+engine, regardless of partitioning — which rules out ``rand()`` and
+anything seeded per-partition. The standard answer is content/key
+hashing: bucket = hash(id) mod 100, split by bucket range. md5 is
+engine-stable (identical hex in Spark, DuckDB, Python), so the split
+is portable across the whole stack, and adding data never reshuffles
+existing assignments (unlike ``randomSplit``, whose output depends on
+partition layout).
+
+Reference parity: the reference has no split concept (its unit is the
+replay id set); this generalizes its deterministic id-keyed routing
+(tasks/download.py batching) to fractional assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SPLIT_BOUNDS = {"train": (0, 90), "val": (90, 95), "test": (95, 100)}
+
+
+def hash_bucket(id_col: Column, n_buckets: int = 100) -> Column:
+    """Stable bucket in [0, n_buckets): first 4 hex chars of
+    md5(id-as-string) parsed base 16, mod n_buckets. 16 bits of hash
+    for 100 buckets keeps the modulo bias < 0.2%."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 4), 16, 10).cast("int")
+        % n_buckets
+    )
+
+
+def hash_split(
+    df: DataFrame, id_col: str, bounds: dict[str, tuple[int, int]] | None = None
+) -> DataFrame:
+    """Assign every row a (bucket, split) by key hash. Pure map pass —
+    no shuffle, no state, no driver participation; scales at exactly
+    the scan rate and is reproducible across engines and runs."""
+    bounds = bounds or SPLIT_BOUNDS
+    b = hash_bucket(F.col(id_col))
+    split = F.lit(None).cast("string")
+    for name, (lo, hi) in sorted(bounds.items(), key=lambda kv: kv[1][0], reverse=True):
+        split = F.when((b >= lo) & (b < hi), name).otherwise(split)
+    return df.withColumn("bucket", b).withColumn("split", split)

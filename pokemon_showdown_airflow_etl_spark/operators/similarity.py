@@ -285,3 +285,48 @@ def embedding_near_dups(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trim_quantile: float = 0.98,
+    dim: int = SRP_DIM,
+) -> DataFrame:
+    """Embedding-space outlier trimming: distance to the corpus centroid,
+    flagging every vector strictly beyond the exact ``trim_quantile``
+    distance — the "drop the farthest ~2%" pass a pipeline runs before
+    centroid training or ANN indexing (norm checks can't see these:
+    unit-normalized junk has a perfect norm but still sits far from the
+    data manifold).
+
+    Three passes, none shuffling the corpus: (1) the centroid as dim
+    per-dimension avg aggregates, re-assembled into one array and
+    broadcast back; (2) per-vector distance, one map pass; (3) the exact
+    interpolated quantile as a 1-row aggregate, broadcast back for the
+    flag. No statistic lands on the driver. Exact percentile does sort
+    the distance column inside one aggregate — at extreme scale swap in
+    approx_percentile with a widened strict-inequality guard band.
+
+    Returns (id, centroid_dist rounded 4dp, is_outlier).
+    """
+    v = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    cent = (
+        v.agg(*[F.avg(F.col("_v")[i]).alias(f"_c{i}") for i in range(dim)])
+        .select(F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("_c"))
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("_v", "_c", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    d = v.join(F.broadcast(cent)).select(F.col(id_col), dist.alias("_d"))
+    thr = d.agg(F.expr(f"percentile(_d, {trim_quantile!r})").alias("_t"))
+    return d.join(F.broadcast(thr)).select(
+        F.col(id_col),
+        F.round("_d", 4).alias("centroid_dist"),
+        (F.col("_d") > F.col("_t")).alias("is_outlier"),
+    )

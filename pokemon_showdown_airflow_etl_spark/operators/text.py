@@ -174,3 +174,52 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    budget: int = 512,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Sequence packing for pretraining batches: concatenate documents in
+    deterministic (group, shard, id) order and chunk the stream into
+    fixed ``budget``-token context windows — each document is assigned
+    the bin where its first token lands (GPT-style concat-then-chunk
+    packing; Raffel et al. 2020 "packing" in T5 does the same).
+
+    A document's bin depends on the cumulative token count of every
+    document before it, which is a prefix sum — one window cumsum per
+    (group, shard) partition, a single narrow shuffle keyed by the pack
+    partition. The shard key (leading hex byte of md5(id), so
+    engine-independent) caps partition size and sets parallelism
+    independent of group cardinality: 20 sources would otherwise bound
+    the job at 20 tasks no matter how many executors the cluster has.
+
+    Returns (doc_id, <group_col>, shard, n_tokens, bin_id,
+    offset_in_bin).
+    """
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2), 16, 10).cast("int")
+        % n_shards
+    )
+    staged = df.select(
+        F.col(id_col).alias("_doc"),
+        F.col(group_col).alias("_grp"),
+        shard.alias("shard"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_grp", "shard").orderBy("_doc")
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return staged.select(
+        F.col("_doc").cast("long").alias("doc_id"),
+        F.col("_grp").alias(group_col),
+        "shard",
+        "n_tokens",
+        F.floor(cum_before / F.lit(float(budget))).cast("long").alias("bin_id"),
+        (cum_before % budget).cast("long").alias("offset_in_bin"),
+    )

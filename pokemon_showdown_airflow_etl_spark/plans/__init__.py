@@ -20,10 +20,11 @@ from __future__ import annotations
 from .base import Query
 from . import relational, joins, llm, battlelog, extras
 
-# Front of the driver's 50-query window. First the 32 entries with no
+# Front of the driver's 50-query window. First the 33 entries with no
 # CORRECTNESS_r01 row, then queries modified in round 2 (w2 keyset
-# rewrite; s2/s3 seeded hyperplanes), then a representative spread of
-# round-1-green entries to fill the window.
+# rewrite; s2/s3 seeded hyperplanes), then the queries new in round 2.
+# Round-1-green entries rotate out (their r1 rows stand; the local
+# oracle-parity gate still sweeps every entry each run).
 _PRIORITY: list[str] = [
     # -- no driver row in round 1 --
     "b1_log_command_histogram",
@@ -63,22 +64,23 @@ _PRIORITY: list[str] = [
     "w2_keyset_pagination",
     "s2_ann_srp_topk",
     "s3_embedding_near_dups",
-    # -- new in round 2: first driver row --
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q18_top_customers",
+    # -- new in round 2: first driver row (riskiest oracles first; the
+    # 51st entry overflows this round's window and rotates in next) --
     "d8_dup_clusters",
     "t9_decontaminate",
     "t10_repetition_ratio",
-    # -- round-1-green representatives filling the 50-window --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "j8_star_join_revenue",
-    "d1_exact_dedup",
-    "d2_ngram_jaccard_pairs",
-    "d3_minhash_lsh_candidates",
-    "s1_similarity_topk",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q18_top_customers",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity",
+    "t11_pack_sequences",
+    "g15_retention_cohorts",
+    "g16_funnel",
+    "s6_embedding_outliers",
+    "t12_hash_split",
 ]
 
 

@@ -322,3 +322,108 @@ def j9_above_customer_avg(spark, sf_dir):
         # (…43875) that Spark and DuckDB resolve differently
         F.col("avg_c").alias("cust_avg_cents"),
     )
+
+
+@q(
+    "g15_retention_cohorts",
+    """
+    WITH firstday AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1
+    ), active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_date,
+           CAST(datediff('day', f.cohort, a.day) AS INT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM active a JOIN firstday f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Retention cohort matrix: users bucketed by first-seen date, "
+    "counted on each later active day. Cohort derivation, the distinct "
+    "activity set, and the join all key on user_id, so Spark reuses ONE "
+    "hash exchange across all three (ReusedExchange / co-partitioned "
+    "join — no second shuffle of the fact table); the final (cohort, "
+    "offset) aggregation is map-side combinable and tiny.",
+)
+def g15_retention_cohorts(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_date"),
+            F.datediff("day", "cohort").cast("int").alias("day_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+
+
+@q(
+    "g16_funnel",
+    """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1
+    ), s4 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s3 ON e.user_id = s3.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1
+    )
+    SELECT * FROM (
+        SELECT 1 AS stage, 'signup' AS stage_name,
+               CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+        UNION ALL SELECT 2, 'view', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        UNION ALL SELECT 3, 'click', CAST((SELECT count(*) FROM s3) AS BIGINT)
+        UNION ALL SELECT 4, 'purchase', CAST((SELECT count(*) FROM s4) AS BIGINT)
+    )
+    """,
+    doc="Strictly-ordered funnel (signup -> view -> click -> purchase, "
+    "each step's FIRST occurrence after the previous step's): cascaded "
+    "min-after-previous aggregations, every stage keyed on user_id so "
+    "the whole cascade rides one hash partitioning — funnel depth adds "
+    "joins but NO extra shuffles of the fact table. Stage counts union "
+    "into a 4-row summary.",
+)
+def g16_funnel(spark, sf_dir):
+    # fully lazy: stage frames chain as plain DataFrames, counts are
+    # unioned 1-row aggregates — no driver-side action at build time.
+    # The repeated sub-plans (stage k appears inside stages k+1..4) are
+    # identical exchanges, which Spark's ReuseExchange dedupes at
+    # execution.
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    prev = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    frames = [prev]
+    for stage in FUNNEL_STAGES[1:]:
+        prev = (
+            ev.filter(F.col("event_type") == stage)
+            .join(prev.withColumnRenamed("t", "t_prev"), "user_id")
+            .filter(F.col("ts") > F.col("t_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        frames.append(prev)
+    out = None
+    for i, (name, fr) in enumerate(zip(FUNNEL_STAGES, frames)):
+        row = fr.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(i + 1).cast("int").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            "n_users",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

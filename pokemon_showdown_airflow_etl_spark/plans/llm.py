@@ -904,3 +904,118 @@ def t8_tfidf_top_terms(spark, sf_dir):
             F.col("rnk").cast("int").alias("term_rank"),
         )
     )
+
+
+PACK_BUDGET = 512
+PACK_SHARDS = 4
+_SHARD_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % "
+    f"{PACK_SHARDS}"
+)
+
+
+@q(
+    "t11_pack_sequences",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, source, {_SHARD_SQL} AS shard,
+               len({TOKENS_SQL}) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, shard, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id)
+                   - n_tokens AS cum_before
+        FROM tk
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(shard AS INT) AS shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(cum_before / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+           CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS offset_in_bin
+    FROM c
+    """,
+    doc="Sequence packing (concat-then-chunk, T5/GPT pretraining style): "
+    "assign each document the fixed-size context window where its first "
+    "token lands, via a prefix-sum window per (source, md5-shard). The "
+    "shard key decouples parallelism from source cardinality — one "
+    "narrow shuffle keyed by the pack partition, any number of tasks.",
+)
+def t11_pack_sequences(spark, sf_dir):
+    return text.pack_sequences(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        "source",
+        budget=PACK_BUDGET,
+        n_shards=PACK_SHARDS,
+    )
+
+
+@q(
+    "t12_hash_split",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                % 100 AS INT) AS bucket,
+           CASE
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                    % 100 < 90 THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                    % 100 < 95 THEN 'val'
+               ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+    doc="Deterministic 90/5/5 holdout split by key hash (bucket = 16-bit "
+    "md5 prefix mod 100): the same document lands in the same split on "
+    "every run, engine, and partitioning — what rand()/randomSplit "
+    "cannot promise. Pure map pass, zero shuffle.",
+)
+def t12_hash_split(spark, sf_dir):
+    from ..operators.sampling import hash_split
+
+    return hash_split(t(spark, sf_dir, "documents"), "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "bucket", "split"
+    )
+
+
+CENTROID_TRIM_Q = 0.98
+
+
+@q(
+    "s6_embedding_outliers",
+    f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), ex AS (
+        SELECT vec_id, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS i FROM v
+    ), cent AS (
+        SELECT list(m ORDER BY i) AS c
+        FROM (SELECT i, avg(x) AS m FROM ex GROUP BY i)
+    ), d AS (
+        SELECT v.vec_id,
+               sqrt(list_sum(list_transform(range(1, len(v.e) + 1),
+                    j -> (v.e[j] - cent.c[j]) * (v.e[j] - cent.c[j])))) AS dist
+        FROM v, cent
+    ), thr AS (
+        SELECT quantile_cont(dist, {CENTROID_TRIM_Q}) AS t FROM d
+    )
+    SELECT d.vec_id, ROUND(d.dist, 4) AS centroid_dist,
+           d.dist > thr.t AS is_outlier
+    FROM d, thr
+    """,
+    doc="Embedding outlier trimming: distance to the corpus centroid, "
+    "flagging vectors strictly beyond the exact 98th-percentile "
+    "distance — the drop-the-farthest-tail pass before centroid "
+    "training or ANN indexing. Norm checks are blind here (the corpus "
+    "is unit-normalized); centroid distance still exposes off-manifold "
+    "vectors. Centroid = dim avg aggregates broadcast back; threshold "
+    "= a 1-row exact-percentile aggregate broadcast back — the corpus "
+    "never shuffles and nothing lands on the driver.",
+)
+def s6_embedding_outliers(spark, sf_dir):
+    return similarity.centroid_outliers(
+        t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        trim_quantile=CENTROID_TRIM_Q,
+    )

@@ -178,3 +178,65 @@ def test_battle_event_window_shuffles_narrow_rows(q):
             break
     else:
         pytest.fail("no Exchange found in b2 plan")
+
+
+def test_q10_top20_is_take_ordered(q):
+    plan = q("q10_returned_items")
+    assert "TakeOrderedAndProject" in plan, "top-20 fell back to a global sort"
+    # returnflag pushes to the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q19_derives_single_table_implications(q):
+    # Catalyst must derive each side's single-table implication from the
+    # OR-of-ANDs and push it to that side's scan: the brand/size
+    # disjunction to part, the quantity disjunction to lineitem — so the
+    # join never sees rows no branch could match
+    plan = q("q19_disjunctive_revenue")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("EqualTo(p_brand,Brand#12)" in l for l in pushed), (
+        "brand disjunction not pushed to the part scan"
+    )
+    assert any("l_quantity" in l for l in pushed), (
+        "quantity disjunction not pushed to the lineitem scan"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_is_anti_join_with_broadcast_scalar(q):
+    plan = q("q22_global_sales_opportunity")
+    assert "LeftAnti" in plan
+    # the avg-balance scalar rides a broadcast, never a collect
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pack_sequences_window_is_sharded(q):
+    # the prefix-sum window must partition by (source, shard) — a
+    # partitionless Window over the corpus would rank every row through
+    # one task (the w2 failure mode)
+    plan = q("t11_pack_sequences")
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "shard" in plan.split("Window")[0] or "shard" in plan
+
+
+def test_hash_split_is_shuffle_free(q):
+    plan = q("t12_hash_split")
+    assert "Exchange" not in plan, "a pure map pass must not shuffle"
+    assert "BatchEvalPython" not in plan
+
+
+def test_funnel_has_no_cartesian_and_stays_jvm(q):
+    plan = q("g16_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_retention_cohort_reuses_user_partitioning(q):
+    # cohort derivation + distinct + join all key on user_id: at most
+    # the user_id exchange (x2 for the two branches), the final
+    # (cohort, offset) agg exchange, and AQE reads — never a re-shuffle
+    # of the fact table on a non-user key in between
+    plan = q("g15_retention_cohorts")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
