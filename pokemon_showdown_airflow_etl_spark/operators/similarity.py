@@ -203,14 +203,16 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate all-pairs top-k: a coarse quantizer assigns
     every vector to its nearest cell; queries probe their ``n_probe``
     nearest cells and score only those cells' members.
 
-    Centroids here are the ``n_cells`` lexicographically-first vectors
-    (deterministic; production swaps in k-means centroids — the plan is
-    identical). The centroid assignment is a broadcast cross join
+    Default centroids are the ``n_cells`` lexicographically-first
+    vectors (deterministic); pass ``centroids`` from
+    ``fit_kmeans_centroids`` for trained cells — the plan is identical
+    either way. The centroid assignment is a broadcast cross join
     against a CONSTANT-size centroid table (n x n_cells rows — by
     design, not a skew risk); the candidate join is an equi-join on
     cell_id, so the heavy stage shuffle-partitions by cell. Cost is
@@ -219,13 +221,19 @@ def ivf_topk(
     v = emb.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("nrm", l2_norm(F.col("v")))
-    cents = (
-        v.orderBy("vid")
-        .limit(n_cells)
-        .select(
-            F.col("vid").alias("cell_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    if centroids is not None:
+        cents = centroids.select(
+            F.col("cell_id"),
+            as_double(F.col("centroid")).alias("cv"),
+        ).withColumn("cn", l2_norm(F.col("cv")))
+    else:
+        cents = (
+            v.orderBy("vid")
+            .limit(n_cells)
+            .select(
+                F.col("vid").alias("cell_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+            )
         )
-    )
     scored_cells = v.crossJoin(F.broadcast(cents)).withColumn(
         "cell_sim", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
     )
@@ -329,4 +337,94 @@ def centroid_outliers(
         F.col(id_col),
         F.round("_d", 4).alias("centroid_dist"),
         (F.col("_d") > F.col("_t")).alias("is_outlier"),
+    )
+
+
+def fit_kmeans_centroids(
+    emb: DataFrame,
+    n_cells: int = 8,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = SRP_DIM,
+    tol: float = 1e-6,
+) -> tuple[DataFrame, list[float]]:
+    """Distributed Lloyd's k-means for IVF coarse quantizers: the
+    trainer ``ivf_topk`` points at when it says "production swaps in
+    k-means centroids".
+
+    Initialization is the same deterministic seed as ``ivf_topk``'s
+    default cells (the n_cells lexicographically-first vectors), so
+    swapping the trainer in changes centroid QUALITY, never determinism.
+    Each iteration is: (1) assignment — cross join against the
+    broadcast CONSTANT-size centroid table, argmin squared distance via
+    a min(struct) aggregate (map-side combinable: the shuffle carries
+    one candidate row per vector, not n_cells); (2) update — per-cell
+    per-dimension averages, one narrow groupBy; empty cells keep their
+    previous centroid. Vectors never visit the driver; the only driver
+    values are the scalar per-iteration inertias used for the stop
+    rule (relative improvement < tol), mirroring the scalar
+    convergence probe in dedup.connected_components.
+
+    Returns (centroids DataFrame (cell_id, centroid, n_members),
+    inertia history). The history is what tests assert on: Lloyd's
+    algorithm guarantees it is non-increasing.
+    """
+    v = emb.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    ).localCheckpoint(eager=True)
+    cents = (
+        v.orderBy("vid")
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy("vid")).cast("long").alias("cell_id"),
+            F.col("v").alias("cv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sqdist = F.aggregate(
+        F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    history: list[float] = []
+    for _ in range(max_iter):
+        assigned = (
+            v.crossJoin(F.broadcast(cents))
+            .select("vid", "v", F.struct(sqdist.alias("d"), F.col("cell_id")).alias("cand"))
+            .groupBy("vid")
+            .agg(F.min("cand").alias("best"), F.first("v").alias("v"))
+            .select("vid", "v", F.col("best.cell_id").alias("cell_id"), F.col("best.d").alias("d"))
+        )
+        assigned = assigned.localCheckpoint(eager=True)
+        inertia = assigned.agg(F.sum("d")).collect()[0][0]
+        history.append(float(inertia))
+        new_cents = (
+            assigned.groupBy("cell_id")
+            .agg(
+                *[F.avg(F.col("v")[i]).alias(f"_m{i}") for i in range(dim)],
+                F.count("*").cast("long").alias("n_members"),
+            )
+            .select(
+                "cell_id",
+                F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias("cv"),
+                "n_members",
+            )
+        )
+        # empty cells keep their previous centroid
+        cents = (
+            cents.select("cell_id", F.col("cv").alias("old_cv"))
+            .join(new_cents, "cell_id", "left")
+            .select(
+                "cell_id",
+                F.coalesce("cv", "old_cv").alias("cv"),
+                F.coalesce("n_members", F.lit(0)).alias("n_members"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if len(history) >= 2 and history[-2] - history[-1] <= tol * max(history[-2], 1e-12):
+            break
+    return (
+        cents.select("cell_id", F.col("cv").alias("centroid"), "n_members"),
+        history,
     )

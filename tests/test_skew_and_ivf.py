@@ -111,3 +111,47 @@ def test_salted_join_rejects_replicating_join_types(spark):
     for how in ("right", "full", "right_outer", "full_outer"):
         with _pytest.raises(ValueError, match="salt replicas"):
             salted_join_small(big, small, "key", how=how)
+
+
+def test_kmeans_inertia_is_non_increasing(spark, sf_dir):
+    from pokemon_showdown_airflow_etl_spark.operators.similarity import (
+        fit_kmeans_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, history = fit_kmeans_centroids(emb, n_cells=4, max_iter=5)
+    assert len(history) >= 2, "trainer stopped before a single update"
+    for a, b in zip(history, history[1:]):
+        assert b <= a + 1e-9, f"Lloyd iteration increased inertia: {history}"
+
+
+def test_kmeans_centroids_cover_corpus_and_stay_distributed(spark, sf_dir):
+    from pokemon_showdown_airflow_etl_spark.operators.similarity import (
+        fit_kmeans_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cents, _ = fit_kmeans_centroids(emb, n_cells=4, max_iter=3)
+    rows = cents.collect()
+    assert len(rows) == 4
+    assert sum(r["n_members"] for r in rows) == n
+    assert all(len(r["centroid"]) == 64 for r in rows)
+
+
+def test_kmeans_beats_first_n_seed_and_plugs_into_ivf(spark, sf_dir):
+    """Trained cells must (a) not be worse than their own initialization
+    — history[0] is the first-n-seed inertia, history[-1] the trained
+    one — and (b) drop into ivf_topk unchanged: same output schema,
+    every query still gets k neighbors."""
+    from pokemon_showdown_airflow_etl_spark.operators.similarity import (
+        fit_kmeans_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, history = fit_kmeans_centroids(emb, n_cells=4, max_iter=6)
+    assert history[-1] <= history[0] + 1e-9
+    got = ivf_topk(emb, k=1, n_probe=2, centroids=cents)
+    assert got.columns == ["query_id", "nn_id", "rank", "cos_sim"]
+    n = emb.count()
+    assert got.count() == n  # one nearest neighbor per vector
