@@ -45,3 +45,36 @@ def hash_split(
     for name, (lo, hi) in sorted(bounds.items(), key=lambda kv: kv[1][0], reverse=True):
         split = F.when((b >= lo) & (b < hi), name).otherwise(split)
     return df.withColumn("bucket", b).withColumn("split", split)
+
+
+def weighted_domain_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Deterministic domain mixing: keep a ``weights[domain]`` fraction
+    of each domain's documents (the static-weights form of LLM data
+    mixture rebalancing — upweighting curated sources, downweighting
+    crawl — applied as subsampling).
+
+    Selection is hash-thresholding, not rand(): a document is kept iff
+    its stable ``hash_bucket`` falls below weight * n_buckets, so the
+    sample is reproducible across runs/engines, monotone in the weight
+    (raising 0.3 -> 0.5 only ADDS documents — reruns of a grown mixture
+    reuse everything already selected), and consistent with hash_split
+    holdouts. The weights ride a broadcast literal map; the pass is
+    map-only with zero shuffle.
+    """
+    b = hash_bucket(F.col(id_col), n_buckets)
+    w = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    frac = F.coalesce(w[F.col(domain_col)], F.lit(default_weight))
+    return (
+        df.withColumn("bucket", b)
+        .filter(F.col("bucket") < frac * n_buckets)
+        .drop("bucket")
+    )

@@ -142,16 +142,25 @@ def repetition_ratio(
     Returns (doc_id, n_ngrams, top_ngram_frac, is_repetitive).
     """
     tk_col = tokens(F.col(text_col))
-    staged = df.select(F.col(id_col).alias("doc"), tk_col.alias("_tk")).filter(
-        F.size("_tk") >= n
-    )
+    staged = df.select(F.col(id_col).alias("doc"), tk_col.alias("_tk"))
     tk = F.col("_tk")
     idx = F.sequence(F.lit(0), F.size(tk) - n)
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j + 1) for j in range(n)])
-    )
+    # short docs get an empty gram array INSIDE the expression (sequence
+    # with a negative end would walk backwards), and the explode is
+    # explode_outer + null filter rather than a plain explode with a
+    # pre-filter: Catalyst's InferFiltersFromGenerate would push a
+    # size(grams) > 0 predicate below the token projection, inlining the
+    # whole gram transform (with tokens() re-run per element_at) into an
+    # interpreted Filter — measured 7.2 s vs 0.9 s at sf0.1.
+    grams = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j + 1) for j in range(n)])
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     counts = (
-        staged.select("doc", F.explode(grams).alias("gram"))
+        staged.select("doc", F.explode_outer(grams).alias("gram"))
+        .filter(F.col("gram").isNotNull())
         .groupBy("doc", "gram")
         .agg(F.count("*").alias("c"))
     )

@@ -81,6 +81,7 @@ _PRIORITY: list[str] = [
     "g16_funnel",
     "s6_embedding_outliers",
     "t12_hash_split",
+    "t13_domain_mix",
 ]
 
 

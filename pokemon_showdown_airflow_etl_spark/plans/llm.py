@@ -784,19 +784,23 @@ EVAL_SOURCE = "src0"
     ), sh AS (
         SELECT doc_id, source, {_GRAM4_SQL} AS gr FROM tk WHERE len(tk) >= 4
     ), ev AS (
-        SELECT DISTINCT unnest(gr) AS g FROM sh WHERE source = '{EVAL_SOURCE}'
+        SELECT DISTINCT CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gh
+        FROM (SELECT unnest(gr) AS g FROM sh WHERE source = '{EVAL_SOURCE}')
     ), tr AS (
-        SELECT doc_id, unnest(gr) AS g FROM sh WHERE source <> '{EVAL_SOURCE}'
+        SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gh
+        FROM (SELECT doc_id, unnest(gr) AS g FROM sh
+              WHERE source <> '{EVAL_SOURCE}')
     )
     SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
-    FROM tr JOIN ev ON tr.g = ev.g
+    FROM tr JOIN ev ON tr.gh = ev.gh
     GROUP BY tr.doc_id
     """,
     doc="Benchmark decontamination: training docs sharing any word 4-gram "
     "with the held-out eval slice (source=src0) — the n-gram-collision "
-    "check run before an LLM training job. Distinct eval-gram set is "
-    "tiny, so AQE broadcasts it; the corpus is scanned once and only "
-    "colliding rows shuffle.",
+    "check run before an LLM training job. Grams compare by 60-bit md5 "
+    "hash (engine-identical collisions, 8-byte probe key) and the "
+    "distinct eval-hash set is broadcast — the exploded training grams "
+    "are filtered in place and never shuffle; only per-doc counts do.",
 )
 def t9_decontaminate(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
@@ -1019,3 +1023,33 @@ def s6_embedding_outliers(spark, sf_dir):
         "embedding",
         trim_quantile=CENTROID_TRIM_Q,
     )
+
+
+# static mixture weights for the demo: downsample even-numbered crawl
+# sources hard, keep odd-numbered curated sources whole
+MIX_WEIGHTS = {f"src{i}": (0.25 if i % 2 == 0 else 1.0) for i in range(20)}
+_MIX_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {w!r}" for s, w in MIX_WEIGHTS.items()
+)
+
+
+@q(
+    "t13_domain_mix",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100
+          < (CASE {_MIX_CASE} ELSE 1.0 END) * 100
+    """,
+    doc="Deterministic domain mixing: keep a per-source fraction of "
+    "documents by hash-thresholding (bucket < weight * 100) — "
+    "reproducible across engines, monotone in the weight (growing a "
+    "mixture only adds documents), consistent with the t12 holdout "
+    "hash. Broadcast literal weight map, map-only, zero shuffle.",
+)
+def t13_domain_mix(spark, sf_dir):
+    from ..operators.sampling import weighted_domain_sample
+
+    return weighted_domain_sample(
+        t(spark, sf_dir, "documents"), "doc_id", "source", MIX_WEIGHTS
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "source")

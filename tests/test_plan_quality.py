@@ -226,6 +226,12 @@ def test_hash_split_is_shuffle_free(q):
     assert "BatchEvalPython" not in plan
 
 
+def test_domain_mix_is_shuffle_free(q):
+    plan = q("t13_domain_mix")
+    assert "Exchange" not in plan, "a pure map pass must not shuffle"
+    assert "BatchEvalPython" not in plan
+
+
 def test_funnel_has_no_cartesian_and_stays_jvm(q):
     plan = q("g16_funnel")
     assert "CartesianProduct" not in plan
@@ -240,3 +246,20 @@ def test_retention_cohort_reuses_user_partitioning(q):
     plan = q("g15_retention_cohorts")
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_no_tokenization_inside_filter_predicates(q):
+    """InferFiltersFromGenerate regression guard: a plain explode over a
+    derived gram/shingle array lets Catalyst push a size(...) > 0
+    predicate below the token projection, substituting the WHOLE
+    tokenize+gram pipeline (split() re-run per element_at) into an
+    interpreted Filter — a measured 5-12x slowdown on t9/t10. The fix
+    is explode_outer + a post-generate null filter; this asserts no
+    Filter condition ever contains the tokenizer again."""
+    for name in ("t9_decontaminate", "t10_repetition_ratio"):
+        plan = q(name)
+        for line in plan.splitlines():
+            if line.strip().startswith("Condition :"):
+                assert "regexp_replace" not in line, (
+                    f"{name}: tokenizer inlined into a Filter predicate"
+                )
