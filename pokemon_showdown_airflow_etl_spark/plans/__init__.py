@@ -18,7 +18,7 @@ all of them.
 from __future__ import annotations
 
 from .base import Query
-from . import relational, joins, llm, battlelog, extras
+from . import relational, joins, llm, battlelog, extras, tpch
 
 # Front of the driver's 50-query window. First the 33 entries with no
 # CORRECTNESS_r01 row, then queries modified in round 2 (w2 keyset
@@ -87,7 +87,7 @@ _PRIORITY: list[str] = [
 
 def _merge() -> dict[str, Query]:
     flat: dict[str, Query] = {}
-    for mod in (relational, joins, llm, battlelog, extras):
+    for mod in (relational, joins, llm, battlelog, extras, tpch):
         for q in mod.QUERIES:
             if q.name in flat:
                 raise ValueError(f"duplicate query name: {q.name}")

@@ -1,0 +1,688 @@
+"""Remaining TPC-H query shapes (Q2, Q8, Q9, Q11-Q17, Q20, Q21), adapted
+to the driver testdata schema.
+
+The testdata has no ``partsupp`` table and no
+``l_commitdate``/``l_receiptdate``/``l_shipmode``/``c_phone`` columns, so
+each query keeps its CANONICAL OPERATOR SHAPE (the thing being tested:
+correlated min subquery, conditional aggregation, distribution histogram,
+scalar-subquery HAVING, nested EXISTS chains) while substituting
+available columns:
+
+- part-supplier economics come from ``lineitem`` itself (the observed
+  shipping relation) instead of ``partsupp``;
+- "late" is ``l_shipdate > o_orderdate + 90 days`` instead of
+  receipt-vs-commit;
+- the Q13 comment filter becomes an order-priority filter.
+
+Every aggregate that sums doubles accumulates in DECIMAL(18,6) so the
+result is exact and partition-order-independent (the driver hash-compares
+raw values; a double sum rounds differently at half-cent boundaries
+depending on reduction order). Ratios divide the exact decimal sums cast
+to double — the same two doubles in both engines, hence the same
+quotient bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .base import Query, t
+
+QUERIES: list[Query] = []
+
+
+def q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES.append(Query(name=name, spark=fn, oracle=oracle, doc=doc))
+        return fn
+
+    return deco
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,6)")
+
+
+# exact line revenue, decimal-accumulated
+_REV = "CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))"
+
+
+def _rev_col() -> F.Column:
+    return _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+
+
+@q(
+    "q2_min_cost_supplier",
+    """
+    WITH offers AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               min(l.l_extendedprice / l.l_quantity) AS unit_price
+        FROM lineitem l
+        GROUP BY 1, 2
+    ), best AS (
+        SELECT l_partkey, min(unit_price) AS min_price
+        FROM offers GROUP BY 1
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal, n.n_name AS nation,
+           CAST(ROUND(CAST(o.unit_price AS DECIMAL(18, 6)), 2) AS DOUBLE)
+               AS unit_price
+    FROM offers o
+    JOIN best b    ON o.l_partkey = b.l_partkey AND o.unit_price = b.min_price
+    JOIN part p    ON p.p_partkey = o.l_partkey
+    JOIN supplier s ON s.s_suppkey = o.l_suppkey
+    JOIN nation n  ON n.n_nationkey = s.s_nationkey
+    JOIN region r  ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+    """,
+    doc="TPC-H Q2 shape (minimum-cost supplier): for every "
+    "size-15 part, the European supplier(s) offering the lowest observed "
+    "unit price — the correlated-MIN-subquery benchmark. With no "
+    "partsupp table the offer relation is DERIVED from lineitem "
+    "(min unit price each supplier ever shipped the part at). The "
+    "correlated subquery decorrelates into one groupBy(part) min + an "
+    "equality self-join (doubles divide identically in both engines, so "
+    "min-equality is exact); part/supplier/nation/region are all "
+    "broadcast-size dims, and the double-aggregated offers relation is "
+    "computed ONCE and reused for both the min and the winner rows.",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    offers = (
+        l.groupBy(F.col("l_partkey"), F.col("l_suppkey"))
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    )
+    best = offers.groupBy("l_partkey").agg(F.min("unit_price").alias("min_price"))
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        offers.join(
+            best,
+            (offers.l_partkey == best.l_partkey)
+            & (offers.unit_price == best.min_price),
+        )
+        .drop(best.l_partkey)
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "s_acctbal",
+            F.col("n_name").alias("nation"),
+            F.round(F.col("unit_price").cast("decimal(18,6)"), 2)
+            .cast("double")
+            .alias("unit_price"),
+        )
+    )
+
+
+@q(
+    "q8_market_share",
+    f"""
+    WITH slice AS (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               {_REV} AS rev,
+               n1.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        JOIN region r   ON n2.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           ROUND(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev
+                               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+    FROM slice
+    GROUP BY 1
+    """,
+    doc="TPC-H Q8 shape (national market share): NATION_7's share of "
+    "PROMO-part revenue sold into ASIA, by order year. The classic "
+    "conditional-aggregation-ratio: one slice scan feeds numerator and "
+    "denominator (CASE inside sum), never two passes. Nation/region/"
+    "part-filtered dims broadcast; the lineitem-orders fact-fact join "
+    "carries the pushed orderdate range. Both sums accumulate exact "
+    "DECIMAL and the share divides their double casts, so the quotient "
+    "is bit-identical across engines.",
+)
+def q8_market_share(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    zero = F.lit(0).cast("decimal(18,6)")
+    slice_df = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"), "left_semi")
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _rev_col().alias("rev"),
+            "supp_nation",
+        )
+    )
+    return slice_df.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_7", F.col("rev")).otherwise(zero)
+            ).cast("double")
+            / F.sum("rev").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@q(
+    "q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(ROUND(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,6)))
+                          - CAST(p.p_retailprice AS DECIMAL(12,2))
+                            * CAST(0.1 AS DECIMAL(2,1))
+                            * CAST(l.l_quantity AS DECIMAL(9,2))), 2) AS DOUBLE)
+               AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape (product-type profit): per supplier nation and "
+    "order year, profit on parts named like '%bolt%'. With no partsupp "
+    "the supply cost is modeled as 10% of retail price per unit — the "
+    "operator under test is unchanged: a LIKE-filtered dimension pruning "
+    "a multi-way fact join, then a two-level rollup. The LIKE pushes to "
+    "the part scan (non-prefix contains; evaluated at the scan, not "
+    "after the join), nation broadcasts, and profit accumulates as one "
+    "exact decimal expression so the hash never depends on reduction "
+    "order.",
+)
+def q9_product_profit(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    # cost factors use NARROW decimal types: (12,2)*(2,1)*(9,2) stays
+    # well inside both engines' width caps (a chain of (18,6) products
+    # overflows DuckDB's derived result type), and every factor is
+    # value-exact at its scale so the product is identical to Spark's.
+    profit = _rev_col() - F.col("p_retailprice").cast("decimal(12,2)") * F.lit(0.1).cast(
+        "decimal(2,1)"
+    ) * F.col("l_quantity").cast("decimal(9,2)")
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+    )
+
+
+@q(
+    "q11_important_parts",
+    f"""
+    WITH vals AS (
+        SELECT l.l_partkey, sum({_REV}) AS value
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_5'
+        GROUP BY 1
+    )
+    SELECT l_partkey, CAST(ROUND(value, 2) AS DOUBLE) AS value
+    FROM vals
+    WHERE value > (SELECT sum(value) * 0.001 FROM vals)
+    """,
+    doc="TPC-H Q11 shape (important stock identification): parts whose "
+    "NATION_5-supplied revenue exceeds 0.1% of that nation's total — "
+    "a HAVING against a scalar subquery over the SAME aggregate. The "
+    "per-part aggregate is computed once; the global total is a 1-row "
+    "re-aggregation of it joined back as a broadcast cross join (no "
+    "driver-side collect, no second scan of lineitem). The "
+    "nation-filtered supplier set broadcasts into the fact scan. "
+    "Threshold compares exact decimals, so > is engine-identical.",
+)
+def q11_important_parts(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    vals = (
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev_col()).alias("value"))
+    )
+    total = vals.agg((F.sum("value") * F.lit(0.001)).alias("threshold"))
+    return (
+        vals.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", F.round("value", 2).cast("double").alias("value"))
+    )
+
+
+@q(
+    "q12_priority_shipping",
+    """
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 shape (shipping modes / priority): lines shipped in "
+    "1996 bucketed by lateness (shipdate more than 90 days after the "
+    "order — the testdata has no commit/receipt dates), with URGENT+HIGH "
+    "vs other order priorities counted CONDITIONALLY inside one "
+    "aggregate pass. The shipdate range pushes to the lineitem scan; "
+    "the derived bucket is a post-join expression, so the join stays a "
+    "plain equi-join; both counters come from the same partial-agg "
+    "pipeline (one shuffle of two longs per bucket).",
+)
+def q12_priority_shipping(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, "LATE"
+    ).otherwise("ONTIME")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey,
+               CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority = '1-URGENT'
+        GROUP BY 1
+    )
+    GROUP BY 1
+    """,
+    doc="TPC-H Q13 shape (customer order-count distribution): histogram "
+    "of how many qualifying orders each customer placed, INCLUDING "
+    "zero-order customers — the left-outer-join-then-double-aggregate "
+    "benchmark (the comment NOT LIKE filter becomes an urgent-priority "
+    "restriction; it must sit in the JOIN CONDITION, not a WHERE, or the "
+    "zero bucket vanishes). count(o_orderkey) counts only matched rows; "
+    "the second aggregate is over one row per customer — tiny. The only "
+    "big shuffle is the join's, and AQE handles its skew.",
+)
+def q13_customer_distribution(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@q(
+    "q14_promo_revenue",
+    f"""
+    SELECT ROUND(100.0
+                 * CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV}
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(sum({_REV}) AS DOUBLE), 6) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape (promotion effect): percent of one month's "
+    "revenue from PROMO-type parts — numerator and denominator from ONE "
+    "scan via CASE-in-sum (never two jobs), shipdate month pushed to "
+    "the scan, part joined only for its type. Exact decimal sums, "
+    "double-cast division, one-row result.",
+)
+def q14_promo_revenue(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    zero = F.lit(0).cast("decimal(18,6)")
+    rev = _rev_col()
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@q(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, sum({_REV}) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(ROUND(r.total_rev, 2) AS DOUBLE) AS total_revenue
+    FROM revenue r
+    JOIN supplier s ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape (top supplier, a.k.a. the revenue view): "
+    "supplier(s) with the maximum quarterly revenue — the "
+    "scalar-MAX-subquery-over-a-derived-view benchmark. The per-supplier "
+    "aggregate is built once; its 1-row max re-aggregation broadcasts "
+    "back as a cross join and the winner filter compares EXACT decimals "
+    "(double revenue would make 'equal to the max' engine-dependent). "
+    "supplier joins after the aggregate, touching only winner rows.",
+)
+def q15_top_supplier(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_col()).alias("total_rev")
+    )
+    best = revenue.agg(F.max("total_rev").alias("best_rev"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(best))
+        .filter(F.col("total_rev") == F.col("best_rev"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_rev", 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@q(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#12'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q16 shape (parts/supplier relationship): how many "
+    "distinct qualifying suppliers ship each (brand, type, size) slice, "
+    "excluding a denylist via NOT IN (the reference's complaint-comment "
+    "suppliers become negative-balance ones). NOT IN over a non-null "
+    "key = LEFT ANTI broadcast join; the three dimension predicates "
+    "prune part BEFORE the fact join; count(DISTINCT) goes through "
+    "Spark's two-shuffle distinct-agg expansion, which is exactly the "
+    "scalable plan (partial distinct per node first).",
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#12")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        l.join(bad, "l_suppkey", "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("long").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "q17_small_quantity_revenue",
+    """
+    WITH stats AS (
+        SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(ROUND(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) / 7.0, 2)
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p  ON p.p_partkey = l.l_partkey
+    JOIN stats a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_type = 'MEDIUM'
+      AND l.l_quantity < a.qty_cut
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue): revenue lost to "
+    "below-one-fifth-of-average-quantity orders for one brand/type "
+    "slice, per year of history — the correlated-AVG-subquery benchmark. "
+    "Decorrelates to groupBy(partkey) avg + equi-join back to the fact "
+    "with the < residual; the brand/type filter prunes part to a "
+    "broadcast and AQE collapses the stats join when the filtered side "
+    "is small. avg() of doubles is the pairwise-identical sum/count in "
+    "both engines at this width; the comparison result feeds a "
+    "decimal-exact sum. DECIMAL / 7.0 divides exactly (DuckDB widens to "
+    "decimal division; Spark decimal/double → double — hence the sum is "
+    "rounded AFTER the double division in both).",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM")
+    )
+    stats = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(stats, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@q(
+    "q20_excess_suppliers",
+    """
+    WITH shipped AS (
+        SELECT l.l_suppkey, sum(l.l_quantity) AS total_qty
+        FROM lineitem l
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'old%'
+          )
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_regionkey = 2
+      AND s.s_suppkey IN (
+          SELECT l_suppkey FROM shipped
+          WHERE total_qty > (SELECT 0.5 * avg(total_qty) FROM shipped)
+      )
+    """,
+    doc="TPC-H Q20 shape (potential part promotion): Asian suppliers who "
+    "moved an above-half-average volume of 'old%'-named parts in 1996 — "
+    "the nested-IN-chain benchmark (IN(part slice) inside an aggregate "
+    "inside IN(supplier)). Each IN becomes a LEFT SEMI join: parts "
+    "prefix-LIKE-pruned then semi-joined into the date-pruned fact scan, "
+    "per-supplier totals compared against their own 1-row broadcast "
+    "average (no driver collect), and the qualifying supplier ids "
+    "semi-join the supplier dim. Nothing in the chain materializes more "
+    "than the per-supplier aggregate.",
+)
+def q20_excess_suppliers(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    old_parts = t(spark, sf_dir, "part").filter(F.col("p_name").like("old%")).select(
+        "p_partkey"
+    )
+    shipped = (
+        l.join(F.broadcast(old_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+    cut = shipped.agg((F.lit(0.5) * F.avg("total_qty")).alias("qty_cut"))
+    winners = (
+        shipped.join(F.broadcast(cut))
+        .filter(F.col("total_qty") > F.col("qty_cut"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(winners, "s_suppkey", "left_semi")
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+@q(
+    "q21_waiting_suppliers",
+    """
+    WITH marked AS (
+        SELECT l_orderkey, l_suppkey,
+               (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    ), per_order AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+        FROM marked GROUP BY 1
+    ), blamed AS (
+        SELECT DISTINCT m.l_orderkey, m.l_suppkey
+        FROM marked m
+        JOIN per_order po ON m.l_orderkey = po.l_orderkey
+        WHERE m.late AND po.n_supp >= 2 AND po.n_late = 1
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM blamed b
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): the sole "
+    "late supplier in otherwise-on-time multi-supplier finished orders, "
+    "ranked by offence count. The reference formulation is EXISTS(other "
+    "supplier) AND NOT EXISTS(other LATE supplier) — self-joins on the "
+    "fact table THREE times; here both existence tests collapse into "
+    "ONE per-order aggregate (distinct suppliers, distinct late "
+    "suppliers) joined back to the late rows, so lineitem is scanned "
+    "once and shuffled once on orderkey ('late' is shipped >90 days "
+    "after ordering; no receipt/commit dates in the testdata). Top-20 "
+    "plans as TakeOrderedAndProject with a name tiebreak.",
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    marked = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("late"),
+        )
+    )
+    per_order = marked.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    blamed = (
+        marked.filter(F.col("late"))
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+            "l_orderkey",
+            "left_semi",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier")
+    return (
+        blamed.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

@@ -263,3 +263,50 @@ def test_no_tokenization_inside_filter_predicates(q):
                 assert "regexp_replace" not in line, (
                     f"{name}: tokenizer inlined into a Filter predicate"
                 )
+
+
+TPCH_ROUND2 = [
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+]
+
+
+@pytest.mark.parametrize("name", TPCH_ROUND2)
+def test_tpch_depth_queries_stay_distributed(q, name):
+    """The 12 remaining TPC-H shapes: no plan may degenerate into a
+    cartesian product (each decorrelated subquery must become a real
+    join) or fall out of the JVM into a Python UDF."""
+    plan = q(name)
+    assert "CartesianProduct" not in plan, f"{name} degenerated to cartesian"
+    assert "BatchEvalPython" not in plan, f"{name} fell out of codegen"
+
+
+def test_tpch_date_ranges_push_to_scan(q):
+    # Q12/Q14/Q15/Q20: the shipdate window must reach the parquet scan,
+    # not evaluate post-join
+    for name in ("q12_priority_shipping", "q14_promo_revenue",
+                 "q15_top_supplier", "q20_excess_suppliers"):
+        plan = q(name)
+        assert "GreaterThanOrEqual(l_shipdate" in plan, name
+
+
+def test_q13_zero_bucket_survives(spark, sf_dir):
+    # the priority exclusion must live in the join condition; a WHERE
+    # would silently drop never-ordered customers from the histogram
+    from pokemon_showdown_airflow_etl_spark.plans import ALL_QUERIES
+
+    rows = {
+        r["c_count"]: r["custdist"]
+        for r in ALL_QUERIES["q13_customer_distribution"].spark(spark, sf_dir).collect()
+    }
+    assert 0 in rows, "left join lost the zero-order customers"
