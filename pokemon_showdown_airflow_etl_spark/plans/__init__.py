@@ -20,68 +20,69 @@ from __future__ import annotations
 from .base import Query
 from . import relational, joins, llm, battlelog, extras, tpch
 
-# Front of the driver's 50-query window. First the 33 entries with no
-# CORRECTNESS_r01 row, then queries modified in round 2 (w2 keyset
-# rewrite; s2/s3 seeded hyperplanes), then the queries new in round 2.
-# Round-1-green entries rotate out (their r1 rows stand; the local
-# oracle-parity gate still sweeps every entry each run).
+# Front of the driver's 50-query window, round 3: first the 14 catalog
+# entries that have NEVER had a driver row (committed after the r2
+# window was consumed), then the queries changed this round (a1 rewritten
+# to an error-bound oracle; q11/q20 de-vacuized — both already in the
+# never-checked set), then 35 round-1-checked entries whose rows are now
+# the stalest (w2/s2/s3 re-greened in r2, so they rotate behind).
+# Round-2-green entries rotate out; the local oracle-parity gate still
+# sweeps every entry each run, and tests/test_driver_window.py asserts
+# no catalog entry can miss both a past row and this window.
 _PRIORITY: list[str] = [
-    # -- no driver row in round 1 --
-    "b1_log_command_histogram",
-    "b2_battle_event_times",
-    "b3_player_win_rates",
-    "b4_move_usage",
-    "b5_first_log_timestamp",
-    "b6_event_gaps",
-    "b7_move_ranks",
-    "t2_lang_id",
-    "t3_token_counts",
-    "t4_fingerprint",
-    "t5_corpus_stats",
-    "t6_token_explode",
-    "t7_quality_score",
-    "t8_tfidf_top_terms",
-    "m1_payload_metadata",
-    "m2_image_decode_features",
-    "m3_frame_sample_plan",
-    "m4_image_resize",  # new in round 2 — needs its first driver row
-    "d6_drop_exact_dups",
-    "d7_lsh_verified_dups",
-    "s4_ivf_ann_topk",
-    "s5_gemm_ann_topk",
-    "g8_retry_counters",
-    "g12_event_pivot",
-    "g13_event_unpivot",
-    "g14_value_histogram",
-    "j9_above_customer_avg",
-    "w3_sorted_dates",
-    "w5_session_windows",
-    "c9_filename_to_id",
-    "c11_mtime_fallback",
-    "x1_salted_agg",
-    "a1_approx_sketches",
-    # -- changed in round 2: re-verify under the hard signal --
-    "w2_keyset_pagination",
-    "s2_ann_srp_topk",
-    "s3_embedding_near_dups",
-    # -- new in round 2: first driver row (riskiest oracles first; the
-    # 51st entry overflows this round's window and rotates in next) --
-    "d8_dup_clusters",
-    "t9_decontaminate",
-    "t10_repetition_ratio",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q18_top_customers",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q19_disjunctive_revenue",
-    "q22_global_sales_opportunity",
-    "t11_pack_sequences",
-    "g15_retention_cohorts",
-    "g16_funnel",
-    "s6_embedding_outliers",
+    # -- never driver-checked (r3 must green all of these) --
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",  # changed in r3: data-driven nation + avg threshold
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_excess_suppliers",  # changed in r3: data-driven region
+    "q21_waiting_suppliers",
     "t12_hash_split",
     "t13_domain_mix",
+    # -- changed in round 3: first hash-checkable driver row --
+    "a1_approx_sketches",
+    # -- stalest standing rows (r1-only): rotate back under the signal --
+    "f1_watermark_filter",
+    "f2_undownloaded_filter",
+    "f3_conjunctive_flags",
+    "f4_failed_retry_predicate",
+    "f6_point_lookup",
+    "f7_partition_filter",
+    "g1_high_watermark",
+    "g2_low_watermark",
+    "g3_lifecycle_stats",
+    "g4_duplicate_detection",
+    "g5_ids_by_date",
+    "g6_dedup_keep_one",
+    "g7_daily_counters",
+    "g9_table_count",
+    "g10_throughput_metrics",
+    "g11_lifecycle_cube",
+    "w1_latest_per_key",
+    "w4_head_n",
+    "u1_union_all",
+    "u2_distinct_union",
+    "u3_intersect",
+    "u4_except",
+    "c1_epoch_to_date",
+    "c4_batch_id",
+    "c5_regex_extract",
+    "c6_players_concat",
+    "c7_batch_from_details",
+    "c8_prefix_predicate",
+    "c10_json_extract",
+    "c13_bool_coercion",
+    "j1_existence_flag",
+    "j2_ingest_anti_join",
+    "j3_compaction_anti_join",
+    "j4_reconcile_semi_join",
+    "j5_broadcast_lookup",
 ]
 
 

@@ -128,19 +128,67 @@ def c11_mtime_fallback(spark, sf_dir):
 
 @q(
     "a1_approx_sketches",
-    None,  # engine-specific estimates; error bounded in tests/test_extras.py
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_within_5pct,
+           TRUE AS median_rank_ok,
+           TRUE AS p99_rank_ok
+    FROM events GROUP BY 1
+    """,
     doc="§2.11 sketch path: approx_count_distinct (HLL++) and "
     "percentile_approx per event_type — the constant-memory substitutes "
-    "for exact distinct/median at 100 TB. Rows-only by design: sketch "
-    "estimates differ across engines, so the check is an error bound "
-    "against exact values, not hash equality.",
+    "for exact distinct/median at 100 TB. Raw sketch values differ "
+    "across engines, so the DRIVER-CHECKABLE result is the error-bound "
+    "CHECK, not the sketch: Spark computes approx and exact in one "
+    "plan and emits per-group booleans (HLL within its 5% rsd; each "
+    "approx percentile's true rank within its guarantee), which the "
+    "oracle reproduces as exact counts + literal TRUEs. A drifting "
+    "sketch flips a boolean and the hash mismatches — the bound is a "
+    "real assertion. Rank checks re-scan events against the 1-row-per-"
+    "group broadcast stats; both aggregations are map-side partial.",
 )
 def a1_approx_sketches(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    stats = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
         F.percentile_approx("value", 0.5).alias("approx_median_value"),
         F.percentile_approx("value", 0.99).alias("approx_p99_value"),
+    )
+    shares = (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("exact_users").alias("exact_users"),
+            F.first("approx_users").alias("approx_users"),
+            (
+                F.sum(
+                    F.when(F.col("value") <= F.col("approx_median_value"), 1).otherwise(0)
+                )
+                / F.count("*")
+            ).alias("median_share"),
+            (
+                F.sum(
+                    F.when(F.col("value") <= F.col("approx_p99_value"), 1).otherwise(0)
+                )
+                / F.count("*")
+            ).alias("p99_share"),
+        )
+    )
+    return shares.select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(3), 0.05 * F.col("exact_users"))
+        ).alias("hll_within_5pct"),
+        ((F.col("median_share") >= 0.45) & (F.col("median_share") <= 0.55)).alias(
+            "median_rank_ok"
+        ),
+        ((F.col("p99_share") >= 0.97) & (F.col("p99_share") <= 1.0)).alias(
+            "p99_rank_ok"
+        ),
     )
 
 

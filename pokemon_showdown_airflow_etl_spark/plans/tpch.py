@@ -256,41 +256,60 @@ def q9_product_profit(spark, sf_dir):
 @q(
     "q11_important_parts",
     f"""
-    WITH vals AS (
+    WITH target AS (
+        SELECT s_nationkey FROM supplier
+        GROUP BY 1 ORDER BY count(*) DESC, s_nationkey LIMIT 1
+    ), vals AS (
         SELECT l.l_partkey, sum({_REV}) AS value
         FROM lineitem l
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        JOIN nation n   ON s.s_nationkey = n.n_nationkey
-        WHERE n.n_name = 'NATION_5'
+        WHERE s.s_nationkey = (SELECT s_nationkey FROM target)
         GROUP BY 1
     )
     SELECT l_partkey, CAST(ROUND(value, 2) AS DOUBLE) AS value
     FROM vals
-    WHERE value > (SELECT sum(value) * 0.001 FROM vals)
+    WHERE CAST(value AS DOUBLE) > CAST((SELECT sum(value) FROM vals) AS DOUBLE)
+                                  / (SELECT count(*) FROM vals)
     """,
     doc="TPC-H Q11 shape (important stock identification): parts whose "
-    "NATION_5-supplied revenue exceeds 0.1% of that nation's total — "
-    "a HAVING against a scalar subquery over the SAME aggregate. The "
-    "per-part aggregate is computed once; the global total is a 1-row "
-    "re-aggregation of it joined back as a broadcast cross join (no "
-    "driver-side collect, no second scan of lineitem). The "
-    "nation-filtered supplier set broadcasts into the fact scan. "
-    "Threshold compares exact decimals, so > is engine-identical.",
+    "target-nation-supplied revenue exceeds that nation's per-part "
+    "average — a HAVING against a scalar subquery over the SAME "
+    "aggregate. The nation is picked by the data itself (most "
+    "suppliers, tie-break lowest key) so the query is non-vacuous at "
+    "every scale factor — a fixed name/0.1%-of-total threshold "
+    "selected zero rows at sf0.001 (nation absent) AND at sf0.1 (too "
+    "many parts for any to clear 0.1%). The per-part aggregate is "
+    "computed once; the average is a 1-row re-aggregation joined back "
+    "as a broadcast cross join (no driver-side collect, no second "
+    "lineitem scan); the 1-supplier-nation set broadcasts into the "
+    "fact scan. Both engines cast the SAME exact decimal sum to "
+    "double before dividing by the same count, so the threshold "
+    "comparison is bit-identical.",
 )
 def q11_important_parts(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
-    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    target = (
+        s.groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supp"))
+        .orderBy(F.desc("n_supp"), "s_nationkey")
+        .limit(1)
+        .select(F.col("s_nationkey").alias("target_nation"))
+    )
+    supp = s.join(
+        F.broadcast(target), F.col("s_nationkey") == F.col("target_nation"), "left_semi"
+    ).select("s_suppkey")
     vals = (
-        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        l.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.sum(_rev_col()).alias("value"))
     )
-    total = vals.agg((F.sum("value") * F.lit(0.001)).alias("threshold"))
+    thr = vals.agg(
+        (F.sum("value").cast("double") / F.count("*")).alias("threshold")
+    )
     return (
-        vals.join(F.broadcast(total))
-        .filter(F.col("value") > F.col("threshold"))
+        vals.join(F.broadcast(thr))
+        .filter(F.col("value").cast("double") > F.col("threshold"))
         .select("l_partkey", F.round("value", 2).cast("double").alias("value"))
     )
 
@@ -564,20 +583,29 @@ def q17_small_quantity_revenue(spark, sf_dir):
               SELECT p_partkey FROM part WHERE p_name LIKE 'old%'
           )
         GROUP BY 1
+    ), winners AS (
+        SELECT l_suppkey FROM shipped
+        WHERE total_qty > (SELECT 0.5 * avg(total_qty) FROM shipped)
+    ), target AS (
+        SELECT n.n_regionkey
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_suppkey IN (SELECT l_suppkey FROM winners)
+        GROUP BY 1 ORDER BY count(*) DESC, n_regionkey LIMIT 1
     )
     SELECT s.s_suppkey, s.s_name, n.n_name AS nation
     FROM supplier s
     JOIN nation n ON s.s_nationkey = n.n_nationkey
-    WHERE n.n_regionkey = 2
-      AND s.s_suppkey IN (
-          SELECT l_suppkey FROM shipped
-          WHERE total_qty > (SELECT 0.5 * avg(total_qty) FROM shipped)
-      )
+    WHERE n.n_regionkey = (SELECT n_regionkey FROM target)
+      AND s.s_suppkey IN (SELECT l_suppkey FROM winners)
     """,
-    doc="TPC-H Q20 shape (potential part promotion): Asian suppliers who "
-    "moved an above-half-average volume of 'old%'-named parts in 1996 — "
-    "the nested-IN-chain benchmark (IN(part slice) inside an aggregate "
-    "inside IN(supplier)). Each IN becomes a LEFT SEMI join: parts "
+    doc="TPC-H Q20 shape (potential part promotion): suppliers in the "
+    "winners' modal region who moved an above-half-average volume of "
+    "'old%'-named parts in 1996 — the nested-IN-chain benchmark "
+    "(IN(part slice) inside an aggregate inside IN(supplier)). The "
+    "region is picked by the data (most winner suppliers, tie-break "
+    "lowest key) because a fixed regionkey had ZERO qualifying "
+    "suppliers at sf0.001 — the restriction shape survives, vacuity "
+    "doesn't. Each IN becomes a LEFT SEMI join: parts "
     "prefix-LIKE-pruned then semi-joined into the date-pruned fact scan, "
     "per-supplier totals compared against their own 1-row broadcast "
     "average (no driver collect), and the qualifying supplier ids "
@@ -604,9 +632,22 @@ def q20_excess_suppliers(spark, sf_dir):
         .select(F.col("l_suppkey").alias("s_suppkey"))
     )
     s = t(spark, sf_dir, "supplier")
-    n = t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    n = t(spark, sf_dir, "nation")
+    sn = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    target = (
+        sn.join(winners, "s_suppkey", "left_semi")
+        .groupBy("n_regionkey")
+        .agg(F.count("*").alias("n_win"))
+        .orderBy(F.desc("n_win"), "n_regionkey")
+        .limit(1)
+        .select(F.col("n_regionkey").alias("target_region"))
+    )
     return (
-        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        sn.join(
+            F.broadcast(target),
+            F.col("n_regionkey") == F.col("target_region"),
+            "left_semi",
+        )
         .join(winners, "s_suppkey", "left_semi")
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
     )

@@ -18,26 +18,28 @@ from pokemon_showdown_airflow_etl_spark.sources.fake import make_replays
 
 
 def test_approx_sketches_error_bounds(spark, sf_dir):
+    """a1 emits the bound CHECK, not the sketch (the raw estimates are
+    engine-specific): every per-group boolean must hold, and the exact
+    count must agree with an independent exact aggregation."""
     from pokemon_showdown_airflow_etl_spark.io import table
 
-    approx = {r["event_type"]: r for r in ALL_QUERIES["a1_approx_sketches"].spark(spark, sf_dir).collect()}
-    exact = {
+    rows = {
         r["event_type"]: r
+        for r in ALL_QUERIES["a1_approx_sketches"].spark(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["users"]
         for r in table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("users"),
-            F.expr("percentile(value, 0.5)").alias("median_value"),
-        )
+        .agg(F.countDistinct("user_id").alias("users"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for et, a in approx.items():
-        e = exact[et]
-        # HLL++ default rsd is 5%
-        assert abs(a["approx_users"] - e["users"]) <= max(3, 0.1 * e["users"])
-        # percentile_approx returns a true element near the median
-        assert a["approx_median_value"] <= a["approx_p99_value"]
+    assert set(rows) == set(exact)
+    for et, r in rows.items():
+        assert r["exact_users"] == exact[et]
+        assert r["hll_within_5pct"] is True
+        assert r["median_rank_ok"] is True
+        assert r["p99_rank_ok"] is True
 
 
 def test_compacted_json_roundtrip(spark, tmp_path):
