@@ -4,6 +4,15 @@ JSON line with per-query wall seconds.
 
 Each query is fully materialized through the noop sink (count() would let
 Spark prune away the computed columns and under-report).
+
+Cross-round comparability note: BENCH_r01's b2/b3 numbers predate the
+corpus-scaling commit (3b279e2) and measured a FIXED 2,000-replay
+battle-log corpus; from round 2 on, the b-corpus is 2 rows per `events`
+row — 200,000 replays at sf0.1, 100x the r1 input — so r1 b-query
+times are not comparable to later rounds. The output's
+``b_corpus_replays`` key records the corpus size so future rounds can
+normalize. Isolated steady-state reference on this container (quiet
+machine, sf0.1, n=6): b2 2.6-2.9 s, b3 1.7-1.9 s.
 """
 
 from __future__ import annotations
@@ -78,10 +87,12 @@ def main() -> None:
     for name in HEADLINE:
         _run(name)
 
-    # Best-of-2 timed passes: single-shot numbers carry ~5% scheduler/GC
-    # noise at this scale, which is the same order as real plan changes.
+    # Best-of-3 timed passes: single-shot numbers carry scheduler/GC
+    # noise at this scale (measured swings of 2-3x on window-heavy
+    # queries when a previous query's garbage is still being collected),
+    # which is the same order as real plan changes.
     times: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             _run(name)
@@ -101,10 +112,21 @@ def main() -> None:
         make_replays,
     )
 
+    # Phase-boundary hygiene: the query set leaves broadcast blocks and
+    # young-gen garbage in the shared JVM, which taxed the first
+    # pipeline run ~20% (157 vs ~200 replays/s measured). Clearing
+    # cached blocks and nudging a collection isolates the phases.
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(1)
+
     n_replays = 2000
     corpus = {"gen9ou": make_replays("gen9ou", n_replays)}
-    pipe = {}
-    for attempt in range(2):  # first run warms the job graph; second is timed
+    # Three attempts, best wall time: the job graph reaches steady state
+    # on the THIRD run (measured 84 -> 155 -> ~200 replays/s on a quiet
+    # machine) — timing the second under-reported by ~20%.
+    best = None
+    for attempt in range(3):
         with tempfile.TemporaryDirectory() as d:
             client = ReplayApiClient(
                 transport=FakeShowdownTransport(corpus), sleeper=lambda s: None
@@ -114,11 +136,12 @@ def main() -> None:
                 spark, ReplayLake(d + "/lake"), client, "gen9ou", max_pages=100
             )
             dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
     assert stats["compact"]["compacted"] == n_replays
     pipe = {
         "replays": n_replays,
-        "sec": round(dt, 3),
-        "replays_per_sec": round(n_replays / dt, 1),
+        "sec": round(best, 3),
+        "replays_per_sec": round(n_replays / best, 1),
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -130,6 +153,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "pipeline": pipe,
+                # the synthetic battle-log corpus the b-queries scan is
+                # 2 replays per events row (see plans/battlelog.py) —
+                # recorded so b-query times can be normalized per replay
+                # across rounds/scale factors
+                "b_corpus_replays": 2 * table(spark, SF_DIR, "events").count(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
