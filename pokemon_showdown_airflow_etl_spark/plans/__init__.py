@@ -45,8 +45,9 @@ _PRIORITY: list[str] = [
     "q21_waiting_suppliers",
     "t12_hash_split",
     "t13_domain_mix",
-    # -- changed in round 3: first hash-checkable driver row --
+    # -- changed/new in round 3: first hash-checkable driver row --
     "a1_approx_sketches",
+    "s7_ivf_kmeans_quality",  # new in r3: trained-quantizer IVF contract
     # -- stalest standing rows (r1-only): rotate back under the signal --
     "f1_watermark_filter",
     "f2_undownloaded_filter",
@@ -82,7 +83,6 @@ _PRIORITY: list[str] = [
     "j2_ingest_anti_join",
     "j3_compaction_anti_join",
     "j4_reconcile_semi_join",
-    "j5_broadcast_lookup",
 ]
 
 

@@ -300,6 +300,29 @@ def test_tpch_date_ranges_push_to_scan(q):
         assert "GreaterThanOrEqual(l_shipdate" in plan, name
 
 
+def test_tpch_dimension_joins_broadcast(q):
+    # Q2/Q8/Q9/Q11: the filtered dimension sides (part slice, nation,
+    # region, the 1-nation supplier set) must broadcast into the fact
+    # join, never shuffle lineitem on a dim key
+    for name in ("q2_min_cost_supplier", "q8_market_share",
+                 "q9_product_profit", "q11_important_parts"):
+        assert "BroadcastHashJoin" in q(name), f"{name} lost its broadcast dims"
+
+
+def test_scalar_thresholds_ride_broadcasts(q):
+    # Q11's per-part average and Q15's max revenue are 1-row
+    # re-aggregations joined back as broadcasts — a driver-side collect
+    # would show up as the threshold folded into a literal filter
+    for name in ("q11_important_parts", "q15_top_supplier"):
+        plan = q(name)
+        assert "BroadcastExchange" in plan, f"{name} scalar not broadcast"
+
+
+def test_q21_top20_is_take_ordered(q):
+    plan = q("q21_waiting_suppliers")
+    assert "TakeOrderedAndProject" in plan, "q21 top-20 fell back to a global sort"
+
+
 def test_q13_zero_bucket_survives(spark, sf_dir):
     # the priority exclusion must live in the join condition; a WHERE
     # would silently drop never-ordered customers from the histogram
