@@ -48,6 +48,8 @@ _PRIORITY: list[str] = [
     # -- changed/new in round 3: first hash-checkable driver row --
     "a1_approx_sketches",
     "s7_ivf_kmeans_quality",  # new in r3: trained-quantizer IVF contract
+    "j10_asof_last_click",  # new in r3: as-of join vs native ASOF oracle
+    "j11_range_follow_events",  # new in r3: bucketed band range join
     # -- stalest standing rows (r1-only): rotate back under the signal --
     "f1_watermark_filter",
     "f2_undownloaded_filter",
@@ -81,8 +83,6 @@ _PRIORITY: list[str] = [
     "c13_bool_coercion",
     "j1_existence_flag",
     "j2_ingest_anti_join",
-    "j3_compaction_anti_join",
-    "j4_reconcile_semi_join",
 ]
 
 

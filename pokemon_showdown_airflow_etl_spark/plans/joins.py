@@ -660,3 +660,121 @@ def q22_global_sales_opportunity(spark, sf_dir):
             .alias("totacctbal"),
         )
     )
+
+
+@q(
+    "j10_asof_last_click",
+    """
+    WITH clicks AS (
+        SELECT user_id, ts, max(value) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ), purch AS (
+        SELECT event_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           ROUND(c.click_value, 4) AS last_click_value
+    FROM purch p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="As-of join (a primitive Spark lacks; DuckDB's native ASOF JOIN "
+    "is the oracle): every purchase event picks up the value of the "
+    "same user's most recent at-or-before click, NULL when none "
+    "exists. Implemented as the distributed merge-asof "
+    "(operators/temporal.py:asof_join): union both sides, ONE window "
+    "per user carries the click value forward, keep the purchase rows "
+    "— each input shuffles once on user_id, no inequality nested "
+    "loop, no correlated per-row subquery. The click side is "
+    "pre-aggregated to one row per (user, ts) with max(value) — an "
+    "order-independent tie-break both engines share.",
+)
+def j10_asof_last_click(spark, sf_dir):
+    from ..operators.temporal import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purch, clicks, on="user_id", carry={"click_value": "last_click_value"}
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.round("last_click_value", 4).alias("last_click_value")
+    )
+
+
+@q(
+    "j11_range_follow_events",
+    """
+    WITH signups AS (
+        SELECT event_id, user_id, ts
+        FROM events WHERE event_type = 'signup'
+    ), matched AS (
+        SELECT s.event_id, s.user_id,
+               e.event_id AS r_id,
+               CAST(round(e.value * 10000) AS BIGINT) AS v_ten_thousandths
+        FROM signups s
+        JOIN events e
+          ON e.user_id = s.user_id
+         AND e.ts >= s.ts
+         AND e.ts < s.ts + INTERVAL 1 DAY
+         AND e.event_id != s.event_id
+    )
+    SELECT s.event_id, s.user_id,
+           CAST(count(m.r_id) AS BIGINT) AS n_follow,
+           coalesce(CAST(sum(m.v_ten_thousandths) AS BIGINT), 0)
+               AS follow_value_1e4
+    FROM signups s LEFT JOIN matched m ON s.event_id = m.event_id
+    GROUP BY 1, 2
+    """,
+    doc="Band range join (the other missing temporal primitive; the "
+    "oracle is DuckDB's inequality join): for every signup, how many "
+    "same-user events land in the following 24h and their total value. "
+    "Implemented bucketed (operators/temporal.py:range_join_bucketed): "
+    "time quantizes to band-width buckets, the probe side explodes "
+    "into its two candidate buckets, the join is an EQUI-join on "
+    "(user_id, bucket) with the exact band predicate as a residual "
+    "filter — never a nested-loop/cartesian plan, and per-partition "
+    "work is bounded by the band's event density. Values quantize to "
+    "1e-4 integer units BEFORE summing (like j9) so the aggregate is "
+    "reduction-order-exact in both engines; zero-match signups "
+    "survive via the left join back to the anchor set.",
+)
+def j11_range_follow_events(spark, sf_dir):
+    from ..operators.temporal import range_join_bucketed
+
+    ev = t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.select("event_id", "user_id", "ts", "value")
+    pairs = range_join_bucketed(
+        signups,
+        right,
+        on="user_id",
+        band_seconds=86400,
+        carry={"event_id": "r_id", "value": "r_value"},
+    ).filter(F.col("r_id") != F.col("event_id"))
+    agg = pairs.groupBy("event_id").agg(
+        F.count("r_id").cast("long").alias("n_follow"),
+        F.sum(F.round(F.col("r_value") * 10000).cast("long"))
+        .cast("long")
+        .alias("follow_value_1e4"),
+    )
+    return (
+        signups.join(agg, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_follow", F.lit(0)).cast("long").alias("n_follow"),
+            F.coalesce("follow_value_1e4", F.lit(0))
+            .cast("long")
+            .alias("follow_value_1e4"),
+        )
+    )

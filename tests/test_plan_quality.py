@@ -323,6 +323,22 @@ def test_q21_top20_is_take_ordered(q):
     assert "TakeOrderedAndProject" in plan, "q21 top-20 fell back to a global sort"
 
 
+def test_asof_join_has_no_range_nested_loop(q):
+    # j10's merge-asof must be union + window, never an inequality join:
+    # no join operator at all should appear between the event sides
+    plan = q("j10_asof_last_click")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert "Union" in plan
+
+
+def test_range_join_stays_equi(q):
+    plan = q("j11_range_follow_events")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_q13_zero_bucket_survives(spark, sf_dir):
     # the priority exclusion must live in the join condition; a WHERE
     # would silently drop never-ordered customers from the histogram
