@@ -57,6 +57,21 @@ HEADLINE = [
     "t9_decontaminate",
     "t11_pack_sequences",
     "s6_embedding_outliers",
+    # round 3 additions: the TPC-H depth set and the temporal joins
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "j10_asof_last_click",
+    "j11_range_follow_events",
 ]
 
 

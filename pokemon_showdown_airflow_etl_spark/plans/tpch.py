@@ -83,17 +83,31 @@ def _rev_col() -> F.Column:
     "correlated subquery decorrelates into one groupBy(part) min + an "
     "equality self-join (doubles divide identically in both engines, so "
     "min-equality is exact); part/supplier/nation/region are all "
-    "broadcast-size dims, and the double-aggregated offers relation is "
-    "computed ONCE and reused for both the min and the winner rows.",
+    "broadcast-size dims, the size-15 part slice broadcast-semi-prunes "
+    "lineitem BEFORE the offers aggregate (the dominant shuffle carries "
+    "only qualifying parts' groups), and the double-aggregated offers "
+    "relation is computed ONCE and reused for both the min and the "
+    "winner rows.",
 )
 def q2_min_cost_supplier(spark, sf_dir):
-    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    # the per-(part, supplier) min is independent per part, so the
+    # size-15 slice prunes lineitem BEFORE the offers aggregate — the
+    # dominant shuffle carries only qualifying parts' groups (~1/50th)
+    # instead of every part's, which is the difference between a
+    # broadcast-pruned scan and a full-fact aggregation at 100 TB. The
+    # result is identical: offers for non-qualifying parts were only
+    # ever dropped by the later part join.
+    l = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
     offers = (
         l.groupBy(F.col("l_partkey"), F.col("l_suppkey"))
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
     )
     best = offers.groupBy("l_partkey").agg(F.min("unit_price").alias("min_price"))
-    p = t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
