@@ -698,41 +698,37 @@ def q20_excess_suppliers(spark, sf_dir):
     "late supplier in otherwise-on-time multi-supplier finished orders, "
     "ranked by offence count. The reference formulation is EXISTS(other "
     "supplier) AND NOT EXISTS(other LATE supplier) — self-joins on the "
-    "fact table THREE times; here both existence tests collapse into "
-    "ONE per-order aggregate (distinct suppliers, distinct late "
-    "suppliers) joined back to the late rows, so lineitem is scanned "
-    "once and shuffled once on orderkey ('late' is shipped >90 days "
-    "after ordering; no receipt/commit dates in the testdata). Top-20 "
-    "plans as TakeOrderedAndProject with a name tiebreak.",
+    "fact table THREE times; here everything collapses into ONE "
+    "per-order aggregate: distinct suppliers, distinct late suppliers, "
+    "AND the blamed supplier itself — when n_late == 1 the late-"
+    "supplier set is a singleton, so max(when(late, suppkey)) recovers "
+    "it order-independently and no join back to the late rows is "
+    "needed at all. lineitem is scanned ONCE and shuffled ONCE on "
+    "orderkey (the earlier join-back formulation scanned it twice); "
+    "'late' is shipped >90 days after ordering (no receipt/commit "
+    "dates in the testdata). Top-20 plans as TakeOrderedAndProject "
+    "with a name tiebreak.",
 )
 def q21_waiting_suppliers(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    marked = (
+    late_supp = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        F.col("l_suppkey"),
+    )
+    per_order = (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            "l_orderkey",
-            "l_suppkey",
-            (
-                F.col("l_shipdate")
-                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-            ).alias("late"),
+        .select("l_orderkey", "l_suppkey", late_supp.alias("late_suppkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct("late_suppkey").alias("n_late"),
+            F.max("late_suppkey").alias("blamed_suppkey"),
         )
     )
-    per_order = marked.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
-    )
-    blamed = (
-        marked.filter(F.col("late"))
-        .join(
-            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
-            "l_orderkey",
-            "left_semi",
-        )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
+    blamed = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+    ).select("l_orderkey", F.col("blamed_suppkey").alias("l_suppkey"))
     s = t(spark, sf_dir, "supplier")
     return (
         blamed.join(s, F.col("l_suppkey") == F.col("s_suppkey"))

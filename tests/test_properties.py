@@ -197,3 +197,63 @@ def test_logparse_fast_paths_match_naive(spark_prop, logs):
     a = {tuple(map(str, r)) for r in battle_events(docs).collect()}
     b = {tuple(map(str, r)) for r in naive_ev.select(*battle_events(docs).columns).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# as-of join: union+window merge-asof == pandas.merge_asof
+# ---------------------------------------------------------------------------
+
+asof_key_st = st.integers(min_value=0, max_value=3)
+asof_time_st = st.integers(min_value=0, max_value=20)
+asof_left_st = st.lists(
+    st.tuples(asof_key_st, asof_time_st), min_size=1, max_size=12
+)
+asof_right_st = st.lists(
+    st.tuples(asof_key_st, asof_time_st, st.integers(min_value=-50, max_value=50)),
+    max_size=12,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=asof_left_st, right=asof_right_st, strict=st.booleans())
+def test_asof_join_matches_pandas_merge_asof(spark_prop, left, right, strict):
+    """operators.temporal.asof_join vs the reference semantics of
+    pandas.merge_asof (direction=backward; allow_exact_matches is the
+    inverse of strict). The right side is deduped to one row per
+    (key, time) — the operator's documented precondition for
+    deterministic tie handling."""
+    import pandas as pd
+
+    from pokemon_showdown_airflow_etl_spark.operators.temporal import asof_join
+
+    right_u = {(k, t): v for k, t, v in right}
+    ldf = spark_prop.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, ts long, row_id long"
+    )
+    rdf = spark_prop.createDataFrame(
+        [(k, t, v) for (k, t), v in right_u.items()] or [(None, None, None)],
+        "k long, ts long, v long",
+    ).filter("k IS NOT NULL")
+    got = {
+        r["row_id"]: r["vv"]
+        for r in asof_join(ldf, rdf, on="k", carry={"v": "vv"}, strict=strict).collect()
+    }
+
+    lpd = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], columns=["k", "ts", "row_id"]
+    ).sort_values("ts", kind="stable")
+    if not right_u:
+        want = {int(i): None for i in lpd["row_id"]}
+    else:
+        rpd = pd.DataFrame(
+            [(k, t, v) for (k, t), v in right_u.items()], columns=["k", "ts", "v"]
+        ).sort_values("ts", kind="stable")
+        m = pd.merge_asof(
+            lpd, rpd, on="ts", by="k",
+            direction="backward", allow_exact_matches=not strict,
+        )
+        want = {
+            int(r.row_id): (None if pd.isna(r.v) else int(r.v))
+            for r in m.itertuples()
+        }
+    assert got == want
