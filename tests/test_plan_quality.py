@@ -291,22 +291,34 @@ def test_tpch_depth_queries_stay_distributed(q, name):
     assert "BatchEvalPython" not in plan, f"{name} fell out of codegen"
 
 
-def test_tpch_date_ranges_push_to_scan(q):
+def test_tpch_date_ranges_push_to_scan(q, spark, sf_dir):
     # Q12/Q14/Q15/Q20: the shipdate window must reach the parquet scan,
-    # not evaluate post-join
-    for name in ("q12_priority_shipping", "q14_promo_revenue",
-                 "q15_top_supplier", "q20_excess_suppliers"):
-        plan = q(name)
-        assert "GreaterThanOrEqual(l_shipdate" in plan, name
+    # not evaluate post-join. Q15/Q20 checkpoint their shared aggregate
+    # (opaque to explain), so their pre-checkpoint frames are inspected.
+    from pokemon_showdown_airflow_etl_spark.plans import tpch as T
+
+    for name in ("q12_priority_shipping", "q14_promo_revenue"):
+        assert "GreaterThanOrEqual(l_shipdate" in q(name), name
+    assert "GreaterThanOrEqual(l_shipdate" in plan_text(T._q15_revenue(spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate" in plan_text(T._q20_shipped(spark, sf_dir))
 
 
-def test_tpch_dimension_joins_broadcast(q):
-    # Q2/Q8/Q9/Q11: the filtered dimension sides (part slice, nation,
-    # region, the 1-nation supplier set) must broadcast into the fact
-    # join, never shuffle lineitem on a dim key
-    for name in ("q2_min_cost_supplier", "q8_market_share",
-                 "q9_product_profit", "q11_important_parts"):
+def test_tpch_dimension_joins_broadcast(q, spark, sf_dir):
+    # Q8/Q9: the filtered dimension sides (nation, region, part slice)
+    # must broadcast into the fact join, never shuffle lineitem on a dim
+    # key. Q2/Q11 pin their shared aggregate behind a localCheckpoint
+    # (explain can't see through it), so their pre-checkpoint frames are
+    # inspected directly.
+    from pokemon_showdown_airflow_etl_spark.plans import tpch as T
+    from pyspark.sql import functions as SF
+
+    for name in ("q8_market_share", "q9_product_profit"):
         assert "BroadcastHashJoin" in q(name), f"{name} lost its broadcast dims"
+    p15 = __import__(
+        "pokemon_showdown_airflow_etl_spark.plans.base", fromlist=["t"]
+    ).t(spark, sf_dir, "part").filter(SF.col("p_size") == 15)
+    assert "BroadcastHashJoin" in plan_text(T._q2_offers(spark, sf_dir, p15))
+    assert "BroadcastHashJoin" in plan_text(T._q11_vals(spark, sf_dir))
 
 
 def test_scalar_thresholds_ride_broadcasts(q):
