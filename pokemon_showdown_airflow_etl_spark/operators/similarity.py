@@ -331,7 +331,16 @@ def centroid_outliers(
             lambda acc, x: acc + x,
         )
     )
-    d = v.join(F.broadcast(cent)).select(F.col(id_col), dist.alias("_d"))
+    # d (id + scalar distance) feeds BOTH the quantile aggregate and the
+    # final flag join; unpinned, each branch re-scans the embedding
+    # parquet and re-runs the distance pass (3 corpus scans total). The
+    # lazy localCheckpoint pins the narrow distance frame — vectors are
+    # read once, and what materializes is 2 columns, not the corpus.
+    d = (
+        v.join(F.broadcast(cent))
+        .select(F.col(id_col), dist.alias("_d"))
+        .localCheckpoint(eager=False)
+    )
     thr = d.agg(F.expr(f"percentile(_d, {trim_quantile!r})").alias("_t"))
     return d.join(F.broadcast(thr)).select(
         F.col(id_col),
