@@ -349,6 +349,63 @@ def centroid_outliers(
     )
 
 
+def int8_quantize(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the compression step an
+    ANN index applies before storing 100 TB of vectors (4x smaller than
+    float32, 8x smaller than the double math path; dot products on int8
+    codes are the SIMD fast path every vector engine uses).
+
+    scale = 127 / max|x| per vector; codes = round(x * scale). The
+    whole pass is JVM-side higher-order functions over the array —
+    one map pass, zero shuffles, no Python. Returns the codes plus the
+    audit columns the oracle checks: the exact integer code sum and a
+    reconstruction-RMSE bound (RMSE <= max|x|/127 — twice the
+    theoretical half-step worst case, so a broken rounding or scale
+    flips the boolean). Zero vectors quantize to all-zero codes and a
+    trivially-true bound.
+    """
+    v = as_double(F.col(vec_col))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / mx
+    codes = F.when(mx == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.round(x * scale).cast("int"))
+    )
+    out = emb.select(
+        F.col(id_col),
+        F.size(v).alias("n_dims"),
+        F.round(mx, 6).alias("max_abs"),
+        codes.alias("codes"),
+        v.alias("_v"),
+        mx.alias("_mx"),
+    )
+    sq_err = F.aggregate(
+        F.zip_with(
+            "_v",
+            F.transform(F.col("codes"), lambda c: c.cast("double")),
+            lambda x, c: (x - c * F.col("_mx") / F.lit(127.0))
+            * (x - c * F.col("_mx") / F.lit(127.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rmse = F.sqrt(sq_err / F.size("_v"))
+    return out.select(
+        F.col(id_col),
+        "n_dims",
+        "max_abs",
+        F.aggregate("codes", F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "code_sum"
+        ),
+        F.when(F.col("_mx") == 0, F.lit(True))
+        .otherwise(rmse <= F.col("_mx") / F.lit(127.0))
+        .alias("recon_ok"),
+    )
+
+
 def fit_kmeans_centroids(
     emb: DataFrame,
     n_cells: int = 8,

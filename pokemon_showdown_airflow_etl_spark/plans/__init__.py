@@ -50,6 +50,7 @@ _PRIORITY: list[str] = [
     "s7_ivf_kmeans_quality",  # new in r3: trained-quantizer IVF contract
     "j10_asof_last_click",  # new in r3: as-of join vs native ASOF oracle
     "j11_range_follow_events",  # new in r3: bucketed band range join
+    "s8_int8_quant",  # new in r3: int8 vector quantization contract
     # -- stalest standing rows (r1-only): rotate back under the signal --
     "f1_watermark_filter",
     "f2_undownloaded_filter",
@@ -72,7 +73,6 @@ _PRIORITY: list[str] = [
     "u1_union_all",
     "u2_distinct_union",
     "u3_intersect",
-    "u4_except",
     "c1_epoch_to_date",
     "c4_batch_id",
     "c5_regex_extract",

@@ -1119,3 +1119,43 @@ def t13_domain_mix(spark, sf_dir):
     return weighted_domain_sample(
         t(spark, sf_dir, "documents"), "doc_id", "source", MIX_WEIGHTS
     ).select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+
+
+@q(
+    "s8_int8_quant",
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), m AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS mx
+        FROM e
+    ), c AS (
+        SELECT vec_id, v, mx,
+               CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+                    ELSE list_transform(v, x -> CAST(round(x * 127.0 / mx) AS INT))
+               END AS codes
+        FROM m
+    )
+    SELECT vec_id,
+           CAST(len(v) AS INT) AS n_dims,
+           ROUND(mx, 6) AS max_abs,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CASE WHEN mx = 0 THEN TRUE
+                ELSE sqrt(list_sum(list_transform(range(1, len(v) + 1),
+                         i -> pow(v[i] - codes[i] * mx / 127.0, 2))) / len(v))
+                     <= mx / 127.0
+           END AS recon_ok
+    FROM c
+    """,
+    doc="Symmetric per-vector int8 quantization (the 4x vector "
+    "compression step before storing an ANN index at 100 TB): scale = "
+    "127/max|x|, codes = round(x*scale), one JVM-side map pass with "
+    "zero shuffles. The oracle recomputes the codes independently in "
+    "DuckDB and hash-checks the EXACT integer code sum per vector plus "
+    "a reconstruction-RMSE bound (<= max|x|/127, 2x the half-step "
+    "worst case) — a broken scale, rounding mode, or zip order flips "
+    "either and the hash mismatches.",
+)
+def s8_int8_quant(spark, sf_dir):
+    return similarity.int8_quantize(t(spark, sf_dir, "embeddings"))
