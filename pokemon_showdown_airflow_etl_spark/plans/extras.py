@@ -131,7 +131,7 @@ def c11_mtime_fallback(spark, sf_dir):
     """
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-           TRUE AS hll_within_5pct,
+           TRUE AS hll_within_3rsd,
            TRUE AS median_rank_ok,
            TRUE AS p99_rank_ok
     FROM events GROUP BY 1
@@ -141,12 +141,13 @@ def c11_mtime_fallback(spark, sf_dir):
     "for exact distinct/median at 100 TB. Raw sketch values differ "
     "across engines, so the DRIVER-CHECKABLE result is the error-bound "
     "CHECK, not the sketch: Spark computes approx and exact in one "
-    "plan and emits per-group booleans (HLL within its 5% rsd; each "
-    "approx percentile's true rank within its guarantee), which the "
-    "oracle reproduces as exact counts + literal TRUEs. A drifting "
-    "sketch flips a boolean and the hash mismatches — the bound is a "
-    "real assertion. Rank checks re-scan events against the 1-row-per-"
-    "group broadcast stats; both aggregations are map-side partial.",
+    "plan and emits per-group booleans, which the oracle reproduces as "
+    "exact counts + literal TRUEs. The HLL bound is 3x the default 5% "
+    "rsd: rsd is a STANDARD DEVIATION, not a guarantee — a 1-sigma "
+    "bound flipped on real data (6.7% error at sf0.1, caught by the "
+    "two-scale sweep) while 15% still fails on any gross breakage. "
+    "Rank checks re-scan events against the 1-row-per-group broadcast "
+    "stats; both aggregations are map-side partial.",
 )
 def a1_approx_sketches(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
@@ -181,8 +182,8 @@ def a1_approx_sketches(spark, sf_dir):
         F.col("exact_users").cast("long").alias("exact_users"),
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))
-            <= F.greatest(F.lit(3), 0.05 * F.col("exact_users"))
-        ).alias("hll_within_5pct"),
+            <= F.greatest(F.lit(3), 0.15 * F.col("exact_users"))
+        ).alias("hll_within_3rsd"),
         ((F.col("median_share") >= 0.45) & (F.col("median_share") <= 0.55)).alias(
             "median_rank_ok"
         ),

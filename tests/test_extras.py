@@ -37,7 +37,7 @@ def test_approx_sketches_error_bounds(spark, sf_dir):
     assert set(rows) == set(exact)
     for et, r in rows.items():
         assert r["exact_users"] == exact[et]
-        assert r["hll_within_5pct"] is True
+        assert r["hll_within_3rsd"] is True
         assert r["median_rank_ok"] is True
         assert r["p99_rank_ok"] is True
 
