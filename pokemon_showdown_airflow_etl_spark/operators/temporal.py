@@ -95,6 +95,108 @@ def asof_join(
     )
 
 
+def asof_join_sliced(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    slice_seconds: int,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    carry: dict[str, str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """``asof_join`` with bounded partition work for monster keys.
+
+    The plain merge-asof sorts each key's ENTIRE history inside one
+    task; a key with 10^8 rows breaks that. Here time quantizes into
+    ``slice_seconds`` slices and the join decomposes into:
+
+    1. within-slice carry — the same union+window trick, but the window
+       partitions by (key, slice), so a task sorts one slice's rows;
+    2. per-(key, slice) "last right row" — a map-side-combinable
+       aggregate, one small row per non-empty slice;
+    3. slice-level as-of — the plain ``asof_join`` over the two SMALL
+       frames (distinct left slices vs per-slice lasts, slice index as
+       the time axis, strict so only EARLIER slices feed in): per-key
+       volume is the slice count, not the row count;
+    4. coalesce — a left row uses its within-slice carry, else the
+       carry-in of its slice.
+
+    Correctness: a right row in an earlier slice is strictly earlier in
+    time than every row of this slice, so the strict slice-level as-of
+    supplies exactly "latest right value before this slice starts";
+    within-slice ordering (including same-timestamp ties and the
+    ``strict`` flag) is identical to ``asof_join``. Same precondition:
+    dedupe the right side to one row per (key, time) first.
+
+    Shuffles: both inputs once on (key, slice); the slice-level frames
+    once on key. Each partition's sort is bounded by slice density —
+    pick ``slice_seconds`` so one slice of the hottest key fits a task.
+    """
+    carry = dict(carry or {})
+    left_cols = left.columns
+    r_side, l_side = (1, 0) if strict else (0, 1)
+    lslice = F.floor(F.unix_timestamp(F.col(left_time)) / slice_seconds)
+    rslice = F.floor(F.unix_timestamp(F.col(right_time)) / slice_seconds)
+
+    r = right.select(
+        F.col(on),
+        F.col(right_time).alias(left_time),
+        rslice.alias("_slice"),
+        F.lit(r_side).alias("_side"),
+        *[F.col(src).alias(f"_carry_{dst}") for src, dst in carry.items()],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols if c not in (on, left_time)],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(left_time),
+        lslice.alias("_slice"),
+        F.lit(l_side).alias("_side"),
+        *[F.lit(None).cast(right.schema[src].dataType).alias(f"_carry_{dst}")
+          for src, dst in carry.items()],
+        *[F.col(c) for c in left_cols if c not in (on, left_time)],
+    )
+    w_in = (
+        Window.partitionBy(on, "_slice")
+        .orderBy(left_time, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = l.unionByName(r)
+    for dst in carry.values():
+        within = within.withColumn(
+            f"_w_{dst}", F.last(f"_carry_{dst}", ignorenulls=True).over(w_in)
+        )
+    within = within.filter(F.col("_side") == l_side)
+
+    # per-(key, slice) last right row — right side only, pre-deduped per
+    # (key, time) so max_by is deterministic
+    lasts = right.groupBy(F.col(on), rslice.alias("_slice")).agg(
+        *[
+            F.max_by(F.col(src), F.col(right_time)).alias(f"_last_{dst}")
+            for src, dst in carry.items()
+        ]
+    )
+    left_slices = left.select(F.col(on), lslice.alias("_slice")).distinct()
+    carry_in = asof_join(
+        left_slices,
+        lasts,
+        on=on,
+        left_time="_slice",
+        right_time="_slice",
+        carry={f"_last_{dst}": f"_in_{dst}" for dst in carry.values()},
+        strict=True,  # only strictly-earlier slices may feed in
+    )
+    out = within.join(carry_in, [on, "_slice"], "left")
+    return out.select(
+        *left_cols,
+        *[
+            F.coalesce(F.col(f"_w_{dst}"), F.col(f"_in_{dst}")).alias(dst)
+            for dst in carry.values()
+        ],
+    )
+
+
 def range_join_bucketed(
     left: DataFrame,
     right: DataFrame,

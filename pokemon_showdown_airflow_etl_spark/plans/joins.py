@@ -687,7 +687,10 @@ def q22_global_sales_opportunity(spark, sf_dir):
     "— each input shuffles once on user_id, no inequality nested "
     "loop, no correlated per-row subquery. The click side is "
     "pre-aggregated to one row per (user, ts) with max(value) — an "
-    "order-independent tie-break both engines share.",
+    "order-independent tie-break both engines share. For keys whose "
+    "full history exceeds one task's sort, asof_join_sliced bounds "
+    "partition work by time-slice density (property-tested value-"
+    "identical to this plan).",
 )
 def j10_asof_last_click(spark, sf_dir):
     from ..operators.temporal import asof_join

@@ -257,3 +257,42 @@ def test_asof_join_matches_pandas_merge_asof(spark_prop, left, right, strict):
             for r in m.itertuples()
         }
     assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=asof_left_st, right=asof_right_st, strict=st.booleans())
+def test_asof_join_sliced_equals_plain(spark_prop, left, right, strict):
+    """The partition-bounded sliced as-of must be value-identical to the
+    plain merge-asof for every random configuration — times span several
+    7-second slices, so within-slice carry, the strict slice-level
+    carry-in, and their coalesce are all exercised."""
+    from pyspark.sql import functions as F
+
+    from pokemon_showdown_airflow_etl_spark.operators.temporal import (
+        asof_join,
+        asof_join_sliced,
+    )
+
+    right_u = {(k, t): v for k, t, v in right}
+    ldf = spark_prop.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, t long, row_id long"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "row_id")
+    rdf = (
+        spark_prop.createDataFrame(
+            [(k, t, v) for (k, t), v in right_u.items()] or [(None, None, None)],
+            "k long, t long, v long",
+        )
+        .filter("k IS NOT NULL")
+        .select("k", F.timestamp_seconds("t").alias("ts"), "v")
+    )
+    plain = {
+        r["row_id"]: r["vv"]
+        for r in asof_join(ldf, rdf, on="k", carry={"v": "vv"}, strict=strict).collect()
+    }
+    sliced = {
+        r["row_id"]: r["vv"]
+        for r in asof_join_sliced(
+            ldf, rdf, on="k", slice_seconds=7, carry={"v": "vv"}, strict=strict
+        ).collect()
+    }
+    assert sliced == plain
