@@ -175,3 +175,74 @@ def test_streaming_move_usage_matches_batch(spark, dirs, tmp_path):
     a = {tuple(map(str, r)) for r in streamed.collect()}
     b = {tuple(map(str, r)) for r in batch.select(*streamed.columns).collect()}
     assert a == b
+
+
+def test_streaming_asof_enrichment_matches_batch(spark, tmp_path):
+    """The streaming as-of twin: purchase events enriched with the
+    latest at-or-before click value, state carried across micro-batches
+    (maxFilesPerTrigger=1 forces one batch per chunk), must equal the
+    batch merge-asof (operators/temporal.py, the j10 plan) on the same
+    rows — including NULL for never-enriched users."""
+    import json
+    import random
+
+    from pokemon_showdown_airflow_etl_spark.operators.temporal import asof_join
+    from pokemon_showdown_airflow_etl_spark.streaming.asof import (
+        start_asof_enrichment,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        rows.append(
+            {
+                "user_id": rng.randrange(5),
+                "event_id": i,
+                "ts": 1_700_000_000 + i * 60,
+                "event_type": rng.choice(["click", "purchase", "view"]),
+                "value": round(rng.uniform(0, 100), 2),
+            }
+        )
+    land = tmp_path / "events_landing"
+    land.mkdir()
+    import os
+    import time
+
+    base = time.time() - 600
+    for c in range(3):  # time-ordered chunks -> cross-batch state carry
+        path = land / f"chunk{c}.json"
+        with open(path, "w") as f:
+            for r in rows[c * 20 : (c + 1) * 20]:
+                f.write(json.dumps(r) + "\n")
+        # FileStreamSource orders batches by modification time; files
+        # written within the same second get an arbitrary order, which
+        # once fed chunk2 first — pin strictly increasing mtimes
+        os.utime(path, (base + c, base + c))
+
+    schema = "user_id long, event_id long, ts long, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(land))
+        .withColumn("ts", F.timestamp_seconds("ts"))
+    )
+    out, ck = str(tmp_path / "enriched"), str(tmp_path / "asof_ck")
+    q = start_asof_enrichment(stream, out, ck)
+    q.awaitTermination()
+    got = {
+        r["event_id"]: r["last_ref_value"] for r in spark.read.parquet(out).collect()
+    }
+
+    ev = spark.createDataFrame(
+        [tuple(r.values()) for r in rows], schema
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", "ts", F.col("value").alias("ref")
+    )
+    purch = ev.filter("event_type = 'purchase'").select("user_id", "event_id", "ts")
+    want = {
+        r["event_id"]: r["lrv"]
+        for r in asof_join(purch, clicks, on="user_id", carry={"ref": "lrv"}).collect()
+    }
+    assert got == want
+    assert len(got) > 0
