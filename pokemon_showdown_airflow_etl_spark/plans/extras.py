@@ -446,16 +446,19 @@ FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
     "into a 4-row summary.",
 )
 def g16_funnel(spark, sf_dir):
-    # fully lazy: stage frames chain as plain DataFrames, counts are
-    # unioned 1-row aggregates — no driver-side action at build time.
-    # The repeated sub-plans (stage k appears inside stages k+1..4) are
-    # identical exchanges, which Spark's ReuseExchange dedupes at
-    # execution.
+    # Each stage frame is pinned behind a lazy localCheckpoint: stage k
+    # is consumed TWICE (by stage k+1 and by its own count), and the
+    # cascade would otherwise re-derive every prior stage per consumer —
+    # a plan audit measured TEN events scans for the 4-stage funnel
+    # (ReuseExchange does not dedupe the repeated subplans). Pinned,
+    # events is scanned once per stage filter and each per-user stage
+    # frame (tiny: user_id + timestamp) materializes once.
     ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     prev = (
         ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t"))
+        .localCheckpoint(eager=False)
     )
     frames = [prev]
     for stage in FUNNEL_STAGES[1:]:
@@ -465,6 +468,7 @@ def g16_funnel(spark, sf_dir):
             .filter(F.col("ts") > F.col("t_prev"))
             .groupBy("user_id")
             .agg(F.min("ts").alias("t"))
+            .localCheckpoint(eager=False)
         )
         frames.append(prev)
     out = None

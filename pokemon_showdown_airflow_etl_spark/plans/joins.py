@@ -753,8 +753,13 @@ def j11_range_follow_events(spark, sf_dir):
     from ..operators.temporal import range_join_bucketed
 
     ev = t(spark, sf_dir, "events")
-    signups = ev.filter(F.col("event_type") == "signup").select(
-        "event_id", "user_id", "ts"
+    # signups anchors BOTH the range join's left side and the final
+    # zero-match left join — pinned so events is scanned once for the
+    # anchor set and once for the probe side, not three times
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("event_id", "user_id", "ts")
+        .localCheckpoint(eager=False)
     )
     right = ev.select("event_id", "user_id", "ts", "value")
     pairs = range_join_bucketed(

@@ -948,8 +948,17 @@ def t8_tfidf_top_terms(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     tk = docs.select("doc_id", F.explode(tok(F.col("text"))).alias("term"))
-    tf = tk.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tk.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf feeds BOTH the document-frequency aggregate and the scoring
+    # join; pinned so the tokenize+explode (the dominant cost at scale)
+    # runs ONCE — a plan audit measured three documents scans unpinned
+    tf = (
+        tk.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    # df derived FROM tf, not from a second tokenize pass: tf has one
+    # row per (doc, term), so count(*) per term IS the distinct-doc count
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     # corpus size as a lazy 1-row aggregate cross-joined in (the oracle's
     # CROSS JOIN n shape): no driver-side count(), no extra corpus pass —
     # Spark broadcasts the single row and shares the scan under AQE
