@@ -296,3 +296,41 @@ def test_asof_join_sliced_equals_plain(spark_prop, left, right, strict):
         ).collect()
     }
     assert sliced == plain
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=asof_left_st, right=asof_right_st)
+def test_range_join_bucketed_matches_model(spark_prop, left, right):
+    """The bucketed band range join vs a brute-force python model:
+    every (anchor, candidate) pair with the same key and candidate time
+    in [anchor, anchor + band) must appear exactly once — including
+    pairs that cross a bucket boundary — and nothing else."""
+    from pyspark.sql import functions as F
+
+    from pokemon_showdown_airflow_etl_spark.operators.temporal import (
+        range_join_bucketed,
+    )
+
+    BAND = 7
+    ldf = spark_prop.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, t long, row_id long"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "row_id")
+    rdf = spark_prop.createDataFrame(
+        [(k, t, v) for k, t, v in right] or [(None, None, None)],
+        "k long, t long, rid long",
+    ).filter("k IS NOT NULL").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "rid"
+    )
+    got = sorted(
+        (r["row_id"], r["rv"])
+        for r in range_join_bucketed(
+            ldf, rdf, on="k", band_seconds=BAND, carry={"rid": "rv"}
+        ).collect()
+    )
+    want = sorted(
+        (i, rid)
+        for i, (lk, lt) in enumerate(left)
+        for (rk, rt, rid) in right
+        if rk == lk and lt <= rt < lt + BAND
+    )
+    assert got == want
