@@ -51,6 +51,7 @@ _PRIORITY: list[str] = [
     "j10_asof_last_click",  # new in r3: as-of join vs native ASOF oracle
     "j11_range_follow_events",  # new in r3: bucketed band range join
     "s8_int8_quant",  # new in r3: int8 vector quantization contract
+    "t14_unigram_logprob",  # new in r3: perplexity-style quality score
     # -- stalest standing rows (r1-only): rotate back under the signal --
     "f1_watermark_filter",
     "f2_undownloaded_filter",
@@ -72,7 +73,6 @@ _PRIORITY: list[str] = [
     "w4_head_n",
     "u1_union_all",
     "u2_distinct_union",
-    "u3_intersect",
     "c1_epoch_to_date",
     "c4_batch_id",
     "c5_regex_extract",

@@ -1168,3 +1168,76 @@ def t13_domain_mix(spark, sf_dir):
 )
 def s8_int8_quant(spark, sf_dir):
     return similarity.int8_quantize(t(spark, sf_dir, "embeddings"))
+
+
+@q(
+    "t14_unigram_logprob",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2
+    ), vocab AS (
+        SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1
+    ), tot AS (
+        SELECT sum(cnt) AS n FROM vocab
+    ), scored AS (
+        SELECT f.doc_id,
+               sum(f.tf) AS n_tokens,
+               sum(f.tf * CAST(round(ln(CAST(v.cnt AS DOUBLE) / tot.n) * 1000000)
+                               AS BIGINT)) AS micro_sum
+        FROM tf f JOIN vocab v USING (term) CROSS JOIN tot
+        GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(micro_sum AS DOUBLE) / n_tokens / 1000000.0, 6)
+               AS avg_logprob
+    FROM scored
+    """,
+    doc="Unigram log-probability quality score — the perplexity-style "
+    "signal an LLM data pipeline uses to rank documents by 'typicality' "
+    "against the corpus itself (low avg logprob = rare-token-heavy = "
+    "boilerplate/garbled candidates). Self-trained: token frequencies "
+    "come from one aggregation of the SAME term-frequency relation that "
+    "scores the docs (tokenize runs once; vocab derives from tf). The "
+    "vocabulary join shuffles on the term — vocab is UNBOUNDED at "
+    "corpus scale, so no broadcast hint; AQE may still choose one "
+    "while it fits. Determinism: each token's ln(cnt/N) quantizes to "
+    "integer MICRO-units before the weighted sum, so the aggregate is "
+    "reduction-order-exact and immune to libm last-ulp differences "
+    "between engines; the division back to a double happens once per "
+    "doc on identical integers.",
+)
+def t14_unigram_logprob(spark, sf_dir):
+    from ..operators.dedup import tokens as tok
+
+    docs = t(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.explode(tok(F.col("text"))).alias("term"))
+    tf = (
+        tk.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)  # feeds vocab AND scoring: tokenize once
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n"))
+    micro = F.round(
+        F.log(F.col("cnt").cast("double") / F.col("n")) * F.lit(1_000_000)
+    ).cast("long")
+    scored = (
+        tf.join(vocab, "term")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * micro).cast("long").alias("micro_sum"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("micro_sum").cast("double") / F.col("n_tokens") / F.lit(1_000_000.0),
+            6,
+        ).alias("avg_logprob"),
+    )
