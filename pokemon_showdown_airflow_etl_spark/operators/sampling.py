@@ -78,3 +78,49 @@ def weighted_domain_sample(
         .filter(F.col("bucket") < frac * n_buckets)
         .drop("bucket")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    cap: int,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Exact per-group capping: keep EXACTLY min(cap, group size) rows
+    per group, chosen deterministically by key hash — the "at most c
+    documents per domain" pass a training-data pipeline runs to stop
+    one crawl source from dominating the mixture (rate-based
+    subsampling can't promise an exact ceiling).
+
+    Selection order is md5(id) (ties broken by id), so the kept set is
+    stable across runs/engines and monotone under corpus growth the
+    same way hash_split is.
+
+    Scale shape — the classic two-phase per-group top-k, NEVER a
+    per-group global sort: (1) rank within (group, hash-shard) — each
+    window partition holds ~1/n_shards of a group, and any row in the
+    group's true top-cap is necessarily within its own shard's top-cap,
+    so filtering shard_rank <= cap keeps a superset of at most
+    cap * n_shards rows per group; (2) exact re-rank of that small
+    surviving set per group. The heavy data shuffles once on
+    (group, shard) with bounded partitions; only the capped survivors
+    shuffle on the group.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % n_shards
+    )
+    w_shard = Window.partitionBy(group_col, "_shard").orderBy("_h", id_col)
+    w_group = Window.partitionBy(group_col).orderBy("_h", id_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_shard", shard)
+        .withColumn("_sr", F.row_number().over(w_shard))
+        .filter(F.col("_sr") <= cap)  # superset: <= cap * n_shards per group
+        .withColumn("_gr", F.row_number().over(w_group))
+        .filter(F.col("_gr") <= cap)
+        .drop("_h", "_shard", "_sr", "_gr")
+    )

@@ -52,6 +52,7 @@ _PRIORITY: list[str] = [
     "j11_range_follow_events",  # new in r3: bucketed band range join
     "s8_int8_quant",  # new in r3: int8 vector quantization contract
     "t14_unigram_logprob",  # new in r3: perplexity-style quality score
+    "t15_domain_cap",  # new in r3: exact per-domain ceiling (2-phase top-k)
     # -- stalest standing rows (r1-only): rotate back under the signal --
     "f1_watermark_filter",
     "f2_undownloaded_filter",
@@ -72,7 +73,6 @@ _PRIORITY: list[str] = [
     "w1_latest_per_key",
     "w4_head_n",
     "u1_union_all",
-    "u2_distinct_union",
     "c1_epoch_to_date",
     "c4_batch_id",
     "c5_regex_extract",

@@ -1241,3 +1241,41 @@ def t14_unigram_logprob(spark, sf_dir):
             6,
         ).alias("avg_logprob"),
     )
+
+
+DOMAIN_CAP = 10
+
+
+@q(
+    "t15_domain_cap",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS r
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+    FROM ranked WHERE r <= {DOMAIN_CAP}
+    """,
+    doc="Exact per-domain capping (at most N docs per source, "
+    "deterministic by md5(id) order): the mixture-ceiling pass that "
+    "stops one crawl source from dominating training data — rate-based "
+    "subsampling (t13) can't promise an exact ceiling. Spark side runs "
+    "the two-phase per-group top-k (operators/sampling.py:cap_per_group"
+    "): rank within (source, hash-shard) first — bounded window "
+    "partitions, and any true top-N row is within its shard's top-N — "
+    "then exact re-rank of the <= N*shards survivors; the full corpus "
+    "never sorts per group. The oracle is the direct single-window "
+    "formulation, so the equivalence of the two-phase decomposition is "
+    "itself what the hash check proves.",
+)
+def t15_domain_cap(spark, sf_dir):
+    from ..operators.sampling import cap_per_group
+
+    docs = t(spark, sf_dir, "documents")
+    return cap_per_group(docs, "doc_id", "source", cap=DOMAIN_CAP).select(
+        "doc_id", "source"
+    )
