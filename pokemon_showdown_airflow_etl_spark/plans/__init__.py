@@ -53,6 +53,7 @@ _PRIORITY: list[str] = [
     "s8_int8_quant",  # new in r3: int8 vector quantization contract
     "t14_unigram_logprob",  # new in r3: perplexity-style quality score
     "t15_domain_cap",  # new in r3: exact per-domain ceiling (2-phase top-k)
+    "b8_head_to_head",  # new in r3: docs x parsed-log join shape
     # -- stalest standing rows (r1-only): rotate back under the signal --
     "f1_watermark_filter",
     "f2_undownloaded_filter",
@@ -80,7 +81,6 @@ _PRIORITY: list[str] = [
     "c7_batch_from_details",
     "c8_prefix_predicate",
     "c10_json_extract",
-    "c13_bool_coercion",
     "j1_existence_flag",
     "j2_ingest_anti_join",
 ]

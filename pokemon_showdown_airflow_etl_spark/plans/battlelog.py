@@ -373,3 +373,43 @@ def b7_move_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w_mon).cast("int").alias("move_rank"),
         F.dense_rank().over(w_all).cast("int").alias("global_tier"),
     )
+
+
+@q(
+    "b8_head_to_head",
+    CORPUS_SQL
+    + """
+    , wins AS (
+        SELECT replay_id, args[1] AS winner
+        FROM parsed WHERE command = 'win'
+    )
+    SELECT d.p1, d.p2,
+           CAST(count(*) AS BIGINT) AS n_games,
+           CAST(sum(CASE WHEN w.winner = d.p1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS p1_wins
+    FROM docs d JOIN wins w ON d.id = w.replay_id
+    GROUP BY 1, 2
+    """,
+    doc="Head-to-head matchup matrix: per (p1, p2) pairing, games "
+    "played and wins credited to the p1 seat — the docs-side dimension "
+    "columns joined against the PARSED log layer (the |win| line), the "
+    "two-source shape the b-set otherwise lacks. One equi-join on "
+    "replay_id (both sides derive from the same corpus scan), then a "
+    "map-side-combinable conditional aggregate on the pairing key.",
+)
+def b8_head_to_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = corpus(spark, sf_dir)
+    wins = command_lines(docs, "win").select(
+        "replay_id", F.try_element_at("args", F.lit(1)).alias("winner")
+    )
+    return (
+        docs.select(F.col("id").alias("replay_id"), "p1", "p2")
+        .join(wins, "replay_id")
+        .groupBy("p1", "p2")
+        .agg(
+            F.count("*").cast("long").alias("n_games"),
+            F.sum(F.when(F.col("winner") == F.col("p1"), 1).otherwise(0))
+            .cast("long")
+            .alias("p1_wins"),
+        )
+    )
