@@ -132,6 +132,9 @@ def asof_join_sliced(
     Shuffles: both inputs once on (key, slice); the slice-level frames
     once on key. Each partition's sort is bounded by slice density —
     pick ``slice_seconds`` so one slice of the hottest key fits a task.
+    Measured overhead vs the plain operator at sf0.1 (20k purchases /
+    30k clicks, local[32]): ~1.6x wall — the constant premium paid for
+    partition bounds; use the plain form until a key outgrows a task.
     """
     carry = dict(carry or {})
     left_cols = left.columns
