@@ -72,6 +72,10 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "j10_asof_last_click",
     "j11_range_follow_events",
+    "s8_int8_quant",
+    "t14_unigram_logprob",
+    "t15_domain_cap",
+    "b8_head_to_head",
 ]
 
 
