@@ -92,6 +92,18 @@ def _merge() -> dict[str, Query]:
         for q in mod.QUERIES:
             if q.name in flat:
                 raise ValueError(f"duplicate query name: {q.name}")
+            # the @q decorator binds to the NEXT def: a helper inserted
+            # between decorator and query silently becomes the catalog
+            # entry (this once registered a private helper as q2). The
+            # convention function-name == query-name makes that a
+            # load-time error instead of a runtime surprise.
+            if q.spark.__name__ != q.name:
+                raise ValueError(
+                    f"catalog entry {q.name!r} is implemented by "
+                    f"{q.spark.__name__!r} — the @q decorator probably "
+                    "bound to a helper def placed between it and the "
+                    "intended query function"
+                )
             flat[q.name] = q
     missing = [n for n in _PRIORITY if n not in flat]
     if missing:
