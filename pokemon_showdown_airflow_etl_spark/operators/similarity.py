@@ -370,9 +370,12 @@ def int8_quantize(
     """
     v = as_double(F.col(vec_col))
     mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.lit(127.0) / mx
+    # evaluation order deliberately matches the DuckDB oracle's
+    # round((x * 127.0) / mx) — precomputing scale = 127/mx is the same
+    # math but a different FP association, and a 1-ulp difference near a
+    # .5 boundary would flip a code and the exact code_sum check
     codes = F.when(mx == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
-        F.transform(v, lambda x: F.round(x * scale).cast("int"))
+        F.transform(v, lambda x: F.round((x * F.lit(127.0)) / mx).cast("int"))
     )
     out = emb.select(
         F.col(id_col),

@@ -28,7 +28,18 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
+
+
+def _carry_type(dt: T.DataType) -> T.StructType:
+    """Carried values travel boxed in a 1-field struct: the struct is
+    non-null for EVERY right row, so ``F.last(..., ignorenulls=True)``
+    selects the latest matched ROW, and a NULL value inside that row is
+    preserved — matching pandas.merge_asof / DuckDB ASOF, which return
+    the matched row's NULL rather than skipping back to an older
+    non-null value."""
+    return T.StructType([T.StructField("v", dt)])
 
 
 def asof_join(
@@ -48,7 +59,10 @@ def asof_join(
     ``carry`` maps right column -> output name. If several right rows
     share (key, time), the carried value is whichever sorts last within
     the tie — pre-aggregate the right side to one row per (key, time)
-    when that matters (the cataloged query does).
+    when that matters (the cataloged query does). A matched right row
+    whose carry column is NULL yields NULL (the values ride in 1-field
+    structs so the window picks the latest matched row, not the latest
+    non-null value — pandas.merge_asof / DuckDB ASOF semantics).
 
     Plan shape: union -> one Window per key ordered by (time, side) ->
     filter. Each input shuffles ONCE on the key; within a partition the
@@ -67,7 +81,8 @@ def asof_join(
         F.col(on),
         F.col(right_time).alias(left_time),
         F.lit(r_side).alias("_side"),
-        *[F.col(src).alias(f"_carry_{dst}") for src, dst in carry.items()],
+        *[F.struct(F.col(src).alias("v")).alias(f"_carry_{dst}")
+          for src, dst in carry.items()],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_cols if c not in (on, left_time)],
     )
@@ -75,8 +90,8 @@ def asof_join(
         F.col(on),
         F.col(left_time),
         F.lit(l_side).alias("_side"),
-        *[F.lit(None).cast(right.schema[src].dataType).alias(f"_carry_{dst}")
-          for src, dst in carry.items()],
+        *[F.lit(None).cast(_carry_type(right.schema[src].dataType))
+          .alias(f"_carry_{dst}") for src, dst in carry.items()],
         *[F.col(c) for c in left_cols if c not in (on, left_time)],
     )
     w = (
@@ -91,7 +106,7 @@ def asof_join(
         )
     is_left = F.col("_side") == l_side
     return carried.filter(is_left).select(
-        *left_cols, *[F.col(dst) for dst in carry.values()]
+        *left_cols, *[F.col(dst).getField("v").alias(dst) for dst in carry.values()]
     )
 
 
@@ -127,7 +142,12 @@ def asof_join_sliced(
     supplies exactly "latest right value before this slice starts";
     within-slice ordering (including same-timestamp ties and the
     ``strict`` flag) is identical to ``asof_join``. Same precondition:
-    dedupe the right side to one row per (key, time) first.
+    dedupe the right side to one row per (key, time) first. NULL carry
+    values in the matched row are preserved like the plain form: both
+    the within-slice carry and the slice-level carry-in move boxed
+    structs, and the coalesce picks between STRUCTS (matched-row
+    presence), so a NULL value in this slice's latest right row does
+    not fall back to the previous slice's value.
 
     Shuffles: both inputs once on (key, slice); the slice-level frames
     once on key. Each partition's sort is bounded by slice density —
@@ -147,7 +167,8 @@ def asof_join_sliced(
         F.col(right_time).alias(left_time),
         rslice.alias("_slice"),
         F.lit(r_side).alias("_side"),
-        *[F.col(src).alias(f"_carry_{dst}") for src, dst in carry.items()],
+        *[F.struct(F.col(src).alias("v")).alias(f"_carry_{dst}")
+          for src, dst in carry.items()],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_cols if c not in (on, left_time)],
     )
@@ -156,8 +177,8 @@ def asof_join_sliced(
         F.col(left_time),
         lslice.alias("_slice"),
         F.lit(l_side).alias("_side"),
-        *[F.lit(None).cast(right.schema[src].dataType).alias(f"_carry_{dst}")
-          for src, dst in carry.items()],
+        *[F.lit(None).cast(_carry_type(right.schema[src].dataType))
+          .alias(f"_carry_{dst}") for src, dst in carry.items()],
         *[F.col(c) for c in left_cols if c not in (on, left_time)],
     )
     w_in = (
@@ -173,10 +194,13 @@ def asof_join_sliced(
     within = within.filter(F.col("_side") == l_side)
 
     # per-(key, slice) last right row — right side only, pre-deduped per
-    # (key, time) so max_by is deterministic
+    # (key, time) so max_by is deterministic. The value is boxed so a
+    # NULL in the slice's last row survives as struct(NULL), not a
+    # missing aggregate.
     lasts = right.groupBy(F.col(on), rslice.alias("_slice")).agg(
         *[
-            F.max_by(F.col(src), F.col(right_time)).alias(f"_last_{dst}")
+            F.max_by(F.struct(F.col(src).alias("v")), F.col(right_time))
+            .alias(f"_last_{dst}")
             for src, dst in carry.items()
         ]
     )
@@ -191,10 +215,14 @@ def asof_join_sliced(
         strict=True,  # only strictly-earlier slices may feed in
     )
     out = within.join(carry_in, [on, "_slice"], "left")
+    # coalesce between the boxed structs — "was there a matched row" —
+    # then unbox, so a matched-but-NULL within-slice value wins over an
+    # earlier slice's non-null carry-in.
     return out.select(
         *left_cols,
         *[
-            F.coalesce(F.col(f"_w_{dst}"), F.col(f"_in_{dst}")).alias(dst)
+            F.coalesce(F.col(f"_w_{dst}"), F.col(f"_in_{dst}"))
+            .getField("v").alias(dst)
             for dst in carry.values()
         ],
     )

@@ -212,10 +212,22 @@ asof_right_st = st.lists(
     st.tuples(asof_key_st, asof_time_st, st.integers(min_value=-50, max_value=50)),
     max_size=12,
 )
+# the as-of tests additionally draw NULL carry values: a matched right
+# row whose value is NULL must yield NULL (merge_asof semantics), not
+# an older non-null value — the boxed-struct carry in operators.temporal
+# exists exactly for this case (ADVICE r3, medium).
+asof_right_nullable_st = st.lists(
+    st.tuples(
+        asof_key_st,
+        asof_time_st,
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+    ),
+    max_size=12,
+)
 
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
-@given(left=asof_left_st, right=asof_right_st, strict=st.booleans())
+@given(left=asof_left_st, right=asof_right_nullable_st, strict=st.booleans())
 def test_asof_join_matches_pandas_merge_asof(spark_prop, left, right, strict):
     """operators.temporal.asof_join vs the reference semantics of
     pandas.merge_asof (direction=backward; allow_exact_matches is the
@@ -260,7 +272,7 @@ def test_asof_join_matches_pandas_merge_asof(spark_prop, left, right, strict):
 
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
-@given(left=asof_left_st, right=asof_right_st, strict=st.booleans())
+@given(left=asof_left_st, right=asof_right_nullable_st, strict=st.booleans())
 def test_asof_join_sliced_equals_plain(spark_prop, left, right, strict):
     """The partition-bounded sliced as-of must be value-identical to the
     plain merge-asof for every random configuration — times span several

@@ -46,6 +46,43 @@ def test_asof_picks_latest_at_or_before(spark):
     assert strict == {"a": 10.0, "b": 30.0, "c": None}
 
 
+def test_asof_null_carry_value_is_preserved(spark):
+    """A matched right row whose carry column is NULL must yield NULL —
+    not skip back to an older non-null value (pandas.merge_asof / DuckDB
+    ASOF semantics; ADVICE r3 medium). Exercises both the plain and the
+    sliced operator."""
+    from pokemon_showdown_airflow_etl_spark.operators.temporal import (
+        asof_join_sliced,
+    )
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "a"),
+         (1, _ts("2024-01-01 12:00:00"), "b")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00:00"), 10.0),
+         (1, _ts("2024-01-01 09:30:00"), None),   # latest before 'a': NULL
+         (1, _ts("2024-01-01 11:00:00"), 30.0)],
+        "k long, ts timestamp, v double",
+    )
+    want = {"a": None, "b": 30.0}
+    plain = {
+        r["tag"]: r["vv"]
+        for r in asof_join(left, right, on="k", carry={"v": "vv"}).collect()
+    }
+    assert plain == want
+    # slice width chosen so 09:30 (NULL) and 10:00 land in DIFFERENT
+    # slices: the NULL must win via the slice-level carry-in too
+    sliced = {
+        r["tag"]: r["vv"]
+        for r in asof_join_sliced(
+            left, right, on="k", slice_seconds=900, carry={"v": "vv"}
+        ).collect()
+    }
+    assert sliced == want
+
+
 def test_asof_left_columns_pass_through(spark):
     left = spark.createDataFrame(
         [(1, _ts("2024-01-01 10:00:00"), 7, "x")],
