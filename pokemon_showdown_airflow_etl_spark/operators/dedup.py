@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..pinning import pin
 
 
 def normalize_text(col: Column) -> Column:
@@ -117,7 +118,7 @@ def shingle_jaccard_pairs(
         # one materialization shared by all four plan references (both
         # self-join sides + both verify re-attachments); without it the
         # tokenize+shingle stage runs 4x.
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     prefix_len = F.col("sz") - F.ceil(F.col("sz") * threshold).cast("int") + 1
     ex = sh.select(
@@ -210,7 +211,7 @@ def minhash_lsh_candidates(
     # materialize once: the self-join would otherwise compute the full
     # shingle+signature stage for each side (no ReusedExchange fires
     # across the a/b aliases)
-    bands = bands.localCheckpoint(eager=False)
+    bands = bands.transform(pin)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -246,7 +247,7 @@ def lsh_verified_dups(
     sh = (
         _shingle_df(df, id_col, text_col, n)
         .withColumn("sz", F.size("shingles"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     sa = sh.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"), F.col("sz").alias("sz_a"))
     sb = sh.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"), F.col("sz").alias("sz_b"))
@@ -463,7 +464,7 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: in
     blocked = (
         fp.select("doc", "simhash", F.explode(F.array(*blocks)).alias("blk"))
         .select("doc", "simhash", "blk.block_no", "blk.block_val")
-        .localCheckpoint(eager=False)  # one fingerprint pass for both join sides
+        .transform(pin)  # one fingerprint pass for both join sides
     )
     a, b = blocked.alias("a"), blocked.alias("b")
     cands = (

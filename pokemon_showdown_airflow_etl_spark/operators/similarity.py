@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..pinning import pin
 from pyspark.sql.window import Window
 
 
@@ -241,7 +242,7 @@ def ivf_topk(
     ranked = scored_cells.withColumn("cell_rank", F.row_number().over(w_cell)).select(
         "vid", "v", "nrm", "cell_id", "cell_rank"
     )
-    ranked = ranked.localCheckpoint(eager=False)  # shared by build + probe sides
+    ranked = ranked.transform(pin)  # shared by build + probe sides
     members = ranked.filter(F.col("cell_rank") == 1).select(
         F.col("vid").alias("nn_id"), F.col("v").alias("mv"), F.col("nrm").alias("mn"), "cell_id"
     )
@@ -339,7 +340,7 @@ def centroid_outliers(
     d = (
         v.join(F.broadcast(cent))
         .select(F.col(id_col), dist.alias("_d"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     thr = d.agg(F.expr(f"percentile(_d, {trim_quantile!r})").alias("_t"))
     return d.join(F.broadcast(thr)).select(

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .base import Query, t
+from ..pinning import pin
 
 QUERIES: list[Query] = []
 
@@ -458,7 +459,7 @@ def g16_funnel(spark, sf_dir):
         ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     frames = [prev]
     for stage in FUNNEL_STAGES[1:]:
@@ -468,7 +469,7 @@ def g16_funnel(spark, sf_dir):
             .filter(F.col("ts") > F.col("t_prev"))
             .groupBy("user_id")
             .agg(F.min("ts").alias("t"))
-            .localCheckpoint(eager=False)
+            .transform(pin)
         )
         frames.append(prev)
     out = None

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .base import Query, t
+from ..pinning import pin
 
 QUERIES: list[Query] = []
 
@@ -759,7 +760,7 @@ def j11_range_follow_events(spark, sf_dir):
     signups = (
         ev.filter(F.col("event_type") == "signup")
         .select("event_id", "user_id", "ts")
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     right = ev.select("event_id", "user_id", "ts", "value")
     pairs = range_join_bucketed(

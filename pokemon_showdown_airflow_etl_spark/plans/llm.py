@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, similarity, text
 from .base import Query, t
+from ..pinning import pin
 
 QUERIES: list[Query] = []
 
@@ -954,7 +955,7 @@ def t8_tfidf_top_terms(spark, sf_dir):
     tf = (
         tk.groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     # df derived FROM tf, not from a second tokenize pass: tf has one
     # row per (doc, term), so count(*) per term IS the distinct-doc count
@@ -1217,7 +1218,7 @@ def t14_unigram_logprob(spark, sf_dir):
     tf = (
         tk.groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)  # feeds vocab AND scoring: tokenize once
+        .transform(pin)  # feeds vocab AND scoring: tokenize once
     )
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     tot = vocab.agg(F.sum("cnt").alias("n"))

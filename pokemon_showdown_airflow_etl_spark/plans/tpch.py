@@ -28,6 +28,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .base import Query, t
+from ..pinning import pin
 
 QUERIES: list[Query] = []
 
@@ -113,7 +114,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     p = t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     # offers feeds both the per-part min and the winner equality join;
     # pinning the small aggregate keeps the (pruned) fact scan single
-    offers = _q2_offers(spark, sf_dir, p).localCheckpoint(eager=False)
+    offers = _q2_offers(spark, sf_dir, p).transform(pin)
     best = offers.groupBy("l_partkey").agg(F.min("unit_price").alias("min_price"))
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
@@ -336,7 +337,7 @@ def q11_important_parts(spark, sf_dir):
     # without pinning, each branch re-scans lineitem (verified: 2 scans
     # in the physical plan, no ReuseExchange). The lazy localCheckpoint
     # materializes the small per-part aggregate once — one fact scan.
-    vals = _q11_vals(spark, sf_dir).localCheckpoint(eager=False)
+    vals = _q11_vals(spark, sf_dir).transform(pin)
     thr = vals.agg(
         (F.sum("value").cast("double") / F.count("*")).alias("threshold")
     )
@@ -509,7 +510,7 @@ def _q15_revenue(spark, sf_dir):
 def q15_top_supplier(spark, sf_dir):
     # revenue feeds both the 1-row max and the winner filter; pin it so
     # the quarter's lineitem slice is scanned once
-    revenue = _q15_revenue(spark, sf_dir).localCheckpoint(eager=False)
+    revenue = _q15_revenue(spark, sf_dir).transform(pin)
     best = revenue.agg(F.max("total_rev").alias("best_rev"))
     s = t(spark, sf_dir, "supplier")
     return (
@@ -685,7 +686,7 @@ def q20_excess_suppliers(spark, sf_dir):
     # scans in the physical plan (no ReuseExchange fired). The lazy
     # localCheckpoint pins the small per-supplier aggregate; everything
     # downstream derives from it, so the fact table is scanned once.
-    shipped = _q20_shipped(spark, sf_dir).localCheckpoint(eager=False)
+    shipped = _q20_shipped(spark, sf_dir).transform(pin)
     cut = shipped.agg((F.lit(0.5) * F.avg("total_qty")).alias("qty_cut"))
     winners = (
         shipped.join(F.broadcast(cut))

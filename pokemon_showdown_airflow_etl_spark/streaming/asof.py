@@ -14,11 +14,23 @@ restarted query resumes the carry exactly.
 Ordering contract: within a micro-batch, rows process in (ts, side)
 order — reference-before-query at equal timestamps, matching the batch
 operator's at-or-before tie rule. ACROSS micro-batches the enrichment
-is online: a reference row arriving in a later batch than a query row
-it should have informed cannot retro-correct the already-emitted row
-(the standard online-enrichment trade-off; feed the stream through a
-watermark-ordered buffer if the source can reorder across batches —
-the batch j10 plan is the replayable ground truth either way).
+is online, and disorder degrades in BOTH directions:
+
+- late reference: a reference row arriving in a later batch than a
+  query row it should have informed cannot retro-correct the
+  already-emitted row (standard online-enrichment trade-off);
+- late query: a query row arriving in a later batch than a NEWER
+  reference row must not be enriched with that future value — the
+  state only holds the latest (ts, value), so the true at-or-before
+  answer (an older reference) is gone. Such rows emit NULL ("unknown")
+  rather than a value from their future; the guard is
+  ``row.ts >= state last_ts`` at emit time (in-batch references always
+  satisfy it by the sort order, so only stale cross-batch state
+  triggers it).
+
+Feed the stream through a watermark-ordered buffer if the source can
+reorder across batches — the batch j10 plan is the replayable ground
+truth either way.
 """
 
 from __future__ import annotations
@@ -48,12 +60,17 @@ def _enrich_group(
         if row.side == 0:
             last_ts, last_val = row.ts.timestamp(), float(row.value)
         else:
+            # at-or-before guard: carried state newer than this row means
+            # the row arrived late relative to a future reference — emit
+            # NULL, never a value from the row's future. In-batch refs
+            # pass by construction (the sort puts them at-or-before).
+            ok = last_ts is None or row.ts.timestamp() >= last_ts
             out.append(
                 {
                     "user_id": key[0],
                     "event_id": int(row.event_id),
                     "ts": row.ts,
-                    "last_ref_value": last_val,
+                    "last_ref_value": last_val if ok else None,
                 }
             )
     # monotone state merge: only ADVANCE the watermark — if the source

@@ -8,6 +8,15 @@ similarity baselines broadcast a small side with a non-equi condition,
 which is the intended plan. Arrow-batched Python (ArrowEvalPython /
 MapInPandas / FlatMapGroupsInPandas) is the sanctioned escape hatch and
 is likewise allowed.
+
+Plans are built under ``pinning.disabled()``: the production plans pin
+shared subframes with a lazy localCheckpoint, which swaps the pinned
+subtree for an opaque ``Scan ExistingRDD`` in explain() — an edit
+INSIDE a pinned frame (q2/q11/q15/q20, j11, g16, t8, t14, s6, the LSH
+band frames, ...) would otherwise silently escape this sweep (ADVICE
+r3). With pinning off the full logical tree is visible, and the
+un-pinned tree is a superset of the pinned one, so the outer plan is
+still covered.
 """
 
 from __future__ import annotations
@@ -17,15 +26,33 @@ import io
 
 import pytest
 
+from pokemon_showdown_airflow_etl_spark import pinning
 from pokemon_showdown_airflow_etl_spark.plans import ALL_QUERIES
 
 
 @pytest.mark.parametrize("name", list(ALL_QUERIES), ids=lambda n: n)
 def test_no_cartesian_or_rowwise_python(spark, sf_dir, name):
-    df = ALL_QUERIES[name].spark(spark, sf_dir)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
+    with pinning.disabled():
+        df = ALL_QUERIES[name].spark(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
     assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+
+
+def test_pinning_disabled_actually_exposes_subtrees(spark, sf_dir):
+    """Guard the guard: with pinning ON, a pinned plan contains an
+    opaque ExistingRDD scan; with pinning OFF it must not — i.e. the
+    hygiene sweep above really sees inside the frames."""
+    name = "q15_top_supplier"  # pins the shared revenue aggregate
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ALL_QUERIES[name].spark(spark, sf_dir).explain("formatted")
+    assert "ExistingRDD" in buf.getvalue()
+    buf = io.StringIO()
+    with pinning.disabled():
+        with contextlib.redirect_stdout(buf):
+            ALL_QUERIES[name].spark(spark, sf_dir).explain("formatted")
+    assert "ExistingRDD" not in buf.getvalue()

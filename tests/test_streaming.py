@@ -246,3 +246,53 @@ def test_streaming_asof_enrichment_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_asof_late_query_row_gets_null_not_future_value(spark, tmp_path):
+    """A query row that arrives in a LATER micro-batch than a newer
+    reference row must emit NULL, not be enriched with that future
+    reference (at-or-before guard in streaming/asof.py). A query row
+    after the carried state's timestamp still enriches normally."""
+    import json
+    import os
+    import time
+
+    from pokemon_showdown_airflow_etl_spark.streaming.asof import (
+        start_asof_enrichment,
+    )
+
+    land = tmp_path / "late_landing"
+    land.mkdir()
+    chunks = [
+        # batch 0: the only click, at t=1000
+        [{"user_id": 1, "event_id": 0, "ts": 1_700_001_000,
+          "event_type": "click", "value": 42.0}],
+        # batch 1: a purchase BEFORE the click's ts (late arrival) and
+        # one after it
+        [{"user_id": 1, "event_id": 1, "ts": 1_700_000_500,
+          "event_type": "purchase", "value": 0.0},
+         {"user_id": 1, "event_id": 2, "ts": 1_700_001_500,
+          "event_type": "purchase", "value": 0.0}],
+    ]
+    base = time.time() - 600
+    for c, rows in enumerate(chunks):
+        path = land / f"chunk{c}.json"
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(path, (base + c, base + c))
+
+    schema = "user_id long, event_id long, ts long, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(land))
+        .withColumn("ts", F.timestamp_seconds("ts"))
+    )
+    out, ck = str(tmp_path / "late_enriched"), str(tmp_path / "late_ck")
+    q = start_asof_enrichment(stream, out, ck)
+    q.awaitTermination()
+    got = {
+        r["event_id"]: r["last_ref_value"] for r in spark.read.parquet(out).collect()
+    }
+    assert got == {1: None, 2: 42.0}
