@@ -787,3 +787,59 @@ def j11_range_follow_events(spark, sf_dir):
             .alias("follow_value_1e4"),
         )
     )
+
+
+@q(
+    "j12_asof_last_click_sliced",
+    """
+    WITH clicks AS (
+        SELECT user_id, ts, max(value) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ), purch AS (
+        SELECT event_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           ROUND(c.click_value, 4) AS last_click_value
+    FROM purch p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="The partition-bounded as-of join "
+    "(operators/temporal.py:asof_join_sliced) on j10's exact task and "
+    "oracle: time quantizes into daily slices, the carry decomposes "
+    "into a within-slice window partitioned by (user, slice), a per-"
+    "(user, slice) last-click aggregate, and a strict slice-level "
+    "as-of over the small per-slice frames — so one task sorts one "
+    "slice of one key, never a key's whole history. This is the "
+    "variant that matters at 100 TB: the plain merge-asof (j10) puts "
+    "a key's ENTIRE history in one task's sort; a hot key with 1e8 "
+    "events breaks that, while here per-task work is bounded by slice "
+    "density and the slice width is the knob. Value-identical to j10 "
+    "by construction (property-tested across random configs plus the "
+    "NULL-carry case) and hash-checked against DuckDB's native ASOF "
+    "JOIN here.",
+)
+def j12_asof_last_click_sliced(spark, sf_dir):
+    from ..operators.temporal import asof_join_sliced
+
+    ev = t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join_sliced(
+        purch,
+        clicks,
+        on="user_id",
+        slice_seconds=86400,
+        carry={"click_value": "last_click_value"},
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("last_click_value", 4).alias("last_click_value"),
+    )

@@ -351,6 +351,26 @@ def test_range_join_stays_equi(q):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_sliced_asof_windows_partition_by_key_and_slice(q):
+    # j12's whole point is bounded partition work: the within-slice
+    # carry must window over (user_id, _slice), NOT over user_id alone
+    # (which would re-create j10's whole-history-per-task sort), and no
+    # inequality join may appear anywhere
+    plan = q("j12_asof_last_click_sliced")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Union" in plan
+    import re
+    specs = re.findall(r"partitionBy=\[([^\]]*)\]", plan) + re.findall(
+        r"windowspecdefinition\(([^)]*)\)", plan
+    )
+    sliced = [s for s in specs if "_slice" in s]
+    assert sliced, f"no (key, slice) window spec found in plan:\n{plan[:2000]}"
+    assert all(
+        "user_id" in s for s in sliced
+    ), f"slice window not co-keyed with user_id: {sliced}"
+
+
 def test_q13_zero_bucket_survives(spark, sf_dir):
     # the priority exclusion must live in the join condition; a WHERE
     # would silently drop never-ordered customers from the histogram
