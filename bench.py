@@ -13,6 +13,16 @@ times are not comparable to later rounds. The output's
 ``b_corpus_replays`` key records the corpus size so future rounds can
 normalize. Isolated steady-state reference on this container (quiet
 machine, sf0.1, n=6): b2 2.6-2.9 s, b3 1.7-1.9 s.
+
+Round 4 on: the b-queries read the MATERIALIZED battle-log lake
+(jobs/battlelog_lake.py) rather than re-parsing the corpus per query;
+the one-time parse cost is rebuilt from scratch each bench run and
+reported as ``b_lake_build_sec``, so r3 b-times (per-query re-parse)
+and r4 b-times (lake read) are different regimes — compare
+b_lake_build_sec + b-set to the old b-set total for the honest
+round-over-round view. ``streaming`` reports the availableNow drain of
+the move-usage rollup and the stateful cursor over a 4,000-replay
+landed corpus.
 """
 
 from __future__ import annotations
@@ -76,6 +86,29 @@ HEADLINE = [
     "t14_unigram_logprob",
     "t15_domain_cap",
     "b8_head_to_head",
+    # round 4 additions: the previously never-timed heavy entries
+    # (VERDICT r3 item 4), the sliced as-of, and the rest of the b-set
+    # (now cheap reads of the materialized battle-log lake)
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity",
+    "j9_above_customer_avg",
+    "j12_asof_last_click_sliced",
+    "d7_lsh_verified_dups",
+    "s4_ivf_ann_topk",
+    "s5_gemm_ann_topk",
+    "t8_tfidf_top_terms",
+    "g15_retention_cohorts",
+    "g16_funnel",
+    "w5_session_windows",
+    "m2_image_decode_features",
+    "m4_image_resize",
+    "b1_log_command_histogram",
+    "b4_move_usage",
+    "b5_first_log_timestamp",
+    "b6_event_gaps",
+    "b7_move_ranks",
 ]
 
 
@@ -103,6 +136,21 @@ def main() -> None:
 
     for t in TESTDATA_TABLES:
         table(spark, SF_DIR, t).limit(1).count()
+
+    # Battle-log lake: the b-queries read the materialized analysis
+    # layer (jobs/battlelog_lake.py). Rebuild it from scratch and report
+    # the one-time parse cost as its own key — the per-query numbers
+    # then measure the lake-read path (the steady state a lake exists
+    # for) while b_lake_build_sec keeps the amortized cost visible.
+    import shutil
+
+    from pokemon_showdown_airflow_etl_spark.jobs import battlelog_lake as bl
+
+    shutil.rmtree(bl.lake_dir(SF_DIR), ignore_errors=True)
+    t0 = time.perf_counter()
+    bl.ensure_battlelog_lake(spark, SF_DIR)
+    lake_build_sec = round(time.perf_counter() - t0, 3)
+
     for name in HEADLINE:
         _run(name)
 
@@ -163,6 +211,44 @@ def main() -> None:
         "replays_per_sec": round(n_replays / best, 1),
     }
 
+    # Streaming soak (VERDICT r3 item 6): drain a landed replay corpus
+    # through the two streaming twins with availableNow — the b4-twin
+    # rollup (stateless explode + watermarked day window) and the
+    # stateful per-format cursor (applyInPandasWithState). Reported as
+    # replays/s and the final state-store footprint proxy (output rows).
+    from pokemon_showdown_airflow_etl_spark.schemas import REPLAY_DOCUMENT
+    from pokemon_showdown_airflow_etl_spark.streaming import (
+        start_cursor_tracking,
+        start_move_usage_rollup,
+        stream_replay_docs,
+    )
+
+    n_stream = 4000
+    srows = [
+        tuple(r.get(f.name) for f in REPLAY_DOCUMENT.fields)
+        for r in make_replays("gen9ou", n_stream)
+    ]
+    streaming: dict[str, float | int] = {"replays": n_stream}
+    with tempfile.TemporaryDirectory() as d:
+        land = d + "/landing"
+        spark.createDataFrame(srows, REPLAY_DOCUMENT).repartition(8).write.parquet(land)
+        t0 = time.perf_counter()
+        q = start_move_usage_rollup(
+            stream_replay_docs(spark, land), d + "/roll", d + "/ck1", lateness="1 day"
+        )
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        streaming["move_usage_sec"] = round(dt, 3)
+        streaming["move_usage_replays_per_sec"] = round(n_stream / dt, 1)
+        streaming["move_usage_out_rows"] = spark.read.parquet(d + "/roll").count()
+        t0 = time.perf_counter()
+        q = start_cursor_tracking(stream_replay_docs(spark, land), d + "/cur", d + "/ck2")
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        streaming["cursor_sec"] = round(dt, 3)
+        streaming["cursor_replays_per_sec"] = round(n_stream / dt, 1)
+        streaming["cursor_state_rows"] = spark.read.parquet(d + "/cur").count()
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -172,6 +258,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "pipeline": pipe,
+                "streaming": streaming,
+                "b_lake_build_sec": lake_build_sec,
                 # the synthetic battle-log corpus the b-queries scan is
                 # 2 replays per events row (see plans/battlelog.py) —
                 # recorded so b-query times can be normalized per replay

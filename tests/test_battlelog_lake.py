@@ -1,0 +1,99 @@
+"""Write-path tests for the materialized battle-log analysis layer
+(jobs/battlelog_lake.py) — the K2-style parity contract: the lake
+tables must equal the direct parse row-for-row, the build must be
+idempotent/atomic, and the layout must carry the clustering the
+b-queries depend on."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pokemon_showdown_airflow_etl_spark.functions.logparse import battle_events
+from pokemon_showdown_airflow_etl_spark.functions.scalars import log_timestamp
+from pokemon_showdown_airflow_etl_spark.jobs import battlelog_lake as bl
+from pokemon_showdown_airflow_etl_spark.plans.battlelog import corpus
+
+
+@pytest.fixture()
+def lake_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_LAKE_DIR", str(tmp_path / "lake"))
+    yield tmp_path / "lake"
+
+
+def _rows(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def test_lines_table_equals_direct_parse(spark, sf_dir, lake_env):
+    docs, lines = bl.battlelog_tables(spark, sf_dir)
+    direct = battle_events(corpus(spark, sf_dir))
+    assert _rows(lines) == _rows(direct)
+
+
+def test_docs_table_equals_direct_derivation(spark, sf_dir, lake_env):
+    docs, _ = bl.battlelog_tables(spark, sf_dir)
+    src = corpus(spark, sf_dir)
+    direct = src.select(
+        F.col("id").alias("replay_id"),
+        "format",
+        "uploadtime",
+        "p1",
+        "p2",
+        log_timestamp("log").alias("first_log_ts"),
+        F.size(F.filter(F.split("log", "\n"), lambda s: s != "")).alias("n_lines"),
+    )
+    assert _rows(docs) == _rows(direct)
+    # n_lines cross-table invariant: docs.n_lines == per-replay count in lines
+    _, lines = bl.battlelog_tables(spark, sf_dir)
+    joined = (
+        docs.join(
+            lines.groupBy("replay_id").agg(F.count("*").alias("n")),
+            "replay_id",
+        )
+        .filter(F.col("n") != F.col("n_lines"))
+        .count()
+    )
+    assert joined == 0
+
+
+def test_build_is_idempotent_and_cached(spark, sf_dir, lake_env):
+    out1 = bl.ensure_battlelog_lake(spark, sf_dir)
+    marker = out1 / "_SUCCESS"
+    mtime = marker.stat().st_mtime_ns
+    out2 = bl.ensure_battlelog_lake(spark, sf_dir)
+    assert out1 == out2
+    assert marker.stat().st_mtime_ns == mtime, "second ensure() rebuilt the lake"
+
+
+def test_failed_build_leaves_no_partial_lake(spark, sf_dir, lake_env, monkeypatch):
+    # a build that dies mid-write must not leave a directory the next
+    # reader would mistake for a complete lake
+    def boom(spark_, sf, out):
+        (out / "lines").mkdir(parents=True)
+        raise RuntimeError("injected failure")
+
+    monkeypatch.setattr(bl, "build_battlelog_lake", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        bl.ensure_battlelog_lake(spark, sf_dir)
+    assert not bl.lake_dir(sf_dir).exists()
+    assert not list(bl.cache_root().glob(".tmp-*")), "temp dir leaked"
+
+
+def test_lines_layout_is_clustered_by_replay(spark, sf_dir, lake_env):
+    # hash-repartition on replay_id means a replay's lines land in
+    # exactly ONE file — the co-location per-replay windows and
+    # aggregates rely on (at cluster scale: bucketing by replay_id)
+    out = bl.ensure_battlelog_lake(spark, sf_dir)
+    lines = spark.read.parquet(str(out / "lines"))
+    split_replays = (
+        lines.withColumn("f", F.input_file_name())
+        .groupBy("replay_id")
+        .agg(F.countDistinct("f").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .count()
+    )
+    assert split_replays == 0
