@@ -88,10 +88,27 @@ def test_lifecycle_stats_single_exchange(q):
     assert plan.count("Exchange") <= 2  # one shuffle + possible AQE read
 
 
-def test_explode_parse_is_builtin_generate(q):
+def test_explode_parse_is_builtin_generate(spark, sf_dir, q):
+    # the log explode is a built-in Generate (posexplode), never a
+    # Python UDTF — since r4 it runs at lake build, so gate the build
+    # plan; the b1 QUERY plan must contain no Generate at all (that's
+    # the point of materializing) and read only the command column
+    from pokemon_showdown_airflow_etl_spark.functions.logparse import (
+        battle_events,
+    )
+    from pokemon_showdown_airflow_etl_spark.plans.battlelog import corpus
+
+    build = plan_text(battle_events(corpus(spark, sf_dir)))
+    assert "Generate" in build
+    assert "BatchEvalPython" not in build
+
     plan = q("b1_log_command_histogram")
-    assert "Generate" in plan  # posexplode, not a Python UDTF
+    assert "Generate" not in plan, "b1 re-parses instead of reading the lake"
     assert "BatchEvalPython" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and all(
+        "args" not in l and "event_ts" not in l for l in read_schema
+    ), "b1 reads more than the command column from the lines table"
 
 
 def test_no_python_udfs_in_relational_core(q):
@@ -163,13 +180,21 @@ def test_compact_job_joins_stay_semi_anti_and_pruned(spark, tmp_path):
     assert "BroadcastHashJoin" in p_keep or "BroadcastExchange" in p_keep
 
 
-def test_battle_event_window_shuffles_narrow_rows(q):
-    """b2's window exchange must carry only (replay_id, line_no, stamp):
-    if the |t:| extraction rode inside the window function, command and
-    the full args array would cross the shuffle for every protocol line
-    (measured 23% of the query at sf0.1)."""
-    plan = q("b2_battle_event_times")
-    lines = plan.splitlines()
+def test_battle_event_window_shuffles_narrow_rows(spark, sf_dir, q):
+    """The event-time fill's window exchange must carry only
+    (replay_id, line_no, stamp): if the |t:| extraction rode inside the
+    window function, command and the full args array would cross the
+    shuffle for every protocol line (measured 23% at sf0.1). Since r4
+    the fill runs at LAKE BUILD (jobs/battlelog_lake.py), so the gate
+    checks the build plan; b2 itself must shuffle only its partial
+    aggregate — never args/command."""
+    from pokemon_showdown_airflow_etl_spark.functions.logparse import battle_events
+    from pokemon_showdown_airflow_etl_spark.plans.battlelog import corpus
+
+    build = plan_text(
+        battle_events(corpus(spark, sf_dir)).select("replay_id", "event_ts")
+    )
+    lines = build.splitlines()
     for i, l in enumerate(lines):
         if l.strip().startswith("(") and ") Exchange" in l:
             exchange_input = lines[i + 1]
@@ -177,7 +202,14 @@ def test_battle_event_window_shuffles_narrow_rows(q):
             assert "args" not in exchange_input and "command" not in exchange_input
             break
     else:
-        pytest.fail("no Exchange found in b2 plan")
+        pytest.fail("no Exchange found in the lake-build plan")
+
+    # the query itself: every exchange input stays free of args/command
+    qlines = q("b2_battle_event_times").splitlines()
+    for i, l in enumerate(qlines):
+        if l.strip().startswith("(") and ") Exchange" in l:
+            assert "args" not in qlines[i + 1], f"wide shuffle: {qlines[i + 1]}"
+            assert "command" not in qlines[i + 1], f"wide shuffle: {qlines[i + 1]}"
 
 
 def test_q10_top20_is_take_ordered(q):
@@ -349,6 +381,51 @@ def test_range_join_stays_equi(q):
     plan = q("j11_range_follow_events")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_t14_vocabulary_join_is_not_forced_broadcast(spark, sf_dir):
+    # the unigram vocabulary is unbounded at corpus scale, so the code
+    # must not HINT it broadcast — only the 1-row total may carry an
+    # explicit hint. At tiny SF the optimizer auto-broadcasts from size
+    # estimates (fine — that flips to SMJ at scale), so the gate builds
+    # the plan with auto-broadcast OFF: any surviving BroadcastExchange
+    # is then a forced hint.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_text(
+            ALL_QUERIES["t14_unigram_logprob"].spark(spark, sf_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    import re
+
+    # formatted explain prints every node twice (tree + details): count
+    # the detail entries, one per physical node
+    n_bcast = len(re.findall(r"\(\d+\) BroadcastExchange", plan))
+    assert n_bcast == 1, (
+        f"{n_bcast} broadcasts with auto-broadcast off — only the 1-row "
+        "total may be hinted; the vocabulary join must shuffle (its "
+        "size is unbounded at scale)"
+    )
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_t15_cap_is_two_phase_not_global_window(q):
+    # cap_per_group's scale contract: rank within (source, _shard)
+    # first (bounded partitions), filter to <= cap*shards survivors,
+    # THEN the exact per-source re-rank — never one global window over
+    # the whole corpus per source. The naive single-window formulation
+    # has no _shard spec and no shard-rank filter.
+    import re
+
+    plan = q("t15_domain_cap")
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    sharded = [s for s in specs if "_shard" in s]
+    exact = [s for s in specs if "_shard" not in s and "source" in s]
+    assert sharded, "no (source, _shard) window — phase 1 missing"
+    assert exact, "no per-source exact re-rank window — phase 2 missing"
+    assert "_sr" in plan, "shard-rank survivor filter missing"
 
 
 def test_sliced_asof_windows_partition_by_key_and_slice(q):
