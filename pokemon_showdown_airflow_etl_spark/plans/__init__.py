@@ -20,69 +20,95 @@ from __future__ import annotations
 from .base import Query
 from . import relational, joins, llm, battlelog, extras, tpch
 
-# Front of the driver's 50-query window, round 3: first the 14 catalog
-# entries that have NEVER had a driver row (committed after the r2
-# window was consumed), then the queries changed this round (a1 rewritten
-# to an error-bound oracle; q11/q20 de-vacuized — both already in the
-# never-checked set), then 35 round-1-checked entries whose rows are now
-# the stalest (w2/s2/s3 re-greened in r2, so they rotate behind).
-# Round-2-green entries rotate out; the local oracle-parity gate still
-# sweeps every entry each run, and tests/test_driver_window.py asserts
-# no catalog entry can miss both a past row and this window.
+# Front of the driver's 50-query window, round 4. Rotation rule
+# (VERDICT r3): (1) entries whose code changed AFTER their latest
+# driver row — their standing green predates the code; (2) entries
+# changed or added THIS round; (3) the 19 entries whose only row is
+# from r1, oldest signal first; (4) remaining slots to the stalest
+# r2-latest entries, preferring ones the r4 pin refactor touched.
+# 3 + 12 + 19 + 16 = 50 — exactly the driver window. Everything else
+# keeps its r2/r3 row; the local oracle-parity gate still sweeps all
+# entries each run, and tests/test_driver_window.py asserts no entry
+# can miss both a past row and this window.
+# Entries whose implementation changed since their latest driver row —
+# maintained by hand when editing query code, cleared when the next
+# CORRECTNESS file greens them. tests/test_driver_window.py asserts
+# every name here holds a slot in the upcoming 50-entry window, so a
+# changed query can no longer coast on a stale green row (the t8/g16/s6
+# gap VERDICT r3 flagged).
+CHANGED_SINCE_LAST_ROW: list[str] = [
+    "t8_tfidf_top_terms",
+    "g16_funnel",
+    "s6_embedding_outliers",
+    "j12_asof_last_click_sliced",
+    "j10_asof_last_click",
+    "j11_range_follow_events",
+    "s8_int8_quant",
+    "b1_log_command_histogram",
+    "b2_battle_event_times",
+    "b3_player_win_rates",
+    "b4_move_usage",
+    "b5_first_log_timestamp",
+    "b6_event_gaps",
+    "b7_move_ranks",
+    "b8_head_to_head",
+]
+
 _PRIORITY: list[str] = [
-    # -- never driver-checked (r3 must green all of these) --
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",  # changed in r3: data-driven nation + avg threshold
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q20_excess_suppliers",  # changed in r3: data-driven region
-    "q21_waiting_suppliers",
-    "t12_hash_split",
-    "t13_domain_mix",
-    # -- changed/new in round 3: first hash-checkable driver row --
-    "a1_approx_sketches",
-    "s7_ivf_kmeans_quality",  # new in r3: trained-quantizer IVF contract
-    "j10_asof_last_click",  # new in r3: as-of join vs native ASOF oracle
-    "j11_range_follow_events",  # new in r3: bucketed band range join
-    "s8_int8_quant",  # new in r3: int8 vector quantization contract
-    "t14_unigram_logprob",  # new in r3: perplexity-style quality score
-    "t15_domain_cap",  # new in r3: exact per-domain ceiling (2-phase top-k)
-    "b8_head_to_head",  # new in r3: docs x parsed-log join shape
-    # -- stalest standing rows (r1-only): rotate back under the signal --
-    "f1_watermark_filter",
-    "f2_undownloaded_filter",
-    "f3_conjunctive_flags",
-    "f4_failed_retry_predicate",
-    "f6_point_lookup",
-    "f7_partition_filter",
-    "g1_high_watermark",
-    "g2_low_watermark",
-    "g3_lifecycle_stats",
-    "g4_duplicate_detection",
-    "g5_ids_by_date",
-    "g6_dedup_keep_one",
-    "g7_daily_counters",
-    "g9_table_count",
-    "g10_throughput_metrics",
-    "g11_lifecycle_cube",
-    "w1_latest_per_key",
-    "w4_head_n",
-    "u1_union_all",
-    "c1_epoch_to_date",
-    "c4_batch_id",
-    "c5_regex_extract",
-    "c6_players_concat",
-    "c7_batch_from_details",
-    "c8_prefix_predicate",
-    "c10_json_extract",
-    "j1_existence_flag",
-    "j2_ingest_anti_join",
+    # -- (1) r3 code changes that postdate their last (r2) driver row --
+    "t8_tfidf_top_terms",  # rescan elimination (4853915)
+    "g16_funnel",  # rescan elimination (4853915)
+    "s6_embedding_outliers",  # distance-frame pinning (3aa0f3b)
+    # -- (2) changed/new in round 4 --
+    "j12_asof_last_click_sliced",  # NEW: partition-bounded as-of
+    "j10_asof_last_click",  # NULL-carry struct fix in asof_join
+    "j11_range_follow_events",  # anchor frame now routes through pin()
+    "s8_int8_quant",  # rounding order matched to oracle
+    "b1_log_command_histogram",  # b-set rewritten onto the
+    "b2_battle_event_times",  # materialized battle-log lake
+    "b3_player_win_rates",  # (jobs/battlelog_lake.py) — every
+    "b4_move_usage",  # entry re-checks the lake end-to-end
+    "b5_first_log_timestamp",
+    "b6_event_gaps",
+    "b7_move_ranks",
+    "b8_head_to_head",
+    # -- (3) the 19 entries whose only driver row is from round 1 --
+    "c13_bool_coercion",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard_pairs",
+    "d3_minhash_lsh_candidates",
+    "d4_simhash_fingerprint",
+    "d5_simhash_near_dups",
+    "j3_compaction_anti_join",
+    "j4_reconcile_semi_join",
+    "j5_broadcast_lookup",
+    "j7_membership_flag",
+    "j8_star_join_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "s1_similarity_topk",
+    "t1_quality_features",
+    "u2_distinct_union",
+    "u3_intersect",
+    "u4_except",
+    # -- (4) stalest r2 rows, pin-refactor-touched and heavy first --
+    "d6_drop_exact_dups",
+    "d7_lsh_verified_dups",
+    "d8_dup_clusters",
+    "s3_embedding_near_dups",
+    "s4_ivf_ann_topk",
+    "s5_gemm_ann_topk",
+    "t9_decontaminate",
+    "t10_repetition_ratio",
+    "t11_pack_sequences",
+    "w5_session_windows",
+    "g15_retention_cohorts",
+    "m1_payload_metadata",
+    "m2_image_decode_features",
+    "m4_image_resize",
+    "q4_order_priority",
+    "j9_above_customer_avg",
 ]
 
 

@@ -13,7 +13,11 @@ import glob
 import json
 import os
 
-from pokemon_showdown_airflow_etl_spark.plans import _PRIORITY, ALL_QUERIES
+from pokemon_showdown_airflow_etl_spark.plans import (
+    _PRIORITY,
+    ALL_QUERIES,
+    CHANGED_SINCE_LAST_ROW,
+)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
@@ -54,3 +58,17 @@ def test_every_query_has_a_driver_row_or_a_window_slot():
         f"upcoming 50-query window: {orphans} — reorder _PRIORITY in "
         "plans/__init__.py so they get a hard correctness row"
     )
+
+
+def test_changed_queries_sit_in_the_window():
+    """A query edited after its last driver row must not coast on the
+    stale green: every CHANGED_SINCE_LAST_ROW name needs a slot in the
+    upcoming window (VERDICT r3 item 1)."""
+    window = set(list(ALL_QUERIES)[:WINDOW])
+    stale = [n for n in CHANGED_SINCE_LAST_ROW if n not in window]
+    assert not stale, (
+        f"changed-but-unwindowed entries: {stale} — move them into "
+        "_PRIORITY's first 50 or their next driver check predates the code"
+    )
+    unknown = [n for n in CHANGED_SINCE_LAST_ROW if n not in ALL_QUERIES]
+    assert not unknown, f"CHANGED_SINCE_LAST_ROW names not in catalog: {unknown}"
