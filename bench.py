@@ -109,6 +109,8 @@ HEADLINE = [
     "b5_first_log_timestamp",
     "b6_event_gaps",
     "b7_move_ranks",
+    "t16_bm25_topk",
+    "g17_rolling_7day",
 ]
 
 

@@ -232,3 +232,84 @@ def pack_sequences(
         F.floor(cum_before / F.lit(float(budget))).cast("long").alias("bin_id"),
         (cum_before % budget).cast("long").alias("offset_in_bin"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k1: float = 1.5,
+    b: float = 0.75,
+    n_query_terms: int = 3,
+    min_term_len: int = 4,
+    topk: int = 20,
+) -> DataFrame:
+    """BM25 relevance ranking: score every document against a query term
+    set and return the top ``topk`` — the retrieval pass a training-data
+    pipeline runs to mine topical subsets (and the lexical half of a
+    RAG retriever). The query terms are data-driven: the
+    ``n_query_terms`` highest-document-frequency terms of at least
+    ``min_term_len`` chars, so the query is deterministic for any corpus
+    and never vacuous.
+
+    Plan shape (one tokenize pass, everything downstream shares it):
+    term frequencies are pinned and feed BOTH the document-length /
+    document-frequency statistics and the scoring join. The query-term
+    frame is ``n_query_terms`` rows — broadcast — so the corpus-sized
+    ``tf`` relation is filtered to matching terms BEFORE the doc-length
+    equi-join (the only real shuffle). Corpus stats (N, total tokens)
+    ride in as a broadcast 1-row aggregate, never a driver collect.
+
+    Determinism: each (doc, term) BM25 contribution quantizes to integer
+    micro-units before the per-doc sum (same technique as the unigram
+    log-prob scorer), so the aggregate is reduction-order-exact across
+    engines; ties in the top-k break on doc_id.
+    """
+    from ..pinning import pin
+
+    tk = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = tk.groupBy(id_col, "term").agg(F.count("*").alias("tf")).transform(pin)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl")).transform(pin)
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = (
+        dfreq.filter(F.length("term") >= min_term_len)
+        .orderBy(F.desc("df"), "term")
+        .limit(n_query_terms)
+    )
+
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfc = (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl))
+    )
+    micro = F.round(idf * tfc * F.lit(1_000_000.0)).cast("long")
+
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("matched"),
+            F.sum(micro).cast("long").alias("score_micro"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score_micro"), id_col)
+        .limit(topk)
+        .select(
+            F.col(id_col).cast("long"),
+            "matched",
+            "score_micro",
+            F.round(F.col("score_micro").cast("double") / F.lit(1_000_000.0), 6).alias(
+                "bm25"
+            ),
+        )
+    )

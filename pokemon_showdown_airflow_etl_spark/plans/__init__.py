@@ -26,7 +26,9 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # changed or added THIS round; (3) the 19 entries whose only row is
 # from r1, oldest signal first; (4) remaining slots to the stalest
 # r2-latest entries, preferring ones the r4 pin refactor touched.
-# 3 + 12 + 19 + 16 = 50 — exactly the driver window. Everything else
+# 3 + 14 + 19 + 16 = 52 — the first 50 are the driver window (the
+# final two block-4 entries carry r2 rows and wait out this rotation).
+# Everything else
 # keeps its r2/r3 row; the local oracle-parity gate still sweeps all
 # entries each run, and tests/test_driver_window.py asserts no entry
 # can miss both a past row and this window.
@@ -37,6 +39,8 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # changed query can no longer coast on a stale green row (the t8/g16/s6
 # gap VERDICT r3 flagged).
 CHANGED_SINCE_LAST_ROW: list[str] = [
+    "t16_bm25_topk",
+    "g17_rolling_7day",
     "t8_tfidf_top_terms",
     "g16_funnel",
     "s6_embedding_outliers",
@@ -60,6 +64,8 @@ _PRIORITY: list[str] = [
     "g16_funnel",  # rescan elimination (4853915)
     "s6_embedding_outliers",  # distance-frame pinning (3aa0f3b)
     # -- (2) changed/new in round 4 --
+    "t16_bm25_topk",  # NEW: BM25 top-k retrieval
+    "g17_rolling_7day",  # NEW: range-frame rolling trend
     "j12_asof_last_click_sliced",  # NEW: partition-bounded as-of
     "j10_asof_last_click",  # NULL-carry struct fix in asof_join
     "j11_range_follow_events",  # anchor frame now routes through pin()

@@ -481,3 +481,57 @@ def g16_funnel(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@q(
+    "g17_rolling_7day",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), idx AS (
+        SELECT event_type, day, cnt,
+               day - DATE '1970-01-01' AS day_idx
+        FROM daily
+    )
+    SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+           CAST(sum(cnt) OVER w AS BIGINT) AS sum_7d,
+           ROUND(CAST(sum(cnt) OVER w AS DOUBLE) / count(cnt) OVER w, 4)
+               AS avg_7d
+    FROM idx
+    WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    doc="7-day rolling daily-volume trend per event type — the "
+    "dashboard smoothing pass over G7's daily counters. RANGE frame "
+    "keyed on the integer day index (not ROWS): a calendar gap shrinks "
+    "the window to the days actually inside it, so missing days are "
+    "not silently treated as neighbors. One aggregation shuffle on "
+    "(event_type, day) collapses events to ~types x days rows, then "
+    "the window sorts within the tiny per-type partitions — the "
+    "range-frame scan never touches raw events. The mean divides "
+    "sum/count explicitly (avg()'s incremental mean is not "
+    "bit-reproducible across engines).",
+)
+def g17_rolling_7day(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    idx = daily.withColumn(
+        "day_idx", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return idx.select(
+        "event_type",
+        "day",
+        F.col("cnt").cast("long"),
+        F.sum("cnt").over(w).cast("long").alias("sum_7d"),
+        F.round(
+            F.sum("cnt").over(w).cast("double") / F.count("cnt").over(w), 4
+        ).alias("avg_7d"),
+    )

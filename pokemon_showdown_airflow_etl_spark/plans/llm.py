@@ -1280,3 +1280,69 @@ def t15_domain_cap(spark, sf_dir):
     return cap_per_group(docs, "doc_id", "source", cap=DOMAIN_CAP).select(
         "doc_id", "source"
     )
+
+
+BM25_K1 = 1.5
+BM25_B = 0.75
+BM25_QUERY_TERMS = 3
+BM25_MIN_TERM_LEN = 4
+BM25_TOPK = 20
+
+
+@q(
+    "t16_bm25_topk",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+    ), stats AS (
+        SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl
+    ), dfreq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), qterms AS (
+        SELECT term, df FROM dfreq WHERE length(term) >= {BM25_MIN_TERM_LEN}
+        ORDER BY df DESC, term LIMIT {BM25_QUERY_TERMS}
+    ), scored AS (
+        SELECT f.doc_id,
+               count(*) AS matched,
+               sum(CAST(round(
+                   ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+                   * (f.tf * 2.5 / (f.tf + 1.5 * (0.25 + 0.75 * d.dl
+                       / (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))
+                   * 1000000.0) AS BIGINT)) AS score_micro
+        FROM tf f JOIN qterms q USING (term)
+             JOIN dl d USING (doc_id) CROSS JOIN stats s
+        GROUP BY 1
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(matched AS INT) AS matched,
+           CAST(score_micro AS BIGINT) AS score_micro,
+           ROUND(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS bm25
+    FROM scored ORDER BY score_micro DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+    doc="BM25 top-k retrieval (Robertson/Sparck-Jones idf, k1=1.5 "
+    "b=0.75) against a data-driven query (the 3 highest-df terms of "
+    ">=4 chars — deterministic and never vacuous on any corpus): the "
+    "topical-subset mining pass of a training-data pipeline and the "
+    "lexical half of a RAG retriever. One tokenize pass feeds tf; tf "
+    "feeds doc-length, document-frequency AND scoring; the 3-row query "
+    "frame broadcasts so the corpus-sized tf relation shrinks to "
+    "matching terms BEFORE the doc-length equi-join (the only real "
+    "shuffle). Per-term contributions quantize to integer micro-units "
+    "before the per-doc sum (reduction-order-exact, the t14 "
+    "technique); top-k ties break on doc_id.",
+)
+def t16_bm25_topk(spark, sf_dir):
+    return text.bm25_topk(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k1=BM25_K1,
+        b=BM25_B,
+        n_query_terms=BM25_QUERY_TERMS,
+        min_term_len=BM25_MIN_TERM_LEN,
+        topk=BM25_TOPK,
+    )
