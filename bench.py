@@ -222,6 +222,7 @@ def main() -> None:
     from pokemon_showdown_airflow_etl_spark.streaming import (
         start_cursor_tracking,
         start_move_usage_rollup,
+        start_session_rollup,
         stream_replay_docs,
     )
 
@@ -243,6 +244,19 @@ def main() -> None:
         streaming["move_usage_sec"] = round(dt, 3)
         streaming["move_usage_replays_per_sec"] = round(n_stream / dt, 1)
         streaming["move_usage_out_rows"] = spark.read.parquet(d + "/roll").count()
+        t0 = time.perf_counter()
+        q = start_session_rollup(
+            stream_replay_docs(spark, land),
+            d + "/sess",
+            d + "/ck3",
+            gap="1 hour",
+            lateness="2 hours",
+        )
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        streaming["sessions_sec"] = round(dt, 3)
+        streaming["sessions_replays_per_sec"] = round(n_stream / dt, 1)
+        streaming["sessions_out_rows"] = spark.read.parquet(d + "/sess").count()
         t0 = time.perf_counter()
         q = start_cursor_tracking(stream_replay_docs(spark, land), d + "/cur", d + "/ck2")
         q.awaitTermination()

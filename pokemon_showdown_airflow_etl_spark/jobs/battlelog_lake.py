@@ -39,8 +39,8 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-VERSION = 1
-_LINE_BUCKETS = 8
+VERSION = 2
+_LINE_BUCKETS = 32
 
 
 def cache_root() -> Path:
@@ -57,9 +57,22 @@ def lake_dir(sf_dir: str) -> Path:
 
 def build_battlelog_lake(spark: SparkSession, sf_dir: str, out_dir: Path) -> None:
     """Parse the corpus and write docs + lines under ``out_dir`` (direct
-    write, no atomicity — callers wanting idempotence use ``ensure``)."""
+    write, no atomicity — callers wanting idempotence use ``ensure``).
+
+    The log column is parsed exactly ONCE: ``lines`` is written first,
+    then ``docs``' log-derived columns (first_log_ts, n_lines) are
+    AGGREGATED FROM THE WRITTEN LINES — a columnar read-back — joined to
+    the log-free dimension projection (which Catalyst prunes down to
+    the cheap columns). The previous formulation recomputed
+    log_timestamp + line counts from the raw log, paying the full
+    parse twice (measured ~40% of a 14 s build at sf0.1).
+
+    first_log_ts = event_ts of the earliest ``|t:|`` line (min_by on
+    line_no), which equals C5's first-regex-match for any log whose
+    first stamp parses — battle_events stamps a valid ``|t:|`` line
+    with its own value.
+    """
     from ..functions.logparse import battle_events
-    from ..functions.scalars import log_timestamp
     from ..plans.battlelog import corpus
 
     docs = corpus(spark, sf_dir)
@@ -70,17 +83,27 @@ def build_battlelog_lake(spark: SparkSession, sf_dir: str, out_dir: Path) -> Non
         .write.mode("overwrite")
         .parquet(str(out_dir / "lines"))
     )
+    lines_back = spark.read.parquet(str(out_dir / "lines"))
+    is_stamp = F.col("command") == "t:"
+    log_agg = lines_back.groupBy("replay_id").agg(
+        F.min_by(
+            F.when(is_stamp, F.col("event_ts")), F.when(is_stamp, F.col("line_no"))
+        ).alias("first_log_ts"),
+        F.count("*").cast("int").alias("n_lines"),
+    )
     (
         docs.select(
-            F.col("id").alias("replay_id"),
+            F.col("id").alias("replay_id"), "format", "uploadtime", "p1", "p2"
+        )
+        .join(log_agg, "replay_id", "left")
+        .select(
+            "replay_id",
             "format",
             "uploadtime",
             "p1",
             "p2",
-            log_timestamp("log").alias("first_log_ts"),
-            F.size(F.filter(F.split("log", "\n"), lambda s: s != "")).alias(
-                "n_lines"
-            ),
+            "first_log_ts",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
         )
         .write.mode("overwrite")
         .parquet(str(out_dir / "docs"))

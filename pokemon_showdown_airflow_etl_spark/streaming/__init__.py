@@ -1,6 +1,11 @@
 """Structured Streaming formulation of the batch-incremental ingest."""
 
-from .battlelog import start_move_usage_rollup, stream_move_usage
+from .battlelog import (
+    start_move_usage_rollup,
+    start_session_rollup,
+    stream_move_usage,
+    stream_player_sessions,
+)
 from .ingest import (
     daily_rollup,
     dedup_within_watermark,
@@ -22,4 +27,6 @@ __all__ = [
     "start_cursor_tracking",
     "stream_move_usage",
     "start_move_usage_rollup",
+    "stream_player_sessions",
+    "start_session_rollup",
 ]

@@ -73,3 +73,56 @@ def start_move_usage_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_player_sessions(docs: DataFrame, gap: str = "2 hours", lateness: str = "1 day") -> DataFrame:
+    """Per-player activity sessions over streamed replay docs: both
+    players of every replay, sessionized by upload event-time with a
+    ``gap`` inactivity timeout — the streaming twin of the batch
+    session-window query (w5), using the SAME native
+    ``session_window`` operator so batch and stream share one
+    sessionization semantics.
+
+    State is one open session per (player, window) in the lateness
+    horizon — Spark's session operator merges windows as events
+    arrive; a session finalizes (emits exactly once, append mode)
+    when the watermark passes its gap-extended end. State is bounded
+    by active players x lateness, never by stream length.
+    """
+    players = with_late_data_bounds(docs, lateness).select(
+        "event_time",
+        F.explode(F.array("p1", "p2")).alias("player"),
+    )
+    return (
+        players.groupBy(F.session_window("event_time", gap).alias("w"), "player")
+        .agg(F.count("*").cast("long").alias("n_battles"))
+        .select(
+            "player",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_battles",
+        )
+    )
+
+
+def start_session_rollup(
+    docs: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    gap: str = "2 hours",
+    lateness: str = "1 day",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Append-mode sink for finalized player sessions: each session
+    lands exactly once, when the watermark passes its gap-extended
+    end."""
+    sessions = stream_player_sessions(docs, gap, lateness)
+    writer = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

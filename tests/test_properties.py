@@ -346,3 +346,65 @@ def test_range_join_bucketed_matches_model(spark_prop, left, right):
         if rk == lk and lt <= rt < lt + BAND
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# BM25: shared-tf Spark pipeline == direct per-document model
+# ---------------------------------------------------------------------------
+
+_bm25_word_st = st.sampled_from(["alpha", "beta", "gamma", "dd", "ee", "ff"])
+_bm25_doc_st = st.lists(_bm25_word_st, min_size=1, max_size=8)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=st.lists(_bm25_doc_st, min_size=1, max_size=8))
+def test_bm25_matches_direct_model(spark_prop, docs):
+    """operators.text.bm25_topk (pinned shared-tf formulation, broadcast
+    query frame, micro-unit sums) against an independently coded
+    per-document BM25 computed in plain Python over the same corpus —
+    same query-term selection rule, same k1/b, same quantization."""
+    import math
+
+    from pokemon_showdown_airflow_etl_spark.operators.text import bm25_topk
+
+    k1, b = 1.5, 0.75
+    corpus = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    sdf = spark_prop.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["matched"], r["score_micro"])
+        for r in bm25_topk(
+            sdf, "doc_id", "text",
+            k1=k1, b=b, n_query_terms=2, min_term_len=2, topk=len(docs),
+        ).collect()
+    }
+
+    # direct model
+    tf: dict[tuple[int, str], int] = {}
+    for i, ws in enumerate(docs):
+        for w in ws:
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    dl = {i: len(ws) for i, ws in enumerate(docs)}
+    n_docs = len(docs)
+    avgdl = sum(dl.values()) / n_docs
+    dfreq: dict[str, int] = {}
+    for (_, w) in tf:
+        dfreq[w] = dfreq.get(w, 0) + 1
+    qterms = sorted(
+        (w for w in dfreq if len(w) >= 2), key=lambda w: (-dfreq[w], w)
+    )[:2]
+    want = {}
+    for i, ws in enumerate(docs):
+        micro = 0
+        matched = 0
+        for w in qterms:
+            if (i, w) not in tf:
+                continue
+            matched += 1
+            idf = math.log(1.0 + (n_docs - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+            tfc = tf[(i, w)] * (k1 + 1.0) / (
+                tf[(i, w)] + k1 * (1.0 - b + b * dl[i] / avgdl)
+            )
+            micro += math.floor(idf * tfc * 1_000_000.0 + 0.5)
+        if matched:
+            want[i] = (i, matched, micro)
+    assert got == set(want.values())

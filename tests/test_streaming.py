@@ -296,3 +296,66 @@ def test_streaming_asof_late_query_row_gets_null_not_future_value(spark, tmp_pat
         r["event_id"]: r["last_ref_value"] for r in spark.read.parquet(out).collect()
     }
     assert got == {1: None, 2: 42.0}
+
+
+def test_streaming_player_sessions_match_batch(spark, dirs, tmp_path):
+    """The streaming session-window twin (w5's shape over a stream):
+    per-player sessions finalized by the watermark must be EXACTLY the
+    sessions batch session_window computes over the same corpus — same
+    boundaries, same counts — for every session old enough to have
+    finalized. 10-minute upload cadence + a 1h gap
+    yields ~150 closed sessions including ~50 multi-battle merges (a
+    4h gap would never close: every player reappears within 2.8h), so
+    both the merge path and watermark finalization are exercised."""
+    from pokemon_showdown_airflow_etl_spark.streaming.battlelog import (
+        start_session_rollup,
+    )
+
+    corpus = make_replays("gen9ou", 120, step=600)  # 10-min cadence, ~20h
+    land_docs(spark, dirs["landing"], corpus)
+    out_dir = str(tmp_path / "sessions")
+    q = start_session_rollup(
+        stream_replay_docs(spark, dirs["landing"]),
+        out_dir,
+        str(tmp_path / "ck_sessions"),
+        gap="1 hour",
+        lateness="2 hours",
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(out_dir)
+
+    # exactly-once: no session emitted twice
+    assert streamed.count() == streamed.dropDuplicates(
+        ["player", "session_start"]
+    ).count()
+    assert streamed.count() >= 100
+    # multi-battle sessions exist (the merge path ran, not just singletons)
+    assert streamed.filter(F.col("n_battles") > 1).count() > 0
+
+    docs = spark.createDataFrame(
+        [(r["p1"], r["p2"], r["uploadtime"]) for r in corpus],
+        "p1 string, p2 string, uploadtime long",
+    ).withColumn("event_time", F.timestamp_seconds("uploadtime"))
+    batch = (
+        docs.select("event_time", F.explode(F.array("p1", "p2")).alias("player"))
+        .groupBy(F.session_window("event_time", "1 hour").alias("w"), "player")
+        .agg(F.count("*").cast("long").alias("n_battles"))
+        .select(
+            "player",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_battles",
+        )
+    )
+    streamed_set = {tuple(map(str, r)) for r in streamed.collect()}
+    batch_set = {tuple(map(str, r)) for r in batch.collect()}
+    # every finalized streaming session is a batch session verbatim
+    assert streamed_set <= batch_set
+    # and everything that SHOULD have finalized did: batch sessions whose
+    # gap-extended end is safely behind the final watermark
+    import datetime
+
+    max_ts = max(r["uploadtime"] for r in corpus)
+    wm = datetime.datetime.fromtimestamp(max_ts - 2 * 3600, datetime.timezone.utc).replace(tzinfo=None)
+    due = {t for t in batch_set if datetime.datetime.fromisoformat(t[2]) < wm}
+    assert due <= streamed_set
