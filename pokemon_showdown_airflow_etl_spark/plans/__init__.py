@@ -41,6 +41,7 @@ from . import relational, joins, llm, battlelog, extras, tpch
 CHANGED_SINCE_LAST_ROW: list[str] = [
     "t16_bm25_topk",
     "g17_rolling_7day",
+    "s4_ivf_ann_topk",  # r4: per-cell GEMM scoring stage
     "t8_tfidf_top_terms",
     "g16_funnel",
     "s6_embedding_outliers",

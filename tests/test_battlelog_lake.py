@@ -97,3 +97,25 @@ def test_lines_layout_is_clustered_by_replay(spark, sf_dir, lake_env):
         .count()
     )
     assert split_replays == 0
+
+
+def test_lines_scan_is_bucketed_and_aggregates_without_exchange(
+    spark, sf_dir, lake_env
+):
+    """The point of the bucketed layout: a per-replay aggregate over the
+    registered lines table must read `Bucketed: true` and plan NO
+    Exchange — the scan's hash-distribution satisfies the aggregate's
+    requirement. A regression to a plain-parquet read (or a lost
+    CLUSTERED BY registration) reintroduces a full fact-table shuffle
+    on every b-query."""
+    import contextlib
+    import io
+
+    _, lines = bl.battlelog_tables(spark, sf_dir)
+    agg = lines.groupBy("replay_id").agg(F.count("*").alias("n"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        agg.explain("formatted")
+    plan = buf.getvalue()
+    assert "Bucketed: true" in plan, plan
+    assert "Exchange" not in plan, plan
