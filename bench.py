@@ -39,79 +39,12 @@ from pokemon_showdown_airflow_etl_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "j8_star_join_revenue",
-    "j2_ingest_anti_join",
-    "g3_lifecycle_stats",
-    "g5_ids_by_date",
-    "g11_lifecycle_cube",
-    "w1_latest_per_key",
-    "b2_battle_event_times",
-    "b3_player_win_rates",
-    "d1_exact_dedup",
-    "d2_ngram_jaccard_pairs",
-    "d3_minhash_lsh_candidates",
-    "d5_simhash_near_dups",
-    "s1_similarity_topk",
-    "s2_ann_srp_topk",
-    "t1_quality_features",
-    "t2_lang_id",
-    # round 2 additions
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "q18_top_customers",
-    "d8_dup_clusters",
-    "t9_decontaminate",
-    "t11_pack_sequences",
-    "s6_embedding_outliers",
-    # round 3 additions: the TPC-H depth set and the temporal joins
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "j10_asof_last_click",
-    "j11_range_follow_events",
-    "s8_int8_quant",
-    "t14_unigram_logprob",
-    "t15_domain_cap",
-    "b8_head_to_head",
-    # round 4 additions: the previously never-timed heavy entries
-    # (VERDICT r3 item 4), the sliced as-of, and the rest of the b-set
-    # (now cheap reads of the materialized battle-log lake)
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q19_disjunctive_revenue",
-    "q22_global_sales_opportunity",
-    "j9_above_customer_avg",
-    "j12_asof_last_click_sliced",
-    "d7_lsh_verified_dups",
-    "s4_ivf_ann_topk",
-    "s5_gemm_ann_topk",
-    "t8_tfidf_top_terms",
-    "g15_retention_cohorts",
-    "g16_funnel",
-    "w5_session_windows",
-    "m2_image_decode_features",
-    "m4_image_resize",
-    "b1_log_command_histogram",
-    "b4_move_usage",
-    "b5_first_log_timestamp",
-    "b6_event_gaps",
-    "b7_move_ranks",
-    "t16_bm25_topk",
-    "g17_rolling_7day",
-]
+# Round 4 on: the headline set IS the whole catalog — every entry in
+# ALL_QUERIES gets a timed number each round (VERDICT r3 item 4 made
+# permanent: a new catalog entry can no longer ship un-timed). Sorted
+# by name so per-query keys stay stable across rounds regardless of
+# the driver-window rotation order.
+HEADLINE = sorted(ALL_QUERIES)
 
 
 def _run(name: str) -> None:

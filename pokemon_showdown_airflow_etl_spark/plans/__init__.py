@@ -26,8 +26,8 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # changed or added THIS round; (3) the 19 entries whose only row is
 # from r1, oldest signal first; (4) remaining slots to the stalest
 # r2-latest entries, preferring ones the r4 pin refactor touched.
-# 3 + 14 + 19 + 16 = 52 — the first 50 are the driver window (the
-# final two block-4 entries carry r2 rows and wait out this rotation).
+# 3 + 16 + 19 + 16 = 54 — the first 50 are the driver window (the
+# final four block-4 entries carry r2 rows and wait out this rotation).
 # Everything else
 # keeps its r2/r3 row; the local oracle-parity gate still sweeps all
 # entries each run, and tests/test_driver_window.py asserts no entry
@@ -42,6 +42,8 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
     "t16_bm25_topk",
     "g17_rolling_7day",
     "s4_ivf_ann_topk",  # r4: per-cell GEMM scoring stage
+    "s7_ivf_kmeans_quality",  # r4: sufficient-statistics trainer
+    "a1_approx_sketches",  # r4: distinct agg split out of the sketch agg
     "t8_tfidf_top_terms",
     "g16_funnel",
     "s6_embedding_outliers",
@@ -67,6 +69,8 @@ _PRIORITY: list[str] = [
     # -- (2) changed/new in round 4 --
     "t16_bm25_topk",  # NEW: BM25 top-k retrieval
     "g17_rolling_7day",  # NEW: range-frame rolling trend
+    "s7_ivf_kmeans_quality",  # sufficient-statistics Lloyd trainer
+    "a1_approx_sketches",  # sketch agg split from the distinct agg
     "j12_asof_last_click_sliced",  # NEW: partition-bounded as-of
     "j10_asof_last_click",  # NULL-carry struct fix in asof_join
     "j11_range_follow_events",  # anchor frame now routes through pin()

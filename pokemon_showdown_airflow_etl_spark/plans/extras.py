@@ -152,12 +152,20 @@ def c11_mtime_fallback(spark, sf_dir):
 )
 def a1_approx_sketches(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
-    stats = ev.groupBy("event_type").agg(
+    # the sketches and the exact distinct run as SEPARATE aggregations
+    # joined on the tiny group key: a DISTINCT aggregate mixed into the
+    # same agg() forces an Expand and demotes the typed-imperative
+    # sketch buffers to the sort-based path (measured 6.2 s vs 2x0.2 s
+    # at sf0.1 — 15x for one plan shape)
+    sketches = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.count_distinct("user_id").alias("exact_users"),
         F.percentile_approx("value", 0.5).alias("approx_median_value"),
         F.percentile_approx("value", 0.99).alias("approx_p99_value"),
     )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    stats = sketches.join(exact, "event_type")
     shares = (
         ev.join(F.broadcast(stats), "event_type")
         .groupBy("event_type")

@@ -359,3 +359,52 @@ def test_streaming_player_sessions_match_batch(spark, dirs, tmp_path):
     wm = datetime.datetime.fromtimestamp(max_ts - 2 * 3600, datetime.timezone.utc).replace(tzinfo=None)
     due = {t for t in batch_set if datetime.datetime.fromisoformat(t[2]) < wm}
     assert due <= streamed_set
+
+
+def test_streaming_session_rollup_survives_restart(spark, dirs, tmp_path):
+    """Checkpoint recovery for the session operator: land half the
+    corpus, drain, land the rest, restart the SAME query — every
+    session still lands exactly once (no re-emission of finalized
+    sessions, no loss), and the union equals a fresh single-pass
+    drain over the full corpus."""
+    from pokemon_showdown_airflow_etl_spark.streaming.battlelog import (
+        start_session_rollup,
+    )
+
+    corpus = make_replays("gen9ou", 120, step=600)
+    out_dir = str(tmp_path / "sessions")
+    ck = str(tmp_path / "ck")
+
+    land_docs(spark, dirs["landing"], corpus[:70])
+    q = start_session_rollup(
+        stream_replay_docs(spark, dirs["landing"]), out_dir, ck,
+        gap="1 hour", lateness="2 hours",
+    )
+    q.awaitTermination()
+    first = spark.read.parquet(out_dir).count()
+    assert first > 0
+
+    land_docs(spark, dirs["landing"], corpus[70:])
+    q = start_session_rollup(
+        stream_replay_docs(spark, dirs["landing"]), out_dir, ck,
+        gap="1 hour", lateness="2 hours",
+    )
+    q.awaitTermination()
+    resumed = spark.read.parquet(out_dir)
+    assert resumed.count() > first
+    assert resumed.count() == resumed.dropDuplicates(
+        ["player", "session_start"]
+    ).count()
+
+    # one-shot reference drain over the full corpus
+    ref_land = str(tmp_path / "landing2")
+    land_docs(spark, ref_land, corpus)
+    ref_out = str(tmp_path / "sessions2")
+    q = start_session_rollup(
+        stream_replay_docs(spark, ref_land), ref_out, str(tmp_path / "ck2"),
+        gap="1 hour", lateness="2 hours",
+    )
+    q.awaitTermination()
+    a = {tuple(map(str, r)) for r in resumed.collect()}
+    b = {tuple(map(str, r)) for r in spark.read.parquet(ref_out).collect()}
+    assert a == b
