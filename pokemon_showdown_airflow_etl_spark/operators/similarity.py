@@ -303,20 +303,58 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (doc_a < doc_b, cos >= t).
 
-    With n_bits=0 this is the exact all-pairs check (test scale); with
-    n_bits>0 pairs must share an SRP bucket first (scale path).
+    With n_bits=0 this is the exact all-pairs check (test scale). With
+    n_bits>0 — the scale path — pairs must share an SRP bucket, and
+    each bucket's pair block runs as one BLAS GEMM in applyInPandas
+    (the s4/s5 kernel; the per-pair join materialized both vectors per
+    candidate row and HOF-dotted them — measured 2.0 s vs ~0.7 s at
+    sf0.1). The kernel pre-filters with a 1e-6 slack UNDER the
+    threshold and emits raw sims; the exact round(., 6) >= t decision
+    stays in Spark expressions so boundary semantics are identical to
+    the expression variant (and the oracle).
     """
     v = emb.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("nrm", l2_norm(F.col("v")))
+    )
     if n_bits:
-        v = v.withColumn("bucket", srp_bucket(F.col("v"), n_bits))
+        import numpy as np
+        import pandas as pd
+
+        slack = threshold - 1e-6
+
+        def pairs_in_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            if len(pdf) < 2:
+                return pd.DataFrame(columns=["vec_a", "vec_b", "raw"])
+            ids = pdf["vid"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            mat = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            unit = mat / norms[:, None]
+            sims = unit @ unit.T
+            iu = np.triu_indices(len(ids), k=1)  # ids sorted: a < b
+            keep = sims[iu] >= slack
+            return pd.DataFrame(
+                {
+                    "vec_a": ids[iu[0]][keep],
+                    "vec_b": ids[iu[1]][keep],
+                    "raw": sims[iu][keep],
+                }
+            )
+
+        bucketed = v.withColumn("bucket", srp_bucket(F.col("v"), n_bits))
+        cand = bucketed.groupBy("bucket").applyInPandas(
+            pairs_in_bucket, "vec_a long, vec_b long, raw double"
+        )
+        return (
+            cand.select("vec_a", "vec_b", F.round("raw", 6).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
+        )
+    v = v.withColumn("nrm", l2_norm(F.col("v")))
     a, b = v.alias("a"), v.alias("b")
-    cond = F.col("a.vid") < F.col("b.vid")
-    if n_bits:
-        cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
     return (
-        a.join(b, cond)
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
         .select(
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),

@@ -44,6 +44,7 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
     "s4_ivf_ann_topk",  # r4: per-cell GEMM scoring stage
     "s7_ivf_kmeans_quality",  # r4: sufficient-statistics trainer
     "a1_approx_sketches",  # r4: distinct agg split out of the sketch agg
+    "s3_embedding_near_dups",  # r4: per-bucket GEMM pair scoring
     "t8_tfidf_top_terms",
     "g16_funnel",
     "s6_embedding_outliers",
