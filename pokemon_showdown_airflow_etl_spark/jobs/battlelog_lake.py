@@ -57,8 +57,17 @@ def cache_root() -> Path:
 
 
 def lake_dir(sf_dir: str) -> Path:
-    base = Path(sf_dir).name or "sf"
-    return cache_root() / f"v{VERSION}-{base}"
+    """Cache key = (layout VERSION, basename, hash of the RESOLVED
+    path): two datasets sharing a basename (/a/sf0.1 vs /b/sf0.1) can
+    never serve each other's lake. Content identity is the driver's:
+    the testdata dirs are immutable per round, and a regenerated corpus
+    comes with a VERSION bump or a fresh path."""
+    import hashlib
+
+    p = Path(sf_dir)
+    base = p.name or "sf"
+    tag = hashlib.md5(str(p.resolve()).encode()).hexdigest()[:8]
+    return cache_root() / f"v{VERSION}-{base}-{tag}"
 
 
 def build_battlelog_lake(spark: SparkSession, sf_dir: str, out_dir: Path) -> None:

@@ -11,8 +11,17 @@ no Python in the loop). Two strategies:
   within a bucket, so cost is O(n * bucket_size). The scale path for
   corpus-vs-corpus similarity at 100 TB.
 
-All float math is done in double, summed left-to-right (array order), so
-results are reproducible across engines for the oracle gate.
+All float math is done in double. Expression-path dots sum
+left-to-right (array order), bit-reproducing the oracle's sequential
+fold. The GEMM kernels (s3/s4/s5's hot stages) instead normalize then
+BLAS-multiply — a different FP association that can differ from the
+fold in final ulps, so their ROUND(.,6) outputs are exact-in-practice
+rather than exact-by-construction (a flip needs the true cosine within
+~1e-15 of a .5e-6 boundary; two driver rounds plus repr-strict raw
+sweeps at two scale factors back it). Zero-norm vectors are a
+documented PRECONDITION of the GEMM kernels (they substitute norm=1,
+where the expression path yields NaN); tests assert the corpus is
+zero-norm-free.
 
 Methods are the standard published ones: sign-random-projection LSH for
 cosine (Charikar, STOC 2002), inverted-file coarse quantization for ANN
@@ -486,7 +495,6 @@ def fit_kmeans_centroids(
     max_iter: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = SRP_DIM,
     tol: float = 1e-6,
 ) -> tuple[DataFrame, list[float]]:
     """Distributed Lloyd's k-means for IVF coarse quantizers: the

@@ -26,9 +26,9 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # changed or added THIS round; (3) the 19 entries whose only row is
 # from r1, oldest signal first; (4) remaining slots to the stalest
 # r2-latest entries, preferring ones the r4 pin refactor touched.
-# 3 + 16 + 19 + 16 = 54 — the first 50 are the driver window (the
-# final four block-4 entries carry r2 rows and wait out this rotation).
-# Everything else
+# 3 + 21 + 19 + 16 = 59 — the first 50 are the driver window; the
+# block-4 tail past slot 50 carries r2/r3 rows and waits out this
+# rotation. Everything else
 # keeps its r2/r3 row; the local oracle-parity gate still sweeps all
 # entries each run, and tests/test_driver_window.py asserts no entry
 # can miss both a past row and this window.
@@ -45,6 +45,13 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
     "s7_ivf_kmeans_quality",  # r4: sufficient-statistics trainer
     "a1_approx_sketches",  # r4: distinct agg split out of the sketch agg
     "s3_embedding_near_dups",  # r4: per-bucket GEMM pair scoring
+    # pin() indirection (c81f383) touched these after their r3 rows —
+    # same edit as j11; the gate must cover them identically
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q20_excess_suppliers",
+    "t14_unigram_logprob",
     "t8_tfidf_top_terms",
     "g16_funnel",
     "s6_embedding_outliers",
@@ -72,6 +79,11 @@ _PRIORITY: list[str] = [
     "g17_rolling_7day",  # NEW: range-frame rolling trend
     "s7_ivf_kmeans_quality",  # sufficient-statistics Lloyd trainer
     "a1_approx_sketches",  # sketch agg split from the distinct agg
+    "q2_min_cost_supplier",  # pin() indirection (c81f383), like j11
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q20_excess_suppliers",
+    "t14_unigram_logprob",
     "j12_asof_last_click_sliced",  # NEW: partition-bounded as-of
     "j10_asof_last_click",  # NULL-carry struct fix in asof_join
     "j11_range_follow_events",  # anchor frame now routes through pin()

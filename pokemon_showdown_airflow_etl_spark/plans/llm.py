@@ -633,10 +633,11 @@ def s4_ivf_ann_topk(spark, sf_dir):
     "force on a deterministic 6% query sample clears 0.4 (measured "
     "0.57-0.70 vs 0.33-0.47 for seed centroids). Breaking the trainer "
     "flips a boolean and the hash mismatches. The trainer is the "
-    "distributed Lloyd loop in operators/similarity.py: broadcast "
-    "constant-size centroid table, min(struct) argmin so the shuffle "
-    "carries one candidate per vector, per-cell narrow re-averaging, "
-    "scalar-only driver traffic (the inertia stop rule).",
+    "distributed Lloyd loop in operators/similarity.py: one Arrow map "
+    "pass per iteration emitting per-partition sufficient statistics "
+    "(per-cell vector sums, counts, inertia — O(cells x partitions) "
+    "rows), reduced to the new centroids; driver traffic is those "
+    "constant-size statistics plus the scalar inertia stop rule.",
 )
 def s7_ivf_kmeans_quality(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")

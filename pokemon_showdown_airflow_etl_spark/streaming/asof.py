@@ -18,7 +18,11 @@ is online, and disorder degrades in BOTH directions:
 
 - late reference: a reference row arriving in a later batch than a
   query row it should have informed cannot retro-correct the
-  already-emitted row (standard online-enrichment trade-off);
+  already-emitted row (standard online-enrichment trade-off); a
+  reference older than the carried state is DROPPED outright (the
+  carry advances monotonically in-batch exactly as the state merge
+  does across batches), so it also never regresses the value served
+  to on-time rows of its own batch;
 - late query: a query row arriving in a later batch than a NEWER
   reference row must not be enriched with that future value — the
   state only holds the latest (ts, value), so the true at-or-before
@@ -58,7 +62,15 @@ def _enrich_group(
     out = []
     for row in batch.itertuples(index=False):
         if row.side == 0:
-            last_ts, last_val = row.ts.timestamp(), float(row.value)
+            # advance-only, in-batch too: a reference OLDER than the
+            # carried state must not regress the carry — otherwise an
+            # on-time query row in the same batch would be enriched
+            # with the stale late reference instead of the newer state
+            # (and the late-query NULL guard below would be defeated,
+            # since last_ts would move backwards under it)
+            t = row.ts.timestamp()
+            if last_ts is None or t >= last_ts:
+                last_ts, last_val = t, float(row.value)
         else:
             # at-or-before guard: carried state newer than this row means
             # the row arrived late relative to a future reference — emit

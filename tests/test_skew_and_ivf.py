@@ -155,3 +155,23 @@ def test_kmeans_beats_first_n_seed_and_plugs_into_ivf(spark, sf_dir):
     assert got.columns == ["query_id", "nn_id", "rank", "cos_sim"]
     n = emb.count()
     assert got.count() == n  # one nearest neighbor per vector
+
+
+def test_embeddings_have_no_zero_norm_vectors(spark, sf_dir):
+    """Precondition of the GEMM kernels (ivf_topk / embedding_near_dups
+    / bucketed_gemm_topk): they substitute norm=1 for zero-norm vectors
+    where the expression path (and the DuckDB oracles) would produce
+    NaN — the two only agree because the corpus has no zero vectors.
+    This pins that assumption to the data."""
+    from pyspark.sql import functions as F
+
+    from pokemon_showdown_airflow_etl_spark.operators.similarity import (
+        as_double,
+        l2_norm,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    zero = emb.select(
+        l2_norm(as_double(F.col("embedding"))).alias("nrm")
+    ).filter(F.col("nrm") == 0.0)
+    assert zero.count() == 0

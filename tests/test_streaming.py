@@ -408,3 +408,58 @@ def test_streaming_session_rollup_survives_restart(spark, dirs, tmp_path):
     a = {tuple(map(str, r)) for r in resumed.collect()}
     b = {tuple(map(str, r)) for r in spark.read.parquet(ref_out).collect()}
     assert a == b
+
+
+def test_streaming_asof_late_reference_never_regresses_carry(spark, tmp_path):
+    """A reference row arriving in a LATER batch with an OLDER timestamp
+    than the carried state must be dropped, not adopted: an on-time
+    query row in that same batch gets the carried (newer) state value,
+    and a late query row older than the state still gets NULL. Before
+    the advance-only in-batch guard, the late reference overwrote the
+    carry and both rows were served the stale value."""
+    import json
+    import os
+    import time
+
+    from pokemon_showdown_airflow_etl_spark.streaming.asof import (
+        start_asof_enrichment,
+    )
+
+    chunks = [
+        # batch 0: establish state (ts=1000, value=42)
+        [
+            {"user_id": 1, "event_id": 0, "ts": 1000, "event_type": "click", "value": 42.0},
+        ],
+        # batch 1: late click (ts=500) + on-time purchase (1500) + late purchase (600)
+        [
+            {"user_id": 1, "event_id": 1, "ts": 500, "event_type": "click", "value": 7.0},
+            {"user_id": 1, "event_id": 2, "ts": 1500, "event_type": "purchase", "value": 0.0},
+            {"user_id": 1, "event_id": 3, "ts": 600, "event_type": "purchase", "value": 0.0},
+        ],
+    ]
+    land = tmp_path / "landing"
+    land.mkdir()
+    base = time.time() - 600
+    for c, rows in enumerate(chunks):
+        path = land / f"chunk{c}.json"
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(path, (base + c, base + c))
+
+    schema = "user_id long, event_id long, ts long, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(land))
+        .withColumn("ts", F.timestamp_seconds("ts"))
+    )
+    q = start_asof_enrichment(
+        stream, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]: r["last_ref_value"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {2: 42.0, 3: None}
