@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
     fix.add_argument("--execute", action="store_true", help="apply (default: dry run)")
 
     sub.add_parser("analyze", help="lifecycle stats per format (cleanup_db.py analyze)")
+    sub.add_parser(
+        "refresh-analysis",
+        help="incrementally parse new/changed compacted days into the "
+        "battle-log analysis tables",
+    )
     sub.add_parser("deduplicate", help="remove duplicate metadata rows (O12)")
     opt = sub.add_parser("optimize", help="small-file compaction rewrite (O12 vacuum)")
     opt.add_argument("--files-per-partition", type=int, default=1)
@@ -192,6 +197,10 @@ def main(argv: list[str] | None = None) -> int:
 
         rows = lifecycle_stats(MetadataStore(spark, lake.metadata_path).read()).collect()
         result = {r["format_id"]: r.asDict() for r in rows}
+    elif args.cmd == "refresh-analysis":
+        from .jobs.battlelog_lake import refresh_battlelog_layer
+
+        result = refresh_battlelog_layer(spark, lake)
     elif args.cmd == "deduplicate":
         result = deduplicate_metadata(spark, lake)
     elif args.cmd == "optimize":

@@ -78,8 +78,14 @@ def command_lines(
     return parse_protocol_lines(lines).filter(F.col("command") == command)
 
 
-def battle_events(df: DataFrame, log_col: str = "log", id_col: str = "id") -> DataFrame:
-    """Full pipeline: replay docs -> typed battle event rows.
+def battle_events(
+    df: DataFrame,
+    log_col: str = "log",
+    id_col: str = "id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Full pipeline: replay docs -> typed battle event rows. ``keep``
+    carries extra columns (e.g. partition keys) through the explode.
 
     Event time comes from the most recent ``|t:|<epoch>`` line at or
     before each event (a running last_value window per replay).
@@ -99,7 +105,7 @@ def battle_events(df: DataFrame, log_col: str = "log", id_col: str = "id") -> Da
     # yields NULL on both paths.
     # try_element_at/try_cast: a malformed stamp line ("|t:|garbage")
     # must yield NULL, not an ANSI runtime error that kills the job.
-    lines = explode_log_lines(df, log_col, id_col).withColumn(
+    lines = explode_log_lines(df, log_col, id_col, keep=keep).withColumn(
         "_stamp",
         F.when(
             F.col("line").startswith("|t:|"),

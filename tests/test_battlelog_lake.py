@@ -119,3 +119,89 @@ def test_lines_scan_is_bucketed_and_aggregates_without_exchange(
     plan = buf.getvalue()
     assert "Bucketed: true" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Incremental analysis layer over the live replay lake
+# ---------------------------------------------------------------------------
+
+
+def _land_compacted(spark, lake, replays):
+    from pokemon_showdown_airflow_etl_spark.schemas import REPLAY_DOCUMENT
+
+    rows = [tuple(r.get(f.name) for f in REPLAY_DOCUMENT.fields) for r in replays]
+    (
+        spark.createDataFrame(rows, REPLAY_DOCUMENT)
+        .withColumn(
+            "date", F.from_unixtime("uploadtime", "yyyy-MM-dd")
+        )
+        .write.partitionBy("format", "date")
+        .mode("append")
+        .parquet(lake.compacted_path)
+    )
+
+
+def test_refresh_battlelog_layer_incremental(spark, tmp_path):
+    """The live-lake analysis layer: first refresh parses everything;
+    an unchanged second refresh parses NOTHING (and rewrites no files);
+    landing more docs into one day re-parses exactly that day and the
+    parsed lines match a direct parse of the whole lake throughout."""
+    import os
+
+    from pokemon_showdown_airflow_etl_spark.functions.logparse import battle_events
+    from pokemon_showdown_airflow_etl_spark.jobs import ReplayLake
+    from pokemon_showdown_airflow_etl_spark.jobs.battlelog_lake import (
+        analysis_paths,
+        refresh_battlelog_layer,
+    )
+    from pokemon_showdown_airflow_etl_spark.sources.fake import make_replays
+
+    lake = ReplayLake(str(tmp_path / "lake"))
+    corpus = make_replays("gen9ou", 60)  # hourly -> 3 days
+    _land_compacted(spark, lake, corpus[:48])
+
+    stats = refresh_battlelog_layer(spark, lake)
+    assert stats["partitions_refreshed"] > 0
+    assert stats["docs_parsed"] == 48
+    paths = analysis_paths(lake)
+
+    def lines_rows():
+        return sorted(
+            tuple(str(v) for v in r)
+            for r in spark.read.parquet(paths["lines"])
+            .select("replay_id", "line_no", "command", "args", "event_ts")
+            .collect()
+        )
+
+    def direct(replays):
+        from pokemon_showdown_airflow_etl_spark.schemas import REPLAY_DOCUMENT
+
+        rows = [tuple(r.get(f.name) for f in REPLAY_DOCUMENT.fields) for r in replays]
+        return sorted(
+            tuple(str(v) for v in r)
+            for r in battle_events(spark.createDataFrame(rows, REPLAY_DOCUMENT))
+            .select("replay_id", "line_no", "command", "args", "event_ts")
+            .collect()
+        )
+
+    assert lines_rows() == direct(corpus[:48])
+
+    # unchanged lake: nothing re-parses, no data file rewritten
+    mtimes = {
+        p: os.path.getmtime(os.path.join(paths["lines"], p))
+        for p in os.listdir(paths["lines"])
+        if not p.startswith(("_", "."))
+    }
+    stats = refresh_battlelog_layer(spark, lake)
+    assert stats == {"partitions_refreshed": 0, "docs_parsed": 0}
+    for p, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(paths["lines"], p)) == m
+
+    # 12 more replays: day 3 grows, day 4 appears -> exactly those days
+    _land_compacted(spark, lake, corpus[48:])
+    stats = refresh_battlelog_layer(spark, lake)
+    assert stats["partitions_refreshed"] == 2
+    assert lines_rows() == direct(corpus)
+    docs = spark.read.parquet(paths["docs"])
+    assert docs.count() == 60
+    assert docs.filter(F.col("n_lines") <= 0).count() == 0
