@@ -214,6 +214,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    query_ids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate all-pairs top-k: a coarse quantizer assigns
     every vector to its nearest cell; queries probe their ``n_probe``
@@ -234,6 +235,14 @@ def ivf_topk(
     UNROUNDED sims; a global window then picks the final k from the
     <= k * n_probe survivors per query, so cross-cell ordering and tie
     handling are identical to the single-stage formulation.
+
+    ``query_ids`` (a frame with ``id_col``) restricts the QUERY side:
+    every vector still serves as an index member, but only listed ids
+    probe and emit neighbors. This is the recall-probe / online-lookup
+    shape — cost O(|queries| * probe * cell) instead of
+    O(corpus * probe * cell); at 100 TB you never score the whole
+    corpus to answer a sampled evaluation. Results for the listed ids
+    are row-identical to the unrestricted run filtered afterward.
     """
     import numpy as np
     import pandas as pd
@@ -260,12 +269,32 @@ def ivf_topk(
     ranked = scored_cells.withColumn("cell_rank", F.row_number().over(w_cell)).select(
         "vid", "v", "cell_id", "cell_rank"
     )
+    if query_ids is not None:
+        qflag = (
+            query_ids.select(F.col(id_col).alias("vid"))
+            .distinct()
+            .withColumn("_isq", F.lit(True))
+        )
+        ranked = ranked.join(F.broadcast(qflag), "vid", "left").withColumn(
+            "is_query", F.coalesce(F.col("_isq"), F.lit(False))
+        )
+        # members (rank-1 rows) always flow — the index is the full
+        # corpus; only listed ids keep their probe rows
+        probes = ranked.filter(
+            (F.col("cell_rank") == 1)
+            | (F.col("is_query") & (F.col("cell_rank") <= n_probe))
+        )
+    else:
+        probes = ranked.filter(F.col("cell_rank") <= n_probe).withColumn(
+            "is_query", F.lit(True)
+        )
 
     cand_schema = "query_id long, nn_id long, cos_sim double"
 
     def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         member = pdf["cell_rank"].to_numpy() == 1
-        if not member.any():
+        qmask = pdf["is_query"].to_numpy()
+        if not member.any() or not qmask.any():
             return pd.DataFrame(columns=["query_id", "nn_id", "cos_sim"])
         mat = np.array(pdf["v"].tolist(), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1)
@@ -278,11 +307,12 @@ def ivf_topk(
         # sorted(key=(-sim, id)) but vectorized across all queries
         perm = np.argsort(m_ids, kind="stable")
         m_unit, m_ids = m_unit[perm], m_ids[perm]
-        sims = unit @ m_unit.T  # every probe row is a query
-        sims[ids[:, None] == m_ids[None, :]] = -np.inf  # self-match
+        q_unit, q_ids = unit[qmask], ids[qmask]
+        sims = q_unit @ m_unit.T
+        sims[q_ids[:, None] == m_ids[None, :]] = -np.inf  # self-match
         kk = min(k, m_ids.shape[0])
         top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-        qi = np.repeat(ids, kk)
+        qi = np.repeat(q_ids, kk)
         nn = m_ids[top.ravel()]
         cs = np.take_along_axis(sims, top, axis=1).ravel()
         keep = cs != -np.inf
@@ -290,11 +320,7 @@ def ivf_topk(
             {"query_id": qi[keep], "nn_id": nn[keep], "cos_sim": cs[keep]}
         )
 
-    cand = (
-        ranked.filter(F.col("cell_rank") <= n_probe)
-        .groupBy("cell_id")
-        .applyInPandas(score_cell, cand_schema)
-    )
+    cand = probes.groupBy("cell_id").applyInPandas(score_cell, cand_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
