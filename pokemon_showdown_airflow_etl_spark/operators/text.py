@@ -313,3 +313,51 @@ def bm25_topk(
             ),
         )
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 32,
+    stride: int = 16,
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Overlapping fixed-size token windows — the chunking pass every
+    RAG retriever and long-context pretraining pipeline runs before
+    embedding or packing (window/stride chunking with overlap; stride <
+    window yields ``window - stride`` tokens of context carryover).
+
+    Pure map + Generate: the token array materializes once per document,
+    start offsets come from ``sequence(0, n-1, stride)``, and
+    ``posexplode`` emits one row per window — zero shuffles, no Python,
+    so the pass streams at scan speed over 100 TB and the downstream
+    embedding stage controls its own parallelism. Tail windows shorter
+    than ``min_tokens`` are dropped (they are always a suffix of the
+    start list, so ``chunk_id`` numbering stays dense from 0 over kept
+    prefixes). ``chunk_id`` is the window ordinal (``start / stride``),
+    stable under re-chunking with the same geometry.
+    """
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tk")
+    ).select(
+        F.col(id_col),
+        F.col("_tk"),
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("_tk") - 1, F.lit(0)),
+                F.lit(stride),
+            )
+        ).alias("chunk_id", "start_tok"),
+    )
+    remaining = F.size("_tk") - F.col("start_tok")
+    return staged.filter(remaining >= min_tokens).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.lit(window), remaining).cast("long").alias("n_tokens"),
+        F.array_join(
+            F.slice("_tk", F.col("start_tok") + 1, window), " "
+        ).alias("chunk_text"),
+    )

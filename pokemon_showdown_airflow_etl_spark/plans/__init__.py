@@ -41,6 +41,8 @@ from . import relational, joins, llm, battlelog, extras, tpch
 CHANGED_SINCE_LAST_ROW: list[str] = [
     "t16_bm25_topk",
     "g17_rolling_7day",
+    "t17_chunk_windows",  # r4 NEW: RAG/long-context chunking
+    "a2_cms_heavy_hitters",  # r4 NEW: count-min sketch heavy hitters
     "s4_ivf_ann_topk",  # r4: per-cell GEMM scoring stage
     "s7_ivf_kmeans_quality",  # r4: sufficient-statistics trainer
     "a1_approx_sketches",  # r4: distinct agg split out of the sketch agg
@@ -77,6 +79,8 @@ _PRIORITY: list[str] = [
     # -- (2) changed/new in round 4 --
     "t16_bm25_topk",  # NEW: BM25 top-k retrieval
     "g17_rolling_7day",  # NEW: range-frame rolling trend
+    "t17_chunk_windows",  # NEW: window/stride chunk inventory
+    "a2_cms_heavy_hitters",  # NEW: count-min sketch heavy hitters
     "s7_ivf_kmeans_quality",  # sufficient-statistics Lloyd trainer
     "a1_approx_sketches",  # sketch agg split from the distinct agg
     "q2_min_cost_supplier",  # pin() indirection (c81f383), like j11

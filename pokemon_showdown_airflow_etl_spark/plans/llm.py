@@ -1361,3 +1361,101 @@ def t16_bm25_topk(spark, sf_dir):
         min_term_len=BM25_MIN_TERM_LEN,
         topk=BM25_TOPK,
     )
+
+
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 16
+CHUNK_MIN_TOKENS = 8
+
+
+@q(
+    "t17_chunk_windows",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+    ), st AS (
+        SELECT doc_id, tk,
+               unnest(range(0, len(tk), {CHUNK_STRIDE})) AS start_tok
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(start_tok / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(least({CHUNK_WINDOW}, len(tk) - start_tok) AS BIGINT) AS n_tokens,
+           array_to_string(
+               tk[start_tok + 1 : start_tok + {CHUNK_WINDOW}], ' '
+           ) AS chunk_text
+    FROM st
+    WHERE len(tk) - start_tok >= {CHUNK_MIN_TOKENS}
+    """,
+    doc="RAG/long-context chunking: overlapping {window}-token windows "
+    "at stride {stride} (16 tokens of carryover), runt tails under "
+    "{min} tokens dropped. Pure map + Generate — the token array "
+    "materializes once, sequence() emits the start offsets, posexplode "
+    "yields one row per window: zero shuffles, no Python, streams at "
+    "scan speed over 100 TB. The chunk inventory (doc_id, chunk_id, "
+    "start_tok, n_tokens, chunk_text) is what the embedding stage "
+    "consumes; chunk_id = start/stride is stable under re-chunking.",
+)
+def t17_chunk_windows(spark, sf_dir):
+    return text.chunk_windows(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        window=CHUNK_WINDOW,
+        stride=CHUNK_STRIDE,
+        min_tokens=CHUNK_MIN_TOKENS,
+    )
+
+
+@q(
+    "a2_cms_heavy_hitters",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+    ), grams AS (
+        SELECT tk[u.i] || ' ' || tk[u.i + 1] AS gram
+        FROM toks CROSS JOIN LATERAL (
+            SELECT unnest(range(1, len(tk))) AS i
+        ) u
+    )
+    SELECT gram,
+           CAST(count(*) AS BIGINT) AS exact_n,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, gram) AS INT) AS rank,
+           TRUE AS est_ge_exact,
+           TRUE AS est_within_eps
+    FROM grams GROUP BY gram ORDER BY exact_n DESC, gram LIMIT 10
+    """,
+    doc="Count-min-sketch bigram heavy hitters (operators/sketches.py): "
+    "the custom MERGEABLE sketch case — a1 is the built-in HLL/KLL "
+    "path; this builds a CMS from pure JVM expressions. The sketch is "
+    "an additive depth x width counter matrix, so the distributed "
+    "build is explode-each-occurrence-into-its-cells + count per cell: "
+    "map-side partial aggregation collapses the stream to <= 1024 "
+    "partial rows per task before the single exchange, and the "
+    "materialized sketch (<= 1024 rows) broadcasts to the estimate "
+    "join. Like a1/s7, raw sketch cells are engine-specific, so the "
+    "driver-checked result is the exact top-10 bigrams (count desc, "
+    "gram) — non-vacuous tie-breaking at sf0.01 — plus per-key audit "
+    "booleans for the CMS laws: est >= exact (collisions only add) "
+    "and est <= exact + 4/width * N. Production at 100 TB replaces "
+    "the exact-audit candidates with per-partition local top-m "
+    "proposal; the sketch plan is unchanged.",
+)
+def a2_cms_heavy_hitters(spark, sf_dir):
+    from ..operators import sketches
+    from ..operators.dedup import tokens as _tokens
+
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(_tokens(F.col("text")).alias("_tk"))
+    n = F.size("_tk")
+    grams = tk.select(
+        F.explode(
+            F.zip_with(
+                F.slice("_tk", 1, n - 1),
+                F.slice("_tk", 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("gram")
+    )
+    return sketches.cms_heavy_hitters(grams, "gram", depth=4, width=256, topk=10)

@@ -222,3 +222,78 @@ def test_resize_images_aspect_fit_invariants(spark):
         assert (r["width"] >= r["height"]) == (r["out_width"] >= r["out_height"])
         assert r["out_bytes"] == r["out_width"] * r["out_height"] * 3
         assert len(r["resized_md5"]) == 32
+
+
+def test_chunk_windows_reconstruct_and_overlap(spark):
+    """Chunk inventory invariants: with stride == window the chunks
+    concatenate back to the normalized text; with stride < window each
+    chunk's tail overlaps the next chunk's head by window - stride
+    tokens; n_tokens always equals the chunk's actual token count."""
+    from pokemon_showdown_airflow_etl_spark.operators.text import chunk_windows
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(100))),
+            (2, " ".join(f"v{i}" for i in range(37))),  # runt tail
+            (3, "a b c"),  # shorter than min_tokens
+            (4, "  Mixed   CASE    text here now ok yes sure  "),
+        ],
+        "doc_id long, text string",
+    )
+    # exact tiling: stride == window, keep every tail
+    tiled = chunk_windows(docs, "doc_id", "text", window=16, stride=16, min_tokens=1)
+    rows = tiled.orderBy("doc_id", "chunk_id").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        assert r["n_tokens"] == len(r["chunk_text"].split(" "))
+    assert " ".join(c["chunk_text"] for c in by_doc[1]) == " ".join(
+        f"w{i}" for i in range(100)
+    )
+    assert " ".join(c["chunk_text"] for c in by_doc[4]) == (
+        "mixed case text here now ok yes sure"
+    )
+    assert [c["chunk_id"] for c in by_doc[1]] == list(range(7))  # dense ids
+
+    # overlapped: each consecutive pair shares window - stride tokens
+    lapped = chunk_windows(docs, "doc_id", "text", window=16, stride=8, min_tokens=8)
+    d1 = [r for r in lapped.orderBy("chunk_id").collect() if r["doc_id"] == 1]
+    for a, b in zip(d1, d1[1:]):
+        if a["n_tokens"] == 16:
+            assert a["chunk_text"].split(" ")[8:] == b["chunk_text"].split(" ")[:8]
+    # doc 3 (3 tokens < min 8) emits nothing
+    assert lapped.filter(F.col("doc_id") == 3).count() == 0
+
+
+def test_cms_heavy_hitters_laws(spark):
+    """CMS laws on a skewed synthetic stream: the reported keys are the
+    exact top-k with exact counts; est >= exact holds for EVERY key even
+    under a deliberately collision-heavy width=2 sketch."""
+    from pokemon_showdown_airflow_etl_spark.operators.sketches import (
+        cms_estimate,
+        cms_heavy_hitters,
+        cms_sketch,
+    )
+
+    occurrences = []
+    truth = {}
+    for i, n in enumerate([500, 120, 120, 40, 7, 3, 1]):
+        truth[f"k{i}"] = n
+        occurrences += [(f"k{i}",)] * n
+    keys = spark.createDataFrame(occurrences, "k string").repartition(8)
+
+    top = cms_heavy_hitters(keys, "k", depth=4, width=256, topk=3).collect()
+    assert [(r["k"], r["exact_n"], r["rank"]) for r in top] == [
+        ("k0", 500, 1),
+        ("k1", 120, 2),  # 120-tie breaks on key asc
+        ("k2", 120, 3),
+    ]
+    assert all(r["est_ge_exact"] and r["est_within_eps"] for r in top)
+
+    # collision-heavy sketch: estimates inflate but never underestimate
+    sk = cms_sketch(keys, "k", depth=2, width=2)
+    all_keys = keys.distinct()
+    est = cms_estimate(all_keys, sk, "k", depth=2, width=2).collect()
+    assert len(est) == len(truth)
+    assert all(r["est"] >= truth[r["k"]] for r in est)
+    assert any(r["est"] > truth[r["k"]] for r in est)  # collisions happened
