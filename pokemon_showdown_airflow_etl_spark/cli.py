@@ -60,6 +60,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="incrementally parse new/changed compacted days into the "
         "battle-log analysis tables",
     )
+    cur = sub.add_parser(
+        "curate",
+        help="curate a document corpus for training: exact + near dedup, "
+        "quality floor, deterministic split, partitioned write",
+    )
+    cur.add_argument("--input", required=True, help="documents parquet path")
+    cur.add_argument("--output", required=True, help="curated corpus output dir")
+    cur.add_argument("--min-quality", type=float, default=0.5)
+    cur.add_argument("--near-dup-threshold", type=float, default=0.8)
+    cur.add_argument("--pack-budget", type=int, default=512)
+
     sub.add_parser("deduplicate", help="remove duplicate metadata rows (O12)")
     opt = sub.add_parser("optimize", help="small-file compaction rewrite (O12 vacuum)")
     opt.add_argument("--files-per-partition", type=int, default=1)
@@ -136,6 +147,22 @@ def main(argv: list[str] | None = None) -> int:
             rows = df.limit(args.limit).collect() if args.limit else df.collect()
             for r in rows:
                 print(json.dumps(r.asDict(recursive=True), default=str))
+        return 0
+
+    if args.cmd == "curate":  # corpus job — no lake involved
+        from .jobs.curate import curate_corpus
+        from .session import get_spark
+
+        spark = get_spark(app_name="etl-curate", master=args.master)
+        result = curate_corpus(
+            spark,
+            args.input,
+            args.output,
+            min_quality=args.min_quality,
+            near_dup_threshold=args.near_dup_threshold,
+            pack_budget=args.pack_budget,
+        )
+        print(json.dumps(result, sort_keys=True))
         return 0
 
     if args.lake is None:

@@ -1,0 +1,110 @@
+"""End-to-end training-corpus curation: the job a user actually runs
+over raw documents before pretraining, composing the cataloged §2.11
+operators into one pipeline:
+
+    read -> exact dedup (d6) -> near-dup clustering (d8, keep one per
+    cluster) -> quality filter (t7) -> deterministic split (t12) ->
+    partitioned write + packing stats (t11)
+
+Plan economics: each stage's survivor frame is pinned (lazy
+localCheckpoint) so the per-stage audit counts and the next stage reuse
+one materialization instead of re-deriving the whole upstream lineage —
+at 100 TB each un-pinned count would be a full re-scan of every prior
+stage. The write lands partitioned by split so downstream training
+readers prune to their split at the directory level, and the returned
+stats dict is the job's XCom-sized contract (counts only — same rule as
+run_daily_pipeline's O5 stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import drop_exact_dups, dup_clusters
+from ..operators.sampling import hash_split
+from ..operators.text import pack_sequences, quality_score
+from ..pinning import pin
+
+
+def curate_corpus(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    *,
+    min_quality: float = 0.5,
+    near_dup_threshold: float = 0.8,
+    pack_budget: int = 512,
+) -> dict:
+    """Run the curation pipeline and write the curated corpus
+    partitioned by split. Deterministic: same input -> same survivors,
+    same splits, same stats (every stage is hash- or min-id-based; no
+    randomness, no timestamps)."""
+    docs = spark.read.parquet(input_path)
+    n_input = docs.count()
+
+    # 1. exact dedup — keep the min-id row per normalized content
+    exact = drop_exact_dups(docs, "doc_id", "text").transform(pin)
+    n_after_exact = exact.count()
+
+    # 2. near-dup clusters over the exact survivors; drop every cluster
+    #    member except the min-id keeper. Docs in no cluster pass
+    #    through (left join, null-safe filter).
+    clusters = dup_clusters(exact, "doc_id", "text", threshold=near_dup_threshold)
+    near = (
+        exact.join(
+            F.broadcast(clusters.filter(~F.col("is_kept")).select("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+    ).transform(pin)
+    n_after_near = near.count()
+
+    # 3. quality floor — the heuristic t7 scorer; a model scorer swaps
+    #    in behind the same (id, quality) frame without plan changes
+    scored = near.join(quality_score(near, "doc_id", "text"), "doc_id")
+    curated = (
+        scored.filter(F.col("quality") >= min_quality)
+        .transform(pin)
+    )
+    n_after_quality = curated.count()
+
+    # 4. deterministic split assignment (pure map — no shuffle)
+    split_docs = hash_split(curated, "doc_id").drop("bucket")
+
+    split_docs.write.mode("overwrite").partitionBy("split").parquet(output_path)
+
+    written = spark.read.parquet(output_path)
+    split_counts = {
+        r["split"]: r["n"]
+        for r in written.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+
+    # 5. packing audit on the train split: how many context windows the
+    #    curated corpus yields (the number a pretraining run plans by)
+    train = written.filter(F.col("split") == "train")
+    packed = pack_sequences(
+        train, "doc_id", "text", "source", budget=pack_budget
+    )
+    # bin_id is dense within each (source, shard) pack partition, so the
+    # corpus-wide window count is the sum of per-partition (max + 1)
+    pack_stats = (
+        packed.groupBy("source", "shard")
+        .agg(F.max("bin_id").alias("_mx"), F.sum("n_tokens").alias("_tok"))
+        .agg(
+            F.sum(F.col("_mx") + 1).cast("long").alias("n_bins"),
+            F.sum("_tok").cast("long").alias("n_train_tokens"),
+        )
+        .first()
+    )
+
+    return {
+        "n_input": n_input,
+        "n_after_exact_dedup": n_after_exact,
+        "n_after_near_dedup": n_after_near,
+        "n_after_quality": n_after_quality,
+        "n_written": sum(split_counts.values()),
+        "splits": split_counts,
+        "train_bins": int(pack_stats["n_bins"] or 0),
+        "train_tokens": int(pack_stats["n_train_tokens"] or 0),
+    }

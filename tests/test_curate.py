@@ -1,0 +1,74 @@
+"""The corpus-curation job: stagewise counts, determinism, and the
+partitioned-by-split layout of the written corpus."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pokemon_showdown_airflow_etl_spark.jobs.curate import curate_corpus
+
+
+def _corpus(spark):
+    """A corpus with every case the pipeline must handle:
+    - 0/1: exact dups (same text modulo case+whitespace) -> keep 0
+    - 2/3: near dups (40 shared tokens, one divergent) -> keep 2
+    - 4: too short for the quality floor (3 tokens) -> dropped
+    - 5..24: clean unique docs that survive everything
+    """
+    base_a = " ".join(f"atok{i}" for i in range(40))
+    base_b = " ".join(f"btok{i}" for i in range(40))
+    rows = [
+        (0, base_a + " ending one", "en", "srcA"),
+        (1, "  " + base_a.upper() + "   ENDING ONE ", "en", "srcA"),
+        (2, base_b + " different tail here", "en", "srcB"),
+        (3, base_b + " different tail gone", "en", "srcB"),
+        (4, "way too short", "en", "srcC"),
+    ] + [
+        (
+            5 + i,
+            " ".join(f"u{i}w{j} the a of to in" for j in range(8)),
+            "en",
+            "srcD",
+        )
+        for i in range(20)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+
+
+def test_curate_corpus_stages_layout_and_determinism(spark, tmp_path):
+    src = str(tmp_path / "raw")
+    out = str(tmp_path / "curated")
+    _corpus(spark).write.parquet(src)
+
+    stats = curate_corpus(spark, src, out)
+    assert stats["n_input"] == 25
+    assert stats["n_after_exact_dedup"] == 24  # doc 1 gone (doc 0 kept)
+    assert stats["n_after_near_dedup"] == 23  # doc 3 gone (doc 2 kept)
+    assert stats["n_after_quality"] == 22  # doc 4 gone
+    assert stats["n_written"] == 22
+    assert stats["n_written"] == sum(stats["splits"].values())
+    assert set(stats["splits"]) <= {"train", "val", "test"}
+    assert stats["train_bins"] >= 1
+    assert stats["train_tokens"] > 0
+
+    # layout: hive-partitioned by split, readable with partition pruning
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("split=")
+    ) == sorted(f"split={s}" for s in stats["splits"])
+    written = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in written.select("doc_id").collect()}
+    assert 1 not in ids and 3 not in ids and 4 not in ids
+    assert {0, 2} <= ids
+
+    # determinism: a re-run over the same input reproduces rows + stats
+    out2 = str(tmp_path / "curated2")
+    stats2 = curate_corpus(spark, src, out2)
+    assert stats2 == stats
+    again = spark.read.parquet(out2)
+    a = sorted(map(tuple, written.select("doc_id", "split").collect()))
+    b = sorted(map(tuple, again.select("doc_id", "split").collect()))
+    assert a == b
