@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import drop_exact_dups, dup_clusters
 from ..operators.sampling import hash_split
-from ..operators.text import pack_sequences, quality_score
+from ..operators.text import pack_sequences, with_quality
 from ..pinning import pin
 
 
@@ -50,21 +50,25 @@ def curate_corpus(
     # 2. near-dup clusters over the exact survivors; drop every cluster
     #    member except the min-id keeper. Docs in no cluster pass
     #    through (left join, null-safe filter).
+    # no broadcast hint: the dropped set is data-dependent (could be a
+    # large fraction of a crawl corpus) — AQE picks broadcast when it
+    # actually fits
     clusters = dup_clusters(exact, "doc_id", "text", threshold=near_dup_threshold)
     near = (
         exact.join(
-            F.broadcast(clusters.filter(~F.col("is_kept")).select("doc_id")),
+            clusters.filter(~F.col("is_kept")).select("doc_id"),
             "doc_id",
             "left_anti",
         )
     ).transform(pin)
     n_after_near = near.count()
 
-    # 3. quality floor — the heuristic t7 scorer; a model scorer swaps
-    #    in behind the same (id, quality) frame without plan changes
-    scored = near.join(quality_score(near, "doc_id", "text"), "doc_id")
+    # 3. quality floor — the t7 scorer as an appended column (pure map,
+    #    no self-join back on the id); a model scorer swaps in behind
+    #    the same column without plan changes
     curated = (
-        scored.filter(F.col("quality") >= min_quality)
+        with_quality(near, "text")
+        .filter(F.col("quality") >= min_quality)
         .transform(pin)
     )
     n_after_quality = curated.count()

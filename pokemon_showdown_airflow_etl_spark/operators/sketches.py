@@ -126,3 +126,80 @@ def cms_heavy_hitters(
         )
         .orderBy("rank")
     )
+
+
+def misra_gries_candidates(
+    keys: DataFrame, key_col: str, m: int = 64
+) -> DataFrame:
+    """Per-partition Misra-Gries summary: at most ``m`` candidate keys
+    per partition, O(m) memory regardless of partition size — the
+    bounded-state candidate proposal that replaces a2's exact-audit
+    candidates at 100 TB (an exact per-key count is feasible for word
+    keys; it is NOT for open-ended n-gram spaces).
+
+    Guarantee (Misra & Gries 1982; mergeable form Agarwal et al. 2012):
+    any key with frequency > n_partition / (m + 1) survives its
+    partition's summary, so a global heavy hitter above that floor is
+    proposed by at least one partition. Batches merge by summing
+    counters then subtracting the (m+1)-th largest and dropping
+    non-positives — the standard mergeable-summary reduction, applied
+    vectorized per Arrow batch instead of per row.
+
+    Returns (key, lb) with lb the surviving counter (a LOWER bound on
+    the partition-local frequency minus decrements); downstream ranks
+    candidates by the CMS estimate, never by lb.
+    """
+    import pandas as pd
+
+    def summarize(batches):
+        counters: "pd.Series | None" = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vc = pdf["key"].value_counts()
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
+            if len(counters) > m:
+                cut = counters.nlargest(m + 1).iloc[-1]
+                counters = (counters - cut)[lambda s: s > 0]
+        if counters is None or not len(counters):
+            return
+        yield pd.DataFrame(
+            {"key": counters.index.astype(str), "lb": counters.values.astype("int64")}
+        )
+
+    return keys.select(F.col(key_col).alias("key")).mapInPandas(
+        summarize, "key string, lb long"
+    )
+
+
+def cms_heavy_hitters_approx(
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    topk: int = 10,
+    m: int = 64,
+) -> DataFrame:
+    """The production heavy-hitters path: Misra-Gries candidate proposal
+    (<= m rows per partition) + count-min estimates + top-k by estimate.
+    No exact per-key aggregation anywhere — total state is O(partitions
+    * m + depth * width) regardless of key cardinality. Ties break on
+    key so the result is deterministic given the data and geometry.
+
+    Returns (key, est, rank).
+    """
+    cands = (
+        misra_gries_candidates(keys, key_col, m)
+        .select("key")
+        .distinct()
+        .withColumnRenamed("key", key_col)
+    )
+    sketch = cms_sketch(keys, key_col, depth, width)
+    est = cms_estimate(cands, sketch, key_col, depth, width)
+    ranked = est.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("est"), F.asc(key_col)))
+        .cast("int"),
+    )
+    return ranked.filter(F.col("rank") <= topk).select(key_col, "est", "rank")

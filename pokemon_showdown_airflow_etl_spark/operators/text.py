@@ -90,6 +90,20 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return feats.select(F.col(id_col), F.round(len_ok + stop_ok, 2).alias("quality"))
 
 
+def with_quality(df: DataFrame, text_col: str) -> DataFrame:
+    """``quality_score`` as an appended column: same scoring expression,
+    but keeping every input column so a filter pass needs NO self-join
+    back on the id (a pure map stays a pure map at 100 TB)."""
+    tk = tokens(F.col(text_col))
+    n_tokens = F.size(tk)
+    # round(.,4) BEFORE the between test — bit-identical to the
+    # quality_features -> quality_score path at the band edges
+    stop_ratio = F.round(_ratio(lambda t: t.isin(*STOPWORDS), tk), 4)
+    len_ok = F.when(n_tokens.between(10, 100000), F.lit(0.5)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stop_ratio.between(0.01, 0.6), F.lit(0.5)).otherwise(F.lit(0.0))
+    return df.withColumn("quality", F.round(len_ok + stop_ok, 2))
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Marker-word language ID: argmax over per-language marker counts,
     'und' (undetermined) when nothing matches.

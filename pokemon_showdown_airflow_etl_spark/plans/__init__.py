@@ -43,6 +43,7 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
     "g17_rolling_7day",
     "t17_chunk_windows",  # r4 NEW: RAG/long-context chunking
     "a2_cms_heavy_hitters",  # r4 NEW: count-min sketch heavy hitters
+    "a3_mg_cms_heavy_hitters",  # r4 NEW: Misra-Gries + CMS production path
     "s4_ivf_ann_topk",  # r4: per-cell GEMM scoring stage
     "s7_ivf_kmeans_quality",  # r4: sufficient-statistics trainer
     "a1_approx_sketches",  # r4: distinct agg split out of the sketch agg
@@ -81,6 +82,7 @@ _PRIORITY: list[str] = [
     "g17_rolling_7day",  # NEW: range-frame rolling trend
     "t17_chunk_windows",  # NEW: window/stride chunk inventory
     "a2_cms_heavy_hitters",  # NEW: count-min sketch heavy hitters
+    "a3_mg_cms_heavy_hitters",  # NEW: bounded-memory MG+CMS path
     "s7_ivf_kmeans_quality",  # sufficient-statistics Lloyd trainer
     "a1_approx_sketches",  # sketch agg split from the distinct agg
     "q2_min_cost_supplier",  # pin() indirection (c81f383), like j11
@@ -121,11 +123,14 @@ _PRIORITY: list[str] = [
     "u3_intersect",
     "u4_except",
     # -- (4) stalest r2 rows, pin-refactor-touched and heavy first --
+    # s4 precedes the block: its impl changed again in r4 (ivf query_ids
+    # param) so it must hold a window slot ahead of the pure-staleness
+    # entries
+    "s4_ivf_ann_topk",
+    "s3_embedding_near_dups",
     "d6_drop_exact_dups",
     "d7_lsh_verified_dups",
     "d8_dup_clusters",
-    "s3_embedding_near_dups",
-    "s4_ivf_ann_topk",
     "s5_gemm_ann_topk",
     "t9_decontaminate",
     "t10_repetition_ratio",

@@ -1459,3 +1459,72 @@ def a2_cms_heavy_hitters(spark, sf_dir):
         ).alias("gram")
     )
     return sketches.cms_heavy_hitters(grams, "gram", depth=4, width=256, topk=10)
+
+
+@q(
+    "a3_mg_cms_heavy_hitters",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+    ), words AS (
+        SELECT unnest(tk) AS token FROM toks
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS exact_n,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS INT) AS rank,
+           TRUE AS proposed_by_mg,
+           TRUE AS est_ge_exact
+    FROM words GROUP BY token ORDER BY exact_n DESC, token LIMIT 10
+    """,
+    doc="Bounded-memory heavy hitters — the PRODUCTION path a2's doc "
+    "promises: per-partition Misra-Gries candidate proposal (<= m=64 "
+    "counters per partition via mergeable-summary reduction in "
+    "mapInPandas — O(m) state however large the partition) + count-min "
+    "estimates for the proposed keys. No exact per-key aggregation "
+    "feeds the REPORTING path; the exact top-10 unigram counts here "
+    "are the AUDIT (like s7's recall probe): proposed_by_mg asserts "
+    "every true heavy hitter was proposed — guaranteed in this corpus "
+    "regime because m >= the unigram vocabulary, and at scale by the "
+    "MG floor freq > n_partition/(m+1) with m sized to 1/eps — and "
+    "est_ge_exact is the CMS no-underestimate law on those keys.",
+)
+def a3_mg_cms_heavy_hitters(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from ..operators import sketches
+    from ..operators.dedup import tokens as _tokens
+    from ..pinning import pin
+
+    d = t(spark, sf_dir, "documents")
+    words = d.select(F.explode(_tokens(F.col("text"))).alias("token"))
+    cands = (
+        sketches.misra_gries_candidates(words, "token", m=64)
+        .select(F.col("key").alias("token"))
+        .distinct()
+        .withColumn("proposed", F.lit(True))
+    )
+    exact = (
+        words.groupBy("token")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .transform(pin)
+    )
+    top = exact.orderBy(F.desc("exact_n"), F.asc("token")).limit(10)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("exact_n"), F.asc("token")))
+        .cast("int"),
+    )
+    sketch = sketches.cms_sketch(words, "token", depth=4, width=256)
+    est = sketches.cms_estimate(ranked, sketch, "token", depth=4, width=256)
+    return (
+        est.join(F.broadcast(cands), "token", "left")
+        .select(
+            "token",
+            "exact_n",
+            "rank",
+            F.coalesce("proposed", F.lit(False)).alias("proposed_by_mg"),
+            (F.col("est") >= F.col("exact_n")).alias("est_ge_exact"),
+        )
+        .orderBy("rank")
+    )

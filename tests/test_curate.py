@@ -72,3 +72,20 @@ def test_curate_corpus_stages_layout_and_determinism(spark, tmp_path):
     a = sorted(map(tuple, written.select("doc_id", "split").collect()))
     b = sorted(map(tuple, again.select("doc_id", "split").collect()))
     assert a == b
+
+
+def test_with_quality_matches_quality_score(spark, sf_dir):
+    """The appended-column scorer must be bit-identical to the t7
+    (id, quality) frame — curate's filter IS t7's threshold."""
+    from pokemon_showdown_airflow_etl_spark.io import table
+    from pokemon_showdown_airflow_etl_spark.operators.text import (
+        quality_score,
+        with_quality,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    a = sorted(
+        map(tuple, with_quality(docs, "text").select("doc_id", "quality").collect())
+    )
+    b = sorted(map(tuple, quality_score(docs, "doc_id", "text").collect()))
+    assert a == b

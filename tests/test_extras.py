@@ -297,3 +297,32 @@ def test_cms_heavy_hitters_laws(spark):
     assert len(est) == len(truth)
     assert all(r["est"] >= truth[r["k"]] for r in est)
     assert any(r["est"] > truth[r["k"]] for r in est)  # collisions happened
+
+
+def test_misra_gries_proposes_all_true_heavy_hitters(spark):
+    """The MG floor: any key with global frequency above n/(m+1) of its
+    partition must survive that partition's summary. Build a skewed
+    stream where heavy keys tower over a long tail of singletons and
+    assert the approx path (MG candidates + CMS estimates, no exact
+    aggregation) reports exactly the true heavy keys, despite m being
+    far smaller than the key cardinality."""
+    from pokemon_showdown_airflow_etl_spark.operators.sketches import (
+        cms_heavy_hitters_approx,
+        misra_gries_candidates,
+    )
+
+    heavy = {f"h{i}": 400 - 50 * i for i in range(5)}  # 400..200
+    occurrences = [(k,) for k, n in heavy.items() for _ in range(n)]
+    occurrences += [(f"tail{i}",) for i in range(2000)]  # singleton tail
+    keys = spark.createDataFrame(occurrences, "k string").repartition(4)
+
+    cands = {r["key"] for r in misra_gries_candidates(keys, "k", m=16).collect()}
+    assert set(heavy) <= cands
+    # bounded state: <= m survivors per partition
+    assert len(cands) <= 4 * 16
+
+    top = cms_heavy_hitters_approx(keys, "k", depth=4, width=1024, topk=5, m=16)
+    rows = top.collect()
+    assert [r["k"] for r in rows] == sorted(heavy, key=lambda k: (-heavy[k], k))
+    for r in rows:
+        assert r["est"] >= heavy[r["k"]]  # no-underestimate survives the pipeline

@@ -458,3 +458,21 @@ def test_q13_zero_bucket_survives(spark, sf_dir):
         for r in ALL_QUERIES["q13_customer_distribution"].spark(spark, sf_dir).collect()
     }
     assert 0 in rows, "left join lost the zero-order customers"
+
+
+def test_chunk_windows_is_pure_map(q):
+    """t17 must stream at scan speed: one Generate, zero Exchange, no
+    Python eval — the chunking pass precedes a 100 TB embedding job."""
+    plan = q("t17_chunk_windows")
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_cms_estimate_join_broadcasts_the_sketch(q):
+    """a2's estimate join must broadcast the constant-size sketch (<=
+    depth*width rows) — shuffling candidates against it would key the
+    exchange on sketch cells."""
+    plan = q("a2_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
