@@ -408,3 +408,72 @@ def test_bm25_matches_direct_model(spark_prop, docs):
         if matched:
             want[i] = (i, matched, micro)
     assert got == set(want.values())
+
+
+_chunk_word_st = st.sampled_from(["aa", "bb", "cc", "dd"])
+_chunk_doc_st = st.lists(_chunk_word_st, min_size=1, max_size=40)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(_chunk_doc_st, min_size=1, max_size=5),
+    window=st.integers(min_value=1, max_value=12),
+    stride=st.integers(min_value=1, max_value=12),
+    min_tokens=st.integers(min_value=1, max_value=6),
+)
+def test_chunk_windows_matches_python_model(spark_prop, docs, window, stride, min_tokens):
+    """chunk_windows (sequence + posexplode + slice) against a direct
+    Python chunker over arbitrary window/stride/min_tokens geometry."""
+    from pokemon_showdown_airflow_etl_spark.operators.text import chunk_windows
+
+    corpus = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    sdf = spark_prop.createDataFrame(corpus, "doc_id long, text string")
+    got = sorted(
+        map(
+            tuple,
+            chunk_windows(
+                sdf, "doc_id", "text",
+                window=window, stride=stride, min_tokens=min_tokens,
+            ).collect(),
+        )
+    )
+    want = []
+    for i, ws in enumerate(docs):
+        for cid, start in enumerate(range(0, len(ws), stride)):
+            if len(ws) - start < min_tokens:
+                continue
+            piece = ws[start : start + window]
+            want.append((i, cid, start, len(piece), " ".join(piece)))
+    assert got == sorted(want)
+
+
+_cms_key_st = st.sampled_from([f"k{i}" for i in range(12)])
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    stream=st.lists(_cms_key_st, min_size=1, max_size=120),
+    depth=st.integers(min_value=1, max_value=4),
+    width=st.sampled_from([2, 8, 64]),
+)
+def test_cms_never_underestimates(spark_prop, stream, depth, width):
+    """The CMS law under arbitrary streams and tiny, collision-heavy
+    geometries: every estimate >= the true count, and with a roomy
+    width the estimate is exact for every key."""
+    from collections import Counter
+
+    from pokemon_showdown_airflow_etl_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    truth = Counter(stream)
+    keys = spark_prop.createDataFrame([(k,) for k in stream], "k string")
+    sk = cms_sketch(keys, "k", depth=depth, width=width)
+    est = {
+        r["k"]: r["est"]
+        for r in cms_estimate(keys.distinct(), sk, "k", depth=depth, width=width).collect()
+    }
+    assert set(est) == set(truth)
+    assert all(est[k] >= truth[k] for k in truth)
+    assert sum(est.values()) <= depth * len(stream) * len(truth)  # sanity ceiling
