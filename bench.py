@@ -198,6 +198,25 @@ def main() -> None:
         streaming["cursor_replays_per_sec"] = round(n_stream / dt, 1)
         streaming["cursor_state_rows"] = spark.read.parquet(d + "/cur").count()
 
+    # Corpus-curation throughput: the full jobs/curate.py pipeline
+    # (exact dedup -> near-dup clusters -> quality floor -> split ->
+    # partitioned write) over the sf documents table. One number a
+    # training-data user plans by: curated docs/sec end-to-end.
+    from pokemon_showdown_airflow_etl_spark.jobs.curate import curate_corpus
+
+    with tempfile.TemporaryDirectory() as d:
+        t0 = time.perf_counter()
+        cstats = curate_corpus(
+            spark, os.path.join(SF_DIR, "documents.parquet"), d + "/curated"
+        )
+        dt = time.perf_counter() - t0
+    curate = {
+        "docs_in": cstats["n_input"],
+        "docs_out": cstats["n_written"],
+        "sec": round(dt, 3),
+        "docs_per_sec": round(cstats["n_input"] / dt, 1),
+    }
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -208,6 +227,7 @@ def main() -> None:
                 "queries": times,
                 "pipeline": pipe,
                 "streaming": streaming,
+                "curate": curate,
                 "b_lake_build_sec": lake_build_sec,
                 # the synthetic battle-log corpus the b-queries scan is
                 # 2 replays per events row (see plans/battlelog.py) —
