@@ -128,6 +128,20 @@ def cms_heavy_hitters(
     )
 
 
+def mg_merge(counters, vc, m: int):
+    """One mergeable-summary reduction step (Agarwal et al. 2012): add
+    the new counts, and if more than ``m`` counters survive, subtract
+    the (m+1)-th largest from all and drop non-positives. ``counters``
+    may be None (first batch); both args are pandas Series keyed by the
+    summary key. Shared by the batch operator below and the streaming
+    trending-terms state update."""
+    merged = vc if counters is None else counters.add(vc, fill_value=0)
+    if len(merged) > m:
+        cut = merged.nlargest(m + 1).iloc[-1]
+        merged = (merged - cut)[lambda s: s > 0]
+    return merged
+
+
 def misra_gries_candidates(
     keys: DataFrame, key_col: str, m: int = 64
 ) -> DataFrame:
@@ -156,11 +170,7 @@ def misra_gries_candidates(
         for pdf in batches:
             if not len(pdf):
                 continue
-            vc = pdf["key"].value_counts()
-            counters = vc if counters is None else counters.add(vc, fill_value=0)
-            if len(counters) > m:
-                cut = counters.nlargest(m + 1).iloc[-1]
-                counters = (counters - cut)[lambda s: s > 0]
+            counters = mg_merge(counters, pdf["key"].value_counts(), m)
         if counters is None or not len(counters):
             return
         yield pd.DataFrame(

@@ -14,7 +14,12 @@ from .ingest import (
     stream_replay_docs,
     with_late_data_bounds,
 )
-from .stateful import start_cursor_tracking, track_format_cursors
+from .stateful import (
+    start_cursor_tracking,
+    start_trending_terms,
+    track_format_cursors,
+    track_trending_terms,
+)
 
 __all__ = [
     "stream_replay_docs",
@@ -25,6 +30,8 @@ __all__ = [
     "start_daily_rollup",
     "track_format_cursors",
     "start_cursor_tracking",
+    "track_trending_terms",
+    "start_trending_terms",
     "stream_move_usage",
     "start_move_usage_rollup",
     "stream_player_sessions",

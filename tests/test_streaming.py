@@ -463,3 +463,51 @@ def test_streaming_asof_late_reference_never_regresses_carry(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert got == {2: 42.0, 3: None}
+
+
+def test_streaming_trending_terms_bounded_state_and_mg_floor(spark, tmp_path):
+    """The trending-terms stream: heavy tokens must appear in the final
+    per-shard emissions (MG floor), emissions are bounded per batch, and
+    a restarted query resumes the summaries from the state store (the
+    second run's counters continue from the first's, not from zero)."""
+    from pokemon_showdown_airflow_etl_spark.streaming import start_trending_terms
+
+    land = str(tmp_path / "tok")
+    out = str(tmp_path / "trend")
+    ck = str(tmp_path / "ck")
+
+    heavy = {f"hot{i}": 300 - 40 * i for i in range(4)}  # 300..180
+    def land_chunk(salt: str, frac: float):
+        rows = [(k,) for k, n in heavy.items() for _ in range(int(n * frac))]
+        rows += [(f"tail_{salt}_{i}",) for i in range(500)]  # fresh singleton tail
+        spark.createDataFrame(rows, "token string").coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+
+    def run():
+        stream = (
+            spark.readStream.schema("token string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        q = start_trending_terms(stream, out, ck, n_shards=4, m=32, emit_top=8)
+        q.awaitTermination()
+
+    land_chunk("a", 0.5)
+    run()
+    land_chunk("b", 0.5)
+    run()  # restart: state must come back from the checkpoint
+
+    emitted = spark.read.parquet(out)
+    # bounded output: <= emit_top rows per (shard, batch emission)
+    assert emitted.count() <= 8 * 4 * 2 + 8 * 4  # 2-3 batches x 4 shards x top8
+    # the LAST emission per shard carries the cumulative summaries: all
+    # heavy tokens present with counters spanning both runs (> one
+    # chunk's worth — proves state survived the restart)
+    newest = emitted.groupBy("shard").agg(F.max("shard_tokens").alias("shard_tokens"))
+    latest = emitted.join(newest, ["shard", "shard_tokens"]).select("token", "lb").collect()
+    by_tok = {r["token"]: r["lb"] for r in latest}
+    for k, n in heavy.items():
+        assert k in by_tok, (k, sorted(by_tok))
+        assert by_tok[k] <= n  # lb never exceeds the true count
+        assert by_tok[k] > n * 0.5  # and spans both halves of the stream
