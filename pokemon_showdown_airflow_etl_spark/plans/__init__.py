@@ -44,6 +44,7 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
     "t17_chunk_windows",  # r4 NEW: RAG/long-context chunking
     "a2_cms_heavy_hitters",  # r4 NEW: count-min sketch heavy hitters
     "a3_mg_cms_heavy_hitters",  # r4 NEW: Misra-Gries + CMS production path
+    "x2_salted_join",  # r4 NEW: salted skew join cataloged
     "s4_ivf_ann_topk",  # r4: per-cell GEMM scoring stage
     "s7_ivf_kmeans_quality",  # r4: sufficient-statistics trainer
     "a1_approx_sketches",  # r4: distinct agg split out of the sketch agg
@@ -83,6 +84,7 @@ _PRIORITY: list[str] = [
     "t17_chunk_windows",  # NEW: window/stride chunk inventory
     "a2_cms_heavy_hitters",  # NEW: count-min sketch heavy hitters
     "a3_mg_cms_heavy_hitters",  # NEW: bounded-memory MG+CMS path
+    "x2_salted_join",  # NEW: salted skew join vs plain-join oracle
     "s7_ivf_kmeans_quality",  # sufficient-statistics Lloyd trainer
     "a1_approx_sketches",  # sketch agg split from the distinct agg
     "q2_min_cost_supplier",  # pin() indirection (c81f383), like j11

@@ -714,6 +714,45 @@ def x1_salted_agg(spark, sf_dir):
 
 
 @q(
+    "x2_salted_join",
+    """
+    WITH dim AS (
+        SELECT user_id, ROUND(avg(value), 6) AS user_avg
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(sum(e.value - d.user_avg), 4) AS sum_dev
+    FROM events e JOIN dim d USING (user_id)
+    GROUP BY e.event_type
+    """,
+    doc="Skew-mitigated equi-join (operators/skew.py::salted_join_small "
+    "— property-tested since r3, cataloged per the j12 precedent so the "
+    "variant that matters at scale has a driver row): per-event "
+    "deviation from the event's user mean. The big side salts, the "
+    "150-row user dim replicates once per salt value, and the join key "
+    "becomes (user_id, salt) so one hot user's rows spread over "
+    "n_salts reducers instead of one — the treatment when the dim is "
+    "too big to broadcast AND one key dominates (AQE splits skewed "
+    "SMJ partitions, but only after materializing the skewed shuffle "
+    "files; pre-salting bounds them at write time). The oracle is the "
+    "PLAIN join + group-by: salting must be invisible in results. The "
+    "per-user mean quantizes to 6dp on both engines before the "
+    "deviation so the 4dp sums stay reduction-order-exact.",
+)
+def x2_salted_join(spark, sf_dir):
+    from ..operators.skew import salted_join_small
+
+    ev = t(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.round(F.avg("value"), 6).alias("user_avg"))
+    joined = salted_join_small(ev, dim, "user_id", n_salts=8)
+    return joined.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum(F.col("value") - F.col("user_avg")), 4).alias("sum_dev"),
+    )
+
+
+@q(
     "d6_drop_exact_dups",
     f"""
     WITH ranked AS (

@@ -476,3 +476,11 @@ def test_cms_estimate_join_broadcasts_the_sketch(q):
     plan = q("a2_cms_heavy_hitters")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_salted_join_keys_include_the_salt(q):
+    """x2's equi-join must key on (user_id, _salt) — the salt in the
+    join key is what spreads a hot user over n_salts reducers."""
+    plan = q("x2_salted_join")
+    assert "_salt" in plan, plan
+    assert "CartesianProduct" not in plan, plan
