@@ -89,3 +89,22 @@ def test_with_quality_matches_quality_score(spark, sf_dir):
     )
     b = sorted(map(tuple, quality_score(docs, "doc_id", "text").collect()))
     assert a == b
+
+
+def test_curated_output_prunes_split_partitions(spark, tmp_path):
+    """Training readers filter split='train'; the write layout must turn
+    that into directory-level partition pruning, not a file scan."""
+    import contextlib
+    import io
+
+    src = str(tmp_path / "raw")
+    out = str(tmp_path / "curated")
+    _corpus(spark).write.parquet(src)
+    curate_corpus(spark, src, out)
+
+    df = spark.read.parquet(out).filter(F.col("split") == "train")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(split" in plan, plan
