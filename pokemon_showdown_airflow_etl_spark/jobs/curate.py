@@ -48,8 +48,8 @@ def curate_corpus(
     n_after_exact = exact.count()
 
     # 2. near-dup clusters over the exact survivors; drop every cluster
-    #    member except the min-id keeper. Docs in no cluster pass
-    #    through (left join, null-safe filter).
+    #    member except the min-id keeper (anti-join on the non-keeper
+    #    set — docs in no cluster aren't in it and pass through).
     # no broadcast hint: the dropped set is data-dependent (could be a
     # large fraction of a crawl corpus) — AQE picks broadcast when it
     # actually fits
@@ -78,6 +78,21 @@ def curate_corpus(
 
     split_docs.write.mode("overwrite").partitionBy("split").parquet(output_path)
 
+    stats = {
+        "n_input": n_input,
+        "n_after_exact_dedup": n_after_exact,
+        "n_after_near_dedup": n_after_near,
+        "n_after_quality": n_after_quality,
+        "n_written": 0,
+        "splits": {},
+        "train_bins": 0,
+        "train_tokens": 0,
+    }
+    if n_after_quality == 0:
+        # the partitioned write of an empty frame leaves no parquet
+        # footers to re-read — report the zeros instead of crashing
+        return stats
+
     written = spark.read.parquet(output_path)
     split_counts = {
         r["split"]: r["n"]
@@ -90,25 +105,23 @@ def curate_corpus(
     packed = pack_sequences(
         train, "doc_id", "text", "source", budget=pack_budget
     )
-    # bin_id is dense within each (source, shard) pack partition, so the
-    # corpus-wide window count is the sum of per-partition (max + 1)
+    # windows per (source, shard) pack partition = ceil(token total /
+    # budget): bin_id alone undercounts when the LAST document spans
+    # multiple windows (it is assigned the bin its first token lands in)
     pack_stats = (
         packed.groupBy("source", "shard")
-        .agg(F.max("bin_id").alias("_mx"), F.sum("n_tokens").alias("_tok"))
+        .agg(F.sum("n_tokens").alias("_tok"))
         .agg(
-            F.sum(F.col("_mx") + 1).cast("long").alias("n_bins"),
+            F.sum(F.ceil(F.col("_tok") / F.lit(float(pack_budget))))
+            .cast("long")
+            .alias("n_bins"),
             F.sum("_tok").cast("long").alias("n_train_tokens"),
         )
         .first()
     )
 
-    return {
-        "n_input": n_input,
-        "n_after_exact_dedup": n_after_exact,
-        "n_after_near_dedup": n_after_near,
-        "n_after_quality": n_after_quality,
-        "n_written": sum(split_counts.values()),
-        "splits": split_counts,
-        "train_bins": int(pack_stats["n_bins"] or 0),
-        "train_tokens": int(pack_stats["n_train_tokens"] or 0),
-    }
+    stats["n_written"] = sum(split_counts.values())
+    stats["splits"] = split_counts
+    stats["train_bins"] = int(pack_stats["n_bins"] or 0)
+    stats["train_tokens"] = int(pack_stats["n_train_tokens"] or 0)
+    return stats

@@ -198,11 +198,15 @@ def cms_heavy_hitters_approx(
 
     Returns (key, est, rank).
     """
+    # pinned: cms_estimate consumes the candidate frame twice (cell
+    # explode + the trailing re-join) — unpinned, the whole MG
+    # mapInPandas pass would execute twice
     cands = (
         misra_gries_candidates(keys, key_col, m)
         .select("key")
         .distinct()
         .withColumnRenamed("key", key_col)
+        .transform(pin)
     )
     sketch = cms_sketch(keys, key_col, depth, width)
     est = cms_estimate(cands, sketch, key_col, depth, width)

@@ -1488,6 +1488,8 @@ def a2_cms_heavy_hitters(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     tk = d.select(_tokens(F.col("text")).alias("_tk"))
     n = F.size("_tk")
+    # pinned: the gram stream feeds BOTH the exact audit aggregation and
+    # the sketch build — unpinned, each pass re-tokenizes the corpus
     grams = tk.select(
         F.explode(
             F.zip_with(
@@ -1496,7 +1498,7 @@ def a2_cms_heavy_hitters(spark, sf_dir):
                 lambda a, b: F.concat(a, F.lit(" "), b),
             )
         ).alias("gram")
-    )
+    ).transform(pin)
     return sketches.cms_heavy_hitters(grams, "gram", depth=4, width=256, topk=10)
 
 
@@ -1535,7 +1537,9 @@ def a3_mg_cms_heavy_hitters(spark, sf_dir):
     from ..pinning import pin
 
     d = t(spark, sf_dir, "documents")
-    words = d.select(F.explode(_tokens(F.col("text"))).alias("token"))
+    # pinned: the token stream has THREE consumers (MG proposal, exact
+    # audit, sketch build) — one tokenize pass instead of three
+    words = d.select(F.explode(_tokens(F.col("text"))).alias("token")).transform(pin)
     cands = (
         sketches.misra_gries_candidates(words, "token", m=64)
         .select(F.col("key").alias("token"))

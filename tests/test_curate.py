@@ -108,3 +108,46 @@ def test_curated_output_prunes_split_partitions(spark, tmp_path):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters: [isnotnull(split" in plan, plan
+
+
+def test_curate_empty_survivor_set_returns_zeros(spark, tmp_path):
+    """Every doc failing the quality floor must yield zero-count stats,
+    not an AnalysisException from re-reading an empty partitioned dir."""
+    src = str(tmp_path / "raw")
+    out = str(tmp_path / "curated")
+    spark.createDataFrame(
+        [(i, "too short", "en", "s") for i in range(5)],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(src)
+    stats = curate_corpus(spark, src, out)
+    assert stats["n_written"] == 0
+    assert stats["splits"] == {}
+    assert stats["train_bins"] == 0 and stats["train_tokens"] == 0
+
+
+def test_curate_train_bins_counts_spanning_tail_docs(spark, tmp_path):
+    """A last document longer than the pack budget spans several context
+    windows; train_bins must count ceil(tokens/budget) per pack
+    partition, not max(bin_id)+1."""
+    src = str(tmp_path / "raw")
+    out = str(tmp_path / "curated")
+    # one source, docs long enough to pass quality; total tokens per
+    # (source, shard) partition known exactly
+    rows = [
+        (i, " ".join(f"w{i}x{j} the of" for j in range(50)), "en", "srcZ")
+        for i in range(8)
+    ]  # 150 tokens per doc
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(src)
+    stats = curate_corpus(spark, src, out, pack_budget=64)
+    # per-partition ceil sums: with 150-token docs and budget 64, a
+    # 1-doc partition alone must report ceil(150/64) = 3 bins, so the
+    # total is always >= 3 * n_partitions_with_docs > n_docs when the
+    # old max(bin_id)+1 formula would report fewer
+    import math
+
+    written = spark.read.parquet(out)
+    train_docs = written.filter(F.col("split") == "train").count()
+    assert stats["train_bins"] >= math.ceil(150 / 64)  # spanning tail counted
+    assert stats["train_tokens"] == 150 * train_docs
