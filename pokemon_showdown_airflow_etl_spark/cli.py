@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--min-quality", type=float, default=0.5)
     cur.add_argument("--near-dup-threshold", type=float, default=0.8)
     cur.add_argument("--pack-budget", type=int, default=512)
+    cur.add_argument(
+        "--decontaminate-against",
+        default=None,
+        help="held-out eval corpus parquet; drop docs sharing any 4-gram",
+    )
 
     sub.add_parser("deduplicate", help="remove duplicate metadata rows (O12)")
     opt = sub.add_parser("optimize", help="small-file compaction rewrite (O12 vacuum)")
@@ -161,6 +166,7 @@ def main(argv: list[str] | None = None) -> int:
             min_quality=args.min_quality,
             near_dup_threshold=args.near_dup_threshold,
             pack_budget=args.pack_budget,
+            eval_path=args.decontaminate_against,
         )
         print(json.dumps(result, sort_keys=True))
         return 0

@@ -35,11 +35,19 @@ def curate_corpus(
     min_quality: float = 0.5,
     near_dup_threshold: float = 0.8,
     pack_budget: int = 512,
+    eval_path: str | None = None,
+    decontam_ngram: int = 4,
 ) -> dict:
     """Run the curation pipeline and write the curated corpus
     partitioned by split. Deterministic: same input -> same survivors,
     same splits, same stats (every stage is hash- or min-id-based; no
-    randomness, no timestamps)."""
+    randomness, no timestamps).
+
+    ``eval_path`` (optional) points at a held-out benchmark corpus with
+    the same (doc_id, text) shape: documents sharing any word
+    ``decontam_ngram``-gram with it are dropped — the decontamination
+    gate every pretraining run applies (operators/dedup.py::eval_overlap;
+    the eval gram set broadcasts, the corpus never shuffles for it)."""
     docs = spark.read.parquet(input_path)
     n_input = docs.count()
 
@@ -63,6 +71,18 @@ def curate_corpus(
     ).transform(pin)
     n_after_near = near.count()
 
+    # 2b. decontamination against the held-out benchmark (if given):
+    #     anti-join on the contaminated-doc set
+    if eval_path is not None:
+        from ..operators.dedup import eval_overlap
+
+        eval_df = spark.read.parquet(eval_path)
+        contaminated = eval_overlap(
+            near, eval_df, "doc_id", "text", n=decontam_ngram
+        ).select("doc_id")
+        near = near.join(contaminated, "doc_id", "left_anti").transform(pin)
+    n_after_decontam = near.count() if eval_path is not None else n_after_near
+
     # 3. quality floor — the t7 scorer as an appended column (pure map,
     #    no self-join back on the id); a model scorer swaps in behind
     #    the same column without plan changes
@@ -82,6 +102,7 @@ def curate_corpus(
         "n_input": n_input,
         "n_after_exact_dedup": n_after_exact,
         "n_after_near_dedup": n_after_near,
+        "n_after_decontam": n_after_decontam,
         "n_after_quality": n_after_quality,
         "n_written": 0,
         "splits": {},

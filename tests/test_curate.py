@@ -151,3 +151,29 @@ def test_curate_train_bins_counts_spanning_tail_docs(spark, tmp_path):
     train_docs = written.filter(F.col("split") == "train").count()
     assert stats["train_bins"] >= math.ceil(150 / 64)  # spanning tail counted
     assert stats["train_tokens"] == 150 * train_docs
+
+
+def test_curate_decontaminates_against_eval_set(spark, tmp_path):
+    """Docs sharing a 4-gram with the held-out eval corpus are dropped;
+    clean docs and the stats chain are unaffected."""
+    src = str(tmp_path / "raw")
+    ev = str(tmp_path / "eval")
+    out = str(tmp_path / "curated")
+    _corpus(spark).write.parquet(src)
+    # eval doc quoting the doc-7-specific 4-gram "u2w0 the a of" (u2w0
+    # appears only in doc 7 = id 5+2); every other 4-gram in the eval
+    # text contains an out-of-corpus token, so exactly doc 7 is dropped
+    spark.createDataFrame(
+        [(9000, "zz yy xx ww u2w0 the a of")],
+        "doc_id long, text string",
+    ).write.parquet(ev)
+
+    base = curate_corpus(spark, src, str(tmp_path / "c0"))
+    stats = curate_corpus(spark, src, out, eval_path=ev)
+    assert stats["n_after_near_dedup"] == base["n_after_near_dedup"]
+    assert stats["n_after_decontam"] == base["n_after_near_dedup"] - 1
+    assert stats["n_written"] == base["n_written"] - 1
+    ids = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert 7 not in ids
+    # without an eval set the key mirrors the near-dup count
+    assert base["n_after_decontam"] == base["n_after_near_dedup"]
