@@ -86,6 +86,17 @@ def main() -> None:
     bl.ensure_battlelog_lake(spark, SF_DIR)
     lake_build_sec = round(time.perf_counter() - t0, 3)
 
+    # Content-signature layer: the d-queries read materialized shingles/
+    # MinHash/SimHash (jobs/doc_signature_lake.py). Same accounting as
+    # the battle-log lake: rebuild from scratch, report the one-time
+    # cost, let the per-query numbers measure the steady state.
+    from pokemon_showdown_airflow_etl_spark.jobs import doc_signature_lake as sl
+
+    shutil.rmtree(sl.lake_dir(SF_DIR), ignore_errors=True)
+    t0 = time.perf_counter()
+    sl.ensure_signature_lake(spark, SF_DIR)
+    sig_lake_build_sec = round(time.perf_counter() - t0, 3)
+
     for name in HEADLINE:
         _run(name)
 
@@ -229,6 +240,7 @@ def main() -> None:
                 "streaming": streaming,
                 "curate": curate,
                 "b_lake_build_sec": lake_build_sec,
+                "sig_lake_build_sec": sig_lake_build_sec,
                 # the synthetic battle-log corpus the b-queries scan is
                 # 2 replays per events row (see plans/battlelog.py) —
                 # recorded so b-query times can be normalized per replay

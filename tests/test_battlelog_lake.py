@@ -205,3 +205,60 @@ def test_refresh_battlelog_layer_incremental(spark, tmp_path):
     docs = spark.read.parquet(paths["docs"])
     assert docs.count() == 60
     assert docs.filter(F.col("n_lines") <= 0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Content-signature layer (jobs/doc_signature_lake.py)
+# ---------------------------------------------------------------------------
+
+
+def test_signature_lake_matches_on_the_fly_formulas(spark, sf_dir, tmp_path, monkeypatch):
+    """The stored layer must be byte-identical to the live formulas —
+    the property that lets d2/d3/d5/d7/d8 route through it without any
+    oracle change; and a second ensure() must not rebuild."""
+    import os
+
+    from pokemon_showdown_airflow_etl_spark.io import table
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        NUM_HASHES,
+        SHINGLE_N,
+        ensure_signature_lake,
+        signature_tables,
+    )
+    from pokemon_showdown_airflow_etl_spark.operators.dedup import (
+        _shingle_df,
+        minhash_signature,
+        simhash16,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_LAKE_DIR", str(tmp_path / "sig"))
+    out = ensure_signature_lake(spark, sf_dir)
+    sig, fp = signature_tables(spark, sf_dir)
+
+    docs = table(spark, sf_dir, "documents")
+    live_sh = _shingle_df(docs, "doc_id", "text", SHINGLE_N)
+    live_sig = live_sh.select(
+        "doc", "shingles", *minhash_signature(F.col("shingles"), NUM_HASHES)
+    )
+    a = sorted(
+        (r["doc"], tuple(sorted(r["shingles"])), *[r[f"mh{i}"] for i in range(NUM_HASHES)])
+        for r in sig.collect()
+    )
+    b = sorted(
+        (r["doc"], tuple(sorted(r["shingles"])), *[r[f"mh{i}"] for i in range(NUM_HASHES)])
+        for r in live_sig.collect()
+    )
+    assert a == b
+    assert sorted(map(tuple, fp.collect())) == sorted(
+        map(tuple, simhash16(docs, "doc_id", "text").collect())
+    )
+
+    # idempotent: second ensure leaves every file untouched
+    mtimes = {
+        p: os.path.getmtime(os.path.join(out, "signatures", p))
+        for p in os.listdir(out / "signatures")
+        if not p.startswith(("_", "."))
+    }
+    assert ensure_signature_lake(spark, sf_dir) == out
+    for p, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, "signatures", p)) == m
