@@ -28,11 +28,11 @@ plain-parquet layout still paid on every query. This is the
 cluster-scale layout for real (plus partitioning by (format,
 upload_date) when multiple formats land).
 
-The build is idempotent and atomic: it writes to a temp directory and
-renames into place, keyed by (layout VERSION, sf-dir basename) — bump
-VERSION whenever the corpus formula or table layout changes so stale
-caches can never serve. Tests point the cache root elsewhere via
-$SPARK_GRAFT_LAKE_DIR.
+The build is idempotent and atomic via the shared lake-cache machinery
+(jobs/_lake.py): temp dir + rename, keyed by (layout VERSION, sf-dir
+basename, resolved-path hash, parse-formula source hash) — a formula
+edit invalidates automatically; bump VERSION for layout changes. Tests
+point the cache root elsewhere via $SPARK_GRAFT_LAKE_DIR.
 """
 
 from __future__ import annotations
@@ -45,29 +45,33 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._lake import ensure_lake, formula_tag, keyed_dir
+
 VERSION = 3  # v3: lines files carry bucket ids (bucketBy writer)
 _LINE_BUCKETS = 32
 
 
-def cache_root() -> Path:
-    env = os.environ.get("SPARK_GRAFT_LAKE_DIR")
-    if env:
-        return Path(env)
-    return Path(__file__).resolve().parents[2] / "spark-warehouse" / "battlelog_lake"
+def _tag() -> str:
+    from ..functions import logparse
+    from ..plans import battlelog
+
+    return formula_tag(
+        battlelog.corpus,
+        logparse.battle_events,
+        logparse.explode_log_lines,
+        logparse.parse_protocol_lines,
+    )
 
 
 def lake_dir(sf_dir: str) -> Path:
     """Cache key = (layout VERSION, basename, hash of the RESOLVED
-    path): two datasets sharing a basename (/a/sf0.1 vs /b/sf0.1) can
-    never serve each other's lake. Content identity is the driver's:
-    the testdata dirs are immutable per round, and a regenerated corpus
-    comes with a VERSION bump or a fresh path."""
-    import hashlib
-
-    p = Path(sf_dir)
-    base = p.name or "sf"
-    tag = hashlib.md5(str(p.resolve()).encode()).hexdigest()[:8]
-    return cache_root() / f"v{VERSION}-{base}-{tag}"
+    path, hash of the parse-formula SOURCE): two datasets sharing a
+    basename (/a/sf0.1 vs /b/sf0.1) can never serve each other's lake,
+    and an edit to the corpus/parse formulas invalidates the cache
+    without a manual VERSION bump (VERSION covers layout changes).
+    Under a shared $SPARK_GRAFT_LAKE_DIR root each layer gets its own
+    subdirectory (jobs/_lake.py)."""
+    return keyed_dir("battlelog_lake", VERSION, sf_dir, _tag())
 
 
 def build_battlelog_lake(spark: SparkSession, sf_dir: str, out_dir: Path) -> None:
@@ -138,28 +142,11 @@ def build_battlelog_lake(spark: SparkSession, sf_dir: str, out_dir: Path) -> Non
 
 
 def ensure_battlelog_lake(spark: SparkSession, sf_dir: str) -> Path:
-    """Build the lake for ``sf_dir`` if absent; return its directory.
-
-    Concurrent builders race benignly: each writes its own temp dir and
-    the losing rename finds the winner's output already in place.
-    """
-    out = lake_dir(sf_dir)
-    if (out / "_SUCCESS").exists():
-        return out
-    tmp = out.parent / f".tmp-{os.getpid()}-{int(time.time() * 1000)}"
-    tmp.parent.mkdir(parents=True, exist_ok=True)
-    try:
-        build_battlelog_lake(spark, sf_dir, tmp)
-        (tmp / "_SUCCESS").touch()
-        try:
-            tmp.rename(out)
-        except OSError:
-            if not (out / "_SUCCESS").exists():
-                raise
-    finally:
-        if tmp.exists():
-            shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    """Build the lake for ``sf_dir`` if absent (atomic, race-benign,
+    self-repairing — see jobs/_lake.py)."""
+    return ensure_lake(
+        lake_dir(sf_dir), lambda tmp: build_battlelog_lake(spark, sf_dir, tmp)
+    )
 
 
 def _register_lines_table(spark: SparkSession, lines_dir: Path) -> DataFrame:

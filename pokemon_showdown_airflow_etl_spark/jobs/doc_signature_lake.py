@@ -23,37 +23,43 @@ through the layer cannot change results — the driver's hash checks
 verify the WRITE PATH end-to-end, same as the b-queries prove the
 battle-log lake.
 
-Build is idempotent + atomic (temp dir + rename), keyed by (VERSION,
-sf-dir basename, resolved-path hash) like the battle-log lake; bump
-VERSION when a formula changes so stale caches can never serve.
+Build is idempotent + atomic via the shared lake-cache machinery
+(jobs/_lake.py); the cache key embeds a hash of the formula SOURCE
+(normalize/tokenize/shingle/minhash/simhash), so an edit to any of
+those functions invalidates the cache automatically — VERSION covers
+layout changes only.
 """
 
 from __future__ import annotations
 
-import hashlib
-import os
-import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ._lake import ensure_lake, formula_tag, keyed_dir
 
 VERSION = 1
 SHINGLE_N = 3
 NUM_HASHES = 8
 
 
-def cache_root() -> Path:
-    env = os.environ.get("SPARK_GRAFT_LAKE_DIR")
-    if env:
-        return Path(env)
-    return Path(__file__).resolve().parents[2] / "spark-warehouse" / "signature_lake"
+def _tag() -> str:
+    from ..operators import dedup
+
+    return formula_tag(
+        dedup.normalize_text,
+        dedup.tokens,
+        dedup.shingles_from_tokens,
+        dedup._shingle_df,
+        dedup.minhash_signature,
+        dedup._token_hash16,
+        dedup.simhash16,
+    )
 
 
 def lake_dir(sf_dir: str) -> Path:
-    p = Path(sf_dir)
-    tag = hashlib.md5(str(p.resolve()).encode()).hexdigest()[:8]
-    return cache_root() / f"v{VERSION}-{p.name or 'sf'}-{tag}"
+    return keyed_dir("signature_lake", VERSION, sf_dir, _tag())
 
 
 def build_signature_lake(spark: SparkSession, sf_dir: str, out_dir: Path) -> None:
@@ -70,26 +76,11 @@ def build_signature_lake(spark: SparkSession, sf_dir: str, out_dir: Path) -> Non
 
 
 def ensure_signature_lake(spark: SparkSession, sf_dir: str) -> Path:
-    """Build the layer for ``sf_dir`` if absent; concurrent builders
-    race benignly (losing rename finds the winner in place)."""
-    out = lake_dir(sf_dir)
-    if (out / "_SUCCESS").exists():
-        return out
-    tmp = out.parent / f".tmp-{os.getpid()}-{int(time.time() * 1000)}"
-    tmp.parent.mkdir(parents=True, exist_ok=True)
-    try:
-        build_signature_lake(spark, sf_dir, tmp)
-        (tmp / "_SUCCESS").touch()
-        try:
-            tmp.rename(out)
-        except OSError:
-            if not (out / "_SUCCESS").exists():
-                raise
-    finally:
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    """Build the layer for ``sf_dir`` if absent (atomic, race-benign,
+    self-repairing — see jobs/_lake.py)."""
+    return ensure_lake(
+        lake_dir(sf_dir), lambda tmp: build_signature_lake(spark, sf_dir, tmp)
+    )
 
 
 def signature_tables(

@@ -49,9 +49,11 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
     "d5_simhash_near_dups",
     "d7_lsh_verified_dups",
     "d8_dup_clusters",
-    "s4_ivf_ann_topk",  # r4: per-cell GEMM scoring stage
-    "s7_ivf_kmeans_quality",  # r4: sufficient-statistics trainer
+    "s4_ivf_ann_topk",  # r4: per-cell GEMM scoring + ivf query_ids param
+    "s7_ivf_kmeans_quality",  # r4: sufficient-statistics trainer + tol stop
     "a1_approx_sketches",  # r4: distinct agg split out of the sketch agg
+    "s3_embedding_near_dups",  # r4: per-bucket GEMM scoring (fdf7e71)
+    # postdates its r2 row — CORRECTNESS_r03 has no s3 entry
     # pin() indirection (c81f383) touched these after their r3 rows —
     # same edit as j11; the gate must cover them identically
     "q2_min_cost_supplier",

@@ -73,6 +73,13 @@ def _sig_lake(spark, sf_dir):
     return signature_tables(spark, sf_dir)
 
 
+# single-source the layer's geometry: the d-queries MUST pass the same
+# n / num_hashes the layer was built with (the precomputed path ignores
+# mismatched values rather than recomputing)
+from ..jobs.doc_signature_lake import NUM_HASHES as SIG_NUM_HASHES  # noqa: E402
+from ..jobs.doc_signature_lake import SHINGLE_N as SIG_SHINGLE_N  # noqa: E402
+
+
 
 
 @q(
@@ -107,7 +114,7 @@ def _sig_lake(spark, sf_dir):
 def d2_ngram_jaccard_pairs(spark, sf_dir):
     sig, _ = _sig_lake(spark, sf_dir)
     pairs = dedup.shingle_jaccard_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text", n=3,
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=SIG_SHINGLE_N,
         threshold=JACCARD_THRESHOLD,
         shingle_df=sig.select("doc", "shingles"),
     )
@@ -158,8 +165,8 @@ def _minhash_sql(num_hashes: int = 8, rows_per_band: int = 2) -> str:
 def d3_minhash_lsh_candidates(spark, sf_dir):
     sig, _ = _sig_lake(spark, sf_dir)
     return dedup.minhash_lsh_candidates(
-        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=8,
-        rows_per_band=2, signature_df=sig,
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=SIG_SHINGLE_N,
+        num_hashes=SIG_NUM_HASHES, rows_per_band=2, signature_df=sig,
     )
 
 
@@ -870,7 +877,7 @@ def s5_gemm_ann_topk(spark, sf_dir):
 def d7_lsh_verified_dups(spark, sf_dir):
     sig, _ = _sig_lake(spark, sf_dir)
     return dedup.lsh_verified_dups(
-        t(spark, sf_dir, "documents"), "doc_id", "text", n=3,
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=SIG_SHINGLE_N,
         threshold=JACCARD_THRESHOLD,
         signature_df=sig, shingle_df=sig.select("doc", "shingles"),
     )
@@ -912,7 +919,7 @@ _D7_ORACLE = QUERIES[[q_.name for q_ in QUERIES].index("d7_lsh_verified_dups")].
 def d8_dup_clusters(spark, sf_dir):
     sig, _ = _sig_lake(spark, sf_dir)
     return dedup.dup_clusters(
-        t(spark, sf_dir, "documents"), "doc_id", "text", n=3,
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=SIG_SHINGLE_N,
         threshold=JACCARD_THRESHOLD,
         signature_df=sig, shingle_df=sig.select("doc", "shingles"),
     )

@@ -80,7 +80,7 @@ def test_failed_build_leaves_no_partial_lake(spark, sf_dir, lake_env, monkeypatc
     with pytest.raises(RuntimeError, match="injected"):
         bl.ensure_battlelog_lake(spark, sf_dir)
     assert not bl.lake_dir(sf_dir).exists()
-    assert not list(bl.cache_root().glob(".tmp-*")), "temp dir leaked"
+    assert not list(bl.lake_dir(sf_dir).parent.glob(".tmp-*")), "temp dir leaked"
 
 
 def test_lines_layout_is_clustered_by_replay(spark, sf_dir, lake_env):
@@ -262,3 +262,29 @@ def test_signature_lake_matches_on_the_fly_formulas(spark, sf_dir, tmp_path, mon
     assert ensure_signature_lake(spark, sf_dir) == out
     for p, m in mtimes.items():
         assert os.path.getmtime(os.path.join(out, "signatures", p)) == m
+
+
+def test_ensure_lake_repairs_sentinel_less_leftover(tmp_path):
+    """A cache dir left WITHOUT _SUCCESS (interrupted cleanup) must be
+    cleared and rebuilt, not brick every consumer with ENOTEMPTY."""
+    from pokemon_showdown_airflow_etl_spark.jobs._lake import ensure_lake
+
+    out = tmp_path / "v1-x"
+    (out / "data").mkdir(parents=True)  # junk: exists, no _SUCCESS
+    (out / "data" / "part-0").write_text("stale")
+
+    def build(tmp):
+        tmp.mkdir(parents=True, exist_ok=True)
+        (tmp / "fresh").write_text("ok")
+
+    got = ensure_lake(out, build)
+    assert got == out
+    assert (out / "_SUCCESS").exists()
+    assert (out / "fresh").read_text() == "ok"
+    assert not (out / "data").exists()  # junk replaced
+
+    # second call: no rebuild (build would now add nothing)
+    def boom(tmp):
+        raise AssertionError("rebuilt despite _SUCCESS")
+
+    assert ensure_lake(out, boom) == out
