@@ -22,10 +22,10 @@ from . import relational, joins, llm, battlelog, extras, tpch
 
 # Front of the driver's 50-query window, round 4. Rotation rule
 # (VERDICT r3): (1) every entry whose code changed after its latest
-# driver row (= CHANGED_SINCE_LAST_ROW, 36 names), then (2) as many of
-# the 15 r1-only entries as fit — 36 + 14 = the 50-slot window;
-# u4_except and the block-(3) tail carry their standing rows and wait
-# for the r5 rotation. The local oracle-parity gate still sweeps all
+# driver row (= CHANGED_SINCE_LAST_ROW, 37 names), then (2) as many of
+# the 15 r1-only entries as fit — 37 + 13 = the 50-slot window;
+# u3_intersect/u4_except and the block-(3) tail carry their standing
+# rows and wait for the r5 rotation. The local oracle-parity gate still sweeps all
 # entries each run, and tests/test_driver_window.py asserts no entry
 # can miss both a past row and this window.
 # Entries whose implementation changed since their latest driver row —
@@ -54,6 +54,7 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
     "a1_approx_sketches",  # r4: distinct agg split out of the sketch agg
     "s3_embedding_near_dups",  # r4: per-bucket GEMM scoring (fdf7e71)
     # postdates its r2 row — CORRECTNESS_r03 has no s3 entry
+    "s9_embedding_dup_clusters",  # r4 NEW: embedding dup clusters
     # pin() indirection (c81f383) touched these after their r3 rows —
     # same edit as j11; the gate must cover them identically
     "q2_min_cost_supplier",
@@ -80,7 +81,7 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
 
 _PRIORITY: list[str] = [
     # -- (1) every entry in CHANGED_SINCE_LAST_ROW, new/changed first --
-    # (36 names: r4 additions, the signature-lake d-set, the pin()
+    # (37 names: r4 additions, the signature-lake d-set, the pin()
     # indirection set, and the battle-log-lake b-set; the window gate
     # requires ALL of them inside the first 50)
     "t8_tfidf_top_terms",  # rescan elimination (4853915)
@@ -102,6 +103,7 @@ _PRIORITY: list[str] = [
     "s4_ivf_ann_topk",  # per-cell GEMM scoring + ivf query_ids param
     "s7_ivf_kmeans_quality",  # sufficient-statistics trainer + tol stop
     "s3_embedding_near_dups",  # per-bucket GEMM pair scoring
+    "s9_embedding_dup_clusters",  # NEW: s3 pairs -> components -> keeper
     "a1_approx_sketches",  # distinct agg split out of the sketch agg
     "q2_min_cost_supplier",  # pin() indirection (c81f383), like j11
     "q11_important_parts",
@@ -119,8 +121,8 @@ _PRIORITY: list[str] = [
     "b6_event_gaps",
     "b7_move_ranks",
     "b8_head_to_head",
-    # -- (2) 14 of the 15 entries whose only driver row is from round 1
-    # (36 + 14 = exactly the 50-slot window; u4_except waits for r5) --
+    # -- (2) 13 of the 15 entries whose only driver row is from round 1
+    # (37 + 13 = exactly the 50-slot window; u3/u4 wait for r5) --
     "c13_bool_coercion",
     "d1_exact_dedup",
     "j3_compaction_anti_join",
@@ -134,9 +136,9 @@ _PRIORITY: list[str] = [
     "s1_similarity_topk",
     "t1_quality_features",
     "u2_distinct_union",
-    "u3_intersect",
     # ---- slot 50 boundary ----
-    "u4_except",  # first in line when the r5 window rotates
+    "u3_intersect",  # first in line when the r5 window rotates
+    "u4_except",
     # -- (3) stalest r2 rows, heavy first --
     "d6_drop_exact_dups",
     "s5_gemm_ann_topk",

@@ -335,6 +335,58 @@ def s3_embedding_near_dups(spark, sf_dir):
     )
 
 
+# s9 reuses s3's oracle verbatim as the edge producer — the d8 pattern
+# applied to the embedding path, so the clustering is checked on exactly
+# the pairs the pairwise query reports.
+_S3_ORACLE = QUERIES[[q_.name for q_ in QUERIES].index("s3_embedding_near_dups")].oracle
+
+
+@q(
+    "s9_embedding_dup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_S3_ORACLE}),
+    edges AS (
+        SELECT vec_a AS u, vec_b AS v FROM pairs
+        UNION
+        SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node
+    ),
+    lab AS (SELECT node, LEAST(node, MIN(r)) AS cluster_id FROM reach GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS vec_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           node = cluster_id AS is_kept,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM lab
+    """,
+    doc="Embedding-side duplicate CLUSTERS: s3's SRP-bucketed cosine "
+    "pairs -> connected components -> keeper = min vec_id per "
+    "component — the drop DECISION for semantic dedup, completing the "
+    "pairs->clusters->keeper chain the text path has in d7->d8 (a "
+    "vector B near both A and C must be dropped exactly once). Same "
+    "min-label-propagation operator as d8 (O(diameter) rounds, "
+    "lineage-truncated); the oracle computes the same fixed point with "
+    "a recursive CTE over s3's pair SQL.",
+)
+def s9_embedding_dup_clusters(spark, sf_dir):
+    from ..operators.dedup import connected_components
+
+    edges = similarity.embedding_near_dups(
+        t(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_COS, n_bits=4
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    labels = connected_components(edges)
+    sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_kept"),
+        "cluster_size",
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
