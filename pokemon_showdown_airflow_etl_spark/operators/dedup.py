@@ -311,9 +311,27 @@ def connected_components(
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+        )
+        # pointer jumping: label <- label(label). Every label is itself a
+        # node of the same component (labels start as node ids and only
+        # ever take component-member mins), so the lookup stays inside
+        # the component while halving label-chain depth — total rounds
+        # O(log diameter) instead of O(diameter). Near-clique dup
+        # clusters converge in 2-3 rounds either way; long-chain graphs
+        # (e.g. low-threshold similarity edges) drop from ~diameter
+        # rounds (measured 13+ at sf0.1 for s9) to ~4.
+        jump = stepped.select(
+            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+        )
         new_labels = (
-            labels.join(nbr, "node", "left")
-            .select("node", F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"))
+            stepped.join(jump, stepped["label"] == jump["jnode"], "left")
+            .select(
+                "node",
+                F.coalesce("jlabel", F.col("label")).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (

@@ -477,3 +477,56 @@ def test_cms_never_underestimates(spark_prop, stream, depth, width):
     assert set(est) == set(truth)
     assert all(est[k] >= truth[k] for k in truth)
     assert sum(est.values()) <= depth * len(stream) * len(truth)  # sanity ceiling
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark_prop, edges):
+    """Min-label propagation + pointer jumping against a direct
+    union-find over arbitrary graphs (chains, cliques, isolated pairs)."""
+    from pokemon_showdown_airflow_etl_spark.operators.dedup import (
+        connected_components,
+    )
+
+    df = spark_prop.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["label"] for r in connected_components(df).collect()
+    }
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+def test_connected_components_long_chain_converges_in_log_rounds(spark_prop):
+    """A 64-node path graph (diameter 63) must converge well inside the
+    25-round cap — the pointer-jumping guarantee; plain min-propagation
+    would need 63 rounds and raise."""
+    from pokemon_showdown_airflow_etl_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(63)]
+    df = spark_prop.createDataFrame(chain, "doc_a long, doc_b long")
+    labels = connected_components(df, max_iterations=12)
+    rows = labels.collect()
+    assert len(rows) == 64
+    assert {r["label"] for r in rows} == {0}
