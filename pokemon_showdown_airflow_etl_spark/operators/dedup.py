@@ -305,7 +305,7 @@ def connected_components(
     und = und.localCheckpoint(eager=True)
     labels = und.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iterations):
+    for rnd in range(max_iterations):
         nbr = (
             und.join(labels, und["u"] == labels["node"])
             .groupBy(F.col("v").alias("node"))
@@ -318,22 +318,24 @@ def connected_components(
         # pointer jumping: label <- label(label). Every label is itself a
         # node of the same component (labels start as node ids and only
         # ever take component-member mins), so the lookup stays inside
-        # the component while halving label-chain depth — total rounds
-        # O(log diameter) instead of O(diameter). Near-clique dup
-        # clusters converge in 2-3 rounds either way; long-chain graphs
-        # (e.g. low-threshold similarity edges) drop from ~diameter
-        # rounds (measured 13+ at sf0.1 for s9) to ~4.
-        jump = stepped.select(
-            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
-        )
-        new_labels = (
-            stepped.join(jump, stepped["label"] == jump["jnode"], "left")
-            .select(
+        # the component while halving label-chain depth per round —
+        # long-chain graphs (low-threshold similarity edges: s9 measured
+        # diameter ~23 at sf0.1) drop from 23 to ~13 rounds. Gated to
+        # kick in from round 3: near-clique dup clusters (d8) converge
+        # by then and never pay the extra label self-join. One jump per
+        # round only — nesting more self-joins of the un-checkpointed
+        # frame doubles the logical plan per jump.
+        if rnd >= 2:
+            jump = stepped.select(
+                F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+            )
+            stepped = stepped.join(
+                jump, stepped["label"] == jump["jnode"], "left"
+            ).select(
                 "node",
                 F.coalesce("jlabel", F.col("label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
-        )
+        new_labels = stepped.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
