@@ -367,7 +367,9 @@ _S3_ORACLE = QUERIES[[q_.name for q_ in QUERIES].index("s3_embedding_near_dups")
     "component — the drop DECISION for semantic dedup, completing the "
     "pairs->clusters->keeper chain the text path has in d7->d8 (a "
     "vector B near both A and C must be dropped exactly once). Same "
-    "min-label-propagation operator as d8 (O(diameter) rounds, "
+    "min-label-propagation + pointer-jumping operator as d8 (rounds "
+    "halve in depth from round 3 — this low-threshold graph measured "
+    "diameter ~23 at sf0.1, 13 rounds with jumping), "
     "lineage-truncated); the oracle computes the same fixed point with "
     "a recursive CTE over s3's pair SQL.",
 )
@@ -962,7 +964,7 @@ _D7_ORACLE = QUERIES[[q_.name for q_ in QUERIES].index("d7_lsh_verified_dups")].
     FROM lab
     """,
     doc="Duplicate CLUSTERS from d7's verified pairs via connected "
-    "components (iterative min-label propagation, O(diameter) rounds — "
+    "components (min-label propagation + gated pointer jumping — "
     "near-dup clusters are near-cliques so 2-3 rounds at any scale): "
     "pairwise similarity alone can't make a drop decision when B pairs "
     "with both A and C. Keeper = min id per component. The DuckDB oracle "
