@@ -484,3 +484,20 @@ def test_salted_join_keys_include_the_salt(q):
     plan = q("x2_salted_join")
     assert "_salt" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_signature_scans_prune_to_consumed_columns(spark, sf_dir):
+    """The point of the columnar signature layer: d3 must read ONLY the
+    8 MinHash strings (never the shingles array — the wide column), and
+    d5 only the fingerprint. Checked with pinning disabled so the scans
+    are visible."""
+    from pokemon_showdown_airflow_etl_spark import pinning
+
+    with pinning.disabled():
+        d3 = plan_text(ALL_QUERIES["d3_minhash_lsh_candidates"].spark(spark, sf_dir))
+        d5 = plan_text(ALL_QUERIES["d5_simhash_near_dups"].spark(spark, sf_dir))
+    d3_schemas = [l for l in d3.splitlines() if "ReadSchema" in l]
+    assert d3_schemas and all("shingles" not in l for l in d3_schemas), d3_schemas
+    assert any("mh7" in l for l in d3_schemas), d3_schemas
+    d5_schemas = [l for l in d5.splitlines() if "ReadSchema" in l]
+    assert d5_schemas and all("simhash" in l and "shingles" not in l for l in d5_schemas), d5_schemas
