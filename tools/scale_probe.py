@@ -1,0 +1,133 @@
+"""Reproducible scaling probe: time the heavy dedup/ANN operators at 1x
+and Kx the corpus and print growth ratios — the evidence behind the
+README's "measured at 5x corpus" scale notes.
+
+The Kx corpus is synthesized by unioning K perturbed copies (ids
+offset, a copy-specific token appended / a deterministic epsilon added
+to one vector dimension), so copies are NOT exact duplicates and the
+candidate structure grows the way a real crawl's does.
+
+Also demonstrates the documented bucket-geometry rule: SRP-bucketed ANN
+with FIXED n_bits does O((n/2^bits)^2) work per bucket and grows
+super-linearly with n, while widening the buckets with the corpus
+(n_bits + log2 K) keeps per-bucket populations — and the growth ratio —
+near-linear. Usage:
+
+    python tools/scale_probe.py [sf_dir] [K]     # default sf0.1, 4
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pokemon_showdown_airflow_etl_spark.io import table  # noqa: E402
+from pokemon_showdown_airflow_etl_spark.operators import dedup, similarity  # noqa: E402
+from pokemon_showdown_airflow_etl_spark.session import get_spark  # noqa: E402
+
+
+def scaled_docs(docs, k: int):
+    parts = []
+    step = docs.agg(F.max("doc_id")).first()[0] + 1
+    for i in range(k):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + i * step).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" probecopy{i} marker{i}")).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.localCheckpoint(eager=True)
+
+
+def scaled_embeddings(emb, k: int):
+    parts = []
+    step = emb.agg(F.max("vec_id")).first()[0] + 1
+    for i in range(k):
+        eps = 1e-3 * (i + 1)
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + i * step).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x, j: x + F.when(j == 0, F.lit(eps)).otherwise(F.lit(0.0))
+                ).alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.localCheckpoint(eager=True)
+
+
+def best_of(fn, n: int = 2) -> float:
+    best = None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs1 = scaled_docs(table(spark, sf_dir, "documents"), 1)
+    docsk = scaled_docs(table(spark, sf_dir, "documents"), k)
+    emb1 = scaled_embeddings(table(spark, sf_dir, "embeddings"), 1)
+    embk = scaled_embeddings(table(spark, sf_dir, "embeddings"), k)
+    extra_bits = max(1, (k - 1).bit_length())  # ~log2(k)
+
+    probes = {
+        "d3_minhash_lsh_candidates": lambda d: dedup.minhash_lsh_candidates(
+            d, "doc_id", "text"
+        ),
+        "d7_lsh_verified_dups": lambda d: dedup.lsh_verified_dups(d, "doc_id", "text"),
+        "d2_ngram_jaccard_pairs": lambda d: dedup.shingle_jaccard_pairs(
+            d, "doc_id", "text"
+        ),
+        "s5_gemm_ann_fixed_bits": lambda e: similarity.bucketed_gemm_topk(
+            e, k=1, n_bits=4
+        ),
+        "s5_gemm_ann_scaled_bits": lambda e, bits: similarity.bucketed_gemm_topk(
+            e, k=1, n_bits=bits
+        ),
+    }
+
+    out: dict[str, dict] = {}
+    for name in ("d3_minhash_lsh_candidates", "d7_lsh_verified_dups", "d2_ngram_jaccard_pairs"):
+        t1 = best_of(lambda: probes[name](docs1).write.format("noop").mode("overwrite").save())
+        tk = best_of(lambda: probes[name](docsk).write.format("noop").mode("overwrite").save())
+        out[name] = {"t_1x": t1, f"t_{k}x": tk, "growth": round(tk / t1, 2)}
+    t1 = best_of(lambda: probes["s5_gemm_ann_fixed_bits"](emb1).write.format("noop").mode("overwrite").save())
+    tk = best_of(lambda: probes["s5_gemm_ann_fixed_bits"](embk).write.format("noop").mode("overwrite").save())
+    out["s5_gemm_ann_fixed_bits"] = {"t_1x": t1, f"t_{k}x": tk, "growth": round(tk / t1, 2)}
+    tks = best_of(
+        lambda: probes["s5_gemm_ann_scaled_bits"](embk, 4 + extra_bits)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    out["s5_gemm_ann_scaled_bits"] = {
+        "t_1x": t1,
+        f"t_{k}x": tks,
+        "growth": round(tks / t1, 2),
+        "n_bits": 4 + extra_bits,
+    }
+    print(json.dumps({"sf_dir": sf_dir, "k": k, "probes": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
