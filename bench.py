@@ -208,6 +208,28 @@ def main() -> None:
         streaming["cursor_sec"] = round(dt, 3)
         streaming["cursor_replays_per_sec"] = round(n_stream / dt, 1)
         streaming["cursor_state_rows"] = spark.read.parquet(d + "/cur").count()
+        # Trending terms (a3's streaming twin): drain the SAME landed
+        # corpus through the sharded Misra-Gries state stream — tokens
+        # are the |move| command's move names, so replays/s is
+        # comparable to the other three drains over one corpus.
+        from pokemon_showdown_airflow_etl_spark.functions.logparse import (
+            command_lines,
+        )
+        from pokemon_showdown_airflow_etl_spark.streaming import (
+            start_trending_terms,
+        )
+        from pyspark.sql import functions as F
+
+        tokens = command_lines(stream_replay_docs(spark, land), "move").select(
+            F.try_element_at("args", F.lit(2)).alias("token")
+        )
+        t0 = time.perf_counter()
+        q = start_trending_terms(tokens, d + "/trend", d + "/ck4")
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        streaming["trending_sec"] = round(dt, 3)
+        streaming["trending_replays_per_sec"] = round(n_stream / dt, 1)
+        streaming["trending_state_rows"] = spark.read.parquet(d + "/trend").count()
 
     # Corpus-curation throughput: the full jobs/curate.py pipeline
     # (exact dedup -> near-dup clusters -> quality floor -> split ->
@@ -229,27 +251,58 @@ def main() -> None:
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_wall_time",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "pipeline": pipe,
-                "streaming": streaming,
-                "curate": curate,
-                "b_lake_build_sec": lake_build_sec,
-                "sig_lake_build_sec": sig_lake_build_sec,
-                # the synthetic battle-log corpus the b-queries scan is
-                # 2 replays per events row (see plans/battlelog.py) —
-                # recorded so b-query times can be normalized per replay
-                # across rounds/scale factors
-                "b_corpus_replays": 2 * table(spark, SF_DIR, "events").count(),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_query_set_wall_time",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "pipeline": pipe,
+        "streaming": streaming,
+        "curate": curate,
+        "b_lake_build_sec": lake_build_sec,
+        "sig_lake_build_sec": sig_lake_build_sec,
+        # the synthetic battle-log corpus the b-queries scan is
+        # 2 replays per events row (see plans/battlelog.py) —
+        # recorded so b-query times can be normalized per replay
+        # across rounds/scale factors
+        "b_corpus_replays": 2 * table(spark, SF_DIR, "events").count(),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # BENCH_r04's `parsed` was null: the driver keeps only the LAST
+    # ~2000 chars of stdout, and the single full-catalog JSON line
+    # outgrew that window, so its front was truncated mid-object
+    # (VERDICT r4 item 3). Three-part output fixes it for good:
+    #   1. the full blob goes to BENCH_local.json (committed with the
+    #      round's artifacts — the judge's per-query record),
+    #   2. the full line still prints FIRST for human/log capture,
+    #   3. the LAST line is a compact headline guaranteed to fit the
+    #      tail window whole — metric/value/sf plus the slowest
+    #      queries, with an assert so catalog growth can't silently
+    #      push it past the window again.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_local.json"), "w") as f:
+        json.dump(payload, f, indent=2, sort_keys=True)
+    print(json.dumps(payload))
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:20])
+    headline = {
+        "metric": "headline_query_set_wall_time",
+        "value": payload["value"],
+        "unit": "sec",
+        "n_queries": len(times),
+        "queries": {k: slowest[k] for k in sorted(slowest)},
+        "queries_full": "BENCH_local.json",
+        "pipeline_replays_per_sec": pipe["replays_per_sec"],
+        "curate_docs_per_sec": curate["docs_per_sec"],
+        "streaming": {
+            k: v for k, v in streaming.items() if k.endswith("replays_per_sec")
+        },
+        "b_lake_build_sec": lake_build_sec,
+        "sig_lake_build_sec": sig_lake_build_sec,
+        "sf": payload["sf"],
+    }
+    line = json.dumps(headline, separators=(",", ":"))
+    assert len(line) < 1900, f"headline line {len(line)} chars — would truncate"
+    print(line)
     spark.stop()
 
 

@@ -86,10 +86,10 @@ def build_battlelog_lake(spark: SparkSession, sf_dir: str, out_dir: Path) -> Non
     log_timestamp + line counts from the raw log, paying the full
     parse twice (measured ~40% of a 14 s build at sf0.1).
 
-    first_log_ts = event_ts of the earliest ``|t:|`` line (min_by on
-    line_no), which equals C5's first-regex-match for any log whose
-    first stamp parses — battle_events stamps a valid ``|t:|`` line
-    with its own value.
+    first_log_ts = the self-parsed epoch of the earliest ``|t:|`` line
+    whose own argument parses (min_by on line_no over valid stamps
+    only) — exactly C5's first-regex-match semantics, including logs
+    whose leading stamp line is malformed.
     """
     from ..functions.logparse import battle_events
     from ..plans.battlelog import corpus
@@ -115,10 +115,23 @@ def build_battlelog_lake(spark: SparkSession, sf_dir: str, out_dir: Path) -> Non
     )
     spark.sql(f"DROP TABLE IF EXISTS {scratch}")
     lines_back = spark.read.parquet(str(out_dir / "lines"))
+    # first_log_ts must match C5 (LOG_TS_PATTERN = first |t:|<digits>
+    # match in the raw log): self-parse each stamp line's own argument
+    # (leading digits, like the regex capture) and take the earliest
+    # line where that parse SUCCEEDS. Using the carried event_ts and a
+    # bare command=='t:' guard diverged on logs whose FIRST stamp line
+    # is malformed — event_ts there is NULL or carried from nowhere,
+    # while C5 skips ahead to the first stamp that parses (ADVICE r4).
     is_stamp = F.col("command") == "t:"
+    own_stamp = F.when(
+        is_stamp,
+        F.regexp_extract(
+            F.try_element_at("args", F.lit(1)), r"^(\d+)", 1
+        ).try_cast("long"),
+    )
     log_agg = lines_back.groupBy("replay_id").agg(
         F.min_by(
-            F.when(is_stamp, F.col("event_ts")), F.when(is_stamp, F.col("line_no"))
+            own_stamp, F.when(own_stamp.isNotNull(), F.col("line_no"))
         ).alias("first_log_ts"),
         F.count("*").cast("int").alias("n_lines"),
     )

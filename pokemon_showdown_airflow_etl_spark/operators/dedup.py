@@ -173,6 +173,35 @@ def minhash_signature(shingles: Column, num_hashes: int = 8) -> list[Column]:
     ]
 
 
+def band_keys(
+    sig: DataFrame, num_hashes: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """(doc, band_no, band_key) LSH band rows of a MinHash signature
+    frame (doc, mh0..mh{k-1}): band key = '|'-joined signature slots.
+    The shared fan-out of every LSH consumer — whole-corpus candidate
+    self-joins (minhash_lsh_candidates) and the incremental
+    new-batch-vs-corpus join (dedup_against_corpus). At 100 TB this is
+    the frame a deployment materializes bucketed BY band_key so the
+    incremental join is exchange-free on the corpus side."""
+    n_bands = num_hashes // rows_per_band
+    return sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_no"),
+                        F.concat_ws(
+                            "|", *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("band_key"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc", "band.band_no", "band.band_key")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -204,23 +233,7 @@ def minhash_lsh_candidates(
     else:
         sh = _shingle_df(df, id_col, text_col, n)
         sig = sh.select("doc", *minhash_signature(F.col("shingles"), num_hashes))
-    n_bands = num_hashes // rows_per_band
-    bands = sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band_no"),
-                        F.concat_ws(
-                            "|", *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("band_key"),
-                    )
-                    for bi in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc", "band.band_no", "band.band_key")
+    bands = band_keys(sig, num_hashes, rows_per_band)
     # materialize once: the self-join would otherwise compute the full
     # shingle+signature stage for each side (no ReusedExchange fires
     # across the a/b aliases)
@@ -272,6 +285,135 @@ def lsh_verified_dups(
         .withColumn("jaccard", inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def dedup_against_corpus(
+    new_ids: DataFrame,
+    new_sig: DataFrame,
+    corpus_sig: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Incremental cross-snapshot dedup: admit a NEW document batch
+    against an EXISTING corpus's materialized signatures — the
+    production reason the signature lake exists (a 100-TB corpus grows
+    daily; re-deduping the whole corpus per batch is the one cost this
+    operator removes). The J2 idempotent-ingest pattern (db.py:853-912's
+    already-present anti-join) applied to near-dup identity.
+
+    Inputs: ``new_ids`` = (doc) every id in the incoming batch
+    (including short docs that have no signature row); ``new_sig`` /
+    ``corpus_sig`` = (doc, shingles, mh0..mh{k-1}) signature frames —
+    in production the corpus side IS the signature lake, so the batch's
+    text is the only text read anywhere.
+
+    Plan shape at scale: the batch's band rows equi-join the corpus
+    band table (never a corpus self-join — the corpus is only probed
+    on band_key, and a deployment buckets the materialized band table
+    by band_key to make that join exchange-free); candidates verify
+    exactly on stored shingles, candidates-only. Within-batch dups are
+    found by the same band join restricted to the (small) batch.
+
+    Returns one row per new doc: (doc, n_corpus_dups,
+    first_corpus_dup, status) with status 'dup_of_corpus' (a verified
+    near-dup >= threshold exists in the corpus — corpus always wins),
+    'dup_in_batch' (loses min-id-wins against a verified within-batch
+    pair), or 'accepted'.
+    """
+    k = list(range(num_hashes))
+    nb = band_keys(
+        new_sig.select("doc", *[f"mh{i}" for i in k]), num_hashes, rows_per_band
+    ).transform(pin)
+    cb = band_keys(
+        corpus_sig.select("doc", *[f"mh{i}" for i in k]), num_hashes, rows_per_band
+    )
+    nsh = new_sig.select(
+        "doc", F.col("shingles").alias("sh_n"), F.size("shingles").alias("sz_n")
+    ).transform(pin)
+    csh = corpus_sig.select(
+        F.col("doc").alias("corpus_doc"),
+        F.col("shingles").alias("sh_c"),
+        F.size("shingles").alias("sz_c"),
+    )
+
+    cand = (
+        nb.join(
+            cb.select(
+                F.col("doc").alias("corpus_doc"), "band_no", "band_key"
+            ),
+            ["band_no", "band_key"],
+        )
+        .select("doc", "corpus_doc")
+        .distinct()
+    )
+    inter_c = F.size(F.array_intersect("sh_n", "sh_c"))
+    corpus_dups = (
+        cand.join(nsh, "doc")
+        .join(csh, "corpus_doc")
+        .withColumn(
+            "_j", inter_c.cast("double") / (F.col("sz_n") + F.col("sz_c") - inter_c)
+        )
+        .filter(F.col("_j") >= threshold)
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_corpus_dups"),
+            F.min("corpus_doc").alias("first_corpus_dup"),
+        )
+    )
+
+    bcand = (
+        nb.alias("a")
+        .join(
+            nb.alias("b"),
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    inter_b = F.size(F.array_intersect("sh_a", "sh_b"))
+    batch_losers = (
+        bcand.join(
+            nsh.select(
+                F.col("doc").alias("doc_a"),
+                F.col("sh_n").alias("sh_a"),
+                F.col("sz_n").alias("sz_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            nsh.select(
+                F.col("doc").alias("doc_b"),
+                F.col("sh_n").alias("sh_b"),
+                F.col("sz_n").alias("sz_b"),
+            ),
+            "doc_b",
+        )
+        .filter(
+            inter_b.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter_b)
+            >= threshold
+        )
+        .select(F.col("doc_b").alias("doc"))
+        .distinct()
+        .withColumn("_batch_dup", F.lit(True))
+    )
+
+    return (
+        new_ids.select("doc")
+        .join(corpus_dups, "doc", "left")
+        .join(batch_losers, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("n_corpus_dups", F.lit(0)).alias("n_corpus_dups"),
+            "first_corpus_dup",
+            F.when(F.col("n_corpus_dups").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("_batch_dup"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("accepted"))
+            .alias("status"),
+        )
     )
 
 

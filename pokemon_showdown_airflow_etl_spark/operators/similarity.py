@@ -407,21 +407,34 @@ def centroid_outliers(
     vec_col: str = "embedding",
     trim_quantile: float = 0.98,
     dim: int = SRP_DIM,
+    exact: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Embedding-space outlier trimming: distance to the corpus centroid,
-    flagging every vector strictly beyond the exact ``trim_quantile``
-    distance — the "drop the farthest ~2%" pass a pipeline runs before
-    centroid training or ANN indexing (norm checks can't see these:
+    flagging every vector strictly beyond the ``trim_quantile`` distance
+    — the "drop the farthest ~2%" pass a pipeline runs before centroid
+    training or ANN indexing (norm checks can't see these:
     unit-normalized junk has a perfect norm but still sits far from the
     data manifold).
 
     Three passes, none shuffling the corpus: (1) the centroid as dim
     per-dimension avg aggregates, re-assembled into one array and
-    broadcast back; (2) per-vector distance, one map pass; (3) the exact
-    interpolated quantile as a 1-row aggregate, broadcast back for the
-    flag. No statistic lands on the driver. Exact percentile does sort
-    the distance column inside one aggregate — at extreme scale swap in
-    approx_percentile with a widened strict-inequality guard band.
+    broadcast back; (2) per-vector distance, one map pass; (3) the
+    quantile as a 1-row aggregate, broadcast back for the flag. No
+    statistic lands on the driver.
+
+    The DEFAULT threshold is ``approx_percentile`` (a GK/KLL-style
+    mergeable sketch: bounded memory per task, map-side combinable) —
+    the only formulation that survives a 100-TB corpus, where the exact
+    percentile would buffer billions of distances in the final
+    aggregation task. Its rank error is <= 1/``accuracy``, so the
+    flagged fraction is (1 - trim_quantile) within a +-1e-4 guard band
+    at the default accuracy; the strict ``>`` against a threshold that
+    is an actual data value keeps the band one-sided-safe (the
+    threshold element itself is never flagged). ``exact=True`` is the
+    oracle-checkable verification twin (interpolated exact percentile —
+    the d2-vs-d7 pattern): bit-comparable against a SQL engine, and
+    the path the s6 catalog entry pins.
 
     Returns (id, centroid_dist rounded 4dp, is_outlier).
     """
@@ -447,7 +460,14 @@ def centroid_outliers(
         .select(F.col(id_col), dist.alias("_d"))
         .transform(pin)
     )
-    thr = d.agg(F.expr(f"percentile(_d, {trim_quantile!r})").alias("_t"))
+    if exact:
+        thr = d.agg(F.expr(f"percentile(_d, {trim_quantile!r})").alias("_t"))
+    else:
+        thr = d.agg(
+            F.expr(
+                f"approx_percentile(_d, {trim_quantile!r}, {accuracy})"
+            ).alias("_t")
+        )
     return d.join(F.broadcast(thr)).select(
         F.col(id_col),
         F.round("_d", 4).alias("centroid_dist"),

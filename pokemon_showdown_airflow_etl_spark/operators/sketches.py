@@ -198,6 +198,21 @@ def cms_heavy_hitters_approx(
 
     Returns (key, est, rank).
     """
+    # The MG pass summarizes keys AS STRINGS (its output schema is
+    # `key string`), but the CMS sketch hashes the ORIGINAL column
+    # type — for a non-string key the candidate cell ids would hash
+    # different bytes than the sketch's cells and estimates would be
+    # silently wrong. Require string keys so the two hash domains are
+    # the same by construction (callers cast first).
+    from pyspark.sql.types import StringType
+
+    ktype = keys.schema[key_col].dataType
+    if not isinstance(ktype, StringType):
+        raise TypeError(
+            f"cms_heavy_hitters_approx requires a string key column; "
+            f"{key_col!r} is {ktype.simpleString()} — cast it first so the "
+            "Misra-Gries candidates and the CMS sketch hash the same bytes"
+        )
     # pinned: cms_estimate consumes the candidate frame twice (cell
     # explode + the trailing re-join) — unpinned, the whole MG
     # mapInPandas pass would execute twice

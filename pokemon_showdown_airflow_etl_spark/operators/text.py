@@ -191,6 +191,47 @@ def repetition_ratio(
     )
 
 
+def corpus_stats(
+    df: DataFrame,
+    group_col: str = "lang",
+    distinct_col: str = "source",
+    value_col: str = "n_chars",
+    quantiles: tuple[float, float] = (0.5, 0.9),
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group corpus distribution stats: doc count, distinct-source
+    count, and the median/p90 of ``value_col``.
+
+    The DEFAULT quantile path is ``percentile_approx`` (mergeable
+    sketch, bounded memory per task, map-side combinable — rank error
+    <= 1/``accuracy``): the only formulation that survives a 100-TB
+    corpus, where a single group's exact percentile would buffer
+    billions of values in one aggregation task. ``exact=True`` is the
+    oracle-checkable verification twin (exact interpolated percentile,
+    bit-comparable against quantile_cont in a SQL engine — the
+    d2-vs-d7 pattern) and the path the t5 catalog entry pins; the
+    approx default is plan-gated in test_plan_quality.py. Note the
+    twins differ in kind, not just error: approx returns an actual
+    data value, exact interpolates between adjacent ones.
+
+    Returns (group, n_docs, n_sources, median_chars, p90_chars).
+    """
+    lo, hi = quantiles
+    if exact:
+        med = F.percentile(value_col, F.lit(lo))
+        p90 = F.percentile(value_col, F.lit(hi))
+    else:
+        med = F.percentile_approx(value_col, F.lit(lo), F.lit(accuracy))
+        p90 = F.percentile_approx(value_col, F.lit(hi), F.lit(accuracy))
+    return df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct(distinct_col).cast("long").alias("n_sources"),
+        F.round(med.cast("double"), 4).alias("median_chars"),
+        F.round(p90.cast("double"), 4).alias("p90_chars"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stable content fingerprint: md5 of normalized text (C-equivalent of
     the reference's id-based identity, content-addressed instead)."""

@@ -492,18 +492,15 @@ def t4_fingerprint(spark, sf_dir):
     FROM documents
     GROUP BY lang
     """,
-    doc="Corpus distribution stats per language: exact distinct + exact "
-    "interpolated quantiles (oracle-checkable); the package also exposes "
-    "approx_count_distinct/percentile_approx for the sketch path at scale.",
+    doc="Corpus distribution stats per language (operators/text.py::"
+    "corpus_stats): exact=True here is the oracle-checkable verification "
+    "twin (exact interpolated quantiles, bit-comparable vs quantile_cont); "
+    "the operator DEFAULTS to the percentile_approx sketch path — the "
+    "only one that survives a group holding billions of values at 100 TB "
+    "(plan-gated in test_plan_quality.py).",
 )
 def t5_corpus_stats(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
-    return d.groupBy("lang").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.count_distinct("source").cast("long").alias("n_sources"),
-        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("median_chars"),
-        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
-    )
+    return text.corpus_stats(t(spark, sf_dir, "documents"), exact=True)
 
 
 @q(
@@ -806,7 +803,8 @@ def x1_salted_agg(spark, sf_dir):
     )
     SELECT e.event_type,
            CAST(count(*) AS BIGINT) AS n,
-           ROUND(sum(e.value - d.user_avg), 4) AS sum_dev
+           ROUND(CAST(sum(CAST(round((e.value - d.user_avg) * 10000) AS BIGINT))
+                      AS DOUBLE) / 10000.0, 4) AS sum_dev
     FROM events e JOIN dim d USING (user_id)
     GROUP BY e.event_type
     """,
@@ -820,9 +818,11 @@ def x1_salted_agg(spark, sf_dir):
     "too big to broadcast AND one key dominates (AQE splits skewed "
     "SMJ partitions, but only after materializing the skewed shuffle "
     "files; pre-salting bounds them at write time). The oracle is the "
-    "PLAIN join + group-by: salting must be invisible in results. The "
-    "per-user mean quantizes to 6dp on both engines before the "
-    "deviation so the 4dp sums stay reduction-order-exact.",
+    "PLAIN join + group-by: salting must be invisible in results. Each "
+    "per-row deviation quantizes to integer 1e-4 units before the sum "
+    "(the t14/t16 technique) so the bigint total — and therefore the "
+    "hash — is reduction-order-exact across engines and partitionings; "
+    "the per-user mean quantizes to 6dp first for the same reason.",
 )
 def x2_salted_join(spark, sf_dir):
     from ..operators.skew import salted_join_small
@@ -830,9 +830,14 @@ def x2_salted_join(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     dim = ev.groupBy("user_id").agg(F.round(F.avg("value"), 6).alias("user_avg"))
     joined = salted_join_small(ev, dim, "user_id", n_salts=8)
+    dev_micro = F.round((F.col("value") - F.col("user_avg")) * F.lit(10_000.0)).cast(
+        "long"
+    )
     return joined.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
-        F.round(F.sum(F.col("value") - F.col("user_avg")), 4).alias("sum_dev"),
+        F.round(
+            F.sum(dev_micro).cast("double") / F.lit(10_000.0), 4
+        ).alias("sum_dev"),
     )
 
 
@@ -976,6 +981,91 @@ def d8_dup_clusters(spark, sf_dir):
         t(spark, sf_dir, "documents"), "doc_id", "text", n=SIG_SHINGLE_N,
         threshold=JACCARD_THRESHOLD,
         signature_df=sig, shingle_df=sig.select("doc", "shingles"),
+    )
+
+
+D9_NEW_BATCH = "doc_id % 20 = 0"  # the incoming 5% slice plays the daily batch
+
+
+@q(
+    "d9_incremental_dedup",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+    ), sh AS (
+        SELECT doc_id, {SHINGLES_SQL} AS shingles
+        FROM toks WHERE len(tk) >= 3
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0
+    ), sig AS (
+        SELECT doc_id,
+           {",".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(8))}
+        FROM ex GROUP BY doc_id
+    ), bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band_no, mh{2 * bi} || '|' || mh{2 * bi + 1} AS band_key FROM sig" for bi in range(4))}
+    ), sized AS (
+        SELECT doc_id, shingles, len(shingles) AS sz FROM sh WHERE len(shingles) > 0
+    ), nb AS (SELECT * FROM bands WHERE {D9_NEW_BATCH}),
+    cb AS (SELECT * FROM bands WHERE NOT ({D9_NEW_BATCH})),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS doc, c.doc_id AS corpus_doc
+        FROM nb n JOIN cb c ON n.band_no = c.band_no AND n.band_key = c.band_key
+    ), cdup AS (
+        SELECT cand.doc,
+               CAST(count(*) AS BIGINT) AS n_corpus_dups,
+               CAST(min(cand.corpus_doc) AS BIGINT) AS first_corpus_dup
+        FROM cand
+        JOIN sized a ON cand.doc = a.doc_id
+        JOIN sized b ON cand.corpus_doc = b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (a.sz + b.sz - len(list_intersect(a.shingles, b.shingles)))
+              >= {JACCARD_THRESHOLD}
+        GROUP BY cand.doc
+    ), bcand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM nb a JOIN nb b ON a.band_no = b.band_no AND a.band_key = b.band_key
+                           AND a.doc_id < b.doc_id
+    ), bdup AS (
+        SELECT DISTINCT bc.doc_b AS doc FROM bcand bc
+        JOIN sized a ON bc.doc_a = a.doc_id
+        JOIN sized b ON bc.doc_b = b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (a.sz + b.sz - len(list_intersect(a.shingles, b.shingles)))
+              >= {JACCARD_THRESHOLD}
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc,
+           CAST(coalesce(c.n_corpus_dups, 0) AS BIGINT) AS n_corpus_dups,
+           c.first_corpus_dup,
+           CASE WHEN c.doc IS NOT NULL THEN 'dup_of_corpus'
+                WHEN bd.doc IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'accepted' END AS status
+    FROM (SELECT doc_id FROM documents WHERE {D9_NEW_BATCH}) d
+    LEFT JOIN cdup c ON d.doc_id = c.doc
+    LEFT JOIN bdup bd ON d.doc_id = bd.doc
+    """,
+    doc="Incremental cross-snapshot dedup (operators/dedup.py::"
+    "dedup_against_corpus): admit a NEW batch (the doc_id % 20 slice "
+    "plays the daily drop) against the EXISTING corpus's materialized "
+    "signature lake — band rows of the batch equi-join the corpus band "
+    "table (no corpus self-join, no batch-time re-signing of the "
+    "corpus), candidates verify exactly on stored shingles, and "
+    "within-batch dups settle min-id-wins. The production reason the "
+    "signature lake exists: a daily refresh costs one batch's "
+    "signatures, not the corpus's. Oracle = the same admission computed "
+    "from raw text, both sides split union-then-dedup style.",
+)
+def d9_incremental_dedup(spark, sf_dir):
+    sig, _ = _sig_lake(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 20 == 0
+    new_ids = docs.filter(is_new).select(F.col("doc_id").cast("long").alias("doc"))
+    return dedup.dedup_against_corpus(
+        new_ids,
+        sig.filter(F.col("doc") % 20 == 0),
+        sig.filter(F.col("doc") % 20 != 0),
+        threshold=JACCARD_THRESHOLD,
+        num_hashes=SIG_NUM_HASHES,
+        rows_per_band=2,
     )
 
 
@@ -1234,7 +1324,10 @@ CENTROID_TRIM_Q = 0.98
     "is unit-normalized); centroid distance still exposes off-manifold "
     "vectors. Centroid = dim avg aggregates broadcast back; threshold "
     "= a 1-row exact-percentile aggregate broadcast back — the corpus "
-    "never shuffles and nothing lands on the driver.",
+    "never shuffles and nothing lands on the driver. exact=True is the "
+    "oracle-checkable verification twin; the operator DEFAULTS to the "
+    "approx_percentile sketch, the only threshold formulation that "
+    "survives 100 TB (plan-gated in test_plan_quality.py).",
 )
 def s6_embedding_outliers(spark, sf_dir):
     return similarity.centroid_outliers(
@@ -1242,6 +1335,7 @@ def s6_embedding_outliers(spark, sf_dir):
         "vec_id",
         "embedding",
         trim_quantile=CENTROID_TRIM_Q,
+        exact=True,
     )
 
 

@@ -60,6 +60,39 @@ def test_docs_table_equals_direct_derivation(spark, sf_dir, lake_env):
     assert joined == 0
 
 
+def test_first_log_ts_skips_malformed_leading_stamp(spark, lake_env, monkeypatch):
+    """C5 parity on the degenerate logs (ADVICE r4): the lake's
+    first_log_ts must equal log_timestamp()'s first-PARSEABLE-stamp
+    semantics even when a log's first |t:| line is malformed, and NULL
+    when no stamp parses at all."""
+    import pokemon_showdown_airflow_etl_spark.plans.battlelog as pb
+
+    rows = [
+        # first stamp malformed -> C5 skips to 777; the old bare
+        # command=='t:' min_by returned NULL here
+        ("r-bad-first", "gen9ou", 1, "a", "b",
+         "|start\n|t:|garbage\n|move|p1a: X|Tackle\n|t:|777\n|win|a"),
+        # no parseable stamp anywhere -> NULL (C11 fallback territory)
+        ("r-no-stamp", "gen9ou", 2, "a", "b", "|start\n|t:|nope\n|win|b"),
+        # happy path unchanged
+        ("r-ok", "gen9ou", 3, "a", "b", "|t:|555\n|start\n|win|a"),
+    ]
+    fake = spark.createDataFrame(
+        rows, "id string, format string, uploadtime long, p1 string, p2 string, log string"
+    )
+    monkeypatch.setattr(pb, "corpus", lambda spark_, sf: fake)
+    docs, _ = bl.battlelog_tables(spark, "sf-malformed-stamp")
+    got = {r["replay_id"]: r["first_log_ts"] for r in docs.collect()}
+    want = {
+        r[0]: v
+        for r, v in zip(
+            rows,
+            [r["ts"] for r in fake.select(log_timestamp("log").alias("ts")).collect()],
+        )
+    }
+    assert got == want == {"r-bad-first": 777, "r-no-stamp": None, "r-ok": 555}
+
+
 def test_build_is_idempotent_and_cached(spark, sf_dir, lake_env):
     out1 = bl.ensure_battlelog_lake(spark, sf_dir)
     marker = out1 / "_SUCCESS"

@@ -1,0 +1,137 @@
+"""Incremental cross-snapshot dedup (operators/dedup.py::
+dedup_against_corpus — catalog d9): admitting batch-2 against batch-1's
+materialized signatures must agree with the from-scratch union
+pipeline, short docs are always admitted, and corpus identity beats
+within-batch identity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pokemon_showdown_airflow_etl_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while cold rain falls "
+    "on the quiet town near the old river bank and the morning light "
+    "slides across wet roofs toward the distant gray hills"
+)
+
+
+def _corpus_and_batch():
+    corpus = [
+        (0, BASE + " corpus zero"),
+        (1, BASE.replace("quiet", "silent") + " corpus one"),
+        (2, "completely different words about spark plans and shuffles " * 4),
+    ]
+    batch = [
+        (120, BASE + " corpus zero"),          # exact dup of corpus 0
+        (121, BASE + " corpus zero extra"),    # near-dup of 0 AND of 120
+        (122, "novel text " + " ".join(f"tok{j}" for j in range(40))),
+        (123, "novel text " + " ".join(f"tok{j}" for j in range(40))),  # dup of 122
+        (130, "hi there"),                     # short: no signature row
+        (131, "fresh " + " ".join(f"z{j}" for j in range(30))),
+    ]
+    return corpus, batch
+
+
+def _sig(df):
+    sh = dedup._shingle_df(df, "doc_id", "text", 3)
+    return sh.select(
+        "doc", "shingles", *dedup.minhash_signature(F.col("shingles"), 8)
+    )
+
+
+def _make(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_admission_equals_from_scratch(spark):
+    corpus_rows, batch_rows = _corpus_and_batch()
+    corpus, batch = _make(spark, corpus_rows), _make(spark, batch_rows)
+    new_ids = batch.select(F.col("doc_id").alias("doc"))
+
+    got = {
+        r["doc"]: (r["n_corpus_dups"], r["first_corpus_dup"], r["status"])
+        for r in dedup.dedup_against_corpus(
+            new_ids, _sig(batch), _sig(corpus)
+        ).collect()
+    }
+
+    # from-scratch reference: the SAME LSH+verify pipeline over the
+    # union; expected statuses derive from which side each pair spans
+    union_pairs = dedup.lsh_verified_dups(
+        corpus.unionByName(batch), "doc_id", "text", n=3, threshold=0.8
+    ).collect()
+    corpus_ids = {r[0] for r in corpus_rows}
+    cdups: dict[int, list[int]] = {}
+    batch_losers: set[int] = set()
+    for r in union_pairs:
+        a, b = r["doc_a"], r["doc_b"]  # a < b by construction
+        if a in corpus_ids and b not in corpus_ids:
+            cdups.setdefault(b, []).append(a)
+        elif a not in corpus_ids and b not in corpus_ids:
+            batch_losers.add(b)
+    want = {}
+    for doc_id, _ in batch_rows:
+        if doc_id in cdups:
+            want[doc_id] = (
+                len(cdups[doc_id]),
+                min(cdups[doc_id]),
+                "dup_of_corpus",
+            )
+        elif doc_id in batch_losers:
+            want[doc_id] = (0, None, "dup_in_batch")
+        else:
+            want[doc_id] = (0, None, "accepted")
+    assert got == want
+
+    # the planted structure itself (so the test can't pass vacuously):
+    # 120/121 lose to corpus 0; 123 loses within-batch to 122; the
+    # short doc and the unique docs are admitted
+    assert got[120][2] == got[121][2] == "dup_of_corpus"
+    assert got[120][1] == got[121][1] == 0
+    assert got[123] == (0, None, "dup_in_batch")
+    assert got[122][2] == got[130][2] == got[131][2] == "accepted"
+
+
+def test_corpus_identity_beats_batch_identity(spark):
+    # 120 and 121 are near-dups of EACH OTHER too — the within-batch
+    # pair must not demote them to dup_in_batch when the corpus match
+    # exists (re-running a batch against a corpus that already absorbed
+    # one of them must give the same drop decision)
+    corpus_rows, batch_rows = _corpus_and_batch()
+    corpus, batch = _make(spark, corpus_rows), _make(spark, batch_rows)
+    pairs_in_batch = dedup.lsh_verified_dups(
+        batch, "doc_id", "text", n=3, threshold=0.8
+    ).collect()
+    assert any({r["doc_a"], r["doc_b"]} == {120, 121} for r in pairs_in_batch)
+    got = {
+        r["doc"]: r["status"]
+        for r in dedup.dedup_against_corpus(
+            batch.select(F.col("doc_id").alias("doc")), _sig(batch), _sig(corpus)
+        ).collect()
+    }
+    assert got[121] == "dup_of_corpus"
+
+
+def test_empty_batch_and_empty_corpus(spark):
+    corpus_rows, batch_rows = _corpus_and_batch()
+    corpus, batch = _make(spark, corpus_rows), _make(spark, batch_rows)
+    empty = _make(spark, []).limit(0)
+    # empty batch -> empty result
+    assert (
+        dedup.dedup_against_corpus(
+            empty.select(F.col("doc_id").alias("doc")), _sig(empty), _sig(corpus)
+        ).count()
+        == 0
+    )
+    # empty corpus -> pure within-batch dedup
+    got = {
+        r["doc"]: r["status"]
+        for r in dedup.dedup_against_corpus(
+            batch.select(F.col("doc_id").alias("doc")), _sig(batch), _sig(empty)
+        ).collect()
+    }
+    assert got[120] == "accepted"  # min id of its batch group wins now
+    assert got[121] == "dup_in_batch"
+    assert got[123] == "dup_in_batch"

@@ -501,3 +501,30 @@ def test_signature_scans_prune_to_consumed_columns(spark, sf_dir):
     assert any("mh7" in l for l in d3_schemas), d3_schemas
     d5_schemas = [l for l in d5.splitlines() if "ReadSchema" in l]
     assert d5_schemas and all("simhash" in l and "shingles" not in l for l in d5_schemas), d5_schemas
+
+
+def test_percentile_operators_default_to_approx_sketch(spark, sf_dir):
+    """The r4 verdict's only weak pair: an EXACT percentile buffers the
+    whole value set in one aggregation task (fatal at 100 TB). The
+    operators must DEFAULT to the approx_percentile mergeable sketch;
+    exact=True stays available as the oracle-checkable twin the s6/t5
+    catalog entries pin."""
+    from pokemon_showdown_airflow_etl_spark.io import table
+    from pokemon_showdown_airflow_etl_spark.operators import similarity, text
+
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents")
+    for plan in (
+        plan_text(similarity.centroid_outliers(emb)),
+        plan_text(text.corpus_stats(docs)),
+    ):
+        assert "approx_percentile" in plan or "percentile_approx" in plan, plan
+        stripped = plan.replace("approx_percentile", "").replace(
+            "percentile_approx", ""
+        )
+        assert "percentile(" not in stripped, (
+            "default path still carries an exact percentile aggregate"
+        )
+    # the exact twins keep their oracle-checkable formulation
+    exact = plan_text(similarity.centroid_outliers(emb, exact=True))
+    assert "approx_percentile" not in exact and "percentile(" in exact

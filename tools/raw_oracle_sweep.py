@@ -4,7 +4,7 @@ DuckDB oracle, compare raw repr values (no lossy float formatting).
 Stricter than the driver's hash gate can possibly be — if this passes,
 any value-normalization the driver applies also matches. Usage:
 
-    python tools/raw_oracle_sweep.py [sf_dir]    # default sf0.01
+    python tools/raw_oracle_sweep.py [sf_dir] [name ...]   # default sf0.01, all
 """
 
 from __future__ import annotations
@@ -48,6 +48,13 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(osql)
+        if unknown:
+            raise SystemExit(f"unknown query names: {sorted(unknown)}")
+        osql = {n: s for n, s in osql.items() if n in only}
 
     bad = []
     for name, sql in sorted(osql.items()):
