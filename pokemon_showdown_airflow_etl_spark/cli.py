@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="held-out eval corpus parquet; drop docs sharing any 4-gram",
     )
+    cur.add_argument(
+        "--no-scrub",
+        action="store_true",
+        help="skip the PII-redaction / URL-canonicalization scrub stage",
+    )
 
     sub.add_parser("deduplicate", help="remove duplicate metadata rows (O12)")
     opt = sub.add_parser("optimize", help="small-file compaction rewrite (O12 vacuum)")
@@ -167,6 +172,7 @@ def main(argv: list[str] | None = None) -> int:
             near_dup_threshold=args.near_dup_threshold,
             pack_budget=args.pack_budget,
             eval_path=args.decontaminate_against,
+            scrub=not args.no_scrub,
         )
         print(json.dumps(result, sort_keys=True))
         return 0

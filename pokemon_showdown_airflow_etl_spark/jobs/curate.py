@@ -3,8 +3,9 @@ over raw documents before pretraining, composing the cataloged §2.11
 operators into one pipeline:
 
     read -> exact dedup (d6) -> near-dup clustering (d8, keep one per
-    cluster) -> quality filter (t7) -> deterministic split (t12) ->
-    partitioned write + packing stats (t11)
+    cluster) -> optional decontamination (t9) -> optional scrub (t18:
+    PII redaction + URL canonicalization) -> quality filter (t7) ->
+    deterministic split (t12) -> partitioned write + packing stats (t11)
 
 Plan economics: each stage's survivor frame is pinned (lazy
 localCheckpoint) so the per-stage audit counts and the next stage reuse
@@ -37,6 +38,7 @@ def curate_corpus(
     pack_budget: int = 512,
     eval_path: str | None = None,
     decontam_ngram: int = 4,
+    scrub: bool = True,
 ) -> dict:
     """Run the curation pipeline and write the curated corpus
     partitioned by split. Deterministic: same input -> same survivors,
@@ -83,6 +85,27 @@ def curate_corpus(
         near = near.join(contaminated, "doc_id", "left_anti").transform(pin)
     n_after_decontam = near.count() if eval_path is not None else n_after_near
 
+    # 2c. scrub (optional, t18): PII-shaped redaction + URL
+    #     canonicalization as pure regexp map passes on the dedup
+    #     survivors — AFTER dedup (identity is decided on raw content;
+    #     scrubbing first would merge docs that differ only in the
+    #     redacted spans) and BEFORE quality (the scorer should judge
+    #     what training will actually see)
+    n_redacted = 0
+    if scrub:
+        from ..operators.text import scrub_text
+
+        scrubbed = scrub_text(near, "text").transform(pin)
+        n_redacted = int(
+            scrubbed.agg(
+                F.sum(F.col("was_redacted").cast("long")).alias("n")
+            ).first()["n"]
+            or 0
+        )
+        near = scrubbed.drop(
+            "n_emails", "n_urls_canonicalized", "n_phones", "was_redacted"
+        )
+
     # 3. quality floor — the t7 scorer as an appended column (pure map,
     #    no self-join back on the id); a model scorer swaps in behind
     #    the same column without plan changes
@@ -103,6 +126,7 @@ def curate_corpus(
         "n_after_exact_dedup": n_after_exact,
         "n_after_near_dedup": n_after_near,
         "n_after_decontam": n_after_decontam,
+        "n_redacted": n_redacted,
         "n_after_quality": n_after_quality,
         "n_written": 0,
         "splits": {},

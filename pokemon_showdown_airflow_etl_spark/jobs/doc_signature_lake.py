@@ -62,16 +62,26 @@ def lake_dir(sf_dir: str) -> Path:
     return keyed_dir("signature_lake", VERSION, sf_dir, _tag())
 
 
-def build_signature_lake(spark: SparkSession, sf_dir: str, out_dir: Path) -> None:
-    from ..io import table
-    from ..operators.dedup import _shingle_df, minhash_signature, simhash16
+def compute_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, shingles, mh0..mh{k-1}) — the exact frame the lake stores,
+    shared by the full build and the incremental batch ingest so the
+    two paths cannot drift."""
+    from ..operators.dedup import _shingle_df, minhash_signature
 
-    docs = table(spark, sf_dir, "documents")
-    sh = _shingle_df(docs, "doc_id", "text", SHINGLE_N)
-    sig = sh.select(
+    sh = _shingle_df(docs, id_col, text_col, SHINGLE_N)
+    return sh.select(
         "doc", "shingles", *minhash_signature(F.col("shingles"), NUM_HASHES)
     )
-    sig.write.parquet(str(out_dir / "signatures"))
+
+
+def build_signature_lake(spark: SparkSession, sf_dir: str, out_dir: Path) -> None:
+    from ..io import table
+    from ..operators.dedup import simhash16
+
+    docs = table(spark, sf_dir, "documents")
+    compute_signatures(docs).write.parquet(str(out_dir / "signatures"))
     simhash16(docs, "doc_id", "text").write.parquet(str(out_dir / "fingerprints"))
 
 
@@ -93,3 +103,125 @@ def signature_tables(
         spark.read.parquet(str(out / "signatures")),
         spark.read.parquet(str(out / "fingerprints")),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental batch ingest over a LIVE, growing signature corpus
+# ---------------------------------------------------------------------------
+#
+# The sf-keyed lake above is a read-only cache for the bench corpus. A
+# production corpus grows daily: each drop is admitted AGAINST the
+# signatures already registered (catalog d9's decision) and only the
+# accepted docs' signatures join the corpus — so tomorrow's batch
+# dedups against today's survivors without ever re-signing or
+# re-scanning the existing corpus. Layout under ``sig_root``:
+#
+#   signatures/batch=<id>/   accepted docs' (doc, shingles, mh*) —
+#                            ONLY survivors define near-dup identity
+#   admissions/batch=<id>/   the full per-doc decision audit
+#   members/batch=<id>/      every DECIDED doc id (accepted or not,
+#                            incl. short docs with no signature row) —
+#                            the re-run guard: a rejected doc must not
+#                            be re-classified on the next run
+#
+# Idempotency + crash-safety (the K3/T5 contract, file-level here; a
+# table format with transactions takes over at deploy time): members/
+# is written LAST and is the only thing the duplicate-batch anti-join
+# reads, so a re-run of a COMPLETED batch is a no-op; a re-run after a
+# crash mid-append re-classifies against a corpus view that EXCLUDES
+# its own batch partition and overwrites the partial files in place.
+
+
+def ingest_signature_batch(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    sig_root: str,
+    batch_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> dict:
+    """Admit ``new_docs`` against the signatures under ``sig_root`` and
+    register the accepted docs. Returns counts only (the O5 stats
+    rule): n_batch, n_already_registered, n_considered, n_accepted,
+    n_dup_of_corpus, n_dup_in_batch.
+    """
+    import os
+
+    from ..operators.dedup import dedup_against_corpus
+
+    sig_dir = os.path.join(sig_root, "signatures")
+    mem_dir = os.path.join(sig_root, "members")
+    adm_dir = os.path.join(sig_root, "admissions")
+
+    ids = new_docs.select(F.col(id_col).alias("doc")).distinct()
+    n_batch = ids.count()
+
+    def _read(path: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return None  # first batch: nothing registered yet
+
+    members = _read(mem_dir)
+    fresh_ids = (
+        ids if members is None else ids.join(members.select("doc"), "doc", "left_anti")
+    )
+    n_fresh = fresh_ids.count()
+    if n_fresh == 0:
+        return {
+            "n_batch": n_batch,
+            "n_already_registered": n_batch,
+            "n_considered": 0,
+            "n_accepted": 0,
+            "n_dup_of_corpus": 0,
+            "n_dup_in_batch": 0,
+        }
+
+    fresh_docs = new_docs.join(
+        fresh_ids.withColumnRenamed("doc", id_col), id_col
+    )
+    batch_sig = compute_signatures(fresh_docs, id_col, text_col)
+    corpus_sig = _read(sig_dir)
+    if corpus_sig is not None:
+        # a crashed previous attempt of THIS batch may have left a
+        # partial partition — it must not count as corpus
+        corpus_sig = corpus_sig.filter(F.col("batch") != batch_id)
+    else:
+        corpus_sig = batch_sig.limit(0)
+
+    decision = dedup_against_corpus(
+        fresh_ids,
+        batch_sig,
+        corpus_sig,
+        threshold=threshold,
+        num_hashes=NUM_HASHES,
+    )
+    decision.write.mode("overwrite").parquet(
+        os.path.join(adm_dir, f"batch={batch_id}")
+    )
+    decision = spark.read.parquet(os.path.join(adm_dir, f"batch={batch_id}"))
+
+    accepted = decision.filter(F.col("status") == "accepted").select("doc")
+    batch_sig.join(accepted, "doc").write.mode("overwrite").parquet(
+        os.path.join(sig_dir, f"batch={batch_id}")
+    )
+    counts = {
+        r["status"]: r["n"]
+        for r in decision.groupBy("status")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # members LAST: its presence is the batch's commit marker, and it
+    # records every DECIDED id so a re-run skips rejected docs too
+    fresh_ids.write.mode("overwrite").parquet(
+        os.path.join(mem_dir, f"batch={batch_id}")
+    )
+    return {
+        "n_batch": n_batch,
+        "n_already_registered": n_batch - n_fresh,
+        "n_considered": n_fresh,
+        "n_accepted": counts.get("accepted", 0),
+        "n_dup_of_corpus": counts.get("dup_of_corpus", 0),
+        "n_dup_in_batch": counts.get("dup_in_batch", 0),
+    }

@@ -191,6 +191,59 @@ def repetition_ratio(
     )
 
 
+# C4-style scrub patterns (public-knowledge cleaning heuristics: Raffel
+# et al. 2020's boilerplate removal family + the standard PII-shaped
+# redactions every crawl pipeline applies). Kept to the Java-regex /
+# RE2 COMMON SUBSET (character classes, bounded repeats; no lookaround,
+# no backreferences in the MATCH) so the DuckDB oracle runs the
+# identical patterns.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# strip query/fragment from URLs (tracking params are the classic
+# near-dup inflater: same page, thousand utm_ variants)
+URL_QUERY_PATTERN = r"(https?://[^\s?#]+)[?#][^\s]*"
+# deliberately aggressive phone-shaped digit-run redaction (C4-style:
+# favor recall over precision on PII)
+PHONE_PATTERN = r"\+?\d[\d\-\s()]{7,}\d"
+
+
+def scrub_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII-shaped redaction + URL canonicalization as three sequential
+    pure-regexp map passes (zero shuffle, whole-stage codegen; at
+    100 TB this is a free rider on whatever scan already touches the
+    text): emails -> ``<EMAIL>``, then URL query/fragment stripping,
+    then phone-shaped digit runs -> ``<PHONE>``.
+
+    Pass order is part of the contract — each pass's count is measured
+    on ITS OWN input (the previous pass's output), so engines agree
+    bit-for-bit on overlapping patterns (a digit run inside a URL query
+    is gone before the phone pass looks). Replaces ``text_col`` in
+    place and appends n_emails / n_urls_canonicalized / n_phones /
+    was_redacted.
+    """
+    t0 = F.col(text_col)
+    s1 = F.regexp_replace(t0, EMAIL_PATTERN, "<EMAIL>")
+    step1 = df.withColumn(
+        "n_emails", F.regexp_count(t0, F.lit(EMAIL_PATTERN)).cast("long")
+    ).withColumn(text_col, s1)
+    t1 = F.col(text_col)
+    step2 = step1.withColumn(
+        "n_urls_canonicalized",
+        F.regexp_count(t1, F.lit(URL_QUERY_PATTERN)).cast("long"),
+    ).withColumn(text_col, F.regexp_replace(t1, URL_QUERY_PATTERN, "$1"))
+    t2 = F.col(text_col)
+    return (
+        step2.withColumn(
+            "n_phones", F.regexp_count(t2, F.lit(PHONE_PATTERN)).cast("long")
+        )
+        .withColumn(text_col, F.regexp_replace(t2, PHONE_PATTERN, "<PHONE>"))
+        .withColumn(
+            "was_redacted",
+            (F.col("n_emails") + F.col("n_urls_canonicalized") + F.col("n_phones"))
+            > 0,
+        )
+    )
+
+
 def corpus_stats(
     df: DataFrame,
     group_col: str = "lang",

@@ -20,14 +20,17 @@ from __future__ import annotations
 from .base import Query
 from . import relational, joins, llm, battlelog, extras, tpch
 
-# Front of the driver's 50-query window, round 4. Rotation rule
-# (VERDICT r3): (1) every entry whose code changed after its latest
-# driver row (= CHANGED_SINCE_LAST_ROW, 37 names), then (2) as many of
-# the 15 r1-only entries as fit — 37 + 13 = the 50-slot window;
-# u3_intersect/u4_except and the block-(3) tail carry their standing
-# rows and wait for the r5 rotation. The local oracle-parity gate still sweeps all
-# entries each run, and tests/test_driver_window.py asserts no entry
-# can miss both a past row and this window.
+# Front of the driver's 50-query window, round 5. Rotation rule
+# (VERDICT r3, made standing by r4 item 1): (1) every entry whose code
+# changed after its latest driver row (= CHANGED_SINCE_LAST_ROW), then
+# (2) the entries with the OLDEST standing rows, oldest first — for r5
+# that is u3/u4 (r1-only, the catalog's stalest pair) plus the full
+# 34-name stale-r2 block, then 4 r3 rotations to fill slot 50. All 37
+# names r4 re-greened were cleared from the changed-list at r5 start
+# (keeping them would have burned 37 of 50 slots re-checking unchanged
+# code). The local oracle-parity gate still sweeps all entries each
+# run, and tests/test_driver_window.py asserts no entry can miss both
+# a past row and this window.
 # Entries whose implementation changed since their latest driver row —
 # maintained by hand when editing query code, cleared when the next
 # CORRECTNESS file greens them. tests/test_driver_window.py asserts
@@ -35,123 +38,75 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # changed query can no longer coast on a stale green row (the t8/g16/s6
 # gap VERDICT r3 flagged).
 CHANGED_SINCE_LAST_ROW: list[str] = [
-    "t16_bm25_topk",
-    "g17_rolling_7day",
-    "t17_chunk_windows",  # r4 NEW: RAG/long-context chunking
-    "a2_cms_heavy_hitters",  # r4 NEW: count-min sketch heavy hitters
-    "a3_mg_cms_heavy_hitters",  # r4 NEW: Misra-Gries + CMS production path
-    "x2_salted_join",  # r4 NEW: salted skew join cataloged
-    # signature-lake routing (jobs/doc_signature_lake.py) changed these
-    # after any prior driver row:
-    "d2_ngram_jaccard_pairs",
-    "d3_minhash_lsh_candidates",
-    "d4_simhash_fingerprint",
-    "d5_simhash_near_dups",
-    "d7_lsh_verified_dups",
-    "d8_dup_clusters",
-    "s4_ivf_ann_topk",  # r4: per-cell GEMM scoring + ivf query_ids param
-    "s7_ivf_kmeans_quality",  # r4: sufficient-statistics trainer + tol stop
-    "a1_approx_sketches",  # r4: distinct agg split out of the sketch agg
-    "s3_embedding_near_dups",  # r4: per-bucket GEMM scoring (fdf7e71)
-    # postdates its r2 row — CORRECTNESS_r03 has no s3 entry
-    "s9_embedding_dup_clusters",  # r4 NEW: embedding dup clusters
-    # pin() indirection (c81f383) touched these after their r3 rows —
-    # same edit as j11; the gate must cover them identically
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q20_excess_suppliers",
-    "t14_unigram_logprob",
-    "t8_tfidf_top_terms",
-    "g16_funnel",
-    "s6_embedding_outliers",
-    "j12_asof_last_click_sliced",
-    "j10_asof_last_click",
-    "j11_range_follow_events",
-    "s8_int8_quant",
-    "b1_log_command_histogram",
-    "b2_battle_event_times",
-    "b3_player_win_rates",
-    "b4_move_usage",
-    "b5_first_log_timestamp",
-    "b6_event_gaps",
-    "b7_move_ranks",
-    "b8_head_to_head",
+    "d9_incremental_dedup",  # r5 NEW: batch-vs-corpus signature-lake dedup
+    "t18_scrub",  # r5 NEW: C4-style PII scrub + URL canonicalization
+    "s6_embedding_outliers",  # r5: exact=True twin of the new approx default
+    "t5_corpus_stats",  # r5: rewritten onto operators/text.py::corpus_stats
+    "x2_salted_join",  # r5: per-row deviations quantized to 1e-4 bigints
+    "b5_first_log_timestamp",  # r5: lake first_log_ts skips malformed stamps
+    "a3_mg_cms_heavy_hitters",  # r5: string-key guard in the approx path
+    "d3_minhash_lsh_candidates",  # r5: band construction -> shared band_keys()
+    "d7_lsh_verified_dups",  # r5: same band_keys() refactor (via d3's path)
+    "d8_dup_clusters",  # r5: same band_keys() refactor (via d7's path)
 ]
 
 _PRIORITY: list[str] = [
-    # -- (1) every entry in CHANGED_SINCE_LAST_ROW, new/changed first --
-    # (37 names: r4 additions, the signature-lake d-set, the pin()
-    # indirection set, and the battle-log-lake b-set; the window gate
-    # requires ALL of them inside the first 50)
-    "t8_tfidf_top_terms",  # rescan elimination (4853915)
-    "g16_funnel",  # rescan elimination (4853915)
-    "s6_embedding_outliers",  # distance-frame pinning (3aa0f3b)
-    "t16_bm25_topk",  # NEW: BM25 top-k retrieval
-    "g17_rolling_7day",  # NEW: range-frame rolling trend
-    "t17_chunk_windows",  # NEW: window/stride chunk inventory
-    "a2_cms_heavy_hitters",  # NEW: count-min sketch heavy hitters
-    "a3_mg_cms_heavy_hitters",  # NEW: bounded-memory MG+CMS path
-    "x2_salted_join",  # NEW: salted skew join vs plain-join oracle
-    "j12_asof_last_click_sliced",  # NEW: partition-bounded as-of
-    "d2_ngram_jaccard_pairs",  # signature-lake routing
-    "d3_minhash_lsh_candidates",  # signature-lake routing
-    "d4_simhash_fingerprint",  # signature-lake routing
-    "d5_simhash_near_dups",  # signature-lake routing
-    "d7_lsh_verified_dups",  # signature-lake routing
-    "d8_dup_clusters",  # signature-lake routing
-    "s4_ivf_ann_topk",  # per-cell GEMM scoring + ivf query_ids param
-    "s7_ivf_kmeans_quality",  # sufficient-statistics trainer + tol stop
-    "s3_embedding_near_dups",  # per-bucket GEMM pair scoring
-    "s9_embedding_dup_clusters",  # NEW: s3 pairs -> components -> keeper
-    "a1_approx_sketches",  # distinct agg split out of the sketch agg
-    "q2_min_cost_supplier",  # pin() indirection (c81f383), like j11
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q20_excess_suppliers",
-    "t14_unigram_logprob",
-    "j10_asof_last_click",  # NULL-carry struct fix in asof_join
-    "j11_range_follow_events",  # anchor frame now routes through pin()
-    "s8_int8_quant",  # rounding order matched to oracle
-    "b1_log_command_histogram",  # b-set rewritten onto the
-    "b2_battle_event_times",  # materialized battle-log lake
-    "b3_player_win_rates",  # (jobs/battlelog_lake.py) — every
-    "b4_move_usage",  # entry re-checks the lake end-to-end
+    # -- (1) every entry in CHANGED_SINCE_LAST_ROW, new first --
+    "d9_incremental_dedup",
+    "t18_scrub",
+    "s6_embedding_outliers",
+    "t5_corpus_stats",
+    "x2_salted_join",
     "b5_first_log_timestamp",
-    "b6_event_gaps",
-    "b7_move_ranks",
-    "b8_head_to_head",
-    # -- (2) 13 of the 15 entries whose only driver row is from round 1
-    # (37 + 13 = exactly the 50-slot window; u3/u4 wait for r5) --
-    "c13_bool_coercion",
-    "d1_exact_dedup",
-    "j3_compaction_anti_join",
-    "j4_reconcile_semi_join",
-    "j5_broadcast_lookup",
-    "j7_membership_flag",
-    "j8_star_join_revenue",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "s1_similarity_topk",
-    "t1_quality_features",
-    "u2_distinct_union",
-    # ---- slot 50 boundary ----
-    "u3_intersect",  # first in line when the r5 window rotates
+    "a3_mg_cms_heavy_hitters",
+    "d3_minhash_lsh_candidates",
+    "d7_lsh_verified_dups",
+    "d8_dup_clusters",
+    # -- (2) the two r1-only entries, three rounds overdue --
+    "u3_intersect",
     "u4_except",
-    # -- (3) stalest r2 rows, heavy first --
+    # -- (2b) the whole stale-r2 block (t5 already above), so after r5
+    # no catalog entry's latest row predates round 3 --
+    "c9_filename_to_id",
+    "c11_mtime_fallback",
     "d6_drop_exact_dups",
+    "g8_retry_counters",
+    "g12_event_pivot",
+    "g13_event_unpivot",
+    "g14_value_histogram",
+    "g15_retention_cohorts",
+    "j9_above_customer_avg",
+    "m1_payload_metadata",
+    "m2_image_decode_features",
+    "m3_frame_sample_plan",
+    "m4_image_resize",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q18_top_customers",
+    "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity",
+    "s2_ann_srp_topk",
     "s5_gemm_ann_topk",
+    "t2_lang_id",
+    "t3_token_counts",
+    "t4_fingerprint",
+    "t6_token_explode",
+    "t7_quality_score",
     "t9_decontaminate",
     "t10_repetition_ratio",
     "t11_pack_sequences",
+    "w2_keyset_pagination",
+    "w3_sorted_dates",
     "w5_session_windows",
-    "g15_retention_cohorts",
-    "m1_payload_metadata",
-    "m2_image_decode_features",
-    "m4_image_resize",
-    "q4_order_priority",
-    "j9_above_customer_avg",
+    "x1_salted_agg",
+    # -- (3) r3 rotations filling to slot 50, heaviest plans first --
+    "q8_market_share",
+    "q9_product_profit",
+    "g11_lifecycle_cube",
+    "q21_waiting_suppliers",
+    # ---- slot 50 boundary ----
 ]
 
 

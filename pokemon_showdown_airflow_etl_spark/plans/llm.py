@@ -1631,6 +1631,105 @@ def t17_chunk_windows(spark, sf_dir):
     )
 
 
+# t18's synthetic PII decoration: the corpus text is clean by
+# construction, so BOTH engines append the same deterministic
+# email/phone/URL tails to a doc_id-keyed subset — the scrub passes
+# then have real work whose counts and output hashes must agree.
+from ..operators.text import (  # noqa: E402
+    EMAIL_PATTERN,
+    PHONE_PATTERN,
+    URL_QUERY_PATTERN,
+)
+
+_T18_DECOR_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' call +1 (555) 010-'"
+    " || CAST(doc_id % 10000 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN"
+    " ' see https://example.org/doc?utm_source=x&id='"
+    " || CAST(doc_id AS VARCHAR) || '#frag' ELSE '' END"
+)
+
+
+@q(
+    "t18_scrub",
+    f"""
+    WITH dec AS (
+        SELECT doc_id, {_T18_DECOR_SQL} AS text FROM documents
+    ), s1 AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS BIGINT)
+                   AS n_emails,
+               regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g') AS text
+        FROM dec
+    ), s2 AS (
+        SELECT doc_id, n_emails,
+               CAST(len(regexp_extract_all(text, '{URL_QUERY_PATTERN}')) AS BIGINT)
+                   AS n_urls_canonicalized,
+               regexp_replace(text, '{URL_QUERY_PATTERN}', '\\1', 'g') AS text
+        FROM s1
+    ), s3 AS (
+        SELECT doc_id, n_emails, n_urls_canonicalized,
+               CAST(len(regexp_extract_all(text, '{PHONE_PATTERN}')) AS BIGINT)
+                   AS n_phones,
+               regexp_replace(text, '{PHONE_PATTERN}', '<PHONE>', 'g') AS text
+        FROM s2
+    )
+    SELECT doc_id, n_emails, n_urls_canonicalized, n_phones,
+           md5(text) AS scrubbed_md5
+    FROM s3
+    """,
+    doc="C4-style scrub pass (operators/text.py::scrub_text): email and "
+    "phone-shaped redaction + URL query/fragment stripping as three "
+    "sequential pure-regexp map passes — zero shuffle, codegen'd, the "
+    "optional curate stage between dedup and quality. The synthetic "
+    "corpus is clean, so both engines first append identical "
+    "deterministic PII tails to doc_id-keyed subsets; per-pass counts "
+    "and the md5 of the scrubbed text must then agree bit-for-bit "
+    "(patterns kept to the Java-regex/RE2 common subset).",
+)
+def t18_scrub(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    decorated = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" call +1 (555) 010-"), (did % 10000).cast("string")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit(" see https://example.org/doc?utm_source=x&id="),
+                    did.cast("string"),
+                    F.lit("#frag"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.scrub_text(decorated, "text").select(
+        "doc_id",
+        "n_emails",
+        "n_urls_canonicalized",
+        "n_phones",
+        F.md5("text").alias("scrubbed_md5"),
+    )
+
+
 @q(
     "a2_cms_heavy_hitters",
     f"""

@@ -177,3 +177,40 @@ def test_curate_decontaminates_against_eval_set(spark, tmp_path):
     assert 7 not in ids
     # without an eval set the key mirrors the near-dup count
     assert base["n_after_decontam"] == base["n_after_near_dedup"]
+
+
+def test_curate_scrub_stage_redacts_and_counts(spark, tmp_path):
+    """The t18 scrub stage: planted PII in a surviving doc is redacted
+    in the WRITTEN corpus, n_redacted counts affected docs, clean docs
+    are byte-identical, and --no-scrub restores the raw text."""
+    src = str(tmp_path / "raw")
+    def base(i):  # distinct per doc so near-dedup keeps all three
+        return " ".join(f"d{i}w{j} the a of to in is it" for j in range(10))
+
+    rows = [
+        (0, base(0) + " mail me at someone@example.com today", "en", "srcA"),
+        (1, base(1) + " totally clean tail one", "en", "srcB"),
+        (2, base(2) + " see https://ex.org/p?utm_source=x&y=2 ok", "en", "srcC"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    df.write.parquet(src)
+
+    stats = curate_corpus(spark, src, str(tmp_path / "c1"))
+    assert stats["n_redacted"] == 2
+    written = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(tmp_path / "c1")).collect()
+    }
+    assert "someone@example.com" not in written[0] and "<EMAIL>" in written[0]
+    assert written[1] == rows[1][1]  # clean doc untouched
+    assert written[2].endswith(" see https://ex.org/p ok")
+
+    raw = curate_corpus(spark, src, str(tmp_path / "c2"), scrub=False)
+    assert raw["n_redacted"] == 0
+    rewritten = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(tmp_path / "c2")).collect()
+    }
+    assert rewritten[0] == rows[0][1]

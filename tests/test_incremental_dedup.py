@@ -135,3 +135,71 @@ def test_empty_batch_and_empty_corpus(spark):
     assert got[120] == "accepted"  # min id of its batch group wins now
     assert got[121] == "dup_in_batch"
     assert got[123] == "dup_in_batch"
+
+
+def test_ingest_signature_batches_sequential_equals_one_shot(spark, tmp_path):
+    """The live-corpus ingest (jobs/doc_signature_lake.py::
+    ingest_signature_batch): admitting batch1 then batch2 must register
+    the same survivor set as admitting their union as one batch (ids
+    increase across batches and dup groups are clean, so pairwise
+    min-id-wins and dedup-against-survivors coincide); a re-run of a
+    completed batch is a no-op."""
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        ingest_signature_batch,
+    )
+
+    def doc(i, tail):
+        return (i, BASE + " " + tail)
+
+    b1 = [
+        doc(0, "alpha"),
+        doc(1, "alpha"),
+        (2, "entirely different corpus " + " ".join(f"q{j}" for j in range(30))),
+    ]
+    b2 = [
+        doc(10, "alpha"),
+        (11, "fresh material only " + " ".join(f"y{j}" for j in range(30))),
+        (12, "tiny"),
+    ]
+    df1, df2 = _make(spark, [(i, t) for i, t in b1]), _make(
+        spark, [(i, t) for i, t in b2]
+    )
+
+    root_a = str(tmp_path / "seq")
+    s1 = ingest_signature_batch(spark, df1, root_a, "b1")
+    assert s1 == {
+        "n_batch": 3,
+        "n_already_registered": 0,
+        "n_considered": 3,
+        "n_accepted": 2,  # 0 and 2; 1 loses to 0 within-batch
+        "n_dup_of_corpus": 0,
+        "n_dup_in_batch": 1,
+    }
+    s2 = ingest_signature_batch(spark, df2, root_a, "b2")
+    assert s2["n_accepted"] == 2  # 11 and the short doc 12
+    assert s2["n_dup_of_corpus"] == 1  # 10 matches registered 0
+    def survivors(root):
+        adm = spark.read.parquet(root + "/admissions")
+        return {
+            r["doc"]
+            for r in adm.filter(F.col("status") == "accepted").collect()
+        }
+
+    seq_members = survivors(root_a)
+
+    root_b = str(tmp_path / "oneshot")
+    ingest_signature_batch(spark, df1.unionByName(df2), root_b, "all")
+    one_members = survivors(root_b)
+    assert seq_members == one_members == {0, 2, 11, 12}
+
+    # idempotency: a completed batch re-run changes nothing
+    s3 = ingest_signature_batch(spark, df2, root_a, "b2")
+    assert s3["n_already_registered"] == 3 and s3["n_accepted"] == 0
+    assert survivors(root_a) == seq_members
+    # only accepted docs' signatures are in the corpus (short doc 12
+    # is a member but has no signature row)
+    sig_docs = {
+        r["doc"]
+        for r in spark.read.parquet(root_a + "/signatures").select("doc").collect()
+    }
+    assert sig_docs == {0, 2, 11}

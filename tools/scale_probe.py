@@ -125,6 +125,51 @@ def main() -> None:
         "growth": round(tks / t1, 2),
         "n_bits": 4 + extra_bits,
     }
+    # Multimodal probe (VERDICT r4 item 7): Arrow mapInPandas decode
+    # throughput vs payload size — the m2/m4 plumbing under growing
+    # binary payloads (text repeated Rx as the stand-in; the decode
+    # stub hashes the whole payload, so bytes/s is the honest axis).
+    # What to look for: assets/s falls with payload size while MB/s
+    # holds roughly steady — the Python boundary is paid per BYTE
+    # (Arrow transfer + digest), not per row, which is the property
+    # that makes the batch path viable for real media.
+    from pokemon_showdown_airflow_etl_spark.operators.multimodal import (
+        decode_image_features,
+        resize_images,
+    )
+
+    docs_raw = table(spark, sf_dir, "documents")
+    for rep in (1, 8, 32):
+        assets = docs_raw.select(
+            F.col("doc_id").cast("string").alias("asset_id"),
+            F.encode(
+                F.concat_ws(" ", F.array_repeat(F.col("text"), rep)), "UTF-8"
+            ).alias("payload"),
+        ).localCheckpoint(eager=True)
+        n = assets.count()
+        mb = assets.agg(F.sum(F.length("payload"))).first()[0] / 1e6
+        td = best_of(
+            lambda: decode_image_features(assets)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        tr = best_of(
+            lambda: resize_images(assets)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        out[f"m_decode_payload_x{rep}"] = {
+            "assets": n,
+            "mb": round(mb, 1),
+            "decode_sec": td,
+            "decode_assets_per_sec": round(n / td, 1),
+            "decode_mb_per_sec": round(mb / td, 1),
+            "resize_sec": tr,
+            "resize_mb_per_sec": round(mb / tr, 1),
+        }
+
     print(json.dumps({"sf_dir": sf_dir, "k": k, "probes": out}))
     spark.stop()
 
