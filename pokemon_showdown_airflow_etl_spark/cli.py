@@ -81,6 +81,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip the PII-redaction / URL-canonicalization scrub stage",
     )
 
+    ing = sub.add_parser(
+        "ingest-docs",
+        help="admit a new document batch against the growing signature "
+        "corpus (near-dup dedup vs registered survivors) and register "
+        "the accepted docs' signatures",
+    )
+    ing.add_argument("--input", required=True, help="batch documents parquet path")
+    ing.add_argument("--sig-root", required=True, help="signature corpus root dir")
+    ing.add_argument("--batch-id", required=True, help="idempotency key for this drop")
+    ing.add_argument("--threshold", type=float, default=0.8)
+
     sub.add_parser("deduplicate", help="remove duplicate metadata rows (O12)")
     opt = sub.add_parser("optimize", help="small-file compaction rewrite (O12 vacuum)")
     opt.add_argument("--files-per-partition", type=int, default=1)
@@ -173,6 +184,21 @@ def main(argv: list[str] | None = None) -> int:
             pack_budget=args.pack_budget,
             eval_path=args.decontaminate_against,
             scrub=not args.no_scrub,
+        )
+        print(json.dumps(result, sort_keys=True))
+        return 0
+
+    if args.cmd == "ingest-docs":  # signature-corpus job — no lake involved
+        from .jobs.doc_signature_lake import ingest_signature_batch
+        from .session import get_spark
+
+        spark = get_spark(app_name="etl-ingest-docs", master=args.master)
+        result = ingest_signature_batch(
+            spark,
+            spark.read.parquet(args.input),
+            args.sig_root,
+            args.batch_id,
+            threshold=args.threshold,
         )
         print(json.dumps(result, sort_keys=True))
         return 0

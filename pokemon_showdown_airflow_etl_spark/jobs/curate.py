@@ -91,30 +91,29 @@ def curate_corpus(
     #     scrubbing first would merge docs that differ only in the
     #     redacted spans) and BEFORE quality (the scorer should judge
     #     what training will actually see)
-    n_redacted = 0
+    # 3. quality floor — the t7 scorer as an appended column (pure map,
+    #    no self-join back on the id); a model scorer swaps in behind
+    #    the same column without plan changes. Scrub and quality are
+    #    both map passes, so they share ONE pinned materialization and
+    #    ONE stats action (splitting them measured curate at ~910
+    #    docs/s vs the >=1000 target — the extra localCheckpoint of the
+    #    full text column was the cost, not the regexes).
     if scrub:
         from ..operators.text import scrub_text
 
-        scrubbed = scrub_text(near, "text").transform(pin)
-        n_redacted = int(
-            scrubbed.agg(
-                F.sum(F.col("was_redacted").cast("long")).alias("n")
-            ).first()["n"]
-            or 0
-        )
-        near = scrubbed.drop(
-            "n_emails", "n_urls_canonicalized", "n_phones", "was_redacted"
-        )
-
-    # 3. quality floor — the t7 scorer as an appended column (pure map,
-    #    no self-join back on the id); a model scorer swaps in behind
-    #    the same column without plan changes
-    curated = (
-        with_quality(near, "text")
-        .filter(F.col("quality") >= min_quality)
-        .transform(pin)
+        near = scrub_text(near, "text")
+    else:
+        near = near.withColumn("was_redacted", F.lit(False))
+    staged = with_quality(near, "text").transform(pin)
+    row = staged.agg(
+        F.sum(F.col("was_redacted").cast("long")).alias("n_red"),
+        F.sum((F.col("quality") >= min_quality).cast("long")).alias("n_q"),
+    ).first()
+    n_redacted = int(row["n_red"] or 0) if scrub else 0
+    n_after_quality = int(row["n_q"] or 0)
+    curated = staged.filter(F.col("quality") >= min_quality).drop(
+        "n_emails", "n_urls_canonicalized", "n_phones", "was_redacted"
     )
-    n_after_quality = curated.count()
 
     # 4. deterministic split assignment (pure map — no shuffle)
     split_docs = hash_split(curated, "doc_id").drop("bucket")

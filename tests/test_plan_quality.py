@@ -66,6 +66,7 @@ def test_no_cartesian_products_in_pair_generators(q):
         "d2_ngram_jaccard_pairs",
         "d3_minhash_lsh_candidates",
         "d5_simhash_near_dups",
+        "d9_incremental_dedup",
         "s2_ann_srp_topk",
         "s3_embedding_near_dups",
     ):
@@ -528,3 +529,13 @@ def test_percentile_operators_default_to_approx_sketch(spark, sf_dir):
     # the exact twins keep their oracle-checkable formulation
     exact = plan_text(similarity.centroid_outliers(emb, exact=True))
     assert "approx_percentile" not in exact and "percentile(" in exact
+
+
+def test_scrub_is_pure_map(q):
+    """t18: three regexp passes + digest — must stay a single map stage
+    (any Exchange here would mean the scrub added a shuffle to what is
+    a free rider on the corpus scan at 100 TB)."""
+    plan = q("t18_scrub")
+    assert "Exchange" not in plan, "scrub pass introduced a shuffle"
+    assert "BatchEvalPython" not in plan, "scrub fell back to Python"
+    assert "[codegen id" in plan  # the regexp passes stay codegen'd
