@@ -21,7 +21,10 @@ from .stateful import (
     track_trending_terms,
 )
 
+from .admission import start_document_admission
+
 __all__ = [
+    "start_document_admission",
     "stream_replay_docs",
     "with_late_data_bounds",
     "dedup_within_watermark",

@@ -1,0 +1,53 @@
+"""Streaming document admission — the d9 incremental dedup as a
+Structured Streaming sink: an unbounded stream of incoming documents is
+admitted batch-by-batch against the growing signature corpus
+(jobs/doc_signature_lake.py::ingest_signature_batch).
+
+Exactly-once composition (the T5 contract, twice over): the checkpoint
+makes micro-batch REPLAY possible after a failure, and the ingest's
+``members/batch=<id>`` commit marker makes replay HARMLESS — a replayed
+epoch either finds its marker (completed: no-op) or repairs its partial
+partitions in place, excluding them from the corpus view while
+re-deciding. State never lives in the stream itself (no
+applyInPandasWithState): the signature corpus on disk IS the state, so
+admission survives restarts, scales with the lake not the stream, and
+batch/stream admissions interleave safely on one root.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def start_document_admission(
+    docs: DataFrame,
+    sig_root: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    available_now: bool = True,
+):
+    """Admit a streaming frame of (id, text) documents against
+    ``sig_root``. Each micro-batch runs the full d9 decision against
+    the registered survivors, so a duplicate arriving a week after its
+    original is rejected without any stream-side state growth."""
+    from ..jobs.doc_signature_lake import ingest_signature_batch
+
+    def admit(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_signature_batch(
+            batch_df.sparkSession,
+            batch_df,
+            sig_root,
+            batch_id=f"epoch-{epoch_id}",
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+        )
+
+    writer = docs.writeStream.foreachBatch(admit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

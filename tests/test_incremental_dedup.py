@@ -203,3 +203,64 @@ def test_ingest_signature_batches_sequential_equals_one_shot(spark, tmp_path):
         for r in spark.read.parquet(root_a + "/signatures").select("doc").collect()
     }
     assert sig_docs == {0, 2, 11}
+
+
+def test_streaming_admission_matches_batch_ingest(spark, tmp_path):
+    """The d9 streaming twin (streaming/admission.py): draining a doc
+    stream through foreachBatch admission must register exactly the
+    survivors the sequential batch ingests register, and a second drain
+    over new files resumes from the checkpoint (already-admitted docs
+    rejected, completed epochs not re-decided)."""
+    from pokemon_showdown_airflow_etl_spark.streaming import (
+        start_document_admission,
+    )
+
+    land = str(tmp_path / "in")
+    root = str(tmp_path / "sig")
+    ck = str(tmp_path / "ck")
+
+    c1 = [
+        (0, BASE + " alpha"),
+        (1, BASE + " alpha"),  # within-chunk dup of 0
+        (2, "separate subject " + " ".join(f"q{j}" for j in range(30))),
+    ]
+    c2 = [
+        (10, BASE + " alpha"),  # dup of registered 0
+        (11, "new stuff " + " ".join(f"y{j}" for j in range(30))),
+    ]
+
+    def land_chunk(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(land)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        q = start_document_admission(stream, root, ck)
+        q.awaitTermination()
+
+    land_chunk(c1)
+    drain()
+    land_chunk(c2)
+    drain()  # restart from checkpoint
+
+    adm = spark.read.parquet(root + "/admissions")
+    got = {r["doc"]: r["status"] for r in adm.collect()}
+    assert got == {
+        0: "accepted",
+        1: "dup_in_batch",
+        2: "accepted",
+        10: "dup_of_corpus",
+        11: "accepted",
+    }
+    # every decided doc appears exactly once across all epochs
+    assert adm.count() == 5
+    sig_docs = {
+        r["doc"]
+        for r in spark.read.parquet(root + "/signatures").select("doc").collect()
+    }
+    assert sig_docs == {0, 2, 11}
