@@ -1,6 +1,10 @@
 """Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line with per-query wall seconds.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Output is
+three-part (BENCH_r04's lesson — the capture window keeps only the last
+~2000 chars of stdout): the full per-query JSON blob goes to
+BENCH_local.json AND prints first for log readers, then a compact
+headline JSON line prints LAST, size-asserted to fit the capture window
+whole.
 
 Each query is fully materialized through the noop sink (count() would let
 Spark prune away the computed columns and under-report).

@@ -539,3 +539,17 @@ def test_scrub_is_pure_map(q):
     assert "Exchange" not in plan, "scrub pass introduced a shuffle"
     assert "BatchEvalPython" not in plan, "scrub fell back to Python"
     assert "[codegen id" in plan  # the regexp passes stay codegen'd
+
+
+def test_d9_scans_prune_to_consumed_columns(spark, sf_dir):
+    """d9's point at scale: the band join must read ONLY the 8 MinHash
+    strings and the verify join ONLY the shingles — a scan carrying
+    both would ship the wide shingle arrays through the candidate
+    shuffle."""
+    from pokemon_showdown_airflow_etl_spark import pinning
+
+    with pinning.disabled():
+        plan = plan_text(ALL_QUERIES["d9_incremental_dedup"].spark(spark, sf_dir))
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schemas
+    assert all(not ("mh0" in l and "shingles" in l) for l in schemas), schemas

@@ -530,3 +530,43 @@ def test_connected_components_long_chain_converges_in_log_rounds(spark_prop):
     rows = labels.collect()
     assert len(rows) == 64
     assert {r["label"] for r in rows} == {0}
+
+
+_scrub_fragment = st.sampled_from(
+    [
+        "plain words here",
+        "a.b@mail-host.org",
+        "reach me +1 (555) 010-4477 now",
+        "https://site.example/path?utm_source=x&id=9#frag",
+        "http://plain.example/path",
+        "digits 2024 2025",
+        "x" * 40,
+        "(((", "@@", "?&#",
+    ]
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(frags=st.lists(_scrub_fragment, min_size=1, max_size=6))
+def test_scrub_is_idempotent_and_removes_pii(spark_prop, frags):
+    """t18's scrub as a fixed point: scrubbing already-scrubbed text
+    changes nothing (second-pass counts all zero, text identical), and
+    no email/URL-query survives a single pass. Randomly composed PII /
+    boilerplate fragments cover pattern adjacency cases the catalog
+    corpus can't."""
+    from pokemon_showdown_airflow_etl_spark.operators.text import scrub_text
+
+    spark = spark_prop
+    df = spark.createDataFrame([(0, " ".join(frags))], "doc_id long, text string")
+    once = scrub_text(df, "text").select(
+        "doc_id", "text", "was_redacted"
+    )
+    twice = scrub_text(once.select("doc_id", "text"), "text")
+    r1 = once.first()
+    r2 = twice.first()
+    assert r2["text"] == r1["text"], "scrub is not a fixed point"
+    assert (
+        r2["n_emails"] == r2["n_urls_canonicalized"] == r2["n_phones"] == 0
+    ), "second pass still found matches"
+    assert "@mail-host.org" not in r1["text"]
+    assert "utm_source" not in r1["text"]
