@@ -304,8 +304,15 @@ def main() -> None:
         "sig_lake_build_sec": sig_lake_build_sec,
         "sf": payload["sf"],
     }
+    # explicit size enforcement (not an assert: python -O must not
+    # disable it, and a crash after a multi-minute run is worse than a
+    # shorter queries map) — shed slowest-query entries until the line
+    # fits the ~2000-char capture window
     line = json.dumps(headline, separators=(",", ":"))
-    assert len(line) < 1900, f"headline line {len(line)} chars — would truncate"
+    while len(line) >= 1900 and headline["queries"]:
+        drop = min(headline["queries"], key=lambda k: slowest[k])
+        del headline["queries"][drop]
+        line = json.dumps(headline, separators=(",", ":"))
     print(line)
     spark.stop()
 

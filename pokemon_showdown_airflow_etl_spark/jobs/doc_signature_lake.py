@@ -126,10 +126,30 @@ def signature_tables(
 #
 # Idempotency + crash-safety (the K3/T5 contract, file-level here; a
 # table format with transactions takes over at deploy time): members/
-# is written LAST and is the only thing the duplicate-batch anti-join
-# reads, so a re-run of a COMPLETED batch is a no-op; a re-run after a
-# crash mid-append re-classifies against a corpus view that EXCLUDES
-# its own batch partition and overwrites the partial files in place.
+# is written LAST and is the batch's COMMIT MARKER. Readers only ever
+# see committed state: both the corpus view and the dedup guard are
+# assembled from the partitions whose members/ marker exists, so a
+# crashed batch's partial signatures are invisible to every later
+# batch (not just to its own re-run) until the re-run repairs them in
+# place. A committed batch is immutable: re-running its id with the
+# same docs is a no-op, re-running it with DIFFERENT docs raises
+# instead of silently overwriting the committed partitions.
+
+
+def _committed_batches(mem_dir: str) -> list[str]:
+    """Batch ids whose members/ commit marker landed (parquet _SUCCESS
+    in the partition dir). Driver-side listing is fine: one entry per
+    ingested batch (daily drops), not per document."""
+    import os
+
+    if not os.path.isdir(mem_dir):
+        return []
+    return sorted(
+        name[len("batch="):]
+        for name in os.listdir(mem_dir)
+        if name.startswith("batch=")
+        and os.path.exists(os.path.join(mem_dir, name, "_SUCCESS"))
+    )
 
 
 def ingest_signature_batch(
@@ -149,6 +169,7 @@ def ingest_signature_batch(
     import os
 
     from ..operators.dedup import dedup_against_corpus
+    from ..pinning import pin
 
     sig_dir = os.path.join(sig_root, "signatures")
     mem_dir = os.path.join(sig_root, "members")
@@ -157,13 +178,14 @@ def ingest_signature_batch(
     ids = new_docs.select(F.col(id_col).alias("doc")).distinct()
     n_batch = ids.count()
 
-    def _read(path: str) -> DataFrame | None:
-        try:
-            return spark.read.parquet(path)
-        except Exception:
-            return None  # first batch: nothing registered yet
-
-    members = _read(mem_dir)
+    committed = _committed_batches(mem_dir)
+    members = (
+        spark.read.parquet(
+            *[os.path.join(mem_dir, f"batch={b}") for b in committed]
+        )
+        if committed
+        else None
+    )
     fresh_ids = (
         ids if members is None else ids.join(members.select("doc"), "doc", "left_anti")
     )
@@ -177,18 +199,32 @@ def ingest_signature_batch(
             "n_dup_of_corpus": 0,
             "n_dup_in_batch": 0,
         }
+    if batch_id in committed:
+        # the id committed with a different doc set than this run's —
+        # overwriting would unregister the originally decided docs
+        # (their future dups would be admitted). Batches are immutable.
+        raise ValueError(
+            f"batch_id {batch_id!r} already committed but this run carries "
+            f"{n_fresh} undecided docs — a committed batch is immutable; "
+            "submit the amended docs under a NEW batch_id"
+        )
 
     fresh_docs = new_docs.join(
         fresh_ids.withColumnRenamed("doc", id_col), id_col
     )
-    batch_sig = compute_signatures(fresh_docs, id_col, text_col)
-    corpus_sig = _read(sig_dir)
-    if corpus_sig is not None:
-        # a crashed previous attempt of THIS batch may have left a
-        # partial partition — it must not count as corpus
-        corpus_sig = corpus_sig.filter(F.col("batch") != batch_id)
-    else:
-        corpus_sig = batch_sig.limit(0)
+    # pinned: the signature lineage (members anti-join + tokenize +
+    # shingle + 8 MinHashes) feeds the band frame, the shingle-verify
+    # frame AND the registration write — unpinned it would run 3x
+    batch_sig = compute_signatures(fresh_docs, id_col, text_col).transform(pin)
+    # corpus = committed batches only; a crashed OTHER batch's partial
+    # signatures must not reject docs against phantom survivors (its
+    # docs are not in members/, so they are not registered)
+    corpus_paths = [
+        os.path.join(sig_dir, f"batch={b}") for b in committed if b != batch_id
+    ]
+    corpus_sig = (
+        spark.read.parquet(*corpus_paths) if corpus_paths else batch_sig.limit(0)
+    )
 
     decision = dedup_against_corpus(
         fresh_ids,

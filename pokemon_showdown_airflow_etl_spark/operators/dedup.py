@@ -321,6 +321,17 @@ def dedup_against_corpus(
     near-dup >= threshold exists in the corpus — corpus always wins),
     'dup_in_batch' (loses min-id-wins against a verified within-batch
     pair), or 'accepted'.
+
+    Within-batch semantics are PAIRWISE min-id-wins, chosen because it
+    is one-shot and SQL-expressible (the d9 oracle pins it). On
+    similarity CHAINS (A~B, B~C, C!~A) it differs from
+    dedup-against-survivors: pairwise rejects C (its partner B has a
+    smaller id) even though B itself was rejected, while sequential
+    ingestion of smaller batches would accept C once B is gone — so
+    batch granularity is part of the dedup semantic. Corpus-side
+    admission is unaffected (the corpus holds survivors only); a
+    deployment wanting survivor semantics inside a drop splits the
+    drop into smaller batches or runs dup_clusters on it first.
     """
     k = list(range(num_hashes))
     nb = band_keys(

@@ -31,15 +31,26 @@ def start_document_admission(
     """Admit a streaming frame of (id, text) documents against
     ``sig_root``. Each micro-batch runs the full d9 decision against
     the registered survivors, so a duplicate arriving a week after its
-    original is rejected without any stream-side state growth."""
+    original is rejected without any stream-side state growth.
+
+    Batch ids are namespaced by a digest of the CHECKPOINT directory:
+    epoch numbering is only monotone within one checkpoint, so a bare
+    ``epoch-N`` would collide when a second stream (fresh checkpoint,
+    epochs restarting at 0) feeds the same sig_root — its epoch-0
+    would be mistaken for a crashed re-run of the first stream's
+    epoch-0 and repair-overwrite committed corpus partitions."""
+    import hashlib
+
     from ..jobs.doc_signature_lake import ingest_signature_batch
+
+    ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
 
     def admit(batch_df: DataFrame, epoch_id: int) -> None:
         ingest_signature_batch(
             batch_df.sparkSession,
             batch_df,
             sig_root,
-            batch_id=f"epoch-{epoch_id}",
+            batch_id=f"{ns}-epoch-{epoch_id}",
             id_col=id_col,
             text_col=text_col,
             threshold=threshold,

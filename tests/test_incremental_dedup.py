@@ -139,11 +139,14 @@ def test_empty_batch_and_empty_corpus(spark):
 
 def test_ingest_signature_batches_sequential_equals_one_shot(spark, tmp_path):
     """The live-corpus ingest (jobs/doc_signature_lake.py::
-    ingest_signature_batch): admitting batch1 then batch2 must register
-    the same survivor set as admitting their union as one batch (ids
-    increase across batches and dup groups are clean, so pairwise
-    min-id-wins and dedup-against-survivors coincide); a re-run of a
-    completed batch is a no-op."""
+    ingest_signature_batch): admitting batch1 then batch2 registers
+    the same survivor set as admitting their union as one batch, and a
+    re-run of a completed batch is a no-op. Scope note: this fixture's
+    dup groups are CLEAN (no similarity chains), which is exactly the
+    regime where pairwise min-id-wins and dedup-against-survivors
+    coincide — on chains the two semantics differ BY DESIGN (batch
+    granularity is part of the semantic; see dedup_against_corpus's
+    docstring), so sequential==one-shot is not asserted for chains."""
     from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
         ingest_signature_batch,
     )
@@ -264,3 +267,78 @@ def test_streaming_admission_matches_batch_ingest(spark, tmp_path):
         for r in spark.read.parquet(root + "/signatures").select("doc").collect()
     }
     assert sig_docs == {0, 2, 11}
+
+
+def test_ingest_commit_protocol_guards(spark, tmp_path):
+    """File-level transaction protocol: (a) a committed batch is
+    immutable — re-running its id with extra docs raises instead of
+    silently unregistering the originally decided docs; (b) a crashed
+    OTHER batch's partial signatures (no members/ marker) are invisible
+    to later batches — docs must never be rejected against phantom
+    survivors that were themselves never registered."""
+    import pytest as _pytest
+
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        compute_signatures,
+        ingest_signature_batch,
+    )
+
+    root = str(tmp_path / "sig")
+    df1 = _make(spark, [(0, BASE + " alpha"), (2, "other " * 20)])
+    ingest_signature_batch(spark, df1, root, "b1")
+
+    # (a) amended re-run of the committed id
+    amended = _make(spark, [(0, BASE + " alpha"), (3, "brand new " * 15)])
+    with _pytest.raises(ValueError, match="immutable"):
+        ingest_signature_batch(spark, amended, root, "b1")
+    # same-content re-run stays a no-op
+    s = ingest_signature_batch(spark, df1, root, "b1")
+    assert s["n_already_registered"] == 2 and s["n_considered"] == 0
+
+    # (b) phantom partition: signatures landed, members marker did not
+    phantom = _make(spark, [(50, "phantom corpus doc " + "w " * 30)])
+    compute_signatures(phantom).write.parquet(root + "/signatures/batch=crashed")
+    dup_of_phantom = _make(spark, [(60, "phantom corpus doc " + "w " * 30)])
+    s2 = ingest_signature_batch(spark, dup_of_phantom, root, "b2")
+    assert s2["n_accepted"] == 1 and s2["n_dup_of_corpus"] == 0, (
+        "doc rejected against an uncommitted phantom survivor"
+    )
+
+
+def test_streaming_admission_new_checkpoint_does_not_clobber(spark, tmp_path):
+    """A SECOND stream (fresh checkpoint, epochs restarting at 0) over
+    the same sig_root must not be mistaken for a crashed re-run of the
+    first stream's epochs: its batch ids are namespaced by checkpoint,
+    so it re-reads the files, finds every doc already decided, and
+    changes nothing."""
+    from pokemon_showdown_airflow_etl_spark.streaming import (
+        start_document_admission,
+    )
+
+    land = str(tmp_path / "in")
+    root = str(tmp_path / "sig")
+    spark.createDataFrame(
+        [(0, BASE + " alpha"), (2, "separate " * 20)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(land)
+
+    def drain(ck):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        q = start_document_admission(stream, root, ck)
+        q.awaitTermination()
+
+    drain(str(tmp_path / "ck1"))
+    before = sorted(
+        tuple(r)
+        for r in spark.read.parquet(root + "/admissions").collect()
+    )
+    drain(str(tmp_path / "ck2"))  # fresh checkpoint, epoch 0 again
+    after = sorted(
+        tuple(r)
+        for r in spark.read.parquet(root + "/admissions").collect()
+    )
+    assert before == after
