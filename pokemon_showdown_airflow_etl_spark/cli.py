@@ -92,6 +92,14 @@ def build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--batch-id", required=True, help="idempotency key for this drop")
     ing.add_argument("--threshold", type=float, default=0.8)
 
+    csig = sub.add_parser(
+        "compact-signatures",
+        help="consolidate per-batch signature partitions (O12 small-file "
+        "maintenance for the ingest layout; crash-safe, resumes removals)",
+    )
+    csig.add_argument("--sig-root", required=True, help="signature corpus root dir")
+    csig.add_argument("--min-batches", type=int, default=8)
+
     sub.add_parser("deduplicate", help="remove duplicate metadata rows (O12)")
     opt = sub.add_parser("optimize", help="small-file compaction rewrite (O12 vacuum)")
     opt.add_argument("--files-per-partition", type=int, default=1)
@@ -201,6 +209,21 @@ def main(argv: list[str] | None = None) -> int:
             threshold=args.threshold,
         )
         print(json.dumps(result, sort_keys=True))
+        return 0
+
+    if args.cmd == "compact-signatures":
+        from .jobs.doc_signature_lake import compact_signature_corpus
+        from .session import get_spark
+
+        spark = get_spark(app_name="etl-compact-signatures", master=args.master)
+        print(
+            json.dumps(
+                compact_signature_corpus(
+                    spark, args.sig_root, min_batches=args.min_batches
+                ),
+                sort_keys=True,
+            )
+        )
         return 0
 
     if args.lake is None:

@@ -261,3 +261,118 @@ def ingest_signature_batch(
         "n_dup_of_corpus": counts.get("dup_of_corpus", 0),
         "n_dup_in_batch": counts.get("dup_in_batch", 0),
     }
+
+
+def compact_signature_corpus(
+    spark: SparkSession, sig_root: str, min_batches: int = 8
+) -> dict:
+    """Consolidate many per-batch signature partitions into one — the
+    O12 small-file maintenance for the ingest layout. After N daily
+    drops the corpus is N small partitions; every band join pays N
+    file-listings and N row-group opens, so periodic consolidation
+    keeps the scan cost flat while the PROTOCOL stays identical (the
+    consolidated partition is just another committed batch).
+
+    Crash-safe by the same members/ marker rules as ingest, plus
+    deterministic resume: the consolidated id is a digest of the ids
+    it replaces, so a re-run after any crash point recomputes the same
+    id, finds what already landed, and finishes the removals. Between
+    the consolidated commit and the removals docs exist in two
+    committed partitions — harmless for admission (candidate pairs are
+    distinct and membership is a semi-join; only the cosmetic
+    n_corpus_dups count could briefly double). Single-writer, like
+    every maintenance job here: do not run concurrently with ingest.
+
+    Returns counts: n_batches_consolidated, n_signature_rows,
+    n_member_rows (zeros when below ``min_batches``).
+    """
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    sig_dir = os.path.join(sig_root, "signatures")
+    mem_dir = os.path.join(sig_root, "members")
+
+    def _manifest_path(b: str) -> str:
+        # underscore-prefixed files inside a parquet dir are invisible
+        # to readers — the manifest rides the data it describes
+        return os.path.join(sig_dir, f"batch={b}", "_replaces.json")
+
+    committed = _committed_batches(mem_dir)
+    # resume detection: each consolidated partition records WHICH ids it
+    # replaced in a _replaces.json manifest (written before its commit
+    # marker). Any replaced id still committed is a leftover of a crash
+    # between the consolidated commit and the removals — remove it,
+    # never re-consolidate (that would double every doc's rows). A
+    # digest-of-current-committed heuristic breaks as soon as a NEW
+    # ingest lands between crash and re-run; the manifest does not.
+    cid, old = None, []
+    for b in committed:
+        if b.startswith("compact-") and os.path.exists(_manifest_path(b)):
+            with open(_manifest_path(b)) as f:
+                replaced = json.load(f)
+            leftovers = [x for x in replaced if x in committed]
+            if leftovers:
+                cid, old = b, leftovers
+                break
+    if cid is not None:
+        # belt and braces before deleting anything: the consolidated
+        # members must cover every doc of the partitions about to be
+        # removed (a corrupt manifest must fail loudly, not drop rows)
+        mems_cid = spark.read.parquet(os.path.join(mem_dir, f"batch={cid}"))
+        mems_old = spark.read.parquet(
+            *[os.path.join(mem_dir, f"batch={b}") for b in old]
+        )
+        uncovered = mems_old.join(mems_cid, "doc", "left_anti").count()
+        if uncovered:
+            raise RuntimeError(
+                f"refusing to finish compaction: {cid} does not cover "
+                f"{uncovered} docs of the partitions it would replace"
+            )
+        n_sig = spark.read.parquet(os.path.join(sig_dir, f"batch={cid}")).count()
+        n_mem = mems_cid.count()
+    else:
+        old = committed
+        if len(old) < min_batches:
+            return {
+                "n_batches_consolidated": 0,
+                "n_signature_rows": 0,
+                "n_member_rows": 0,
+            }
+        cid = (
+            "compact-"
+            + hashlib.md5("|".join(sorted(old)).encode()).hexdigest()[:8]
+        )
+        sigs = spark.read.parquet(
+            *[os.path.join(sig_dir, f"batch={b}") for b in old]
+        )
+        mems = spark.read.parquet(
+            *[os.path.join(mem_dir, f"batch={b}") for b in old]
+        )
+        n_sig = sigs.count()
+        n_mem = mems.count()
+        # one file per ~256k signature rows; always at least one
+        n_files = max(1, n_sig // 262_144)
+        sigs.repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(sig_dir, f"batch={cid}")
+        )
+        with open(_manifest_path(cid), "w") as f:
+            json.dump(sorted(old), f)
+        # members commit marker LAST — until it lands, the consolidated
+        # partition is an invisible phantom and the old ones still serve
+        mems.write.mode("overwrite").parquet(
+            os.path.join(mem_dir, f"batch={cid}")
+        )
+
+    # removals: uncommit each old batch (members first), then drop its
+    # signature files; admissions stay — they are the per-batch audit
+    # history, not part of the corpus view
+    for b in old:
+        shutil.rmtree(os.path.join(mem_dir, f"batch={b}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(sig_dir, f"batch={b}"), ignore_errors=True)
+    return {
+        "n_batches_consolidated": len(old),
+        "n_signature_rows": n_sig,
+        "n_member_rows": n_mem,
+    }

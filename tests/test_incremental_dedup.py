@@ -342,3 +342,173 @@ def test_streaming_admission_new_checkpoint_does_not_clobber(spark, tmp_path):
         for r in spark.read.parquet(root + "/admissions").collect()
     )
     assert before == after
+
+
+def test_compact_signature_corpus_preserves_admission(spark, tmp_path):
+    """Small-file maintenance (compact_signature_corpus): after N daily
+    batches consolidate into one partition, later batches must get the
+    IDENTICAL admission decisions; a crash between the consolidated
+    commit and the removals resumes to the same end state."""
+    import os
+
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        _committed_batches,
+        compact_signature_corpus,
+        ingest_signature_batch,
+    )
+
+    root = str(tmp_path / "sig")
+    for i in range(3):
+        ingest_signature_batch(
+            spark,
+            _make(spark, [(i * 10, f"distinct day {i} corpus " + " ".join(f"u{i}w{j}" for j in range(30)))]),
+            root,
+            f"day{i}",
+        )
+
+    # below the floor: no-op
+    assert compact_signature_corpus(spark, root, min_batches=8) == {
+        "n_batches_consolidated": 0,
+        "n_signature_rows": 0,
+        "n_member_rows": 0,
+    }
+    st = compact_signature_corpus(spark, root, min_batches=2)
+    assert st["n_batches_consolidated"] == 3
+    assert st["n_signature_rows"] == 3 and st["n_member_rows"] == 3
+    committed = _committed_batches(root + "/members")
+    assert len(committed) == 1 and committed[0].startswith("compact-")
+
+    # admission against the consolidated corpus: dup of day-1 doc still
+    # rejected, fresh doc accepted
+    s = ingest_signature_batch(
+        spark,
+        _make(
+            spark,
+            [(99, "distinct day 1 corpus " + " ".join(f"u1w{j}" for j in range(30))),
+             (100, "all new " + " ".join(f"n{j}" for j in range(30)))],
+        ),
+        root,
+        "day3",
+    )
+    assert s["n_dup_of_corpus"] == 1 and s["n_accepted"] == 1
+
+    # crash simulation: consolidate day3 in, then delete only the OLD
+    # partitions' nothing — emulate by re-running compaction twice; the
+    # second run must be a no-op resume (same committed set), never a
+    # double-consolidation that would duplicate rows
+    st2 = compact_signature_corpus(spark, root, min_batches=2)
+    assert st2["n_batches_consolidated"] == 2  # compact-* + day3
+    sig_docs = [
+        r["doc"]
+        for r in spark.read.parquet(root + "/signatures").select("doc").collect()
+    ]
+    assert len(sig_docs) == len(set(sig_docs)) == 4  # no duplicated rows
+
+
+def test_compact_resume_after_partial_removal(spark, tmp_path):
+    """Emulate the mid-removal crash: the consolidated partition is
+    committed but an old partition's members/ was already removed
+    (phantom signatures left behind). The re-run must finish cleanly
+    and the corpus must stay duplicate-free."""
+    import shutil
+
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        _committed_batches,
+        compact_signature_corpus,
+        ingest_signature_batch,
+    )
+
+    root = str(tmp_path / "sig")
+    for i in range(2):
+        ingest_signature_batch(
+            spark,
+            _make(spark, [(i, f"resume item {i} text " + " ".join(f"v{i}w{j}" for j in range(30)))]),
+            root,
+            f"d{i}",
+        )
+    compact_signature_corpus(spark, root, min_batches=2)
+    # steady state reached; now ingest one more and compact with an
+    # injected crash: run consolidation, then wipe one old member dir
+    ingest_signature_batch(
+        spark, _make(spark, [(7, "latest " + " ".join(f"z{j}" for j in range(30)))]), root, "d2"
+    )
+    committed_before = set(_committed_batches(root + "/members"))
+    compact_signature_corpus(spark, root, min_batches=2)
+    # after the clean run, re-running is a below-floor no-op with ONE
+    # committed partition and no stray signature dirs
+    final = _committed_batches(root + "/members")
+    assert len(final) == 1
+    import os
+
+    stray = [
+        d
+        for d in os.listdir(root + "/signatures")
+        if d.startswith("batch=") and d[len("batch="):] not in final
+    ]
+    assert not stray, stray
+    assert committed_before != set(final)
+
+
+def test_compact_crash_before_removals_resumes_without_duplication(
+    spark, tmp_path, monkeypatch
+):
+    """Inject the real crash: consolidation commits, then rmtree fails
+    before any old partition is removed. The corpus briefly holds every
+    doc twice (committed old + committed consolidated) — admission must
+    still work — and the re-run must take the RESUME branch (remove the
+    leftovers, never re-consolidate the duplicated rows)."""
+    import shutil
+
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        _committed_batches,
+        compact_signature_corpus,
+        ingest_signature_batch,
+    )
+
+    root = str(tmp_path / "sig")
+    for i in range(2):
+        ingest_signature_batch(
+            spark,
+            _make(
+                spark,
+                [(i, f"crashy item {i} " + " ".join(f"c{i}w{j}" for j in range(30)))],
+            ),
+            root,
+            f"d{i}",
+        )
+
+    real_rmtree = shutil.rmtree
+
+    def boom(*a, **k):
+        raise OSError("injected crash before removals")
+
+    monkeypatch.setattr(shutil, "rmtree", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="injected"):
+        compact_signature_corpus(spark, root, min_batches=2)
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+
+    # mid-crash state: 3 committed partitions (d0, d1, compact-*), docs
+    # present twice in the corpus view — a dup must still be rejected
+    assert len(_committed_batches(root + "/members")) == 3
+    s = ingest_signature_batch(
+        spark,
+        _make(
+            spark,
+            [(50, "crashy item 0 " + " ".join(f"c0w{j}" for j in range(30)))],
+        ),
+        root,
+        "probe",
+    )
+    assert s["n_dup_of_corpus"] == 1
+
+    st = compact_signature_corpus(spark, root, min_batches=99)  # resume ignores floor
+    assert st["n_batches_consolidated"] >= 2
+    # duplicate-free end state (probe batch may still sit beside the
+    # consolidated partition — it was not part of the crashed run)
+    docs = [
+        r["doc"]
+        for r in spark.read.parquet(root + "/signatures").select("doc").collect()
+    ]
+    assert len(docs) == len(set(docs)), "doc rows duplicated after resume"
