@@ -40,6 +40,7 @@ from . import relational, joins, llm, battlelog, extras, tpch
 CHANGED_SINCE_LAST_ROW: list[str] = [
     "d9_incremental_dedup",  # r5 NEW: batch-vs-corpus signature-lake dedup
     "t18_scrub",  # r5 NEW: C4-style PII scrub + URL canonicalization
+    "t19_hybrid_rrf",  # r5 NEW: BM25 + cosine reciprocal-rank fusion
     "s6_embedding_outliers",  # r5: exact=True twin of the new approx default
     "t5_corpus_stats",  # r5: rewritten onto operators/text.py::corpus_stats
     "x2_salted_join",  # r5: per-row deviations quantized to 1e-4 bigints
@@ -54,6 +55,7 @@ _PRIORITY: list[str] = [
     # -- (1) every entry in CHANGED_SINCE_LAST_ROW, new first --
     "d9_incremental_dedup",
     "t18_scrub",
+    "t19_hybrid_rrf",
     "s6_embedding_outliers",
     "t5_corpus_stats",
     "x2_salted_join",
@@ -105,7 +107,6 @@ _PRIORITY: list[str] = [
     "q8_market_share",
     "q9_product_profit",
     "g11_lifecycle_cube",
-    "q21_waiting_suppliers",
     # ---- slot 50 boundary ----
 ]
 

@@ -1730,6 +1730,126 @@ def t18_scrub(spark, sf_dir):
     )
 
 
+HY_N = 20  # candidates per retriever leg
+HY_K = 60  # the standard RRF constant (Cormack/Clarke/Buettcher 2009)
+HY_OUT = 10
+
+
+@q(
+    "t19_hybrid_rrf",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+    ), stats AS (
+        SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl
+    ), dfreq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), qterms AS (
+        SELECT term, df FROM dfreq WHERE length(term) >= {BM25_MIN_TERM_LEN}
+        ORDER BY df DESC, term LIMIT {BM25_QUERY_TERMS}
+    ), scored AS (
+        SELECT f.doc_id,
+               sum(CAST(round(
+                   ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+                   * (f.tf * 2.5 / (f.tf + 1.5 * (0.25 + 0.75 * d.dl
+                       / (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))
+                   * 1000000.0) AS BIGINT)) AS score_micro
+        FROM tf f JOIN qterms q USING (term)
+             JOIN dl d USING (doc_id) CROSS JOIN stats s
+        GROUP BY 1
+    ), bm AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                    AS INT) AS rank_bm25
+        FROM scored ORDER BY score_micro DESC, doc_id LIMIT {HY_N}
+    ), e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), qv AS (
+        SELECT v FROM e WHERE vec_id = 0
+    ), cs AS (
+        SELECT c.vec_id,
+               list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cs
+        FROM e c CROSS JOIN qv q WHERE c.vec_id != 0
+    ), sem AS (
+        SELECT vec_id AS doc_id,
+               CAST(row_number() OVER (ORDER BY cs DESC, vec_id) AS INT)
+                   AS rank_cos
+        FROM cs ORDER BY cs DESC, vec_id LIMIT {HY_N}
+    ), fused AS (
+        SELECT COALESCE(b.doc_id, s.doc_id) AS doc_id,
+               b.rank_bm25, s.rank_cos,
+               COALESCE(CAST(round(1000000.0 / ({HY_K} + b.rank_bm25)) AS BIGINT), 0)
+               + COALESCE(CAST(round(1000000.0 / ({HY_K} + s.rank_cos)) AS BIGINT), 0)
+                   AS rrf_micro
+        FROM bm b FULL OUTER JOIN sem s ON b.doc_id = s.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, rank_bm25, rank_cos, rrf_micro
+    FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {HY_OUT}
+    """,
+    doc="Hybrid retrieval via reciprocal-rank fusion (Cormack et al. "
+    "2009, k=60): the standard two-legged RAG retriever — BM25 top-20 "
+    "(t16's lexical leg, data-driven query terms) fused with exact "
+    "cosine top-20 for the vec_id-0 query embedding (s1's semantic "
+    "leg; doc and vec ids share a domain in the testdata). Each leg is "
+    "its own bounded top-k plan (broadcast query frames, one shuffle "
+    "each); fusion then touches only 2x20 rows — the rank windows and "
+    "the full outer join run on candidate lists, never the corpus. "
+    "RRF contributions quantize to integer micro-units (1e6/(60+r) on "
+    "integer ranks — never a .5 boundary for r<=20), so the fused "
+    "ordering is bit-stable across engines.",
+)
+def t19_hybrid_rrf(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    lex = text.bm25_topk(
+        docs,
+        "doc_id",
+        "text",
+        k1=BM25_K1,
+        b=BM25_B,
+        n_query_terms=BM25_QUERY_TERMS,
+        min_term_len=BM25_MIN_TERM_LEN,
+        topk=HY_N,
+    )
+    # single-partition window is fine HERE: its input is the 20-row
+    # top-k result, not the corpus
+    bm = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_micro"), "doc_id"))
+        .cast("int")
+        .alias("rank_bm25"),
+    )
+    sem = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=HY_N
+    ).select(
+        F.col("nn_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank_cos"),
+    )
+
+    def contrib(col: str):
+        return F.coalesce(
+            F.round(F.lit(1_000_000.0) / (F.lit(HY_K) + F.col(col))).cast("long"),
+            F.lit(0).cast("long"),
+        )
+
+    fused = bm.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_bm25",
+        "rank_cos",
+        (contrib("rank_bm25") + contrib("rank_cos")).alias("rrf_micro"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), "doc_id").limit(HY_OUT)
+
+
 @q(
     "a2_cms_heavy_hitters",
     f"""
