@@ -235,6 +235,41 @@ def main() -> None:
         streaming["trending_replays_per_sec"] = round(n_stream / dt, 1)
         streaming["trending_state_rows"] = spark.read.parquet(d + "/trend").count()
 
+    # Incremental-admission throughput: the d9 production path — seed
+    # the signature corpus with half the documents as one batch, then
+    # time admitting the other half against it. The drop is HALF (not
+    # d9's 5% slice) because a batch pays a fixed ~10-action protocol
+    # cost (guard counts + three partition writes); at bench scale a
+    # small drop measures only that floor, while the half-corpus drop
+    # exposes the marginal docs/s a real multi-thousand-doc daily drop
+    # runs at. sec is still the honest per-drop latency.
+    from pyspark.sql import functions as SF
+
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        ingest_signature_batch,
+    )
+
+    docs_tbl = table(spark, SF_DIR, "documents")
+    seed_docs = docs_tbl.filter(SF.col("doc_id") % 2 != 0)
+    drop_docs = docs_tbl.filter(SF.col("doc_id") % 2 == 0)
+    n_drop = drop_docs.count()
+    best = None
+    stats_ing = None
+    for _ in range(3):
+        with tempfile.TemporaryDirectory() as d:
+            ingest_signature_batch(spark, seed_docs, d + "/sig", "seed")
+            t0 = time.perf_counter()
+            stats_ing = ingest_signature_batch(spark, drop_docs, d + "/sig", "drop")
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+    ingest = {
+        "drop_docs": n_drop,
+        "sec": round(best, 3),
+        "docs_per_sec": round(n_drop / best, 1),
+        "n_accepted": stats_ing["n_accepted"],
+        "n_dup_of_corpus": stats_ing["n_dup_of_corpus"],
+    }
+
     # Corpus-curation throughput: the full jobs/curate.py pipeline
     # (exact dedup -> near-dup clusters -> quality floor -> split ->
     # partitioned write) over the sf documents table. One number a
@@ -263,6 +298,7 @@ def main() -> None:
         "pipeline": pipe,
         "streaming": streaming,
         "curate": curate,
+        "ingest": ingest,
         "b_lake_build_sec": lake_build_sec,
         "sig_lake_build_sec": sig_lake_build_sec,
         # the synthetic battle-log corpus the b-queries scan is
@@ -297,6 +333,7 @@ def main() -> None:
         "queries_full": "BENCH_local.json",
         "pipeline_replays_per_sec": pipe["replays_per_sec"],
         "curate_docs_per_sec": curate["docs_per_sec"],
+        "ingest_docs_per_sec": ingest["docs_per_sec"],
         "streaming": {
             k: v for k, v in streaming.items() if k.endswith("replays_per_sec")
         },
