@@ -208,6 +208,15 @@ def ingest_signature_batch(
             f"{n_fresh} undecided docs — a committed batch is immutable; "
             "submit the amended docs under a NEW batch_id"
         )
+    if batch_id in retired_batches(sig_root):
+        # compaction removed the id's members/signatures partitions but
+        # its admissions/ audit survives; without this guard the id
+        # would look fresh again and a re-ingest would overwrite that
+        # audit history
+        raise ValueError(
+            f"batch_id {batch_id!r} was retired by compaction — its "
+            "admission audit is immutable; use a NEW batch_id"
+        )
 
     fresh_docs = new_docs.join(
         fresh_ids.withColumnRenamed("doc", id_col), id_col
@@ -334,7 +343,10 @@ def compact_signature_corpus(
         n_mem = mems_cid.count()
     else:
         old = committed
-        if len(old) < min_batches:
+        # at least 2 regardless of the floor: consolidating one batch
+        # (or none — reading zero parquet paths throws) does nothing
+        if len(old) < max(2, min_batches):
+            _sweep_retired(sig_root)
             return {
                 "n_batches_consolidated": 0,
                 "n_signature_rows": 0,
@@ -365,14 +377,72 @@ def compact_signature_corpus(
             os.path.join(mem_dir, f"batch={cid}")
         )
 
-    # removals: uncommit each old batch (members first), then drop its
-    # signature files; admissions stay — they are the per-batch audit
-    # history, not part of the corpus view
+    # Retire the old ids FIRST (atomic append to the _retired.json
+    # ledger), then remove: members/ (uncommit — the partition becomes
+    # an invisible phantom) before signatures/. The ledger is what
+    # makes every crash point recoverable: a retired id's leftover
+    # directories are swept by ANY later compaction run (including the
+    # no-op path), and ingest refuses to reuse a retired id — without
+    # the ledger, removing a batch's members would silently re-arm its
+    # id and let a re-ingest overwrite the admissions audit history.
+    _retire(sig_root, old)
     for b in old:
         shutil.rmtree(os.path.join(mem_dir, f"batch={b}"), ignore_errors=True)
         shutil.rmtree(os.path.join(sig_dir, f"batch={b}"), ignore_errors=True)
+    _sweep_retired(sig_root)
     return {
         "n_batches_consolidated": len(old),
         "n_signature_rows": n_sig,
         "n_member_rows": n_mem,
     }
+
+
+def _retired_path(sig_root: str) -> str:
+    import os
+
+    return os.path.join(sig_root, "_retired.json")
+
+
+def retired_batches(sig_root: str) -> list[str]:
+    """Ids consolidated away by compaction — permanently unusable for
+    new ingests (their admissions/ audit dirs survive and must never be
+    overwritten)."""
+    import json
+    import os
+
+    p = _retired_path(sig_root)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)
+
+
+def _retire(sig_root: str, ids: list[str]) -> None:
+    """Atomically add ``ids`` to the retired ledger (tmp + rename)."""
+    import json
+    import os
+
+    merged = sorted(set(retired_batches(sig_root)) | set(ids))
+    tmp = _retired_path(sig_root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(merged, f)
+    os.replace(tmp, _retired_path(sig_root))
+
+
+def _sweep_retired(sig_root: str) -> None:
+    """Finish any interrupted removals: a retired id must hold no
+    members/ or signatures/ partition (a crash between the two rmtrees
+    would otherwise orphan the signatures dir forever — the id is gone
+    from the committed set, so the manifest-driven resume can't see
+    it)."""
+    import os
+    import shutil
+
+    for b in retired_batches(sig_root):
+        shutil.rmtree(
+            os.path.join(sig_root, "members", f"batch={b}"), ignore_errors=True
+        )
+        shutil.rmtree(
+            os.path.join(sig_root, "signatures", f"batch={b}"),
+            ignore_errors=True,
+        )

@@ -25,7 +25,8 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # changed after its latest driver row (= CHANGED_SINCE_LAST_ROW), then
 # (2) the entries with the OLDEST standing rows, oldest first — for r5
 # that is u3/u4 (r1-only, the catalog's stalest pair) plus the full
-# 34-name stale-r2 block, then 4 r3 rotations to fill slot 50. All 37
+# 34-name stale-r2 block, then 3 r3 rotations (q8/q9/g11 — q21 gave
+# its slot to the new t19) to fill slot 50. All 37
 # names r4 re-greened were cleared from the changed-list at r5 start
 # (keeping them would have burned 37 of 50 slots re-checking unchanged
 # code). The local oracle-parity gate still sweeps all entries each

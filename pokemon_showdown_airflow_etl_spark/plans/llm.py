@@ -1526,11 +1526,13 @@ BM25_QUERY_TERMS = 3
 BM25_MIN_TERM_LEN = 4
 BM25_TOPK = 20
 
-
-@q(
-    "t16_bm25_topk",
-    f"""
-    WITH tk AS (
+# Shared by t16 (pure BM25 retrieval) and t19 (the lexical leg of the
+# hybrid fuser): ONE definition of tokenize -> tf -> doc-length ->
+# corpus stats -> document frequency -> query terms, and ONE per-term
+# score expression with the k1/b literals derived from the module
+# constants — the two oracles cannot drift apart on what "the BM25
+# leg" means.
+_BM25_PRELUDE_SQL = f"""tk AS (
         SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
     ), tf AS (
         SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2
@@ -1543,14 +1545,22 @@ BM25_TOPK = 20
     ), qterms AS (
         SELECT term, df FROM dfreq WHERE length(term) >= {BM25_MIN_TERM_LEN}
         ORDER BY df DESC, term LIMIT {BM25_QUERY_TERMS}
-    ), scored AS (
+    )"""
+
+_BM25_SCORE_SQL = f"""sum(CAST(round(
+                   ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+                   * (f.tf * {BM25_K1 + 1.0} / (f.tf + {BM25_K1} * ({round(1.0 - BM25_B, 10)} + {BM25_B} * d.dl
+                       / (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))
+                   * 1000000.0) AS BIGINT)) AS score_micro"""
+
+
+@q(
+    "t16_bm25_topk",
+    f"""
+    WITH {_BM25_PRELUDE_SQL}, scored AS (
         SELECT f.doc_id,
                count(*) AS matched,
-               sum(CAST(round(
-                   ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
-                   * (f.tf * 2.5 / (f.tf + 1.5 * (0.25 + 0.75 * d.dl
-                       / (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))
-                   * 1000000.0) AS BIGINT)) AS score_micro
+               {_BM25_SCORE_SQL}
         FROM tf f JOIN qterms q USING (term)
              JOIN dl d USING (doc_id) CROSS JOIN stats s
         GROUP BY 1
@@ -1738,26 +1748,9 @@ HY_OUT = 10
 @q(
     "t19_hybrid_rrf",
     f"""
-    WITH tk AS (
-        SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
-    ), tf AS (
-        SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2
-    ), dl AS (
-        SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
-    ), stats AS (
-        SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl
-    ), dfreq AS (
-        SELECT term, count(*) AS df FROM tf GROUP BY 1
-    ), qterms AS (
-        SELECT term, df FROM dfreq WHERE length(term) >= {BM25_MIN_TERM_LEN}
-        ORDER BY df DESC, term LIMIT {BM25_QUERY_TERMS}
-    ), scored AS (
+    WITH {_BM25_PRELUDE_SQL}, scored AS (
         SELECT f.doc_id,
-               sum(CAST(round(
-                   ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
-                   * (f.tf * 2.5 / (f.tf + 1.5 * (0.25 + 0.75 * d.dl
-                       / (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))
-                   * 1000000.0) AS BIGINT)) AS score_micro
+               {_BM25_SCORE_SQL}
         FROM tf f JOIN qterms q USING (term)
              JOIN dl d USING (doc_id) CROSS JOIN stats s
         GROUP BY 1

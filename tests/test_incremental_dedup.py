@@ -405,17 +405,23 @@ def test_compact_signature_corpus_preserves_admission(spark, tmp_path):
     assert len(sig_docs) == len(set(sig_docs)) == 4  # no duplicated rows
 
 
-def test_compact_resume_after_partial_removal(spark, tmp_path):
-    """Emulate the mid-removal crash: the consolidated partition is
-    committed but an old partition's members/ was already removed
-    (phantom signatures left behind). The re-run must finish cleanly
-    and the corpus must stay duplicate-free."""
+def test_compact_resume_after_partial_removal(spark, tmp_path, monkeypatch):
+    """Inject the mid-removal crash for real: members/ of an old batch
+    is removed, then rmtree dies before its signatures/ dir — the state
+    where the batch is no longer committed so manifest-driven resume
+    cannot see it. The retired-ids ledger must let the NEXT compaction
+    run sweep the orphaned signatures dir, and ingest must refuse to
+    reuse the retired id (its admissions audit survives compaction)."""
+    import os
     import shutil
+
+    import pytest as _pytest
 
     from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
         _committed_batches,
         compact_signature_corpus,
         ingest_signature_batch,
+        retired_batches,
     )
 
     root = str(tmp_path / "sig")
@@ -426,27 +432,58 @@ def test_compact_resume_after_partial_removal(spark, tmp_path):
             root,
             f"d{i}",
         )
-    compact_signature_corpus(spark, root, min_batches=2)
-    # steady state reached; now ingest one more and compact with an
-    # injected crash: run consolidation, then wipe one old member dir
-    ingest_signature_batch(
-        spark, _make(spark, [(7, "latest " + " ".join(f"z{j}" for j in range(30)))]), root, "d2"
-    )
-    committed_before = set(_committed_batches(root + "/members"))
-    compact_signature_corpus(spark, root, min_batches=2)
-    # after the clean run, re-running is a below-floor no-op with ONE
-    # committed partition and no stray signature dirs
-    final = _committed_batches(root + "/members")
-    assert len(final) == 1
-    import os
 
-    stray = [
+    real_rmtree = shutil.rmtree
+
+    def crash_on_first_sig_dir(path, *a, **k):
+        if "/signatures/batch=d" in path.replace(os.sep, "/"):
+            raise OSError("injected crash mid-removal")
+        return real_rmtree(path, *a, **k)
+
+    monkeypatch.setattr(shutil, "rmtree", crash_on_first_sig_dir)
+    with _pytest.raises(OSError, match="mid-removal"):
+        compact_signature_corpus(spark, root, min_batches=2)
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+
+    # crash state: the first old batch is uncommitted (members gone)
+    # with its signatures dir ORPHANED — invisible to manifest resume;
+    # the second old batch is still committed (resume will see it).
+    # The ledger knows both were retired.
+    committed = _committed_batches(root + "/members")
+    assert any(b.startswith("compact-") for b in committed)
+    assert set(retired_batches(root)) == {"d0", "d1"}
+    orphans = [
         d
         for d in os.listdir(root + "/signatures")
-        if d.startswith("batch=") and d[len("batch="):] not in final
+        if d.startswith("batch=d") and d[len("batch="):] not in committed
     ]
-    assert not stray, stray
-    assert committed_before != set(final)
+    assert orphans, "injection did not leave an orphan — test is vacuous"
+
+    # the next run resumes: finishes the committed leftover AND sweeps
+    # the invisible orphan via the ledger
+    compact_signature_corpus(spark, root, min_batches=99)
+    assert not [
+        d
+        for d in os.listdir(root + "/signatures")
+        if d.startswith("batch=d")
+    ], "orphaned signature dirs survived the sweep"
+    assert all(
+        b.startswith("compact-") for b in _committed_batches(root + "/members")
+    )
+
+    # a retired id can never be re-ingested over its admissions audit
+    with _pytest.raises(ValueError, match="retired"):
+        ingest_signature_batch(
+            spark, _make(spark, [(99, "new content " + "q " * 30)]), root, "d0"
+        )
+    # the surviving corpus still admits/rejects correctly
+    s = ingest_signature_batch(
+        spark,
+        _make(spark, [(50, "resume item 0 text " + " ".join(f"v0w{j}" for j in range(30)))]),
+        root,
+        "probe",
+    )
+    assert s["n_dup_of_corpus"] == 1
 
 
 def test_compact_crash_before_removals_resumes_without_duplication(
