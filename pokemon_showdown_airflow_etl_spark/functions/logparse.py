@@ -46,6 +46,14 @@ def parse_protocol_lines(lines_df: DataFrame) -> DataFrame:
     Malformed lines must degrade, not kill the job (ANSI mode is on by
     default in Spark 4, where element_at past the end THROWS): a line
     with no '|' parses to command NULL, args [].
+
+    Precondition: protocol lines START with '|' (the Showdown protocol
+    guarantee). A garbage line with an interior pipe ("3|t:|") parses
+    field-shifted here — its second split element lands in command —
+    while command_lines' prefix guard drops it; consumers that must
+    agree with the guard on out-of-domain input filter on
+    ``line.startswith('|')`` first (see the logparse property test's
+    domain note).
     """
     return (
         lines_df.withColumn("_parts", F.split(F.col("line"), r"\|"))
