@@ -80,6 +80,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="skip the PII-redaction / URL-canonicalization scrub stage",
     )
+    cur.add_argument(
+        "--dedup-against-corpus",
+        default=None,
+        metavar="SIG_ROOT",
+        help="drop docs that are near-dups of an existing signature "
+        "corpus's registered survivors (read-only d9 decision)",
+    )
 
     ing = sub.add_parser(
         "ingest-docs",
@@ -192,6 +199,7 @@ def main(argv: list[str] | None = None) -> int:
             pack_budget=args.pack_budget,
             eval_path=args.decontaminate_against,
             scrub=not args.no_scrub,
+            corpus_sig_root=args.dedup_against_corpus,
         )
         print(json.dumps(result, sort_keys=True))
         return 0

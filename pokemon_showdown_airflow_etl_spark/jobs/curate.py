@@ -39,6 +39,7 @@ def curate_corpus(
     eval_path: str | None = None,
     decontam_ngram: int = 4,
     scrub: bool = True,
+    corpus_sig_root: str | None = None,
 ) -> dict:
     """Run the curation pipeline and write the curated corpus
     partitioned by split. Deterministic: same input -> same survivors,
@@ -49,7 +50,14 @@ def curate_corpus(
     the same (doc_id, text) shape: documents sharing any word
     ``decontam_ngram``-gram with it are dropped — the decontamination
     gate every pretraining run applies (operators/dedup.py::eval_overlap;
-    the eval gram set broadcasts, the corpus never shuffles for it)."""
+    the eval gram set broadcasts, the corpus never shuffles for it).
+
+    ``corpus_sig_root`` (optional) points at a live signature corpus
+    (jobs/doc_signature_lake.py ingest layout): input docs that are
+    verified near-dups of the corpus's registered survivors are dropped
+    (the d9 decision, read-only — nothing is registered here), so
+    curating today's drop against yesterday's corpus composes with the
+    incremental ingest instead of re-deduping history."""
     docs = spark.read.parquet(input_path)
     n_input = docs.count()
 
@@ -84,6 +92,40 @@ def curate_corpus(
         ).select("doc_id")
         near = near.join(contaminated, "doc_id", "left_anti").transform(pin)
     n_after_decontam = near.count() if eval_path is not None else n_after_near
+
+    # 2b2. cross-corpus dedup (optional, d9 read-only): drop survivors
+    #      that are verified near-dups of the EXISTING corpus's
+    #      registered docs — batch band rows equi-join the committed
+    #      signature partitions, never re-signing the corpus
+    n_after_corpus = n_after_decontam
+    if corpus_sig_root is not None:
+        import os
+
+        from ..operators.dedup import dedup_against_corpus
+        from .doc_signature_lake import (
+            _committed_batches,
+            compute_signatures,
+        )
+
+        committed = _committed_batches(os.path.join(corpus_sig_root, "members"))
+        if committed:
+            corpus_sig = spark.read.parquet(
+                *[
+                    os.path.join(corpus_sig_root, "signatures", f"batch={b}")
+                    for b in committed
+                ]
+            )
+            decision = dedup_against_corpus(
+                near.select(F.col("doc_id").alias("doc")),
+                compute_signatures(near),
+                corpus_sig,
+                threshold=near_dup_threshold,
+            )
+            corpus_dups = decision.filter(
+                F.col("status") == "dup_of_corpus"
+            ).select(F.col("doc").alias("doc_id"))
+            near = near.join(corpus_dups, "doc_id", "left_anti").transform(pin)
+            n_after_corpus = near.count()
 
     # 2c. scrub (optional, t18): PII-shaped redaction + URL
     #     canonicalization as pure regexp map passes on the dedup
@@ -125,6 +167,7 @@ def curate_corpus(
         "n_after_exact_dedup": n_after_exact,
         "n_after_near_dedup": n_after_near,
         "n_after_decontam": n_after_decontam,
+        "n_after_corpus_dedup": n_after_corpus,
         "n_redacted": n_redacted,
         "n_after_quality": n_after_quality,
         "n_written": 0,

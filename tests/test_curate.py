@@ -214,3 +214,55 @@ def test_curate_scrub_stage_redacts_and_counts(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "c2")).collect()
     }
     assert rewritten[0] == rows[0][1]
+
+
+def test_curate_dedups_against_signature_corpus(spark, tmp_path):
+    """curate --dedup-against-corpus: docs near-duplicating the live
+    corpus's REGISTERED survivors are dropped (read-only — the corpus
+    itself is untouched); docs matching only unregistered/rejected
+    corpus content pass through."""
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        _committed_batches,
+        ingest_signature_batch,
+    )
+
+    def words(tag, n=30):
+        return " ".join(f"{tag}{j}" for j in range(n))
+
+    # corpus: doc 0 registered; doc 1 is a within-batch dup of 0 (so
+    # its content IS registered via 0)
+    corpus = spark.createDataFrame(
+        [(0, "corpus base " + words("c")), (1, "corpus base " + words("c"))],
+        "doc_id long, text string",
+    )
+    sig_root = str(tmp_path / "sig")
+    ingest_signature_batch(spark, corpus, sig_root, "seed")
+    committed_before = _committed_batches(sig_root + "/members")
+
+    src = str(tmp_path / "raw")
+    rows = [
+        (100, "corpus base " + words("c")),  # dup of registered content
+        (101, "fresh drop " + words("f")),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("srcA")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).write.parquet(src)
+
+    stats = curate_corpus(
+        spark, src, str(tmp_path / "out"), corpus_sig_root=sig_root
+    )
+    assert stats["n_after_near_dedup"] == 2
+    assert stats["n_after_corpus_dedup"] == 1
+    ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).select("doc_id").collect()
+    }
+    assert ids == {101}
+    # read-only: curate registered nothing
+    assert _committed_batches(sig_root + "/members") == committed_before
+
+    # without the flag the stat mirrors the decontam count
+    base = curate_corpus(spark, src, str(tmp_path / "out2"))
+    assert base["n_after_corpus_dedup"] == base["n_after_decontam"] == 2
