@@ -85,7 +85,8 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         metavar="SIG_ROOT",
         help="drop docs that are near-dups of an existing signature "
-        "corpus's registered survivors (read-only d9 decision)",
+        "corpus's registered survivors (read-only d9 decision; do not "
+        "run concurrently with compact-signatures)",
     )
 
     ing = sub.add_parser(

@@ -57,7 +57,10 @@ def curate_corpus(
     verified near-dups of the corpus's registered survivors are dropped
     (the d9 decision, read-only — nothing is registered here), so
     curating today's drop against yesterday's corpus composes with the
-    incremental ingest instead of re-deduping history."""
+    incremental ingest instead of re-deduping history. Like ingest,
+    this read must not run concurrently with compact-signatures: the
+    file-level protocol is single-writer, and compaction removing a
+    partition mid-read would fail the curate job."""
     docs = spark.read.parquet(input_path)
     n_input = docs.count()
 
@@ -96,30 +99,39 @@ def curate_corpus(
     # 2b2. cross-corpus dedup (optional, d9 read-only): drop survivors
     #      that are verified near-dups of the EXISTING corpus's
     #      registered docs — batch band rows equi-join the committed
-    #      signature partitions, never re-signing the corpus
+    #      signature partitions, never re-signing the corpus.
+    #      check_batch=False: stage 2's dup_clusters already settled
+    #      within-batch identity at the same threshold/geometry, so the
+    #      operator's batch self-join leg would be a provably-empty
+    #      full-corpus LSH pass Spark can't eliminate on its own.
     n_after_corpus = n_after_decontam
     if corpus_sig_root is not None:
         import os
 
         from ..operators.dedup import dedup_against_corpus
         from .doc_signature_lake import (
-            _committed_batches,
+            NUM_HASHES,
             compute_signatures,
+            read_committed,
         )
 
-        committed = _committed_batches(os.path.join(corpus_sig_root, "members"))
-        if committed:
-            corpus_sig = spark.read.parquet(
-                *[
-                    os.path.join(corpus_sig_root, "signatures", f"batch={b}")
-                    for b in committed
-                ]
+        if not os.path.isdir(corpus_sig_root):
+            # a typo'd root silently skipping the gate would ship a
+            # corpus full of near-dups while reporting success
+            raise ValueError(
+                f"corpus_sig_root {corpus_sig_root!r} does not exist — "
+                "point at a signature corpus root (the directory holding "
+                "members/ and signatures/)"
             )
+        corpus_sig = read_committed(spark, corpus_sig_root, "signatures")
+        if corpus_sig is not None:
             decision = dedup_against_corpus(
                 near.select(F.col("doc_id").alias("doc")),
                 compute_signatures(near),
                 corpus_sig,
                 threshold=near_dup_threshold,
+                num_hashes=NUM_HASHES,
+                check_batch=False,
             )
             corpus_dups = decision.filter(
                 F.col("status") == "dup_of_corpus"

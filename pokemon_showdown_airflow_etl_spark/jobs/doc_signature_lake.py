@@ -152,6 +152,33 @@ def _committed_batches(mem_dir: str) -> list[str]:
     )
 
 
+def read_committed(
+    spark: SparkSession,
+    sig_root: str,
+    table: str = "signatures",
+    exclude: tuple[str, ...] = (),
+) -> DataFrame | None:
+    """DataFrame over the COMMITTED batches' partitions of ``table``
+    ('signatures' or 'members'), or None when nothing is committed.
+    The one place the committed-corpus read is assembled — ingest,
+    curate's cross-corpus dedup, and any future reader share it, so a
+    layout change (or a move to a real table format) lands once.
+    Reading explicit committed partition paths (not the root) keeps
+    crashed batches' phantom partials invisible."""
+    import os
+
+    committed = [
+        b
+        for b in _committed_batches(os.path.join(sig_root, "members"))
+        if b not in exclude
+    ]
+    if not committed:
+        return None
+    return spark.read.parquet(
+        *[os.path.join(sig_root, table, f"batch={b}") for b in committed]
+    )
+
+
 def ingest_signature_batch(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -179,13 +206,7 @@ def ingest_signature_batch(
     n_batch = ids.count()
 
     committed = _committed_batches(mem_dir)
-    members = (
-        spark.read.parquet(
-            *[os.path.join(mem_dir, f"batch={b}") for b in committed]
-        )
-        if committed
-        else None
-    )
+    members = read_committed(spark, sig_root, "members")
     fresh_ids = (
         ids if members is None else ids.join(members.select("doc"), "doc", "left_anti")
     )
@@ -228,12 +249,9 @@ def ingest_signature_batch(
     # corpus = committed batches only; a crashed OTHER batch's partial
     # signatures must not reject docs against phantom survivors (its
     # docs are not in members/, so they are not registered)
-    corpus_paths = [
-        os.path.join(sig_dir, f"batch={b}") for b in committed if b != batch_id
-    ]
-    corpus_sig = (
-        spark.read.parquet(*corpus_paths) if corpus_paths else batch_sig.limit(0)
-    )
+    corpus_sig = read_committed(spark, sig_root, "signatures", exclude=(batch_id,))
+    if corpus_sig is None:
+        corpus_sig = batch_sig.limit(0)
 
     decision = dedup_against_corpus(
         fresh_ids,

@@ -295,6 +295,7 @@ def dedup_against_corpus(
     threshold: float = 0.8,
     num_hashes: int = 8,
     rows_per_band: int = 2,
+    check_batch: bool = True,
 ) -> DataFrame:
     """Incremental cross-snapshot dedup: admit a NEW document batch
     against an EXISTING corpus's materialized signatures — the
@@ -373,6 +374,27 @@ def dedup_against_corpus(
             F.min("corpus_doc").alias("first_corpus_dup"),
         )
     )
+
+    if not check_batch:
+        # the caller already within-batch-deduped (e.g. curate runs
+        # dup_clusters first, making this leg provably empty at the
+        # same threshold/shingle/band geometry) — skip the batch
+        # self-join + verify entirely; Spark cannot eliminate an
+        # unused join on its own
+        return (
+            new_ids.select("doc")
+            .join(corpus_dups, "doc", "left")
+            .select(
+                "doc",
+                F.coalesce("n_corpus_dups", F.lit(0)).alias("n_corpus_dups"),
+                "first_corpus_dup",
+                F.when(
+                    F.col("n_corpus_dups").isNotNull(), F.lit("dup_of_corpus")
+                )
+                .otherwise(F.lit("accepted"))
+                .alias("status"),
+            )
+        )
 
     bcand = (
         nb.alias("a")

@@ -266,3 +266,19 @@ def test_curate_dedups_against_signature_corpus(spark, tmp_path):
     # without the flag the stat mirrors the decontam count
     base = curate_corpus(spark, src, str(tmp_path / "out2"))
     assert base["n_after_corpus_dedup"] == base["n_after_decontam"] == 2
+
+
+def test_curate_rejects_nonexistent_corpus_root(spark, tmp_path):
+    """A typo'd --dedup-against-corpus path must fail loudly, never
+    silently skip the gate and report success."""
+    import pytest as _pytest
+
+    src = str(tmp_path / "raw")
+    _corpus(spark).write.parquet(src)
+    with _pytest.raises(ValueError, match="does not exist"):
+        curate_corpus(
+            spark,
+            src,
+            str(tmp_path / "out"),
+            corpus_sig_root=str(tmp_path / "no-such-root"),
+        )
