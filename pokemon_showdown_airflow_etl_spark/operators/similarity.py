@@ -475,6 +475,89 @@ def centroid_outliers(
     )
 
 
+def mmr_rerank(
+    emb: DataFrame,
+    query_id: int = 0,
+    n_candidates: int = 20,
+    n_select: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick ``n_select`` of the top ``n_candidates``
+    cosine hits, each step maximizing ``lam * relevance - (1 - lam) *
+    max-similarity-to-already-selected`` — the diversity-aware final
+    stage of a standard retriever (two near-identical top hits waste a
+    context slot; MMR keeps the second-best DIFFERENT hit instead).
+
+    Scale shape: candidate generation is the distributed exact top-k
+    (brute_force_topk — at corpus scale the ANN paths swap in); the
+    greedy selection then runs on the BOUNDED candidate list inside one
+    Arrow-batched applyInPandas group (n_candidates rows and an
+    n_candidates^2 sim matrix — never the corpus; the sequential
+    argmax is inherently iterative, so it belongs in the sanctioned
+    vectorized-Python escape hatch, not in n_select chained shuffles).
+
+    Determinism: relevance and pairwise sims round to 6dp BEFORE the
+    greedy, scores quantize to integer micro-units half-away-from-zero
+    (matching SQL round), ties break on id — so the pick sequence is
+    bit-stable against the DuckDB oracle's unrolled-step formulation.
+
+    Returns (vec_id, pick, mmr_micro) ordered by pick (1-based).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cands = brute_force_topk(
+        emb, emb.filter(F.col(id_col) == query_id), k=n_candidates,
+        id_col=id_col, vec_col=vec_col,
+    )
+    with_vecs = cands.join(
+        emb.select(
+            F.col(id_col).alias("nn_id"), as_double(F.col(vec_col)).alias("_v")
+        ),
+        "nn_id",
+    ).select("query_id", "nn_id", "cos_sim", "_v")
+
+    one_minus = 1 - lam
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["nn_id"].to_numpy()
+        rel = pdf["cos_sim"].to_numpy(dtype="float64")  # rounded 6dp
+        V = np.stack(pdf["_v"].map(np.asarray).to_list()).astype("float64")
+        nrm = np.sqrt((V * V).sum(axis=1))
+        sims = np.round((V @ V.T) / np.outer(nrm, nrm), 6)
+
+        def micro(x: float) -> int:
+            return int(np.floor(abs(x) * 1_000_000.0 + 0.5)) * (
+                -1 if x < 0 else 1
+            )
+
+        selected: list[int] = []
+        out = []
+        remaining = list(range(len(ids)))
+        for pick in range(1, min(n_select, len(ids)) + 1):
+            best = None
+            for i in remaining:
+                pen = max((sims[i][j] for j in selected), default=0.0)
+                score = micro(lam * rel[i] - one_minus * pen)
+                key = (-score, ids[i])
+                if best is None or key < best[0]:
+                    best = (key, i, score)
+            _, bi, bscore = best
+            selected.append(bi)
+            remaining.remove(bi)
+            out.append((int(ids[bi]), pick, bscore))
+        return pd.DataFrame(out, columns=["vec_id", "pick", "mmr_micro"])
+
+    return (
+        with_vecs.groupBy("query_id")
+        .applyInPandas(greedy, "vec_id long, pick int, mmr_micro long")
+        .orderBy("pick")
+    )
+
+
 def int8_quantize(
     emb: DataFrame,
     id_col: str = "vec_id",

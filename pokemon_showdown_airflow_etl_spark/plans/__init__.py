@@ -25,8 +25,8 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # changed after its latest driver row (= CHANGED_SINCE_LAST_ROW), then
 # (2) the entries with the OLDEST standing rows, oldest first — for r5
 # that is u3/u4 (r1-only, the catalog's stalest pair) plus the full
-# 34-name stale-r2 block, then 3 r3 rotations (q8/q9/g11 — q21 gave
-# its slot to the new t19) to fill slot 50. All 37
+# 34-name stale-r2 block, then 2 r3 rotations (q8/q9 — q21 and g11
+# gave their slots to the new t19/s10) to fill slot 50. All 37
 # names r4 re-greened were cleared from the changed-list at r5 start
 # (keeping them would have burned 37 of 50 slots re-checking unchanged
 # code). The local oracle-parity gate still sweeps all entries each
@@ -42,6 +42,7 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
     "d9_incremental_dedup",  # r5 NEW: batch-vs-corpus signature-lake dedup
     "t18_scrub",  # r5 NEW: C4-style PII scrub + URL canonicalization
     "t19_hybrid_rrf",  # r5 NEW: BM25 + cosine reciprocal-rank fusion
+    "s10_mmr_rerank",  # r5 NEW: MMR diversity re-ranking of candidates
     "s6_embedding_outliers",  # r5: exact=True twin of the new approx default
     "t5_corpus_stats",  # r5: rewritten onto operators/text.py::corpus_stats
     "x2_salted_join",  # r5: per-row deviations quantized to 1e-4 bigints
@@ -57,6 +58,7 @@ _PRIORITY: list[str] = [
     "d9_incremental_dedup",
     "t18_scrub",
     "t19_hybrid_rrf",
+    "s10_mmr_rerank",
     "s6_embedding_outliers",
     "t5_corpus_stats",
     "x2_salted_join",
@@ -107,7 +109,6 @@ _PRIORITY: list[str] = [
     # -- (3) r3 rotations filling to slot 50, heaviest plans first --
     "q8_market_share",
     "q9_product_profit",
-    "g11_lifecycle_cube",
     # ---- slot 50 boundary ----
 ]
 

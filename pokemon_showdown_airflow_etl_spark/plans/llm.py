@@ -1744,6 +1744,95 @@ HY_N = 20  # candidates per retriever leg
 HY_K = 60  # the standard RRF constant (Cormack/Clarke/Buettcher 2009)
 HY_OUT = 10
 
+MMR_LAMBDA = 0.7
+MMR_SELECT = 5
+
+
+def _mmr_sql(qid: int = 0, n_cand: int = HY_N, n_sel: int = MMR_SELECT,
+             lam: float = MMR_LAMBDA) -> str:
+    """DuckDB replica of operators.similarity.mmr_rerank: the greedy
+    argmax unrolled into ``n_sel`` chained CTEs (the selection count is
+    a fixed constant, so no recursion is needed); repr() round-trips
+    the lambda doubles exactly, so both engines score with the
+    identical literals."""
+    lam_r, one_minus = repr(lam), repr(1 - lam)
+    parts = [f"""e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), qv AS (
+        SELECT v FROM e WHERE vec_id = {qid}
+    ), scored AS (
+        SELECT c.vec_id,
+               list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cs
+        FROM e c CROSS JOIN qv q WHERE c.vec_id != {qid}
+    ), cand AS (
+        SELECT vec_id, ROUND(cs, 6) AS rel
+        FROM scored ORDER BY cs DESC, vec_id LIMIT {n_cand}
+    ), pairs AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb,
+               ROUND(list_dot_product(ea.v, eb.v)
+                     / (sqrt(list_dot_product(ea.v, ea.v))
+                        * sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim
+        FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+    )"""]
+    for i in range(1, n_sel + 1):
+        if i == 1:
+            parts.append(f"""sel1 AS (
+        SELECT vec_id,
+               CAST(round(({lam_r} * rel) * 1000000) AS BIGINT) AS mmr_micro
+        FROM cand ORDER BY mmr_micro DESC, vec_id LIMIT 1
+    )""")
+        else:
+            prev = " UNION ALL ".join(
+                f"SELECT vec_id FROM sel{j}" for j in range(1, i)
+            )
+            parts.append(f"""sel{i} AS (
+        SELECT c.vec_id,
+               CAST(round(({lam_r} * c.rel - {one_minus} * (
+                   SELECT max(p.sim) FROM pairs p
+                   WHERE p.ida = c.vec_id AND p.idb IN ({prev})
+               )) * 1000000) AS BIGINT) AS mmr_micro
+        FROM cand c WHERE c.vec_id NOT IN ({prev})
+        ORDER BY mmr_micro DESC, vec_id LIMIT 1
+    )""")
+    finals = " UNION ALL ".join(
+        f"SELECT vec_id, {i} AS pick, mmr_micro FROM sel{i}"
+        for i in range(1, n_sel + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT vec_id, CAST(pick AS INT) AS pick, mmr_micro"
+        f" FROM ({finals}) ORDER BY pick"
+    )
+
+
+@q(
+    "s10_mmr_rerank",
+    _mmr_sql(),
+    doc="Maximal Marginal Relevance re-ranking (Carbonell/Goldstein "
+    "1998, lambda=0.7): greedily pick 5 of the top-20 cosine hits, each "
+    "step trading relevance against max-similarity-to-selected — the "
+    "diversity stage of a standard retriever (two near-identical top "
+    "hits waste a context slot). Candidates come from the distributed "
+    "exact top-k; the inherently sequential greedy runs on the BOUNDED "
+    "candidate list in one Arrow applyInPandas group (20 rows + a "
+    "20x20 sim matrix, never the corpus). Scores quantize to integer "
+    "micro-units half-away-from-zero on 6dp-rounded sims, ties break "
+    "on id; the oracle unrolls the greedy into chained argmax CTEs.",
+)
+def s10_mmr_rerank(spark, sf_dir):
+    return similarity.mmr_rerank(
+        t(spark, sf_dir, "embeddings"),
+        query_id=0,
+        n_candidates=HY_N,
+        n_select=MMR_SELECT,
+        lam=MMR_LAMBDA,
+    )
+
 
 @q(
     "t19_hybrid_rrf",
