@@ -714,3 +714,108 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --- repeated-span (paragraph-granularity) dedup ----------------------------
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 10,
+    max_occurrences: int = 1,
+    separator: str | None = None,
+) -> DataFrame:
+    """Repeated-span removal — the C4-style sub-document dedup pass
+    (Raffel et al., JMLR 2020 removed any three-sentence span occurring
+    more than once; Penedo et al.'s RefinedWeb drops repeated lines):
+    whole-document MinHash (d3/d7) cannot see a boilerplate paragraph
+    pasted into thousands of otherwise-distinct pages, because the
+    surrounding text keeps pairwise Jaccard low. This operator removes
+    the span itself, everywhere it occurs.
+
+    Unit of dedup: with ``separator`` (a literal string, e.g. "\\n\\n"),
+    units are the split paragraphs, hashed on their normalized text and
+    rejoined with the same separator. Without it — the right mode for
+    corpora whose documents are single-line (this repo's testdata) —
+    units are consecutive ``span_tokens``-token windows of the
+    normalized token stream, rejoined with single spaces. Any unit
+    whose md5 occurs MORE than ``max_occurrences`` times across the
+    whole corpus is dropped from every document (no keeper: doc-level
+    keep-one, d6, runs before this pass in the curate pipeline, so a
+    surviving span pair at this stage is cross-document boilerplate by
+    construction).
+
+    Scale shape: explode units (map) -> blacklist = hash counts above
+    the floor (one map-side-combinable aggregation on the hash) ->
+    anti-join the exploded units against the blacklist (equi-join on
+    the hash; the blacklist is the rare tail, AQE broadcasts it when
+    small) -> reassemble per doc (one aggregation keyed by doc,
+    order restored by span index). No driver participation, nothing
+    O(corpus) in one task.
+
+    Returns (id_col, n_spans, n_dropped, clean_text) — one row per
+    input document, clean_text '' when every span was dropped.
+    """
+    import re
+
+    if separator is not None:
+        units_expr = F.split(F.col(text_col), re.escape(separator))
+        hash_expr = F.md5(normalize_text(F.col("unit")))
+        joiner = separator
+    else:
+        w = span_tokens
+        tk = F.col("tk")
+        n_spans = F.ceil(F.size(tk) / F.lit(float(w))).cast("int")
+        units_expr = F.when(
+            F.size(tk) >= 1,
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(F.slice(tk, i * w + 1, w), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        hash_expr = F.md5(F.col("unit"))
+        joiner = " "
+
+    base = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col))
+        if separator is not None
+        else df.select(
+            F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("tk")
+        )
+    )
+    ex = (
+        base.select("doc", F.posexplode(units_expr).alias("idx", "unit"))
+        .withColumn("h", hash_expr)
+        .transform(pin)  # feeds the blacklist agg, the anti-join AND stats
+    )
+    blacklist = (
+        ex.groupBy("h")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_occurrences)
+        .select("h")
+    )
+    kept = ex.join(blacklist, "h", "left_anti")
+    stats = ex.groupBy("doc").agg(F.count("*").cast("long").alias("n_spans"))
+    agg = kept.groupBy("doc").agg(
+        F.count("*").cast("long").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "unit"))),
+                lambda s: s["unit"],
+            ),
+            joiner,
+        ).alias("clean_text"),
+    )
+    return (
+        stats.join(agg, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_spans",
+            (F.col("n_spans") - F.coalesce("_n_kept", F.lit(0))).cast("long").alias(
+                "n_dropped"
+            ),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

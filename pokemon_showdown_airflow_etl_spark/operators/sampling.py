@@ -80,6 +80,100 @@ def weighted_domain_sample(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    alpha: float = 0.7,
+    budget_num: int = 3,
+    budget_den: int = 5,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Temperature-weighted domain mixture — the standard LLM
+    data-mixing operator (multilingual sampling with p_d proportional
+    to n_d^alpha, per Conneau & Lample's XLM and the mT5/CC-mixture
+    recipes): sample each domain proportionally to count^alpha, so
+    alpha=1 reproduces natural proportions, alpha->0 approaches
+    uniform-over-domains, and the usual 0.5-0.7 range upweights small
+    curated sources without flattening the mixture. Generalizes the
+    static-weight t13 (weights given) and the hard-cap t15 (ceiling
+    given): here the weights COME FROM the corpus counts.
+
+    Determinism/exactness contract (everything integer once per-domain
+    weights are formed, so the mixture is bit-reproducible on any
+    engine): per-domain weight = round(n_d^alpha * 1e6) micro-units;
+    the total budget = floor(N * budget_num / budget_den) documents
+    (integer corpus fraction, default 60%); each domain's target =
+    floor(micro_d * budget / sum(micro)) capped at n_d (floor
+    undershoots the budget by < n_domains docs — the price of
+    exactness; largest-remainder topping is a driver-free follow-up a
+    deployment can add). Selection within a domain is hash-ranked
+    (md5(id), ties by id — t12's machinery), so the kept set is stable
+    across runs/engines and monotone under budget growth. 64-bit note:
+    micro_d * budget must stay under 2^63 — rescale the 1e6 micro-unit
+    if a deployment's counts approach that.
+
+    Scale shape: one count aggregation (map-side combinable) builds the
+    constant-size per-domain weight table, joined back on the domain
+    key (broadcast — one row per domain); selection is the t15
+    two-phase sharded top-k, so no single task ever sorts a whole
+    domain: rank within (domain, 256-way hash shard), keep shard ranks
+    <= target (a superset), exact re-rank of the survivors only.
+
+    Returns kept rows: (id_col, domain_col, sel_rank, n_domain,
+    mix_target).
+    """
+    from pyspark.sql.window import Window
+
+    cnt = df.groupBy(domain_col).agg(F.count("*").cast("long").alias("n_domain"))
+    mic = cnt.withColumn(
+        "micro",
+        F.round(F.pow(F.col("n_domain"), F.lit(alpha)) * 1_000_000).cast("long"),
+    )
+    tot = mic.agg(
+        F.sum("micro").cast("long").alias("tot"),
+        F.sum("n_domain").cast("long").alias("n_total"),
+    )
+    # integer `div` end to end — long/long `/` is DOUBLE division in
+    # Spark, and doubles lose exactness past 2^53 where the engines
+    # could truncate differently
+    targets = (
+        mic.join(F.broadcast(tot))
+        .select(
+            F.col(domain_col),
+            F.col("n_domain"),
+            F.least(
+                F.col("n_domain"),
+                F.expr(
+                    f"(micro * ((n_total * {budget_num}) div {budget_den}))"
+                    " div tot"
+                ).cast("long"),
+            ).alias("mix_target"),
+        )
+    )
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % n_shards
+    w_shard = Window.partitionBy(domain_col, "_shard").orderBy("_h", id_col)
+    w_dom = Window.partitionBy(domain_col).orderBy("_h", id_col)
+    return (
+        df.select(id_col, domain_col)
+        .join(F.broadcast(targets), domain_col)
+        .withColumn("_h", h)
+        .withColumn("_shard", shard)
+        .withColumn("_sr", F.row_number().over(w_shard))
+        .filter(F.col("_sr") <= F.col("mix_target"))
+        .withColumn("_dr", F.row_number().over(w_dom))
+        .filter(F.col("_dr") <= F.col("mix_target"))
+        .select(
+            id_col,
+            domain_col,
+            F.col("_dr").cast("int").alias("sel_rank"),
+            "n_domain",
+            "mix_target",
+        )
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     id_col: str,

@@ -558,6 +558,173 @@ def mmr_rerank(
     )
 
 
+def assign_cells(
+    emb: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its ``n_probe`` nearest coarse-quantizer
+    cells by cosine (ties to the lowest cell_id — exactly ``ivf_topk``'s
+    ranking, so a persisted assignment and an in-query assignment can
+    never disagree). ``centroids`` is the constant-size (cell_id,
+    centroid) table; it is broadcast, so the pass is a pure map over the
+    corpus — the shape that lets cell assignment be computed ONCE at
+    ingest and persisted (the embedding-index lake) instead of per query.
+
+    Returns (vec_id, v, cell_id, cell_rank) with v as double array.
+    """
+    v = emb.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    cents = centroids.select(
+        "cell_id", as_double(F.col("centroid")).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "cell_sim", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("vec_id", "v", "cell_id", "cell_rank")
+    )
+
+
+def embed_admit_batch(
+    new_emb: DataFrame,
+    corpus_members: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SEMANTIC admission: admit a new embedding batch
+    against a persisted cell-assigned corpus index — the embedding twin
+    of ``dedup.dedup_against_corpus`` (d9), closing the asymmetry where
+    lexical identity had an incremental path but embedding identity
+    dedupe'd whole-corpus only.
+
+    Inputs: ``new_emb`` = the incoming batch (id, vector);
+    ``corpus_members`` = the INDEX — (vec_id, v|embedding, cell_id)
+    rows already assigned to their rank-1 cell (in production this is
+    the assignments table of the embedding-index lake, so the corpus is
+    never re-embedded, re-assigned, or re-scanned beyond the probed
+    cells); ``centroids`` = the quantizer the index was built with.
+
+    Plan shape at scale: batch vectors assign to their ``n_probe``
+    nearest cells (broadcast centroid table, pure map); the probe rows
+    and the probed cells' members meet in ONE shuffle keyed by cell_id,
+    and each cell scores batch-vs-member and batch-vs-batch blocks as
+    BLAS GEMMs inside applyInPandas (the s4/s5 kernel) — candidate
+    pairs never materialize as join rows carrying two vector arrays.
+    The kernel pre-filters at threshold - 1e-6 and emits raw sims; the
+    exact round(., 6) >= threshold decision stays in Spark expressions
+    (same boundary semantics as the expression path and the oracle).
+
+    Decision per new vector (mirrors d9): 'dup_of_corpus' if any probed
+    corpus member has round(cos, 6) >= threshold (corpus always wins),
+    else 'dup_in_batch' if it loses pairwise min-id-wins against a
+    batch partner sharing a probed cell, else 'accepted'. Approximation
+    contract: like every IVF path, a dup hiding in an unprobed cell is
+    missed — recall is the n_probe dial, and the decision is exactly
+    reproducible from the (deterministic) quantizer, which is what the
+    s11 oracle pins cross-engine.
+
+    Returns (vec, n_corpus_dups, first_corpus_dup, status).
+    """
+    import numpy as np
+    import pandas as pd
+    from ..pinning import pin
+
+    probes = assign_cells(new_emb, centroids, n_probe, id_col, vec_col).select(
+        "vec_id", "v", "cell_id"
+    ).withColumn("is_member", F.lit(False)).transform(pin)
+    members = corpus_members.select(
+        F.col("vec_id"),
+        as_double(F.col("v") if "v" in corpus_members.columns else F.col(vec_col)).alias("v"),
+        "cell_id",
+    ).withColumn("is_member", F.lit(True))
+    slack = threshold - 1e-6
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["is_member"].to_numpy()
+        if (~m).sum() == 0:
+            return pd.DataFrame(columns=["kind", "a", "b", "raw"])
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        ids = pdf["vec_id"].to_numpy()
+        out: list[tuple[str, int, int, float]] = []
+        n_unit, n_ids = unit[~m], ids[~m]
+        if m.any():
+            sims = n_unit @ unit[m].T
+            c_ids = ids[m]
+            qi, mi = np.nonzero(sims >= slack)
+            out.extend(
+                ("bc", int(n_ids[q]), int(c_ids[c]), float(sims[q, c]))
+                for q, c in zip(qi, mi)
+            )
+        if len(n_ids) >= 2:
+            order = np.argsort(n_ids, kind="stable")
+            b_ids, b_unit = n_ids[order], n_unit[order]
+            s2 = b_unit @ b_unit.T
+            iu = np.triu_indices(len(b_ids), k=1)  # ids sorted: a < b
+            keep = s2[iu] >= slack
+            out.extend(
+                ("bb", int(b_ids[i]), int(b_ids[j]), float(s2[i, j]))
+                for i, j in zip(iu[0][keep], iu[1][keep])
+            )
+        return pd.DataFrame(out, columns=["kind", "a", "b", "raw"])
+
+    pairs = (
+        members.unionByName(probes)
+        .groupBy("cell_id")
+        .applyInPandas(score_cell, "kind string, a long, b long, raw double")
+    )
+    # a bb pair sharing BOTH probed cells is emitted twice with the
+    # identical float — distinct collapses it; bc pairs are unique by
+    # construction (a member lives in exactly one cell)
+    verified = (
+        pairs.select("kind", "a", "b", F.round("raw", 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+        .transform(pin)
+    )
+    cd = (
+        verified.filter(F.col("kind") == "bc")
+        .groupBy("a")
+        .agg(
+            F.count("*").cast("long").alias("n_corpus_dups"),
+            F.min("b").cast("long").alias("first_corpus_dup"),
+        )
+        .withColumnRenamed("a", "vec")
+    )
+    losers = (
+        verified.filter(F.col("kind") == "bb")
+        .select(F.col("b").alias("vec"))
+        .distinct()
+        .withColumn("_bb", F.lit(True))
+    )
+    new_ids = new_emb.select(F.col(id_col).cast("long").alias("vec"))
+    return (
+        new_ids.join(cd, "vec", "left")
+        .join(losers, "vec", "left")
+        .select(
+            "vec",
+            F.coalesce("n_corpus_dups", F.lit(0)).cast("long").alias("n_corpus_dups"),
+            "first_corpus_dup",
+            F.when(F.col("n_corpus_dups").isNotNull(), "dup_of_corpus")
+            .when(F.col("_bb"), "dup_in_batch")
+            .otherwise("accepted")
+            .alias("status"),
+        )
+    )
+
+
 def int8_quantize(
     emb: DataFrame,
     id_col: str = "vec_id",

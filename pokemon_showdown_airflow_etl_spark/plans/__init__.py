@@ -20,15 +20,15 @@ from __future__ import annotations
 from .base import Query
 from . import relational, joins, llm, battlelog, extras, tpch
 
-# Front of the driver's 50-query window, round 5. Rotation rule
+# Front of the driver's 50-query window, round 6. Rotation rule
 # (VERDICT r3, made standing by r4 item 1): (1) every entry whose code
 # changed after its latest driver row (= CHANGED_SINCE_LAST_ROW), then
-# (2) the entries with the OLDEST standing rows, oldest first — for r5
-# that is u3/u4 (r1-only, the catalog's stalest pair) plus the full
-# 34-name stale-r2 block, then 2 r3 rotations (q8/q9 — q21 and g11
-# gave their slots to the new t19/s10) to fill slot 50. All 37
-# names r4 re-greened were cleared from the changed-list at r5 start
-# (keeping them would have burned 37 of 50 slots re-checking unchanged
+# (2) the entries with the OLDEST standing rows, oldest first. After
+# CORRECTNESS_r05 (50/50 green) the cumulative freshness is 50 r5-latest,
+# 43 r4-latest, 37 r3-latest — so the r6 window is: the round-6 changed
+# entries, then the full 37-name r3 block, then the oldest r4 rows to
+# fill slot 50. All 12 names r5 greened were cleared from the
+# changed-list (keeping them would burn slots re-checking unchanged
 # code). The local oracle-parity gate still sweeps all entries each
 # run, and tests/test_driver_window.py asserts no entry can miss both
 # a past row and this window.
@@ -39,76 +39,66 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # changed query can no longer coast on a stale green row (the t8/g16/s6
 # gap VERDICT r3 flagged).
 CHANGED_SINCE_LAST_ROW: list[str] = [
-    "d9_incremental_dedup",  # r5 NEW: batch-vs-corpus signature-lake dedup
-    "t18_scrub",  # r5 NEW: C4-style PII scrub + URL canonicalization
-    "t19_hybrid_rrf",  # r5 NEW: BM25 + cosine reciprocal-rank fusion
-    "s10_mmr_rerank",  # r5 NEW: MMR diversity re-ranking of candidates
-    "s6_embedding_outliers",  # r5: exact=True twin of the new approx default
-    "t5_corpus_stats",  # r5: rewritten onto operators/text.py::corpus_stats
-    "x2_salted_join",  # r5: per-row deviations quantized to 1e-4 bigints
-    "b5_first_log_timestamp",  # r5: lake first_log_ts skips malformed stamps
-    "a3_mg_cms_heavy_hitters",  # r5: string-key guard in the approx path
-    "d3_minhash_lsh_candidates",  # r5: band construction -> shared band_keys()
-    "d7_lsh_verified_dups",  # r5: same band_keys() refactor (via d3's path)
-    "d8_dup_clusters",  # r5: same band_keys() refactor (via d7's path)
+    "s11_embed_admit_batch",  # r6 NEW: incremental semantic admission vs index
+    "t20_paragraph_dedup",  # r6 NEW: C4-style repeated-paragraph removal
+    "t21_domain_mixture",  # r6 NEW: temperature-weighted domain mixture
 ]
 
 _PRIORITY: list[str] = [
     # -- (1) every entry in CHANGED_SINCE_LAST_ROW, new first --
-    "d9_incremental_dedup",
-    "t18_scrub",
-    "t19_hybrid_rrf",
-    "s10_mmr_rerank",
-    "s6_embedding_outliers",
-    "t5_corpus_stats",
-    "x2_salted_join",
-    "b5_first_log_timestamp",
-    "a3_mg_cms_heavy_hitters",
-    "d3_minhash_lsh_candidates",
-    "d7_lsh_verified_dups",
-    "d8_dup_clusters",
-    # -- (2) the two r1-only entries, three rounds overdue --
-    "u3_intersect",
-    "u4_except",
-    # -- (2b) the whole stale-r2 block (t5 already above), so after r5
-    # no catalog entry's latest row predates round 3 --
-    "c9_filename_to_id",
-    "c11_mtime_fallback",
-    "d6_drop_exact_dups",
-    "g8_retry_counters",
-    "g12_event_pivot",
-    "g13_event_unpivot",
-    "g14_value_histogram",
-    "g15_retention_cohorts",
-    "j9_above_customer_avg",
-    "m1_payload_metadata",
-    "m2_image_decode_features",
-    "m3_frame_sample_plan",
-    "m4_image_resize",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q18_top_customers",
-    "q19_disjunctive_revenue",
-    "q22_global_sales_opportunity",
-    "s2_ann_srp_topk",
-    "s5_gemm_ann_topk",
-    "t2_lang_id",
-    "t3_token_counts",
-    "t4_fingerprint",
-    "t6_token_explode",
-    "t7_quality_score",
-    "t9_decontaminate",
-    "t10_repetition_ratio",
-    "t11_pack_sequences",
-    "w2_keyset_pagination",
-    "w3_sorted_dates",
-    "w5_session_windows",
-    "x1_salted_agg",
-    # -- (3) r3 rotations filling to slot 50, heaviest plans first --
-    "q8_market_share",
-    "q9_product_profit",
+    "s11_embed_admit_batch",
+    "t20_paragraph_dedup",
+    "t21_domain_mixture",
+    # -- (2) the full 37-name r3-latest block, so after r6 no catalog
+    # entry's latest row predates round 4 --
+    "f1_watermark_filter",
+    "f2_undownloaded_filter",
+    "f3_conjunctive_flags",
+    "f4_failed_retry_predicate",
+    "f6_point_lookup",
+    "f7_partition_filter",
+    "g1_high_watermark",
+    "g2_low_watermark",
+    "g3_lifecycle_stats",
+    "g4_duplicate_detection",
+    "g5_ids_by_date",
+    "g6_dedup_keep_one",
+    "g7_daily_counters",
+    "g9_table_count",
+    "g10_throughput_metrics",
+    "g11_lifecycle_cube",
+    "w1_latest_per_key",
+    "w4_head_n",
+    "u1_union_all",
+    "c1_epoch_to_date",
+    "c4_batch_id",
+    "c5_regex_extract",
+    "c6_players_concat",
+    "c7_batch_from_details",
+    "c8_prefix_predicate",
+    "c10_json_extract",
+    "j1_existence_flag",
+    "j2_ingest_anti_join",
+    "t12_hash_split",
+    "t13_domain_mix",
+    "t15_domain_cap",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    # -- (3) oldest-r4 rotations filling to slot 50 --
+    "u2_distinct_union",
+    "c13_bool_coercion",
+    "j3_compaction_anti_join",
+    "j4_reconcile_semi_join",
+    "j5_broadcast_lookup",
+    "j7_membership_flag",
+    "j8_star_join_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
     # ---- slot 50 boundary ----
 ]
 

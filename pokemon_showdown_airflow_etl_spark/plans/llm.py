@@ -1932,6 +1932,237 @@ def t19_hybrid_rrf(spark, sf_dir):
     return fused.orderBy(F.desc("rrf_micro"), "doc_id").limit(HY_OUT)
 
 
+# 0.35 on this synthetic corpus yields a real accepted/dup mix at both
+# driver scale factors (0.3 = s3's pair threshold admits almost
+# nothing; real near-dup corpora sit at 0.9+ and the operator takes
+# the threshold as a param). The dup_in_batch leg needs planted
+# intra-batch dups and is exercised by tests/test_embedding_index.py.
+S11_ADMIT_COS = 0.35
+S11_N_CELLS = 8
+S11_N_PROBE = 2
+
+
+@q(
+    "s11_embed_admit_batch",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), newb AS (
+        SELECT vec_id AS vid, v FROM e WHERE vec_id % 20 = 0
+    ), corp AS (
+        SELECT vec_id AS vid, v FROM e WHERE vec_id % 20 != 0
+    ), cents AS (
+        SELECT vid AS cell_id, v AS cv FROM corp ORDER BY vid LIMIT {S11_N_CELLS}
+    ), c_ranked AS (
+        SELECT vid, v, cell_id,
+               row_number() OVER (PARTITION BY vid ORDER BY cell_sim DESC, cell_id ASC)
+                   AS cell_rank
+        FROM (SELECT corp.vid, corp.v, cents.cell_id,
+                     list_dot_product(corp.v, cents.cv) /
+                         (sqrt(list_dot_product(corp.v, corp.v)) *
+                          sqrt(list_dot_product(cents.cv, cents.cv))) AS cell_sim
+              FROM corp CROSS JOIN cents)
+    ), n_ranked AS (
+        SELECT vid, v, cell_id,
+               row_number() OVER (PARTITION BY vid ORDER BY cell_sim DESC, cell_id ASC)
+                   AS cell_rank
+        FROM (SELECT newb.vid, newb.v, cents.cell_id,
+                     list_dot_product(newb.v, cents.cv) /
+                         (sqrt(list_dot_product(newb.v, newb.v)) *
+                          sqrt(list_dot_product(cents.cv, cents.cv))) AS cell_sim
+              FROM newb CROSS JOIN cents)
+    ), members AS (
+        SELECT vid, v, cell_id FROM c_ranked WHERE cell_rank = 1
+    ), probes AS (
+        SELECT vid, v, cell_id FROM n_ranked WHERE cell_rank <= {S11_N_PROBE}
+    ), bc AS (
+        SELECT p.vid AS vec, m.vid AS corpus_vec
+        FROM probes p JOIN members m USING (cell_id)
+        WHERE ROUND(list_dot_product(p.v, m.v) /
+              (sqrt(list_dot_product(p.v, p.v)) *
+               sqrt(list_dot_product(m.v, m.v))), 6) >= {S11_ADMIT_COS}
+    ), cd AS (
+        SELECT vec, CAST(count(*) AS BIGINT) AS n_corpus_dups,
+               CAST(min(corpus_vec) AS BIGINT) AS first_corpus_dup
+        FROM bc GROUP BY 1
+    ), bb AS (
+        SELECT DISTINCT a.vid AS qa, b.vid AS qb
+        FROM probes a JOIN probes b ON a.cell_id = b.cell_id AND a.vid < b.vid
+        WHERE ROUND(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))), 6) >= {S11_ADMIT_COS}
+    ), losers AS (SELECT DISTINCT qb AS vec FROM bb)
+    SELECT CAST(n.vid AS BIGINT) AS vec,
+           CAST(coalesce(cd.n_corpus_dups, 0) AS BIGINT) AS n_corpus_dups,
+           cd.first_corpus_dup,
+           CASE WHEN cd.vec IS NOT NULL THEN 'dup_of_corpus'
+                WHEN l.vec IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'accepted' END AS status
+    FROM newb n LEFT JOIN cd ON n.vid = cd.vec LEFT JOIN losers l ON n.vid = l.vec
+    """,
+    doc="Incremental SEMANTIC admission (operators/similarity.py::"
+    "embed_admit_batch — d9's pattern applied to embeddings, closing "
+    "r5's last production asymmetry): the vec_id % 20 slice plays the "
+    "daily drop, admitted against the rest's cell-assigned index. "
+    "Batch vectors assign to their 2 nearest of 8 IVF cells (broadcast "
+    "centroid table, pure map — in production the corpus side reads "
+    "the persisted assignments of jobs/embedding_index_lake.py, so "
+    "only the BATCH is ever embedded or assigned at ingest time); "
+    "probe rows meet the probed cells' members in one shuffle keyed "
+    "by cell_id, each cell scoring batch-vs-member and batch-vs-batch "
+    "blocks as BLAS GEMMs in applyInPandas. Corpus identity beats "
+    "within-batch identity; within-batch settles pairwise min-id-wins "
+    "(d9's semantics). The catalog entry pins the deterministic "
+    "first-8-by-id quantizer so the whole approximate decision is "
+    "value-checked cross-engine (s4's treatment); the trained-quantizer "
+    "path is the lake's init job, contract-tested like s7.",
+)
+def s11_embed_admit_batch(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    newb = emb.filter(F.col("vec_id") % 20 == 0)
+    corp = emb.filter(F.col("vec_id") % 20 != 0)
+    cents = (
+        corp.select(
+            F.col("vec_id").alias("cell_id"),
+            similarity.as_double(F.col("embedding")).alias("centroid"),
+        )
+        .orderBy("cell_id")
+        .limit(S11_N_CELLS)
+    )
+    members = similarity.assign_cells(corp, cents, n_probe=1)
+    return similarity.embed_admit_batch(
+        newb, members, cents, threshold=S11_ADMIT_COS, n_probe=S11_N_PROBE
+    )
+
+
+T20_SPAN_TOKENS = 10
+T20_MAX_OCC = 1
+
+
+@q(
+    "t20_paragraph_dedup",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+    ), sp AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, CAST(floor((len(tk) + {T20_SPAN_TOKENS - 1})
+                                       / {T20_SPAN_TOKENS}) AS INT)),
+                   i -> {{'idx': i,
+                          'unit': array_to_string(
+                              tk[(i*{T20_SPAN_TOKENS}+1):(i*{T20_SPAN_TOKENS}+{T20_SPAN_TOKENS})],
+                              ' ')}}) AS spans
+        FROM tk
+    ), ex0 AS (
+        SELECT doc_id, unnest(spans) AS s FROM sp
+    ), ex AS (
+        SELECT doc_id, s.idx AS idx, s.unit AS unit, md5(s.unit) AS h FROM ex0
+    ), bl AS (
+        SELECT h FROM ex GROUP BY h HAVING count(*) > {T20_MAX_OCC}
+    ), kept AS (
+        SELECT ex.* FROM ex LEFT JOIN bl ON ex.h = bl.h WHERE bl.h IS NULL
+    ), stats AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM ex GROUP BY 1
+    ), agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(unit, ' ' ORDER BY idx) AS clean_text
+        FROM kept GROUP BY 1
+    )
+    SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.n_spans,
+           CAST(s.n_spans - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM stats s LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Repeated-span removal (operators/dedup.py::span_dedup) — the "
+    "C4/RefinedWeb sub-document dedup whole-doc MinHash cannot see: any "
+    "10-token span of the normalized token stream whose hash occurs "
+    "more than once ACROSS the corpus is dropped from every document, "
+    "and the survivors reassemble in order. Explode (map) -> blacklist "
+    "aggregation on the span hash (map-side combinable) -> anti-join "
+    "exploded spans against the blacklist (equi-join; AQE broadcasts "
+    "the rare tail) -> per-doc reassembly keyed by doc. The planted "
+    "exact/near-dup documents make the pass non-vacuous here (their "
+    "aligned spans collide); in curate it runs AFTER doc-level "
+    "keep-one, so what it removes is cross-document boilerplate.",
+)
+def t20_paragraph_dedup(spark, sf_dir):
+    return dedup.span_dedup(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        span_tokens=T20_SPAN_TOKENS,
+        max_occurrences=T20_MAX_OCC,
+    )
+
+
+T21_ALPHA = 0.7
+T21_BUDGET_NUM = 3
+T21_BUDGET_DEN = 5
+
+
+@q(
+    "t21_domain_mixture",
+    f"""
+    WITH cnt AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_domain
+        FROM documents GROUP BY 1
+    ), mic AS (
+        SELECT source, n_domain,
+               CAST(round(pow(n_domain, {T21_ALPHA}) * 1000000) AS BIGINT) AS micro
+        FROM cnt
+    ), tot AS (
+        SELECT CAST(sum(micro) AS BIGINT) AS tot,
+               CAST(sum(n_domain) AS BIGINT) AS n_total
+        FROM mic
+    ), tgt AS (
+        SELECT source, n_domain,
+               least(n_domain,
+                     CAST((micro * ((n_total * {T21_BUDGET_NUM}) // {T21_BUDGET_DEN}))
+                          // tot AS BIGINT)) AS mix_target
+        FROM mic CROSS JOIN tot
+    ), ranked AS (
+        SELECT d.doc_id, d.source,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS r
+        FROM documents d
+    )
+    SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.source,
+           CAST(r.r AS INT) AS sel_rank, t.n_domain, t.mix_target
+    FROM ranked r JOIN tgt t USING (source) WHERE r.r <= t.mix_target
+    """,
+    doc="Temperature-weighted domain mixture (operators/sampling.py::"
+    "temperature_mixture, alpha=0.7, 60% corpus budget) — the "
+    "count^alpha mixture-sampling recipe (XLM/mT5): per-domain weights "
+    "COME FROM the corpus counts, generalizing the given-weights t13 "
+    "and the hard-cap t15. Weights quantize to integer micro-units and "
+    "targets use integer div end to end, so the mixture is "
+    "bit-reproducible cross-engine; selection is hash-ranked (md5(id), "
+    "t12's machinery) making the kept set stable across runs and "
+    "monotone under budget growth. Count agg -> broadcast the "
+    "constant-size per-domain target table -> two-phase sharded top-k "
+    "per domain (no single task sorts a whole domain).",
+)
+def t21_domain_mixture(spark, sf_dir):
+    from ..operators.sampling import temperature_mixture
+
+    return temperature_mixture(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "source",
+        alpha=T21_ALPHA,
+        budget_num=T21_BUDGET_NUM,
+        budget_den=T21_BUDGET_DEN,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "sel_rank",
+        "n_domain",
+        "mix_target",
+    )
+
+
 @q(
     "a2_cms_heavy_hitters",
     f"""
