@@ -1,0 +1,195 @@
+"""Repeated-span dedup (operators/dedup.py::span_dedup — catalog t20)
+and temperature-weighted domain mixture (operators/sampling.py::
+temperature_mixture — catalog t21): planted-structure checks plus exact
+Python-model comparisons of both the selection and the reassembly."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pokemon_showdown_airflow_etl_spark.operators.dedup import span_dedup
+from pokemon_showdown_airflow_etl_spark.operators.sampling import (
+    temperature_mixture,
+)
+
+BOILER = "one two three four five six seven eight nine ten"  # exactly 10 tokens
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _collect(df):
+    return {
+        r["doc_id"]: (r["n_spans"], r["n_dropped"], r["clean_text"])
+        for r in df.collect()
+    }
+
+
+def test_span_dedup_drops_repeated_window_everywhere(spark):
+    a_tail = "alpha " * 10
+    b_tail = "bravo " * 10
+    rows = [
+        (0, BOILER + " " + a_tail.strip()),
+        (1, BOILER + " " + b_tail.strip()),
+        (2, "charlie " * 10),  # untouched
+    ]
+    got = _collect(span_dedup(_docs(spark, rows), "doc_id", "text", span_tokens=10))
+    # the shared leading window is dropped from BOTH docs (no keeper),
+    # the distinct tails survive in order
+    assert got[0] == (2, 1, a_tail.strip())
+    assert got[1] == (2, 1, b_tail.strip())
+    assert got[2] == (1, 0, ("charlie " * 10).strip())
+
+
+def test_span_dedup_full_drop_and_threshold(spark):
+    rows = [(0, BOILER), (1, BOILER), (2, BOILER)]
+    got = _collect(span_dedup(_docs(spark, rows), "doc_id", "text", span_tokens=10))
+    assert got == {i: (1, 1, "") for i in range(3)}
+    # raising the floor above the occurrence count keeps everything
+    got3 = _collect(
+        span_dedup(
+            _docs(spark, rows), "doc_id", "text", span_tokens=10, max_occurrences=3
+        )
+    )
+    assert got3 == {i: (1, 0, BOILER) for i in range(3)}
+
+
+def test_span_dedup_separator_mode_normalized_hash(spark):
+    """Paragraph units: split on a literal separator, hash on the
+    NORMALIZED text (case/whitespace variants of the boilerplate
+    collide), rejoin with the same separator preserving the raw
+    survivors."""
+    rows = [
+        (0, "Subscribe To Our\tNewsletter\n\nreal content here"),
+        (1, "subscribe to our newsletter\n\ndifferent real content"),
+        (2, "just original text"),
+    ]
+    got = _collect(
+        span_dedup(_docs(spark, rows), "doc_id", "text", separator="\n\n")
+    )
+    assert got[0] == (2, 1, "real content here")
+    assert got[1] == (2, 1, "different real content")
+    assert got[2] == (1, 0, "just original text")
+
+
+def test_span_dedup_matches_python_model(spark):
+    """Seeded random word docs vs a direct Python model of the whole
+    semantic (chunking, corpus-wide counting, drop, reassembly)."""
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 23))))
+        for i in range(30)
+    ]
+    w, k = 4, 1
+
+    spans = {}  # doc -> [unit]
+    for i, text in rows:
+        tk = text.split(" ")
+        spans[i] = [
+            " ".join(tk[j : j + w]) for j in range(0, len(tk), w)
+        ]
+    from collections import Counter
+
+    counts = Counter(u for us in spans.values() for u in us)
+    want = {}
+    for i, _ in rows:
+        kept = [u for u in spans[i] if counts[u] <= k]
+        want[i] = (len(spans[i]), len(spans[i]) - len(kept), " ".join(kept))
+
+    got = _collect(
+        span_dedup(
+            _docs(spark, rows), "doc_id", "text", span_tokens=w, max_occurrences=k
+        )
+    )
+    assert got == want
+    assert any(v[1] > 0 for v in want.values()), "fixture dropped nothing — vacuous"
+
+
+# ---------------------------------------------------------------------------
+# temperature_mixture
+# ---------------------------------------------------------------------------
+
+
+def _mix_rows(spark, sizes):
+    rows = []
+    i = 0
+    for dom, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, dom))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def _model(sizes, alpha, num, den):
+    micro = {d: round(n**alpha * 1_000_000) for d, n in sizes.items()}
+    tot = sum(micro.values())
+    budget = (sum(sizes.values()) * num) // den
+    return {d: min(sizes[d], (micro[d] * budget) // tot) for d in sizes}
+
+
+def test_mixture_targets_match_integer_model(spark):
+    sizes = {"big": 120, "mid": 40, "small": 8}
+    df = _mix_rows(spark, sizes)
+    got = temperature_mixture(df, "doc_id", "source", alpha=0.7).collect()
+    targets = {r["source"]: r["mix_target"] for r in got}
+    assert targets == {
+        d: t for d, t in _model(sizes, 0.7, 3, 5).items() if t > 0
+    }
+    per_dom = {d: sum(1 for r in got if r["source"] == d) for d in targets}
+    assert per_dom == targets  # exactly target rows kept per domain
+    # temperature boosts the small domain beyond its natural share
+    nat = _model(sizes, 1.0, 3, 5)
+    assert targets["small"] > nat["small"]
+
+
+def test_mixture_alpha_one_is_proportional_and_capped(spark):
+    sizes = {"a": 50, "b": 10, "c": 2}
+    targets = {
+        r["source"]: r["mix_target"]
+        for r in temperature_mixture(
+            _mix_rows(spark, sizes), "doc_id", "source", alpha=1.0
+        ).collect()
+    }
+    model = _model(sizes, 1.0, 3, 5)
+    assert targets == {d: t for d, t in model.items() if t > 0}
+    assert all(targets[d] <= sizes[d] for d in targets)
+    # tiny-domain cap bites at alpha -> 0 (uniform targets exceed n_c)
+    t0 = {
+        r["source"]: r["mix_target"]
+        for r in temperature_mixture(
+            _mix_rows(spark, sizes), "doc_id", "source", alpha=0.0
+        ).collect()
+    }
+    assert t0["c"] == 2  # capped at the domain size
+
+
+def test_mixture_selection_is_hash_ranked_and_monotone(spark):
+    sizes = {"a": 30, "b": 12}
+    df = _mix_rows(spark, sizes)
+
+    def kept(num, den):
+        return {
+            r["doc_id"]
+            for r in temperature_mixture(
+                df, "doc_id", "source", alpha=0.7, budget_num=num, budget_den=den
+            ).collect()
+        }
+
+    # exact selection model: per domain, ids ordered by (md5(str(id)), id)
+    rows = df.collect()
+    by_dom: dict[str, list[int]] = {}
+    for r in rows:
+        by_dom.setdefault(r["source"], []).append(r["doc_id"])
+    targets = _model(sizes, 0.7, 3, 5)
+    want = set()
+    for d, ids in by_dom.items():
+        order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        want.update(order[: targets[d]])
+    assert kept(3, 5) == want
+    # monotone: a bigger budget only ADDS documents
+    assert kept(2, 5) <= kept(3, 5) <= kept(4, 5)
