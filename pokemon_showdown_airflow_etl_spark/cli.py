@@ -88,6 +88,14 @@ def build_parser() -> argparse.ArgumentParser:
         "corpus's registered survivors (read-only d9 decision; do not "
         "run concurrently with compact-signatures)",
     )
+    cur.add_argument(
+        "--span-dedup-tokens",
+        type=int,
+        default=None,
+        metavar="W",
+        help="drop repeated W-token spans across the corpus (t20 "
+        "C4-style boilerplate removal; off when omitted)",
+    )
 
     ing = sub.add_parser(
         "ingest-docs",
@@ -201,6 +209,7 @@ def main(argv: list[str] | None = None) -> int:
             eval_path=args.decontaminate_against,
             scrub=not args.no_scrub,
             corpus_sig_root=args.dedup_against_corpus,
+            span_dedup_tokens=args.span_dedup_tokens,
         )
         print(json.dumps(result, sort_keys=True))
         return 0

@@ -3,9 +3,11 @@ over raw documents before pretraining, composing the cataloged §2.11
 operators into one pipeline:
 
     read -> exact dedup (d6) -> near-dup clustering (d8, keep one per
-    cluster) -> optional decontamination (t9) -> optional scrub (t18:
-    PII redaction + URL canonicalization) -> quality filter (t7) ->
-    deterministic split (t12) -> partitioned write + packing stats (t11)
+    cluster) -> optional decontamination (t9) -> optional repeated-span
+    removal (t20: the C4-style boilerplate pass) -> optional scrub
+    (t18: PII redaction + URL canonicalization) -> quality filter (t7)
+    -> deterministic split (t12) -> partitioned write + packing stats
+    (t11)
 
 Plan economics: each stage's survivor frame is pinned (lazy
 localCheckpoint) so the per-stage audit counts and the next stage reuse
@@ -40,6 +42,8 @@ def curate_corpus(
     decontam_ngram: int = 4,
     scrub: bool = True,
     corpus_sig_root: str | None = None,
+    span_dedup_tokens: int | None = None,
+    span_max_occurrences: int = 1,
 ) -> dict:
     """Run the curation pipeline and write the curated corpus
     partitioned by split. Deterministic: same input -> same survivors,
@@ -139,6 +143,35 @@ def curate_corpus(
             near = near.join(corpus_dups, "doc_id", "left_anti").transform(pin)
             n_after_corpus = near.count()
 
+    # 2b3. repeated-span removal (optional, t20): drop every
+    #      span_dedup_tokens-token window whose hash occurs more than
+    #      span_max_occurrences times across the surviving corpus —
+    #      AFTER doc-level keep-one (so what it removes is
+    #      cross-document boilerplate, not the dup copies d6/d8
+    #      already settled) and BEFORE quality (the scorer should
+    #      judge the de-boilerplated text). The per-doc drop count
+    #      rides along and folds into the single stats action below.
+    if span_dedup_tokens is not None:
+        from ..operators.dedup import span_dedup
+
+        cleaned = span_dedup(
+            near,
+            "doc_id",
+            "text",
+            span_tokens=span_dedup_tokens,
+            max_occurrences=span_max_occurrences,
+        )
+        near = near.drop("text").join(
+            cleaned.select(
+                "doc_id",
+                F.col("n_dropped").alias("_span_dropped"),
+                F.col("clean_text").alias("text"),
+            ),
+            "doc_id",
+        )
+    else:
+        near = near.withColumn("_span_dropped", F.lit(0).cast("long"))
+
     # 2c. scrub (optional, t18): PII-shaped redaction + URL
     #     canonicalization as pure regexp map passes on the dedup
     #     survivors — AFTER dedup (identity is decided on raw content;
@@ -162,11 +195,14 @@ def curate_corpus(
     row = staged.agg(
         F.sum(F.col("was_redacted").cast("long")).alias("n_red"),
         F.sum((F.col("quality") >= min_quality).cast("long")).alias("n_q"),
+        F.sum("_span_dropped").alias("n_sp"),
     ).first()
     n_redacted = int(row["n_red"] or 0) if scrub else 0
     n_after_quality = int(row["n_q"] or 0)
+    n_paragraphs_dropped = int(row["n_sp"] or 0)
     curated = staged.filter(F.col("quality") >= min_quality).drop(
-        "n_emails", "n_urls_canonicalized", "n_phones", "was_redacted"
+        "n_emails", "n_urls_canonicalized", "n_phones", "was_redacted",
+        "_span_dropped",
     )
 
     # 4. deterministic split assignment (pure map — no shuffle)
@@ -180,6 +216,7 @@ def curate_corpus(
         "n_after_near_dedup": n_after_near,
         "n_after_decontam": n_after_decontam,
         "n_after_corpus_dedup": n_after_corpus,
+        "n_paragraphs_dropped": n_paragraphs_dropped,
         "n_redacted": n_redacted,
         "n_after_quality": n_after_quality,
         "n_written": 0,

@@ -282,3 +282,58 @@ def test_curate_rejects_nonexistent_corpus_root(spark, tmp_path):
             str(tmp_path / "out"),
             corpus_sig_root=str(tmp_path / "no-such-root"),
         )
+
+
+def test_curate_span_dedup_stage_strips_boilerplate(spark, tmp_path):
+    """The optional t20 stage: a 10-token boilerplate window pasted
+    into several otherwise-distinct docs is stripped from ALL of them
+    (whole-doc dedup keeps every host doc — their tails differ), the
+    drop count lands in n_paragraphs_dropped, and the written text is
+    the reassembled clean_text."""
+    boiler = " ".join(f"bp{i}" for i in range(10))
+    rows = [
+        (
+            100 + i,
+            boiler + " " + " ".join(f"d{i}w{j} the a of to in" for j in range(8)),
+            "en",
+            "srcS",
+        )
+        for i in range(3)
+    ] + [
+        (
+            200 + i,
+            " ".join(f"u{i}w{j} the a of to in" for j in range(8)),
+            "en",
+            "srcU",
+        )
+        for i in range(5)
+    ]
+    src = str(tmp_path / "raw")
+    out = str(tmp_path / "curated")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("long")).write.parquet(src)
+
+    stats = curate_corpus(spark, src, out, span_dedup_tokens=10)
+    # every host doc survives dedup (distinct tails) but loses exactly
+    # its boilerplate window
+    assert stats["n_after_near_dedup"] == 8
+    assert stats["n_paragraphs_dropped"] == 3
+    written = spark.read.parquet(out)
+    texts = {
+        r["doc_id"]: r["text"] for r in written.select("doc_id", "text").collect()
+    }
+    for i in range(3):
+        assert 100 + i in texts
+        assert "bp0" not in texts[100 + i]
+        assert f"d{i}w0" in texts[100 + i]
+
+    # stage off: boilerplate survives, stat reports zero
+    out2 = str(tmp_path / "curated2")
+    stats2 = curate_corpus(spark, src, out2)
+    assert stats2["n_paragraphs_dropped"] == 0
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(out2).select("doc_id", "text").collect()
+    }
+    assert "bp0" in kept[100]
