@@ -57,6 +57,19 @@ def _run(name: str) -> None:
 
 def main() -> None:
     global _SPARK
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--repeat",
+        type=int,
+        default=3,
+        help="timed passes per query; the artifact records min-of-N "
+        "(this host swings +-30%% with co-tenants, so a regression "
+        "signal should be confirmed with a higher N instead of "
+        "hand-rerunning — VERDICT r5 item 8)",
+    )
+    args = ap.parse_args()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     spark = _SPARK = get_spark(
         app_name="bench",
@@ -104,12 +117,12 @@ def main() -> None:
     for name in HEADLINE:
         _run(name)
 
-    # Best-of-3 timed passes: single-shot numbers carry scheduler/GC
-    # noise at this scale (measured swings of 2-3x on window-heavy
-    # queries when a previous query's garbage is still being collected),
-    # which is the same order as real plan changes.
+    # Best-of-N timed passes (default 3): single-shot numbers carry
+    # scheduler/GC noise at this scale (measured swings of 2-3x on
+    # window-heavy queries when a previous query's garbage is still
+    # being collected), which is the same order as real plan changes.
     times: dict[str, float] = {}
-    for _ in range(3):
+    for _ in range(args.repeat):
         for name in HEADLINE:
             t0 = time.perf_counter()
             _run(name)
@@ -270,6 +283,51 @@ def main() -> None:
         "n_dup_of_corpus": stats_ing["n_dup_of_corpus"],
     }
 
+    # Incremental SEMANTIC admission throughput (s11's production
+    # path): train + seed the embedding index with half the vectors,
+    # then time admitting the other half against it — the embedding
+    # twin of the signature-ingest number above. Index init (train +
+    # seed registration) is reported separately, like the lake builds:
+    # it is the one-time cost, admission is the steady state.
+    from pokemon_showdown_airflow_etl_spark.jobs.embedding_index_lake import (
+        ingest_embedding_batch,
+        init_embedding_index,
+    )
+    from pokemon_showdown_airflow_etl_spark.plans.llm import S11_ADMIT_COS
+
+    emb_tbl = table(spark, SF_DIR, "embeddings")
+    seed_emb = emb_tbl.filter(SF.col("vec_id") % 2 != 0)
+    drop_emb = emb_tbl.filter(SF.col("vec_id") % 2 == 0)
+    n_edrop = drop_emb.count()
+    best = None
+    init_sec = None
+    stats_emb = None
+    for _ in range(3):
+        with tempfile.TemporaryDirectory() as d:
+            t0 = time.perf_counter()
+            init_embedding_index(
+                spark, seed_emb, d + "/idx", n_cells=8, max_iter=5
+            )
+            ingest_embedding_batch(
+                spark, seed_emb, d + "/idx", "seed", threshold=S11_ADMIT_COS,
+            )
+            dt0 = time.perf_counter() - t0
+            init_sec = dt0 if init_sec is None else min(init_sec, dt0)
+            t0 = time.perf_counter()
+            stats_emb = ingest_embedding_batch(
+                spark, drop_emb, d + "/idx", "drop", threshold=S11_ADMIT_COS,
+            )
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+    embed_ingest = {
+        "drop_vecs": n_edrop,
+        "sec": round(best, 3),
+        "vecs_per_sec": round(n_edrop / best, 1),
+        "index_init_sec": round(init_sec, 3),
+        "n_accepted": stats_emb["n_accepted"],
+        "n_dup_of_corpus": stats_emb["n_dup_of_corpus"],
+    }
+
     # Corpus-curation throughput: the full jobs/curate.py pipeline
     # (exact dedup -> near-dup clusters -> quality floor -> split ->
     # partitioned write) over the sf documents table. One number a
@@ -299,6 +357,8 @@ def main() -> None:
         "streaming": streaming,
         "curate": curate,
         "ingest": ingest,
+        "embed_ingest": embed_ingest,
+        "repeat": args.repeat,
         "b_lake_build_sec": lake_build_sec,
         "sig_lake_build_sec": sig_lake_build_sec,
         # the synthetic battle-log corpus the b-queries scan is
@@ -334,6 +394,8 @@ def main() -> None:
         "pipeline_replays_per_sec": pipe["replays_per_sec"],
         "curate_docs_per_sec": curate["docs_per_sec"],
         "ingest_docs_per_sec": ingest["docs_per_sec"],
+        "embed_ingest_vecs_per_sec": embed_ingest["vecs_per_sec"],
+        "repeat": args.repeat,
         "streaming": {
             k: v for k, v in streaming.items() if k.endswith("replays_per_sec")
         },

@@ -549,3 +549,98 @@ def test_compact_crash_before_removals_resumes_without_duplication(
         for r in spark.read.parquet(root + "/signatures").select("doc").collect()
     ]
     assert len(docs) == len(set(docs)), "doc rows duplicated after resume"
+
+
+def test_compaction_steady_state_multi_generation(spark, tmp_path, monkeypatch):
+    """The steady-state production cycle (VERDICT r5 item 6): three
+    generations of ingest -> compact, with a mid-removal crash injected
+    between generations. After every generation the corpus must hold
+    each registered doc's signatures exactly once, admission decisions
+    against the consolidated corpus must stay identical to what the
+    never-compacted corpus would decide, and the retired-ids ledger
+    must keep growing (never forgetting an id that could otherwise be
+    re-armed)."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        _committed_batches,
+        compact_signature_corpus,
+        ingest_signature_batch,
+        retired_batches,
+    )
+
+    root = str(tmp_path / "sig")
+
+    def gen_docs(g, i):
+        return _make(
+            spark,
+            [(g * 100 + i, f"gen {g} item {i} "
+              + " ".join(f"g{g}i{i}w{j}" for j in range(30)))],
+        )
+
+    def probe():
+        """Admission decision for a dup of gen-0 doc 0 + a fresh doc —
+        must be invariant across compactions (read-only: new id each
+        call, the fresh doc's text is unique per call)."""
+        probe.n += 1
+        s = ingest_signature_batch(
+            spark,
+            _make(
+                spark,
+                [
+                    (9000 + probe.n, "gen 0 item 0 "
+                     + " ".join(f"g0i0w{j}" for j in range(30))),
+                    (9500 + probe.n, f"probe fresh {probe.n} "
+                     + " ".join(f"p{probe.n}w{j}" for j in range(30))),
+                ],
+            ),
+            root,
+            f"probe{probe.n}",
+        )
+        assert s["n_dup_of_corpus"] == 1 and s["n_accepted"] == 1
+    probe.n = 0
+
+    def assert_no_duplicate_signatures():
+        sig = spark.read.parquet(root + "/signatures")
+        docs = [r["doc"] for r in sig.select("doc").collect()]
+        assert len(docs) == len(set(docs)), "doc signatures duplicated"
+
+    retired_so_far: set[str] = set()
+    for g in range(3):
+        for i in range(2):
+            ingest_signature_batch(spark, gen_docs(g, i), root, f"g{g}b{i}")
+        if g == 1:
+            # crash this generation's compaction mid-removal ...
+            real_rmtree = shutil.rmtree
+
+            def crash(path, *a, **k):
+                if "/signatures/batch=" in path.replace(os.sep, "/"):
+                    raise OSError("injected generational crash")
+                return real_rmtree(path, *a, **k)
+
+            monkeypatch.setattr(shutil, "rmtree", crash)
+            with _pytest.raises(OSError, match="generational"):
+                compact_signature_corpus(spark, root, min_batches=2)
+            monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+            # ... and let the SAME generation's re-run repair it
+        compact_signature_corpus(spark, root, min_batches=2)
+        assert_no_duplicate_signatures()
+        committed = _committed_batches(root + "/members")
+        assert all(b.startswith("compact-") for b in committed), committed
+        retired_now = set(retired_batches(root))
+        assert retired_so_far <= retired_now, "ledger forgot retired ids"
+        assert retired_now - retired_so_far, "generation retired nothing"
+        retired_so_far = retired_now
+        probe()
+
+    # every generation's docs are still registered exactly once and
+    # the retired ids hold no partitions
+    mems = spark.read.parquet(root + "/members")
+    got = {r["doc"] for r in mems.select("doc").collect()}
+    assert {g * 100 + i for g in range(3) for i in range(2)} <= got
+    for b in retired_so_far:
+        assert not os.path.exists(root + f"/members/batch={b}")
+        assert not os.path.exists(root + f"/signatures/batch={b}")

@@ -170,6 +170,46 @@ def main() -> None:
             "resize_mb_per_sec": round(mb / tr, 1),
         }
 
+    # Signature-corpus compaction probe (VERDICT r5 item 6): the O12
+    # consolidation cost vs corpus size. Each run ingests the (1x | kx)
+    # docs as 4 daily batches and times one compaction. Expected shape:
+    # ~linear in signature rows (read + rewrite of every committed
+    # partition, one wide repartition) — the property that makes a
+    # periodic compaction schedule viable at any corpus size, since
+    # cost tracks the corpus, not the batch count squared.
+    import tempfile
+
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        compact_signature_corpus,
+        ingest_signature_batch,
+    )
+
+    compact_times: dict[int, dict] = {}
+    for scale in (1, k):
+        docs_s = scaled_docs(table(spark, sf_dir, "documents"), scale)
+        with tempfile.TemporaryDirectory() as d:
+            sroot = d + "/sig"
+            for b in range(4):
+                ingest_signature_batch(
+                    spark,
+                    docs_s.filter(F.col("doc_id") % 4 == b),
+                    sroot,
+                    f"day{b}",
+                )
+            t0 = time.perf_counter()
+            st = compact_signature_corpus(spark, sroot, min_batches=2)
+            compact_times[scale] = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "n_signature_rows": st["n_signature_rows"],
+            }
+    out["sig_compaction"] = {
+        "t_1x": compact_times[1]["sec"],
+        f"t_{k}x": compact_times[k]["sec"],
+        "rows_1x": compact_times[1]["n_signature_rows"],
+        f"rows_{k}x": compact_times[k]["n_signature_rows"],
+        "growth": round(compact_times[k]["sec"] / compact_times[1]["sec"], 2),
+    }
+
     print(json.dumps({"sf_dir": sf_dir, "k": k, "probes": out}))
     spark.stop()
 
