@@ -553,3 +553,58 @@ def test_d9_scans_prune_to_consumed_columns(spark, sf_dir):
     schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert schemas
     assert all(not ("mh0" in l and "shingles" in l) for l in schemas), schemas
+
+
+def test_s11_admission_plan_shape(spark, sf_dir):
+    """s11's scale contract: the only nested-loop joins are the
+    BROADCAST centroid assignments (constant-size centroid table by
+    design), candidate scoring runs as the Arrow cell kernel (one
+    FlatMapGroupsInPandas keyed by cell_id — pairs never materialize
+    as join rows), and nothing degenerates to a cartesian or
+    row-at-a-time Python."""
+    import re
+
+    from pokemon_showdown_airflow_etl_spark import pinning
+
+    with pinning.disabled():
+        plan = plan_text(ALL_QUERIES["s11_embed_admit_batch"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" in plan, "cell kernel lost its Arrow form"
+    # every nested-loop is the broadcast centroid cross join: as many
+    # BroadcastExchange details as BroadcastNestedLoopJoin details
+    n_nl = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+    n_bc = len(re.findall(r"\(\d+\) BroadcastExchange", plan))
+    assert n_nl >= 1 and n_bc >= n_nl, (plan.count("BroadcastNestedLoopJoin"), n_bc)
+
+
+def test_t20_blacklist_join_is_anti_and_jvm(q):
+    """t20: the repeated-span blacklist must subtract via LeftAnti (a
+    positive join against the KEPT side would carry the whole corpus
+    through the join twice) and the whole pass stays JVM-side."""
+    plan = q("t20_paragraph_dedup")
+    assert "LeftAnti" in plan, "blacklist subtraction lost its anti form"
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan  # no Python at all here
+
+
+def test_t21_targets_broadcast_and_sharded_selection(q):
+    """t21: the per-domain target table (one row per domain) rides a
+    broadcast to the corpus; selection is the two-phase sharded top-k
+    (a window per (domain, shard) first), never one global window per
+    domain over the whole corpus."""
+    import re
+
+    plan = q("t21_domain_mixture")
+    assert "BroadcastHashJoin" in plan, "targets join lost its broadcast"
+    assert "_shard" in plan, "selection lost its shard phase"
+    assert "Exchange SinglePartition" not in plan
+    # the DETAIL section numbers nodes bottom-up: the first detailed
+    # Window must be the sharded phase (the tree section prints the
+    # outer re-rank first, so index into details, not the tree)
+    detail_windows = [m.start() for m in re.finditer(r"\(\d+\) Window", plan)]
+    assert len(detail_windows) == 2, "expected exactly shard + re-rank windows"
+    assert "_shard" in plan[detail_windows[0] : detail_windows[0] + 500], (
+        "first (inner) window is not the sharded phase"
+    )
