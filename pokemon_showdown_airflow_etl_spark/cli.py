@@ -116,6 +116,43 @@ def build_parser() -> argparse.ArgumentParser:
     csig.add_argument("--sig-root", required=True, help="signature corpus root dir")
     csig.add_argument("--min-batches", type=int, default=8)
 
+    iei = sub.add_parser(
+        "init-embedding-index",
+        help="train the IVF quantizer on a seed corpus and commit it as "
+        "the embedding index's immutable centroids",
+    )
+    iei.add_argument("--input", required=True, help="seed embeddings parquet path")
+    iei.add_argument("--index-root", required=True, help="embedding index root dir")
+    iei.add_argument("--n-cells", type=int, default=8)
+    iei.add_argument("--max-iter", type=int, default=10)
+    iei.add_argument(
+        "--no-train",
+        action="store_true",
+        help="keep deterministic first-N-by-id seed centroids instead of "
+        "running the Lloyd trainer",
+    )
+
+    ivec = sub.add_parser(
+        "ingest-vectors",
+        help="admit a new embedding batch against the persisted index "
+        "(semantic near-dup dedup vs registered survivors, s11) and "
+        "register the accepted vectors' cell assignments",
+    )
+    ivec.add_argument("--input", required=True, help="batch embeddings parquet path")
+    ivec.add_argument("--index-root", required=True, help="embedding index root dir")
+    ivec.add_argument("--batch-id", required=True, help="idempotency key for this drop")
+    ivec.add_argument("--threshold", type=float, required=True)
+    ivec.add_argument("--n-probe", type=int, default=2)
+
+    cemb = sub.add_parser(
+        "compact-embeddings",
+        help="consolidate per-batch assignment partitions of the "
+        "embedding index (same crash-safe protocol as "
+        "compact-signatures)",
+    )
+    cemb.add_argument("--index-root", required=True, help="embedding index root dir")
+    cemb.add_argument("--min-batches", type=int, default=8)
+
     sub.add_parser("deduplicate", help="remove duplicate metadata rows (O12)")
     opt = sub.add_parser("optimize", help="small-file compaction rewrite (O12 vacuum)")
     opt.add_argument("--files-per-partition", type=int, default=1)
@@ -238,6 +275,53 @@ def main(argv: list[str] | None = None) -> int:
             json.dumps(
                 compact_signature_corpus(
                     spark, args.sig_root, min_batches=args.min_batches
+                ),
+                sort_keys=True,
+            )
+        )
+        return 0
+
+    if args.cmd == "init-embedding-index":
+        from .jobs.embedding_index_lake import init_embedding_index
+        from .session import get_spark
+
+        spark = get_spark(app_name="etl-init-embedding-index", master=args.master)
+        result = init_embedding_index(
+            spark,
+            spark.read.parquet(args.input),
+            args.index_root,
+            n_cells=args.n_cells,
+            max_iter=args.max_iter,
+            train=not args.no_train,
+        )
+        print(json.dumps(result, sort_keys=True))
+        return 0
+
+    if args.cmd == "ingest-vectors":
+        from .jobs.embedding_index_lake import ingest_embedding_batch
+        from .session import get_spark
+
+        spark = get_spark(app_name="etl-ingest-vectors", master=args.master)
+        result = ingest_embedding_batch(
+            spark,
+            spark.read.parquet(args.input),
+            args.index_root,
+            args.batch_id,
+            threshold=args.threshold,
+            n_probe=args.n_probe,
+        )
+        print(json.dumps(result, sort_keys=True))
+        return 0
+
+    if args.cmd == "compact-embeddings":
+        from .jobs.embedding_index_lake import compact_embedding_index
+        from .session import get_spark
+
+        spark = get_spark(app_name="etl-compact-embeddings", master=args.master)
+        print(
+            json.dumps(
+                compact_embedding_index(
+                    spark, args.index_root, min_batches=args.min_batches
                 ),
                 sort_keys=True,
             )

@@ -291,7 +291,10 @@ def ingest_signature_batch(
 
 
 def compact_signature_corpus(
-    spark: SparkSession, sig_root: str, min_batches: int = 8
+    spark: SparkSession,
+    sig_root: str,
+    min_batches: int = 8,
+    data_table: str = "signatures",
 ) -> dict:
     """Consolidate many per-batch signature partitions into one — the
     O12 small-file maintenance for the ingest layout. After N daily
@@ -299,6 +302,12 @@ def compact_signature_corpus(
     file-listings and N row-group opens, so periodic consolidation
     keeps the scan cost flat while the PROTOCOL stays identical (the
     consolidated partition is just another committed batch).
+
+    ``data_table`` names the per-batch data directory riding the
+    members/ markers — 'signatures' for the lexical corpus,
+    'assignments' when the embedding-index lake reuses this exact
+    machinery (jobs/embedding_index_lake.py::compact_embedding_index);
+    the marker/manifest/ledger protocol is table-agnostic.
 
     Crash-safe by the same members/ marker rules as ingest, plus
     deterministic resume: the consolidated id is a digest of the ids
@@ -318,7 +327,7 @@ def compact_signature_corpus(
     import os
     import shutil
 
-    sig_dir = os.path.join(sig_root, "signatures")
+    sig_dir = os.path.join(sig_root, data_table)
     mem_dir = os.path.join(sig_root, "members")
 
     def _manifest_path(b: str) -> str:
@@ -351,7 +360,10 @@ def compact_signature_corpus(
         mems_old = spark.read.parquet(
             *[os.path.join(mem_dir, f"batch={b}") for b in old]
         )
-        uncovered = mems_old.join(mems_cid, "doc", "left_anti").count()
+        # the members id column: 'doc' (signature corpus) or 'vec'
+        # (embedding index) — whatever the layout registered
+        member_col = mems_cid.columns[0]
+        uncovered = mems_old.join(mems_cid, member_col, "left_anti").count()
         if uncovered:
             raise RuntimeError(
                 f"refusing to finish compaction: {cid} does not cover "
@@ -364,7 +376,7 @@ def compact_signature_corpus(
         # at least 2 regardless of the floor: consolidating one batch
         # (or none — reading zero parquet paths throws) does nothing
         if len(old) < max(2, min_batches):
-            _sweep_retired(sig_root)
+            _sweep_retired(sig_root, data_table)
             return {
                 "n_batches_consolidated": 0,
                 "n_signature_rows": 0,
@@ -407,7 +419,7 @@ def compact_signature_corpus(
     for b in old:
         shutil.rmtree(os.path.join(mem_dir, f"batch={b}"), ignore_errors=True)
         shutil.rmtree(os.path.join(sig_dir, f"batch={b}"), ignore_errors=True)
-    _sweep_retired(sig_root)
+    _sweep_retired(sig_root, data_table)
     return {
         "n_batches_consolidated": len(old),
         "n_signature_rows": n_sig,
@@ -447,10 +459,10 @@ def _retire(sig_root: str, ids: list[str]) -> None:
     os.replace(tmp, _retired_path(sig_root))
 
 
-def _sweep_retired(sig_root: str) -> None:
+def _sweep_retired(sig_root: str, data_table: str = "signatures") -> None:
     """Finish any interrupted removals: a retired id must hold no
-    members/ or signatures/ partition (a crash between the two rmtrees
-    would otherwise orphan the signatures dir forever — the id is gone
+    members/ or data partition (a crash between the two rmtrees
+    would otherwise orphan the data dir forever — the id is gone
     from the committed set, so the manifest-driven resume can't see
     it)."""
     import os
@@ -461,6 +473,6 @@ def _sweep_retired(sig_root: str) -> None:
             os.path.join(sig_root, "members", f"batch={b}"), ignore_errors=True
         )
         shutil.rmtree(
-            os.path.join(sig_root, "signatures", f"batch={b}"),
+            os.path.join(sig_root, data_table, f"batch={b}"),
             ignore_errors=True,
         )

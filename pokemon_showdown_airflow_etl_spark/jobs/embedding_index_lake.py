@@ -45,7 +45,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .doc_signature_lake import _committed_batches, read_committed
+from .doc_signature_lake import (
+    _committed_batches,
+    compact_signature_corpus,
+    read_committed,
+    retired_batches,
+)
 
 DEFAULT_N_CELLS = 8
 DEFAULT_N_PROBE = 2
@@ -171,6 +176,11 @@ def ingest_embedding_batch(
             f"{n_fresh} undecided vectors — a committed batch is immutable; "
             "submit the amended vectors under a NEW batch_id"
         )
+    if batch_id in retired_batches(index_root):
+        raise ValueError(
+            f"batch_id {batch_id!r} was retired by compaction — its "
+            "admission audit is immutable; use a NEW batch_id"
+        )
 
     fresh = new_emb.join(
         fresh_ids.withColumnRenamed("vec", id_col), id_col
@@ -214,3 +224,18 @@ def ingest_embedding_batch(
         "n_dup_of_corpus": counts.get("dup_of_corpus", 0),
         "n_dup_in_batch": counts.get("dup_in_batch", 0),
     }
+
+
+def compact_embedding_index(
+    spark: SparkSession, index_root: str, min_batches: int = 8
+) -> dict:
+    """Consolidate per-batch assignment partitions — the SAME
+    crash-safe machinery as the signature corpus (commit markers,
+    replaces-manifest resume, retired-ids ledger; see
+    doc_signature_lake.compact_signature_corpus), pointed at the
+    assignments table. Single-writer: do not run concurrently with
+    ingest. The centroids directory is untouched — compaction
+    reorganizes files, never identity."""
+    return compact_signature_corpus(
+        spark, index_root, min_batches=min_batches, data_table="assignments"
+    )

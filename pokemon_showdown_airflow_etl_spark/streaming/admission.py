@@ -62,3 +62,48 @@ def start_document_admission(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_embedding_admission(
+    vecs: DataFrame,
+    index_root: str,
+    checkpoint_dir: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+    available_now: bool = True,
+):
+    """The s11 streaming twin: admit a stream of (id, embedding) rows
+    against the persisted embedding index
+    (jobs/embedding_index_lake.py) — identical exactly-once composition
+    as document admission above (checkpoint replay + members/ commit
+    markers; the index on disk is the state). The index must be
+    initialized (centroids committed) before the stream starts — the
+    first micro-batch fails loudly otherwise, by read_centroids's
+    contract. Batch ids are namespaced by the checkpoint digest for the
+    same two-streams-one-root reason as document admission."""
+    import hashlib
+
+    from ..jobs.embedding_index_lake import ingest_embedding_batch
+
+    ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+
+    def admit(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_embedding_batch(
+            batch_df.sparkSession,
+            batch_df,
+            index_root,
+            batch_id=f"{ns}-epoch-{epoch_id}",
+            threshold=threshold,
+            n_probe=n_probe,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    writer = vecs.writeStream.foreachBatch(admit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

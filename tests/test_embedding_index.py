@@ -303,3 +303,119 @@ def test_trained_init_contract(spark):
         rows = cents.collect()
         assert len(rows) == 4
         assert sum(r["n_members"] for r in rows) == 40
+
+
+def test_compact_embedding_index_preserves_admission(spark, tmp_path):
+    """The shared compaction machinery pointed at assignments/: after
+    consolidation the index must give IDENTICAL admission decisions, no
+    vector's assignment row may duplicate, and retired batch ids must
+    refuse re-ingest."""
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        _committed_batches,
+    )
+    from pokemon_showdown_airflow_etl_spark.jobs.embedding_index_lake import (
+        compact_embedding_index,
+        ingest_embedding_batch,
+        init_embedding_index,
+    )
+
+    root = str(tmp_path / "idx")
+    seed = _emb(spark, CORPUS)
+    init_embedding_index(spark, seed, root, n_cells=3, train=False)
+    for i, (vid, v) in enumerate(CORPUS):
+        ingest_embedding_batch(
+            spark, _emb(spark, [(vid, v)]), root, f"day{i}", threshold=THR
+        )
+
+    st = compact_embedding_index(spark, root, min_batches=2)
+    assert st["n_batches_consolidated"] == 3
+    committed = _committed_batches(root + "/members")
+    assert len(committed) == 1 and committed[0].startswith("compact-")
+    asg = [
+        r["vec_id"]
+        for r in spark.read.parquet(root + "/assignments").select("vec_id").collect()
+    ]
+    assert sorted(asg) == [0, 1, 2]  # each exactly once
+
+    # decisions against the consolidated index are unchanged
+    s = ingest_embedding_batch(
+        spark,
+        _emb(spark, [(200, CORPUS[0][1]), (201, [0.5, 0.5, 0.5, 1.0])]),
+        root,
+        "probe",
+        threshold=THR,
+    )
+    assert s["n_dup_of_corpus"] == 1 and s["n_accepted"] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="retired"):
+        ingest_embedding_batch(
+            spark, _emb(spark, [(300, [1.0, 1, 1, 1])]), root, "day0", threshold=THR
+        )
+
+
+def test_streaming_embedding_admission_matches_batch(spark, tmp_path):
+    """The s11 streaming twin: draining a vector stream through
+    foreachBatch admission registers exactly what sequential batch
+    ingest registers, and a restarted drain over new files resumes
+    from the checkpoint."""
+    from pyspark.sql import functions as SF
+
+    from pokemon_showdown_airflow_etl_spark.jobs.embedding_index_lake import (
+        init_embedding_index,
+    )
+    from pokemon_showdown_airflow_etl_spark.streaming import (
+        start_embedding_admission,
+    )
+
+    land = str(tmp_path / "in")
+    root = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+
+    init_embedding_index(
+        spark, _emb(spark, CORPUS + BATCH), root, n_cells=3, train=False
+    )
+
+    c1 = [
+        (0, [1.0, 0.01, 0, 0]),
+        (1, [1.0, 0.012, 0, 0]),   # within-chunk dup of 0
+        (2, [0, 0.02, 1.0, 0]),
+    ]
+    c2 = [
+        (10, [1.0, 0.011, 0, 0]),  # dup of registered 0
+        (11, [0, 1.0, 0.01, 0]),
+    ]
+
+    def land_chunk(rows):
+        _emb(spark, rows).coalesce(1).write.mode("append").parquet(land)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        q = start_embedding_admission(stream, root, ck, threshold=THR)
+        q.awaitTermination()
+
+    land_chunk(c1)
+    drain()
+    land_chunk(c2)
+    drain()  # restart from checkpoint
+
+    adm = spark.read.parquet(root + "/admissions")
+    got = {r["vec"]: r["status"] for r in adm.collect()}
+    assert got == {
+        0: "accepted",
+        1: "dup_in_batch",
+        2: "accepted",
+        10: "dup_of_corpus",
+        11: "accepted",
+    }
+    assert adm.count() == 5  # each vector decided exactly once
+    asg = {
+        r["vec_id"]
+        for r in spark.read.parquet(root + "/assignments").select("vec_id").collect()
+    }
+    assert asg == {0, 2, 11}
