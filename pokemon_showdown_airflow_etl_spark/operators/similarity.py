@@ -278,12 +278,23 @@ def ivf_topk(
         ranked = ranked.join(F.broadcast(qflag), "vid", "left").withColumn(
             "is_query", F.coalesce(F.col("_isq"), F.lit(False))
         )
-        # members (rank-1 rows) always flow — the index is the full
-        # corpus; only listed ids keep their probe rows
+        # members (rank-1 rows) flow for every PROBED cell — the index
+        # serves the full corpus, but a cell no listed query probes
+        # contributes nothing and its members would ride the kernel
+        # shuffle as dead weight (at thousands-of-cells scale with a
+        # small evaluation sample, that is most of the index). The
+        # probed-cell list is bounded by n_probe * |queries| and
+        # broadcast — same prune as embed_admit_batch.
         probes = ranked.filter(
             (F.col("cell_rank") == 1)
             | (F.col("is_query") & (F.col("cell_rank") <= n_probe))
         )
+        queried_cells = (
+            ranked.filter(F.col("is_query") & (F.col("cell_rank") <= n_probe))
+            .select("cell_id")
+            .distinct()
+        )
+        probes = probes.join(F.broadcast(queried_cells), "cell_id", "leftsemi")
     else:
         probes = ranked.filter(F.col("cell_rank") <= n_probe).withColumn(
             "is_query", F.lit(True)
@@ -642,11 +653,24 @@ def embed_admit_batch(
     probes = assign_cells(new_emb, centroids, n_probe, id_col, vec_col).select(
         "vec_id", "v", "cell_id"
     ).withColumn("is_member", F.lit(False)).transform(pin)
-    members = corpus_members.select(
-        F.col("vec_id"),
-        as_double(F.col("v") if "v" in corpus_members.columns else F.col(vec_col)).alias("v"),
-        "cell_id",
-    ).withColumn("is_member", F.lit(True))
+    # the batch probes at most n_probe * |batch| distinct cells; corpus
+    # members of every OTHER cell would contribute nothing to the
+    # kernel yet still shuffle into the groupBy — at production scale
+    # (thousands of cells, small daily drop) that dead weight IS the
+    # index. The probed-cell list is bounded and broadcast, so the
+    # semi-join prunes the index scan before anything moves.
+    probed_cells = probes.select("cell_id").distinct()
+    members = (
+        corpus_members.select(
+            F.col("vec_id"),
+            as_double(
+                F.col("v") if "v" in corpus_members.columns else F.col(vec_col)
+            ).alias("v"),
+            "cell_id",
+        )
+        .join(F.broadcast(probed_cells), "cell_id", "leftsemi")
+        .withColumn("is_member", F.lit(True))
+    )
     slack = threshold - 1e-6
 
     def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -42,6 +42,8 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
     "s11_embed_admit_batch",  # r6 NEW: incremental semantic admission vs index
     "t20_paragraph_dedup",  # r6 NEW: C4-style repeated-paragraph removal
     "t21_domain_mixture",  # r6 NEW: temperature-weighted domain mixture
+    "s4_ivf_ann_topk",  # r6: ivf_topk gained the queried-cell semi-join prune
+    "s7_ivf_kmeans_quality",  # r6: same ivf_topk change (query_ids path)
 ]
 
 _PRIORITY: list[str] = [
@@ -49,6 +51,8 @@ _PRIORITY: list[str] = [
     "s11_embed_admit_batch",
     "t20_paragraph_dedup",
     "t21_domain_mixture",
+    "s4_ivf_ann_topk",
+    "s7_ivf_kmeans_quality",
     # -- (2) the full 37-name r3-latest block, so after r6 no catalog
     # entry's latest row predates round 4 --
     "f1_watermark_filter",
@@ -97,8 +101,8 @@ _PRIORITY: list[str] = [
     "j7_membership_flag",
     "j8_star_join_revenue",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
+    # (q3/q6 gave their slots to the changed s4/s7; they stay r4-latest
+    # and rotate in r7)
     # ---- slot 50 boundary ----
 ]
 

@@ -571,6 +571,11 @@ def test_s11_admission_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" in plan, "cell kernel lost its Arrow form"
+    # the index side must prune to the probed cells BEFORE the kernel
+    # shuffle (broadcast semi-join on the bounded probed-cell list) —
+    # without it every unprobed cell's members ride the groupBy as
+    # dead weight, which at thousands-of-cells scale is the whole index
+    assert "LeftSemi" in plan, "corpus members lost the probed-cell prune"
     # every nested-loop is the broadcast centroid cross join: as many
     # BroadcastExchange details as BroadcastNestedLoopJoin details
     n_nl = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
