@@ -117,8 +117,8 @@ def temperature_mixture(
     constant-size per-domain weight table, joined back on the domain
     key (broadcast — one row per domain); selection is the t15
     two-phase sharded top-k, so no single task ever sorts a whole
-    domain: rank within (domain, 256-way hash shard), keep shard ranks
-    <= target (a superset), exact re-rank of the survivors only.
+    domain: rank within (domain, n_shards-way hash shard), keep shard
+    ranks <= target (a superset), exact re-rank of the survivors only.
 
     Returns kept rows: (id_col, domain_col, sel_rank, n_domain,
     mix_target).
