@@ -190,11 +190,18 @@ def main() -> None:
         with tempfile.TemporaryDirectory() as d:
             sroot = d + "/sig"
             for b in range(4):
+                # threshold > 1: admission rejects nothing, so the
+                # corpus genuinely holds scale x the signature rows —
+                # the perturbed copies are near-dups of each other and
+                # a real threshold would reject them, flattening the
+                # very growth this probe measures (first run did:
+                # 4x ingest grew rows only 1.27x)
                 ingest_signature_batch(
                     spark,
                     docs_s.filter(F.col("doc_id") % 4 == b),
                     sroot,
                     f"day{b}",
+                    threshold=2.0,
                 )
             t0 = time.perf_counter()
             st = compact_signature_corpus(spark, sroot, min_batches=2)
