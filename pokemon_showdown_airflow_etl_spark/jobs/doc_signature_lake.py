@@ -239,7 +239,10 @@ def ingest_signature_batch(
             "admission audit is immutable; use a NEW batch_id"
         )
 
-    fresh_docs = new_docs.join(
+    # id-dedupe first: a drop carrying the same doc id twice (re-sent
+    # row in an at-least-once feed) must produce ONE signature row per
+    # accepted doc, not two riding into the corpus
+    fresh_docs = new_docs.dropDuplicates([id_col]).join(
         fresh_ids.withColumnRenamed("doc", id_col), id_col
     )
     # pinned: the signature lineage (members anti-join + tokenize +

@@ -116,7 +116,12 @@ def init_embedding_index(
             v.orderBy("cell_id").limit(n_cells).withColumn("n_members", F.lit(0).cast("long"))
         )
         n_iters = 0
-    cents.coalesce(1).write.mode("error").parquet(d)
+    # overwrite, not error: immutability is enforced by the _SUCCESS
+    # check above, so the only way this write sees an existing dir is a
+    # PARTIAL one left by a crashed init (no _SUCCESS) — mode("error")
+    # would brick the root forever instead of repairing it. Init is
+    # single-writer like every maintenance job here.
+    cents.coalesce(1).write.mode("overwrite").parquet(d)
     return {"n_cells": n_cells, "n_train_iters": n_iters, "already_initialized": False}
 
 
@@ -182,7 +187,11 @@ def ingest_embedding_batch(
             "admission audit is immutable; use a NEW batch_id"
         )
 
-    fresh = new_emb.join(
+    # id-dedupe before the join: a drop carrying the same id twice must
+    # yield ONE decision row and ONE assignment row (embed_admit_batch
+    # also dedupes internally, but the assignment write below reads
+    # `fresh` directly)
+    fresh = new_emb.dropDuplicates([id_col]).join(
         fresh_ids.withColumnRenamed("vec", id_col), id_col
     ).transform(pin)
     # corpus = committed batches only (a crashed batch's phantom

@@ -797,7 +797,7 @@ def span_dedup(
         .select("h")
     )
     kept = ex.join(blacklist, "h", "left_anti")
-    stats = ex.groupBy("doc").agg(F.count("*").cast("long").alias("n_spans"))
+    stats = ex.groupBy("doc").agg(F.count("*").cast("long").alias("_n_spans"))
     agg = kept.groupBy("doc").agg(
         F.count("*").cast("long").alias("_n_kept"),
         F.array_join(
@@ -808,14 +808,20 @@ def span_dedup(
             joiner,
         ).alias("clean_text"),
     )
+    # anchor on the INPUT ids, not the exploded frame: a null-text doc
+    # has no units, so it has no `stats` row — starting from `stats`
+    # would drop it from the output (and curate's join would silently
+    # delete the doc). One row per input document, always.
+    all_ids = df.select(F.col(id_col).alias("doc"))
     return (
-        stats.join(agg, "doc", "left")
+        all_ids.join(stats, "doc", "left")
+        .join(agg, "doc", "left")
         .select(
             F.col("doc").alias(id_col),
-            "n_spans",
-            (F.col("n_spans") - F.coalesce("_n_kept", F.lit(0))).cast("long").alias(
-                "n_dropped"
-            ),
+            F.coalesce("_n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            (
+                F.coalesce("_n_spans", F.lit(0)) - F.coalesce("_n_kept", F.lit(0))
+            ).cast("long").alias("n_dropped"),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )

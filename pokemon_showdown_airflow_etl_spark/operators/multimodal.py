@@ -206,6 +206,50 @@ def decode_video_frame(payload: bytes, frame_ms: int) -> tuple[int, int, str]:
     raise ValueError(f"no frame at or after {frame_ms} ms")  # pragma: no cover
 
 
+def decode_video_frames(
+    payload: bytes, offsets: list[int]
+) -> list[tuple[int, int, str]]:
+    """Decode the first frame at-or-after EACH ascending offset in ONE
+    sequential pass over the container — ``decode_video_frame``'s
+    semantics without its per-call open-and-decode-from-zero cost
+    (offset-by-offset calls are O(frames^2) per asset; this is the
+    batch API ``sample_video_frames`` uses by default)."""
+    if not HAS_PYAV:
+        raise NotImplementedError(
+            "video decode requires pyav/ffmpeg at deploy time"
+        )
+    import hashlib  # pragma: no cover - pyav-only path
+    import io
+
+    import av
+
+    results: list[tuple[int, int, str]] = []  # pragma: no cover
+    with av.open(io.BytesIO(payload)) as container:  # pragma: no cover
+        stream = container.streams.video[0]
+        it = iter(offsets)
+        target = next(it, None)
+        for frame in container.decode(stream):
+            if target is None:
+                break
+            ts_ms = (frame.time or 0.0) * 1000.0
+            decoded = None
+            while target is not None and ts_ms + 1e-6 >= target:
+                if decoded is None:
+                    arr = frame.to_ndarray(format="rgb24")
+                    decoded = (
+                        frame.width,
+                        frame.height,
+                        hashlib.md5(arr.tobytes()).hexdigest(),
+                    )
+                results.append(decoded)
+                target = next(it, None)
+    if len(results) != len(offsets):  # pragma: no cover
+        raise ValueError(
+            f"container ended before offset {offsets[len(results)]} ms"
+        )
+    return results  # pragma: no cover
+
+
 VIDEO_FRAME_SCHEMA = StructType(
     [
         StructField("asset_id", StringType()),
@@ -234,11 +278,14 @@ def sample_video_frames(
     explosion, which remains the metadata-only planning twin — and
     decodes all of an asset's frames from a single payload reference.
 
-    ``decoder`` defaults to the pyav-gated ``decode_video_frame``;
-    tests inject a deterministic fake to exercise the plumbing (schema,
-    batch shape, offset arithmetic) on containers without ffmpeg.
+    By default each asset decodes in ONE sequential container pass
+    (``decode_video_frames`` — per-offset ``decode_video_frame`` calls
+    would re-open and re-decode from t=0, O(frames^2) per asset); a
+    per-frame ``decoder`` can be injected for tests, which exercises
+    the plumbing (schema, batch shape, offset arithmetic) on containers
+    without ffmpeg. A null duration decodes frame 0 only — exactly
+    ``frame_sample_plan``'s semantics (greatest(NULL - 1, 0) = 0).
     """
-    dec = decoder if decoder is not None else decode_video_frame
     pruned = df.select(
         F.col(id_col).alias("asset_id"),
         F.col(payload_col).alias("payload"),
@@ -251,10 +298,22 @@ def sample_video_frames(
             for aid, p, dur in zip(
                 pdf["asset_id"], pdf["payload"], pdf["duration_ms"]
             ):
+                if pd.isna(dur):
+                    # the planning twin treats NULL duration as 0
+                    # (greatest(NULL - 1, 0) = 0 -> one frame at t=0);
+                    # int(NaN) would instead crash the task — match
+                    # the twin, don't diverge on the same input
+                    dur = 0
                 b = bytes(p)
-                for ms in range(0, max(int(dur), 1), every_n_ms):
-                    w, h, digest = dec(b, ms)
-                    rows.append((aid, ms, w, h, digest))
+                offsets = list(range(0, max(int(dur), 1), every_n_ms))
+                if decoder is not None:
+                    frames = [decoder(b, ms) for ms in offsets]
+                else:
+                    frames = decode_video_frames(b, offsets)
+                rows.extend(
+                    (aid, ms, w, h, digest)
+                    for ms, (w, h, digest) in zip(offsets, frames)
+                )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields]
             ).astype({"frame_ms": "int64", "width": "int32", "height": "int32"})

@@ -289,8 +289,22 @@ def ivf_topk(
             (F.col("cell_rank") == 1)
             | (F.col("is_query") & (F.col("cell_rank") <= n_probe))
         )
+        # the queried-cell list comes from the QUERY-FILTERED subset,
+        # not from `ranked` — the cell_rank window partitions by vid,
+        # so ranking |queries| x n_cells rows yields identical ranks to
+        # slicing the corpus-wide ranking, without re-running the full
+        # crossJoin + window lineage just to build the broadcast side
+        q_scored = (
+            v.join(F.broadcast(query_ids.select(F.col(id_col).alias("vid")).distinct()), "vid")
+            .crossJoin(F.broadcast(cents))
+            .withColumn(
+                "cell_sim",
+                dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")),
+            )
+        )
         queried_cells = (
-            ranked.filter(F.col("is_query") & (F.col("cell_rank") <= n_probe))
+            q_scored.withColumn("cell_rank", F.row_number().over(w_cell))
+            .filter(F.col("cell_rank") <= n_probe)
             .select("cell_id")
             .distinct()
         )
@@ -650,6 +664,11 @@ def embed_admit_batch(
     import pandas as pd
     from ..pinning import pin
 
+    # identity is the id: a batch carrying the same id twice (a re-sent
+    # row in an at-least-once drop) must be ONE decision, not a
+    # self-pair that rejects the vector against itself and silently
+    # loses it from the index forever
+    new_emb = new_emb.dropDuplicates([id_col])
     probes = assign_cells(new_emb, centroids, n_probe, id_col, vec_col).select(
         "vec_id", "v", "cell_id"
     ).withColumn("is_member", F.lit(False)).transform(pin)
@@ -696,8 +715,11 @@ def embed_admit_batch(
             order = np.argsort(n_ids, kind="stable")
             b_ids, b_unit = n_ids[order], n_unit[order]
             s2 = b_unit @ b_unit.T
-            iu = np.triu_indices(len(b_ids), k=1)  # ids sorted: a < b
-            keep = s2[iu] >= slack
+            iu = np.triu_indices(len(b_ids), k=1)  # ids sorted: a <= b
+            # strict id inequality like the oracle's a.vid < b.vid —
+            # positional triu alone would self-pair a duplicated id
+            # (belt and braces on top of the dropDuplicates above)
+            keep = (s2[iu] >= slack) & (b_ids[iu[0]] != b_ids[iu[1]])
             out.extend(
                 ("bb", int(b_ids[i]), int(b_ids[j]), float(s2[i, j]))
                 for i, j in zip(iu[0][keep], iu[1][keep])
@@ -733,6 +755,7 @@ def embed_admit_batch(
         .distinct()
         .withColumn("_bb", F.lit(True))
     )
+    # new_emb is id-deduped above, so this is one row per decided id
     new_ids = new_emb.select(F.col(id_col).cast("long").alias("vec"))
     return (
         new_ids.join(cd, "vec", "left")

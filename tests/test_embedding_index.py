@@ -419,3 +419,60 @@ def test_streaming_embedding_admission_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(root + "/assignments").select("vec_id").collect()
     }
     assert asg == {0, 2, 11}
+
+
+def test_duplicated_batch_id_is_one_decision_not_self_rejection(spark, tmp_path):
+    """A drop carrying the same vec_id twice (re-sent row in an
+    at-least-once feed) must yield ONE decision and must NOT reject the
+    vector against itself — the self-pair bug would mark it
+    dup_in_batch with no surviving partner and lose it from the index
+    forever (members/ records it as decided)."""
+    from pokemon_showdown_airflow_etl_spark.jobs.embedding_index_lake import (
+        ingest_embedding_batch,
+        init_embedding_index,
+    )
+
+    cents = _cents(spark, AXES)
+    dup_batch = _emb(spark, [(100, [1.0, 0.01, 0, 0]), (100, [1.0, 0.01, 0, 0]),
+                             (101, [0, 0.02, 1.0, 0])])
+    members = similarity.assign_cells(_emb(spark, []), cents, 1)
+    rows = similarity.embed_admit_batch(
+        dup_batch, members, cents, threshold=THR, n_probe=2
+    ).collect()
+    got = {r["vec"]: r["status"] for r in rows}
+    assert len(rows) == 2, rows  # one decision per id, not per row
+    assert got == {100: "accepted", 101: "accepted"}
+
+    # end to end: the duplicated id registers exactly one assignment row
+    root = str(tmp_path / "idx")
+    init_embedding_index(spark, _emb(spark, CORPUS), root, n_cells=3, train=False)
+    s = ingest_embedding_batch(spark, dup_batch, root, "b1", threshold=THR)
+    assert s["n_considered"] == 2 and s["n_dup_in_batch"] == 0
+    asg = [
+        r["vec_id"]
+        for r in spark.read.parquet(root + "/assignments").select("vec_id").collect()
+    ]
+    assert sorted(asg) == [100, 101]  # no duplicated rows
+
+
+def test_init_repairs_partial_centroids_dir(spark, tmp_path):
+    """A crash mid-centroids-write leaves a dir without _SUCCESS; the
+    re-run must repair it (overwrite), not fail forever on
+    path-already-exists."""
+    import os
+
+    from pokemon_showdown_airflow_etl_spark.jobs.embedding_index_lake import (
+        init_embedding_index,
+        read_centroids,
+    )
+
+    root = str(tmp_path / "idx")
+    d = os.path.join(root, "centroids")
+    os.makedirs(d)
+    with open(os.path.join(d, "part-junk.parquet"), "w") as f:
+        f.write("partial garbage from a crashed init")
+    st = init_embedding_index(
+        spark, _emb(spark, CORPUS), root, n_cells=3, train=False
+    )
+    assert not st["already_initialized"]
+    assert read_centroids(spark, root).count() == 3

@@ -19,6 +19,7 @@ def _assets(spark):
         ("vid0", b"fake-container-bytes-0", 2500),
         ("vid1", b"fake-container-bytes-1", 1000),
         ("vid2", b"x", 0),  # zero duration still yields frame 0
+        ("vid3", b"y", None),  # null duration -> frame 0, like the plan twin
     ]
     return spark.createDataFrame(
         rows, "asset_id string, payload binary, duration_ms long"
@@ -44,7 +45,7 @@ def test_sample_video_frames_plumbing_with_injected_decoder(spark):
     assert set(rows) == plan
     assert set(rows) == {
         ("vid0", 0), ("vid0", 1000), ("vid0", 2000),
-        ("vid1", 0), ("vid2", 0),
+        ("vid1", 0), ("vid2", 0), ("vid3", 0),
     }
     r = rows[("vid0", 1000)]
     assert (r["width"], r["height"]) == (320, 240)

@@ -193,3 +193,21 @@ def test_mixture_selection_is_hash_ranked_and_monotone(spark):
     assert kept(3, 5) == want
     # monotone: a bigger budget only ADDS documents
     assert kept(2, 5) <= kept(3, 5) <= kept(4, 5)
+
+
+def test_span_dedup_null_text_doc_keeps_its_row(spark):
+    """The contract is one output row per input document: a null-text
+    doc has no spans, but it must not vanish from the output (curate
+    joins on doc_id — a missing row would silently delete the doc
+    without any stage stat attributing the loss)."""
+    rows = [(0, BOILER), (1, None), (2, "")]
+    got = _collect(span_dedup(_docs(spark, rows), "doc_id", "text", span_tokens=10))
+    assert set(got) == {0, 1, 2}
+    assert got[1] == (0, 0, "")
+    # empty string is one empty unit, not zero units (split semantics)
+    assert got[2][0] == 1
+    # separator mode too
+    got_sep = _collect(
+        span_dedup(_docs(spark, rows), "doc_id", "text", separator="\n\n")
+    )
+    assert got_sep[1] == (0, 0, "")
