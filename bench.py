@@ -114,6 +114,16 @@ def main() -> None:
     sl.ensure_signature_lake(spark, SF_DIR)
     sig_lake_build_sec = round(time.perf_counter() - t0, 3)
 
+    # Embedding-index cache: s11 reads the materialized centroids +
+    # rank-1 cell assignments (jobs/embedding_index_lake.py sf cache).
+    # Same accounting: rebuild from scratch, report the one-time cost.
+    from pokemon_showdown_airflow_etl_spark.jobs import embedding_index_lake as el
+
+    shutil.rmtree(el.sf_index_dir(SF_DIR), ignore_errors=True)
+    t0 = time.perf_counter()
+    el.sf_index_tables(spark, SF_DIR)
+    emb_index_build_sec = round(time.perf_counter() - t0, 3)
+
     for name in HEADLINE:
         _run(name)
 
@@ -361,6 +371,7 @@ def main() -> None:
         "repeat": args.repeat,
         "b_lake_build_sec": lake_build_sec,
         "sig_lake_build_sec": sig_lake_build_sec,
+        "emb_index_build_sec": emb_index_build_sec,
         # the synthetic battle-log corpus the b-queries scan is
         # 2 replays per events row (see plans/battlelog.py) —
         # recorded so b-query times can be normalized per replay
@@ -401,6 +412,7 @@ def main() -> None:
         },
         "b_lake_build_sec": lake_build_sec,
         "sig_lake_build_sec": sig_lake_build_sec,
+        "emb_index_build_sec": emb_index_build_sec,
         "sf": payload["sf"],
     }
     # explicit size enforcement (not an assert: python -O must not

@@ -1938,8 +1938,12 @@ def t19_hybrid_rrf(spark, sf_dir):
 # the threshold as a param). The dup_in_batch leg needs planted
 # intra-batch dups and is exercised by tests/test_embedding_index.py.
 S11_ADMIT_COS = 0.35
-S11_N_CELLS = 8
-S11_N_PROBE = 2
+# single-source the index geometry and the demo split: the s11 query
+# reads the materialized index, so mismatched values here would make
+# the oracle check a different quantizer than the lake stores
+from ..jobs.embedding_index_lake import DEFAULT_N_CELLS as S11_N_CELLS  # noqa: E402
+from ..jobs.embedding_index_lake import DEFAULT_N_PROBE as S11_N_PROBE  # noqa: E402
+from ..jobs.embedding_index_lake import DEMO_BATCH_MOD as S11_BATCH_MOD  # noqa: E402
 
 
 @q(
@@ -1948,9 +1952,9 @@ S11_N_PROBE = 2
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ), newb AS (
-        SELECT vec_id AS vid, v FROM e WHERE vec_id % 20 = 0
+        SELECT vec_id AS vid, v FROM e WHERE vec_id % {S11_BATCH_MOD} = 0
     ), corp AS (
-        SELECT vec_id AS vid, v FROM e WHERE vec_id % 20 != 0
+        SELECT vec_id AS vid, v FROM e WHERE vec_id % {S11_BATCH_MOD} != 0
     ), cents AS (
         SELECT vid AS cell_id, v AS cv FROM corp ORDER BY vid LIMIT {S11_N_CELLS}
     ), c_ranked AS (
@@ -2005,9 +2009,11 @@ S11_N_PROBE = 2
     "r5's last production asymmetry): the vec_id % 20 slice plays the "
     "daily drop, admitted against the rest's cell-assigned index. "
     "Batch vectors assign to their 2 nearest of 8 IVF cells (broadcast "
-    "centroid table, pure map — in production the corpus side reads "
-    "the persisted assignments of jobs/embedding_index_lake.py, so "
-    "only the BATCH is ever embedded or assigned at ingest time); "
+    "centroid table, pure map); the corpus side READS the materialized "
+    "index (centroids + rank-1 assignments, "
+    "jobs/embedding_index_lake.py's sf cache — so only the BATCH is "
+    "assigned at query time, and the driver's hash check verifies the "
+    "index write path, the d9 treatment); "
     "probe rows meet the probed cells' members in one shuffle keyed "
     "by cell_id, each cell scoring batch-vs-member and batch-vs-batch "
     "blocks as BLAS GEMMs in applyInPandas. Corpus identity beats "
@@ -2018,18 +2024,17 @@ S11_N_PROBE = 2
     "path is the lake's init job, contract-tested like s7.",
 )
 def s11_embed_admit_batch(spark, sf_dir):
+    # the corpus side reads the MATERIALIZED index (centroids + rank-1
+    # assignments — jobs/embedding_index_lake.py's sf cache, the d9
+    # pattern): only the batch is assigned at query time, and the
+    # driver's hash check verifies the index write path end to end
+    # (stored cell ids flow into the decision the oracle recomputes
+    # from raw vectors)
+    from ..jobs.embedding_index_lake import sf_index_tables
+
     emb = t(spark, sf_dir, "embeddings")
-    newb = emb.filter(F.col("vec_id") % 20 == 0)
-    corp = emb.filter(F.col("vec_id") % 20 != 0)
-    cents = (
-        corp.select(
-            F.col("vec_id").alias("cell_id"),
-            similarity.as_double(F.col("embedding")).alias("centroid"),
-        )
-        .orderBy("cell_id")
-        .limit(S11_N_CELLS)
-    )
-    members = similarity.assign_cells(corp, cents, n_probe=1)
+    newb = emb.filter(F.col("vec_id") % S11_BATCH_MOD == 0)
+    cents, members = sf_index_tables(spark, sf_dir)
     return similarity.embed_admit_batch(
         newb, members, cents, threshold=S11_ADMIT_COS, n_probe=S11_N_PROBE
     )
