@@ -88,6 +88,7 @@ def temperature_mixture(
     budget_num: int = 3,
     budget_den: int = 5,
     n_shards: int = 16,
+    exact_budget: bool = False,
 ) -> DataFrame:
     """Temperature-weighted domain mixture — the standard LLM
     data-mixing operator (multilingual sampling with p_d proportional
@@ -105,9 +106,14 @@ def temperature_mixture(
     the total budget = floor(N * budget_num / budget_den) documents
     (integer corpus fraction, default 60%); each domain's target =
     floor(micro_d * budget / sum(micro)) capped at n_d (floor
-    undershoots the budget by < n_domains docs — the price of
-    exactness; largest-remainder topping is a driver-free follow-up a
-    deployment can add). Selection within a domain is hash-ranked
+    undershoots the budget by < n_domains docs plus whatever the caps
+    eat). ``exact_budget=True`` adds the largest-remainder topping
+    (Hamilton's method): uncapped domains ranked by remainder =
+    (micro_d * budget) mod sum(micro) descending (ties by domain name)
+    each absorb one leftover doc — a single deterministic pass over the
+    CONSTANT-SIZE domain table, so the single-partition rank window is
+    n_domains rows, never the corpus; only cap-induced shortfall can
+    remain (never oversampled). Selection within a domain is hash-ranked
     (md5(id), ties by id — t12's machinery), so the kept set is stable
     across runs/engines and monotone under budget growth. 64-bit note:
     micro_d * budget must stay under 2^63 — rescale the 1e6 micro-unit
@@ -137,19 +143,45 @@ def temperature_mixture(
     # integer `div` end to end — long/long `/` is DOUBLE division in
     # Spark, and doubles lose exactness past 2^53 where the engines
     # could truncate differently
-    targets = (
+    budget_sql = f"(n_total * {budget_num}) div {budget_den}"
+    base = (
         mic.join(F.broadcast(tot))
-        .select(
-            F.col(domain_col),
-            F.col("n_domain"),
-            F.least(
-                F.col("n_domain"),
-                F.expr(
-                    f"(micro * ((n_total * {budget_num}) div {budget_den}))"
-                    " div tot"
-                ).cast("long"),
-            ).alias("mix_target"),
+        .withColumn(
+            "_floor", F.expr(f"(micro * ({budget_sql})) div tot").cast("long")
         )
+        .withColumn("_t0", F.least(F.col("n_domain"), F.col("_floor")))
+    )
+    if exact_budget:
+        # largest-remainder topping over the CONSTANT-SIZE domain
+        # table: the un-partitioned rank window sees n_domains rows,
+        # never the corpus
+        base = base.withColumn(
+            "_rem", F.expr(f"(micro * ({budget_sql})) % tot").cast("long")
+        ).withColumn("_uncapped", F.col("_floor") < F.col("n_domain"))
+        leftover = base.agg(
+            (F.expr(f"max({budget_sql})") - F.sum("_t0"))
+            .cast("long")
+            .alias("_L")
+        )
+        w_lr = Window.orderBy(
+            F.desc(F.when(F.col("_uncapped"), F.col("_rem")).otherwise(F.lit(-1))),
+            F.col(domain_col),
+        )
+        base = (
+            base.withColumn("_rnk", F.row_number().over(w_lr))
+            .join(F.broadcast(leftover))
+            .withColumn(
+                "_t0",
+                F.col("_t0")
+                + F.when(
+                    F.col("_uncapped") & (F.col("_rnk") <= F.col("_L")), 1
+                ).otherwise(0),
+            )
+        )
+    targets = base.select(
+        F.col(domain_col),
+        F.col("n_domain"),
+        F.col("_t0").cast("long").alias("mix_target"),
     )
     h = F.md5(F.col(id_col).cast("string"))
     shard = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % n_shards

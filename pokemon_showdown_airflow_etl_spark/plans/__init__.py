@@ -44,6 +44,7 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
     "t21_domain_mixture",  # r6 NEW: temperature-weighted domain mixture
     "s4_ivf_ann_topk",  # r6: ivf_topk gained the queried-cell semi-join prune
     "s7_ivf_kmeans_quality",  # r6: same ivf_topk change (query_ids path)
+    "t22_domain_mixture_exact",  # r6 NEW: largest-remainder exact budget
 ]
 
 _PRIORITY: list[str] = [
@@ -53,6 +54,7 @@ _PRIORITY: list[str] = [
     "t21_domain_mixture",
     "s4_ivf_ann_topk",
     "s7_ivf_kmeans_quality",
+    "t22_domain_mixture_exact",
     # -- (2) the full 37-name r3-latest block, so after r6 no catalog
     # entry's latest row predates round 4 --
     "f1_watermark_filter",
@@ -100,9 +102,8 @@ _PRIORITY: list[str] = [
     "j5_broadcast_lookup",
     "j7_membership_flag",
     "j8_star_join_revenue",
-    "q1_pricing_summary",
-    # (q3/q6 gave their slots to the changed s4/s7; they stay r4-latest
-    # and rotate in r7)
+    # (q1/q3/q6 gave their slots to the changed s4/s7 and the new t22;
+    # they stay r4-latest and rotate in r7)
     # ---- slot 50 boundary ----
 ]
 

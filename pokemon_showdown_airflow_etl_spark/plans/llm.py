@@ -2168,6 +2168,94 @@ def t21_domain_mixture(spark, sf_dir):
     )
 
 
+# 5/9 (not t21's 3/5): the synthetic sources are equal-sized, and a
+# budget the domain count divides exactly leaves zero remainder — this
+# ratio forces a real leftover so the largest-remainder leg is
+# value-checked, not just compiled
+T22_BUDGET_NUM = 5
+T22_BUDGET_DEN = 9
+
+
+@q(
+    "t22_domain_mixture_exact",
+    f"""
+    WITH cnt AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_domain
+        FROM documents GROUP BY 1
+    ), mic AS (
+        SELECT source, n_domain,
+               CAST(round(pow(n_domain, {T21_ALPHA}) * 1000000) AS BIGINT) AS micro
+        FROM cnt
+    ), tot AS (
+        SELECT CAST(sum(micro) AS BIGINT) AS tot,
+               CAST(sum(n_domain) AS BIGINT) AS n_total
+        FROM mic
+    ), base AS (
+        SELECT source, n_domain,
+               CAST((micro * ((n_total * {T22_BUDGET_NUM}) // {T22_BUDGET_DEN}))
+                    // tot AS BIGINT) AS fl,
+               CAST((micro * ((n_total * {T22_BUDGET_NUM}) // {T22_BUDGET_DEN}))
+                    % tot AS BIGINT) AS rem
+        FROM mic CROSS JOIN tot
+    ), t0 AS (
+        SELECT source, n_domain, least(n_domain, fl) AS t0,
+               fl < n_domain AS uncapped, rem
+        FROM base
+    ), lft AS (
+        SELECT CAST(((SELECT (n_total * {T22_BUDGET_NUM}) // {T22_BUDGET_DEN} FROM tot)
+                     - sum(t0)) AS BIGINT) AS leftover
+        FROM t0
+    ), tgt AS (
+        SELECT source, n_domain,
+               CAST(t0 + CASE WHEN uncapped AND
+                    row_number() OVER (
+                        ORDER BY CASE WHEN uncapped THEN rem ELSE -1 END DESC,
+                                 source)
+                    <= (SELECT leftover FROM lft)
+                    THEN 1 ELSE 0 END AS BIGINT) AS mix_target
+        FROM t0
+    ), ranked AS (
+        SELECT d.doc_id, d.source,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS r
+        FROM documents d
+    )
+    SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.source,
+           CAST(r.r AS INT) AS sel_rank, t.n_domain, t.mix_target
+    FROM ranked r JOIN tgt t USING (source) WHERE r.r <= t.mix_target
+    """,
+    doc="t21's exact-budget twin: the largest-remainder (Hamilton) "
+    "topping — after integer-floor targets, uncapped domains ranked by "
+    "remainder descending (ties by name) each absorb one leftover doc, "
+    "so the mixture hits the budget exactly unless caps eat it (never "
+    "oversampled). The topping is one deterministic pass over the "
+    "CONSTANT-SIZE domain table: the single-partition rank window sees "
+    "n_domains rows, never the corpus; everything else is t21's plan. "
+    "The 5/9 budget forces a nonzero leftover on the equal-sized "
+    "synthetic sources, so the remainder leg is value-checked "
+    "cross-engine.",
+)
+def t22_domain_mixture_exact(spark, sf_dir):
+    from ..operators.sampling import temperature_mixture
+
+    return temperature_mixture(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "source",
+        alpha=T21_ALPHA,
+        budget_num=T22_BUDGET_NUM,
+        budget_den=T22_BUDGET_DEN,
+        exact_budget=True,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "sel_rank",
+        "n_domain",
+        "mix_target",
+    )
+
+
 @q(
     "a2_cms_heavy_hitters",
     f"""

@@ -211,3 +211,41 @@ def test_span_dedup_null_text_doc_keeps_its_row(spark):
         span_dedup(_docs(spark, rows), "doc_id", "text", separator="\n\n")
     )
     assert got_sep[1] == (0, 0, "")
+
+
+def test_mixture_exact_budget_largest_remainder(spark):
+    """exact_budget=True (t22): uncapped domains ranked by remainder
+    descending absorb the floor leftovers one each — the kept total
+    hits the budget exactly unless caps eat it, and never oversamples."""
+    sizes = {"a": 120, "b": 40, "c": 8}
+    df = _mix_rows(spark, sizes)
+    budget = (sum(sizes.values()) * 3) // 5  # 100
+
+    floor_t = _model(sizes, 0.7, 3, 5)  # {'a': 61, 'b': 28, 'c': 8}
+    got = temperature_mixture(
+        df, "doc_id", "source", alpha=0.7, exact_budget=True
+    ).collect()
+    tgt = {r["source"]: r["mix_target"] for r in got}
+    # the two uncapped domains each took one leftover; the third
+    # leftover had only the capped domain left -> stays unplaced
+    assert tgt == {"a": floor_t["a"] + 1, "b": floor_t["b"] + 1, "c": 8}
+    assert sum(tgt.values()) == budget - 1  # cap-induced shortfall only
+    per_dom = {d: sum(1 for r in got if r["source"] == d) for d in tgt}
+    assert per_dom == tgt
+
+    # no caps in play -> the budget is hit EXACTLY
+    sizes2 = {"x": 90, "y": 60, "z": 33}
+    got2 = temperature_mixture(
+        _mix_rows(spark, sizes2), "doc_id", "source", alpha=0.7,
+        exact_budget=True,
+    ).collect()
+    budget2 = (sum(sizes2.values()) * 3) // 5
+    assert sum(1 for _ in got2) == budget2
+    # and the exact-budget kept set is a superset of the floor one
+    base_ids = {
+        r["doc_id"]
+        for r in temperature_mixture(
+            _mix_rows(spark, sizes2), "doc_id", "source", alpha=0.7
+        ).collect()
+    }
+    assert base_ids <= {r["doc_id"] for r in got2}
