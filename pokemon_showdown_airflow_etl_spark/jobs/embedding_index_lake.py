@@ -192,7 +192,16 @@ def init_embedding_index(
     # would brick the root forever instead of repairing it. Init is
     # single-writer like every maintenance job here.
     cents.coalesce(1).write.mode("overwrite").parquet(d)
-    return {"n_cells": n_cells, "n_train_iters": n_iters, "already_initialized": False}
+    # count the COMMITTED frame, not the requested parameter: a seed
+    # corpus smaller than n_cells commits fewer centroids (the no-train
+    # limit() path), and the trained path can converge with empty cells
+    # dropped — mirroring the already_initialized branch above
+    n_committed = spark.read.parquet(d).count()
+    return {
+        "n_cells": n_committed,
+        "n_train_iters": n_iters,
+        "already_initialized": False,
+    }
 
 
 def ingest_embedding_batch(

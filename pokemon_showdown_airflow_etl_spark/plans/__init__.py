@@ -20,18 +20,18 @@ from __future__ import annotations
 from .base import Query
 from . import relational, joins, llm, battlelog, extras, tpch
 
-# Front of the driver's 50-query window, round 6. Rotation rule
+# Front of the driver's 50-query window, round 7. Rotation rule
 # (VERDICT r3, made standing by r4 item 1): (1) every entry whose code
 # changed after its latest driver row (= CHANGED_SINCE_LAST_ROW), then
 # (2) the entries with the OLDEST standing rows, oldest first. After
-# CORRECTNESS_r05 (50/50 green) the cumulative freshness is 50 r5-latest,
-# 43 r4-latest, 37 r3-latest — so the r6 window is: the round-6 changed
-# entries, then the full 37-name r3 block, then the oldest r4 rows to
-# fill slot 50. All 12 names r5 greened were cleared from the
-# changed-list (keeping them would burn slots re-checking unchanged
-# code). The local oracle-parity gate still sweeps all entries each
-# run, and tests/test_driver_window.py asserts no entry can miss both
-# a past row and this window.
+# CORRECTNESS_r06 (50/50 green) the cumulative freshness is 50
+# r6-latest, 50 r5-latest, 34 r4-latest — so the r7 window is: the
+# round-7 changed/new entries, then the full 34-name r4 block, then the
+# head of the r5 window to fill slot 50. All 6 names r6 greened were
+# cleared from the changed-list (keeping them would burn slots
+# re-checking unchanged code). The local oracle-parity gate still
+# sweeps all entries each run, and tests/test_driver_window.py asserts
+# no entry can miss both a past row and this window.
 # Entries whose implementation changed since their latest driver row —
 # maintained by hand when editing query code, cleared when the next
 # CORRECTNESS file greens them. tests/test_driver_window.py asserts
@@ -39,71 +39,64 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # changed query can no longer coast on a stale green row (the t8/g16/s6
 # gap VERDICT r3 flagged).
 CHANGED_SINCE_LAST_ROW: list[str] = [
-    "s11_embed_admit_batch",  # r6 NEW: incremental semantic admission vs index
-    "t20_paragraph_dedup",  # r6 NEW: C4-style repeated-paragraph removal
-    "t21_domain_mixture",  # r6 NEW: temperature-weighted domain mixture
-    "s4_ivf_ann_topk",  # r6: ivf_topk gained the queried-cell semi-join prune
-    "s7_ivf_kmeans_quality",  # r6: same ivf_topk change (query_ids path)
-    "t22_domain_mixture_exact",  # r6 NEW: largest-remainder exact budget
+    "t20_paragraph_dedup",  # r7: oracle anchored on documents (ADVICE r6)
 ]
 
 _PRIORITY: list[str] = [
     # -- (1) every entry in CHANGED_SINCE_LAST_ROW, new first --
-    "s11_embed_admit_batch",
     "t20_paragraph_dedup",
-    "t21_domain_mixture",
-    "s4_ivf_ann_topk",
-    "s7_ivf_kmeans_quality",
-    "t22_domain_mixture_exact",
-    # -- (2) the full 37-name r3-latest block, so after r6 no catalog
-    # entry's latest row predates round 4 --
-    "f1_watermark_filter",
-    "f2_undownloaded_filter",
-    "f3_conjunctive_flags",
-    "f4_failed_retry_predicate",
-    "f6_point_lookup",
-    "f7_partition_filter",
-    "g1_high_watermark",
-    "g2_low_watermark",
-    "g3_lifecycle_stats",
-    "g4_duplicate_detection",
-    "g5_ids_by_date",
-    "g6_dedup_keep_one",
-    "g7_daily_counters",
-    "g9_table_count",
-    "g10_throughput_metrics",
-    "g11_lifecycle_cube",
-    "w1_latest_per_key",
-    "w4_head_n",
-    "u1_union_all",
-    "c1_epoch_to_date",
-    "c4_batch_id",
-    "c5_regex_extract",
-    "c6_players_concat",
-    "c7_batch_from_details",
-    "c8_prefix_predicate",
-    "c10_json_extract",
-    "j1_existence_flag",
-    "j2_ingest_anti_join",
-    "t12_hash_split",
-    "t13_domain_mix",
-    "t15_domain_cap",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q21_waiting_suppliers",
-    # -- (3) oldest-r4 rotations filling to slot 50 --
-    "u2_distinct_union",
-    "c13_bool_coercion",
-    "j3_compaction_anti_join",
-    "j4_reconcile_semi_join",
-    "j5_broadcast_lookup",
-    "j7_membership_flag",
-    "j8_star_join_revenue",
-    # (q1/q3/q6 gave their slots to the changed s4/s7 and the new t22;
-    # they stay r4-latest and rotate in r7)
+    # -- (2) the full 34-name r4-latest block, so after r7 no catalog
+    # entry's latest row predates round 5 --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "j10_asof_last_click",
+    "j11_range_follow_events",
+    "j12_asof_last_click_sliced",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard_pairs",
+    "d4_simhash_fingerprint",
+    "d5_simhash_near_dups",
+    "s1_similarity_topk",
+    "s3_embedding_near_dups",
+    "s9_embedding_dup_clusters",
+    "t1_quality_features",
+    "t8_tfidf_top_terms",
+    "s8_int8_quant",
+    "t14_unigram_logprob",
+    "t16_bm25_topk",
+    "t17_chunk_windows",
+    "a2_cms_heavy_hitters",
+    "b1_log_command_histogram",
+    "b2_battle_event_times",
+    "b3_player_win_rates",
+    "b4_move_usage",
+    "b6_event_gaps",
+    "b7_move_ranks",
+    "b8_head_to_head",
+    "a1_approx_sketches",
+    "g16_funnel",
+    "g17_rolling_7day",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q20_excess_suppliers",
+    # -- (3) head of the r5 window filling to slot 50 --
+    "d9_incremental_dedup",
+    "t18_scrub",
+    "t19_hybrid_rrf",
+    "s10_mmr_rerank",
+    "s6_embedding_outliers",
+    "t5_corpus_stats",
+    "x2_salted_join",
+    "b5_first_log_timestamp",
+    "a3_mg_cms_heavy_hitters",
+    "d3_minhash_lsh_candidates",
+    "d7_lsh_verified_dups",
+    "d8_dup_clusters",
+    "u3_intersect",
+    "c9_filename_to_id",
+    "c11_mtime_fallback",
     # ---- slot 50 boundary ----
 ]
 

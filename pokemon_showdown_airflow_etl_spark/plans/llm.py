@@ -2068,7 +2068,13 @@ T20_MAX_OCC = 1
     ), kept AS (
         SELECT ex.* FROM ex LEFT JOIN bl ON ex.h = bl.h WHERE bl.h IS NULL
     ), stats AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM ex GROUP BY 1
+        -- anchored on documents, not on docs-with-spans: span_dedup's
+        -- contract is one output row per INPUT id, so a null/empty-text
+        -- document must appear here too (n_spans=0, clean_text '')
+        SELECT d.doc_id, CAST(coalesce(c.n_spans, 0) AS BIGINT) AS n_spans
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, count(*) AS n_spans FROM ex GROUP BY 1) c
+            USING (doc_id)
     ), agg AS (
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
                string_agg(unit, ' ' ORDER BY idx) AS clean_text
