@@ -153,6 +153,29 @@ def build_parser() -> argparse.ArgumentParser:
     cemb.add_argument("--index-root", required=True, help="embedding index root dir")
     cemb.add_argument("--min-batches", type=int, default=8)
 
+    rei = sub.add_parser(
+        "reindex-embeddings",
+        help="quantizer migration: rebuild the embedding index under new "
+        "centroids into a NEW root (re-assigns committed survivors, "
+        "carries the audit + retired ledger; old root untouched until "
+        "cutover; resumable after a crash)",
+    )
+    rei.add_argument("--old-root", required=True, help="current index root")
+    rei.add_argument("--new-root", required=True, help="target index root")
+    rei.add_argument(
+        "--centroids",
+        help="optional parquet with the new (cell_id, centroid) quantizer; "
+        "omitted = train on the old root's committed corpus",
+    )
+    rei.add_argument("--n-cells", type=int, default=8)
+    rei.add_argument("--max-iter", type=int, default=10)
+    rei.add_argument(
+        "--no-train",
+        action="store_true",
+        help="deterministic first-N-by-id corpus centroids instead of the "
+        "Lloyd trainer (ignored when --centroids is given)",
+    )
+
     sub.add_parser("deduplicate", help="remove duplicate metadata rows (O12)")
     opt = sub.add_parser("optimize", help="small-file compaction rewrite (O12 vacuum)")
     opt.add_argument("--files-per-partition", type=int, default=1)
@@ -309,6 +332,25 @@ def main(argv: list[str] | None = None) -> int:
             args.batch_id,
             threshold=args.threshold,
             n_probe=args.n_probe,
+        )
+        print(json.dumps(result, sort_keys=True))
+        return 0
+
+    if args.cmd == "reindex-embeddings":
+        from .jobs.embedding_index_lake import reindex_embedding_index
+        from .session import get_spark
+
+        spark = get_spark(app_name="etl-reindex-embeddings", master=args.master)
+        result = reindex_embedding_index(
+            spark,
+            args.old_root,
+            args.new_root,
+            centroids=(
+                spark.read.parquet(args.centroids) if args.centroids else None
+            ),
+            n_cells=args.n_cells,
+            max_iter=args.max_iter,
+            train=not args.no_train,
         )
         print(json.dumps(result, sort_keys=True))
         return 0

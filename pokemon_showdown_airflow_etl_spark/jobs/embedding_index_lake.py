@@ -17,7 +17,8 @@ Layout under ``index_root``:
                            silently reshuffle every stored assignment;
                            a quantizer upgrade is a NEW index root
                            plus a backfill, exactly like a schema
-                           migration)
+                           migration — ``reindex_embedding_index``
+                           below is that backfill)
   assignments/batch=<id>/  accepted vectors' (vec_id, v, cell_id) —
                            rank-1 cell under the index's quantizer;
                            ONLY survivors define near-dup identity
@@ -124,6 +125,75 @@ def sf_index_tables(
         spark.read.parquet(str(out / "centroids")),
         spark.read.parquet(str(out / "assignments")),
     )
+
+
+# ---------------------------------------------------------------------------
+# sf-keyed reindexed demo index (catalog s12): the SAME demo corpus
+# migrated v0 -> v1 through the real lake protocol — init + bulk ingest
+# under the first-8 quantizer, then reindex_embedding_index into a
+# first-16 quantizer root. The s12 catalog entry reads v1, so the
+# driver's hash check verifies the MIGRATION path end to end: every
+# stored v1 cell id must equal the rank-1 assignment the oracle
+# recomputes from raw vectors under the new quantizer.
+# ---------------------------------------------------------------------------
+
+SF_REINDEX_VERSION = 1
+REINDEX_N_CELLS = 16
+
+
+def sf_reindexed_dir(sf_dir: str) -> Path:
+    return keyed_dir(
+        "embedding_index_reindexed",
+        SF_REINDEX_VERSION,
+        sf_dir,
+        _sf_tag() + f"-r{REINDEX_N_CELLS}",
+    )
+
+
+def build_sf_reindexed(spark: SparkSession, sf_dir: str, out_dir: Path) -> None:
+    """v0: a REAL lake root — init with the deterministic first-8-by-id
+    corpus centroids (s11's geometry) and one bulk ingest whose
+    threshold (2.0) no cosine can reach, so every corpus vector is
+    accepted and the committed survivor set equals the demo corpus.
+    v1: ``reindex_embedding_index`` under the first-16-by-id quantizer.
+    Both roots stay on disk — the cutover layout the migration
+    docstring describes."""
+    from ..io import table
+    from ..operators.similarity import as_double
+
+    emb = table(spark, sf_dir, "embeddings")
+    corp = emb.filter(F.col("vec_id") % DEMO_BATCH_MOD != 0)
+    old_root = str(out_dir / "v0")
+    init_embedding_index(
+        spark, corp, old_root, n_cells=DEFAULT_N_CELLS, train=False
+    )
+    ingest_embedding_batch(spark, corp, old_root, "bulk", threshold=2.0)
+    new_cents = (
+        corp.select(
+            F.col("vec_id").alias("cell_id"),
+            as_double(F.col("embedding")).alias("centroid"),
+        )
+        .orderBy("cell_id")
+        .limit(REINDEX_N_CELLS)
+    )
+    reindex_embedding_index(
+        spark, old_root, str(out_dir / "v1"), centroids=new_cents
+    )
+
+
+def sf_reindexed_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments) of the MIGRATED (v1) demo index,
+    building v0 + running the migration on first use."""
+    out = ensure_lake(
+        sf_reindexed_dir(sf_dir),
+        lambda tmp: build_sf_reindexed(spark, sf_dir, tmp),
+    )
+    root = str(out / "v1")
+    asg = read_committed(spark, root, "assignments")
+    assert asg is not None  # build_sf_reindexed always commits the bulk batch
+    return read_centroids(spark, root), asg
 
 
 def _centroids_dir(index_root: str) -> str:
@@ -311,6 +381,205 @@ def ingest_embedding_batch(
         "n_accepted": counts.get("accepted", 0),
         "n_dup_of_corpus": counts.get("dup_of_corpus", 0),
         "n_dup_in_batch": counts.get("dup_in_batch", 0),
+    }
+
+
+def reindex_embedding_index(
+    spark: SparkSession,
+    old_root: str,
+    new_root: str,
+    centroids: DataFrame | None = None,
+    n_cells: int = DEFAULT_N_CELLS,
+    train: bool = True,
+    max_iter: int = 10,
+    tol: float = 1e-3,
+) -> dict:
+    """Quantizer migration: rebuild the index under NEW centroids into
+    ``new_root``, re-assigning every COMMITTED assignment row — the
+    operation the module docstring promises ("a quantizer upgrade is a
+    NEW index root plus a backfill, exactly like a schema migration").
+    A real deployment retrains its coarse quantizer as the corpus
+    drifts; mutating centroids in place would silently invalidate every
+    stored cell id, so the upgrade is versioned: the old root keeps
+    serving until the caller cuts over to ``new_root``, then retires it.
+    Reference parity: the reference's versioned, resumable v0->v1
+    migration with the old table kept until cutover (db.py:96-208),
+    applied to the embedding lake.
+
+    What moves and what doesn't:
+
+    * assignments — RE-ASSIGNED: one broadcast-centroid map pass per
+      committed batch (``assign_cells`` rank-1 under the new quantizer).
+      Admission decisions are NEVER re-scored — the surviving vector
+      set is the corpus's identity and is quantizer-independent; only
+      WHERE each survivor lives changes.
+    * admissions — carried forward verbatim (including retired batches'
+      audit dirs): the audit records decisions as they were made, under
+      the quantizer of their day.
+    * members — carried forward verbatim, written LAST per batch: the
+      same commit-marker contract as ingest, which is what makes the
+      backfill resumable (see below).
+    * retired ledger — carried forward FIRST, so a batch id compacted
+      away at the old root can never be re-ingested at the new one.
+
+    Crash-safety / resume: re-running after any crash point finishes
+    the job. Committed new centroids are REUSED on resume (never
+    retrained — a retrain mid-migration would mix two quantizers across
+    resumed batches); a partial centroids dir (no _SUCCESS) is repaired
+    like init. Per-batch, the members marker lands last, so a batch
+    that crashed mid-copy is invisible and simply re-runs. Single-writer
+    like every maintenance job here; the old root is never written.
+
+    ``centroids`` (cell_id, centroid) pins the new quantizer explicitly;
+    otherwise ``train=True`` runs the distributed Lloyd trainer over the
+    old root's committed corpus vectors, ``train=False`` takes the
+    deterministic first-``n_cells``-by-id corpus vectors.
+
+    Returns counts only (the O5 stats rule): n_batches_total,
+    n_batches_migrated, n_batches_already_done, n_vectors_reindexed,
+    n_cell_changed (vectors whose cell moved — the "how much did the
+    quantizer shift" audit number), n_cells, n_train_iters, resumed.
+    """
+    from ..operators.similarity import (
+        as_double,
+        assign_cells,
+        fit_kmeans_centroids,
+    )
+    from .doc_signature_lake import _retire
+
+    if os.path.abspath(old_root) == os.path.abspath(new_root):
+        raise ValueError(
+            "reindex requires a NEW root — rebuilding in place would "
+            "orphan the committed assignments it reads from"
+        )
+    # fails loudly on an uninitialized/typo'd old root
+    read_centroids(spark, old_root)
+    old_asg = read_committed(spark, old_root, "assignments")
+
+    new_cent_dir = _centroids_dir(new_root)
+    resumed = os.path.exists(os.path.join(new_cent_dir, "_SUCCESS"))
+    n_iters = 0
+    if resumed:
+        # committed new centroids win — retraining on resume would mix
+        # quantizers across already-migrated batches. If the caller
+        # passed explicit centroids, at least the size must agree.
+        new_cents = spark.read.parquet(new_cent_dir)
+        if centroids is not None:
+            n_want, n_have = centroids.count(), new_cents.count()
+            if n_want != n_have:
+                raise ValueError(
+                    f"resume mismatch: {new_root!r} has {n_have} committed "
+                    f"centroids but the passed quantizer carries {n_want} — "
+                    "a resumed migration must continue under the committed "
+                    "quantizer (or start over with another new root)"
+                )
+    else:
+        if centroids is not None:
+            cents = centroids.select(
+                F.col("cell_id").cast("long").alias("cell_id"),
+                as_double(F.col("centroid")).alias("centroid"),
+            ).withColumn("n_members", F.lit(0).cast("long"))
+        elif old_asg is None:
+            raise ValueError(
+                f"{old_root!r} has no committed assignments to train on — "
+                "pass explicit centroids to migrate an empty index"
+            )
+        elif train:
+            cents, history = fit_kmeans_centroids(
+                old_asg, n_cells=n_cells, max_iter=max_iter,
+                id_col="vec_id", vec_col="v", tol=tol,
+            )
+            n_iters = len(history)
+        else:
+            cents = (
+                old_asg.select(
+                    F.col("vec_id").alias("cell_id"),
+                    F.col("v").alias("centroid"),
+                )
+                .orderBy("cell_id")
+                .limit(n_cells)
+                .withColumn("n_members", F.lit(0).cast("long"))
+            )
+        # overwrite repairs a partial dir left by a crashed run (no
+        # _SUCCESS = not committed), same contract as init
+        cents.coalesce(1).write.mode("overwrite").parquet(new_cent_dir)
+        new_cents = spark.read.parquet(new_cent_dir)
+    n_cells_committed = new_cents.count()
+
+    # retired ledger FIRST: from this point on, ids compacted away at
+    # the old root are unusable at the new one even if we crash before
+    # any batch lands
+    old_retired = retired_batches(old_root)
+    if old_retired:
+        _retire(new_root, old_retired)
+
+    old_committed = _committed_batches(os.path.join(old_root, "members"))
+    new_committed = set(_committed_batches(os.path.join(new_root, "members")))
+    n_done = 0
+    n_migrated = 0
+    # the admissions audit also survives for RETIRED old batches — carry
+    # every committed audit dir, keyed by its own _SUCCESS for resume
+    adm_root = os.path.join(old_root, "admissions")
+    audit_ids = (
+        sorted(
+            name[len("batch="):]
+            for name in os.listdir(adm_root)
+            if name.startswith("batch=")
+            and os.path.exists(os.path.join(adm_root, name, "_SUCCESS"))
+        )
+        if os.path.isdir(adm_root)
+        else []
+    )
+    for b in audit_ids:
+        dst = os.path.join(new_root, "admissions", f"batch={b}")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            continue
+        spark.read.parquet(os.path.join(adm_root, f"batch={b}")).write.mode(
+            "overwrite"
+        ).parquet(dst)
+
+    for b in old_committed:
+        if b in new_committed:
+            n_done += 1
+            continue
+        asg = spark.read.parquet(
+            os.path.join(old_root, "assignments", f"batch={b}")
+        )
+        assign_cells(asg, new_cents, 1, id_col="vec_id", vec_col="v").select(
+            "vec_id", "v", "cell_id"
+        ).write.mode("overwrite").parquet(
+            os.path.join(new_root, "assignments", f"batch={b}")
+        )
+        # members LAST: the batch's commit marker at the new root
+        spark.read.parquet(
+            os.path.join(old_root, "members", f"batch={b}")
+        ).write.mode("overwrite").parquet(
+            os.path.join(new_root, "members", f"batch={b}")
+        )
+        n_migrated += 1
+
+    new_asg = read_committed(spark, new_root, "assignments")
+    n_vectors = 0 if new_asg is None else new_asg.count()
+    n_cell_changed = (
+        0
+        if old_asg is None or new_asg is None
+        else new_asg.select("vec_id", "cell_id")
+        .join(
+            old_asg.select("vec_id", F.col("cell_id").alias("old_cell")),
+            "vec_id",
+        )
+        .filter(F.col("cell_id") != F.col("old_cell"))
+        .count()
+    )
+    return {
+        "n_batches_total": len(old_committed),
+        "n_batches_migrated": n_migrated,
+        "n_batches_already_done": n_done,
+        "n_vectors_reindexed": n_vectors,
+        "n_cell_changed": n_cell_changed,
+        "n_cells": n_cells_committed,
+        "n_train_iters": n_iters,
+        "resumed": resumed,
     }
 
 

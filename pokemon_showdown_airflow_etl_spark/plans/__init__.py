@@ -39,11 +39,13 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # changed query can no longer coast on a stale green row (the t8/g16/s6
 # gap VERDICT r3 flagged).
 CHANGED_SINCE_LAST_ROW: list[str] = [
+    "s12_reindexed_admit_batch",  # r7 NEW: quantizer-migration backfill
     "t20_paragraph_dedup",  # r7: oracle anchored on documents (ADVICE r6)
 ]
 
 _PRIORITY: list[str] = [
     # -- (1) every entry in CHANGED_SINCE_LAST_ROW, new first --
+    "s12_reindexed_admit_batch",
     "t20_paragraph_dedup",
     # -- (2) the full 34-name r4-latest block, so after r7 no catalog
     # entry's latest row predates round 5 --
@@ -96,7 +98,6 @@ _PRIORITY: list[str] = [
     "d8_dup_clusters",
     "u3_intersect",
     "c9_filename_to_id",
-    "c11_mtime_fallback",
     # ---- slot 50 boundary ----
 ]
 

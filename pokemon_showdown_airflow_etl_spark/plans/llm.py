@@ -2040,6 +2040,98 @@ def s11_embed_admit_batch(spark, sf_dir):
     )
 
 
+from ..jobs.embedding_index_lake import (  # noqa: E402
+    REINDEX_N_CELLS as S12_N_CELLS,
+)
+
+
+@q(
+    "s12_reindexed_admit_batch",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), newb AS (
+        SELECT vec_id AS vid, v FROM e WHERE vec_id % {S11_BATCH_MOD} = 0
+    ), corp AS (
+        SELECT vec_id AS vid, v FROM e WHERE vec_id % {S11_BATCH_MOD} != 0
+    ), cents AS (
+        SELECT vid AS cell_id, v AS cv FROM corp ORDER BY vid LIMIT {S12_N_CELLS}
+    ), c_ranked AS (
+        SELECT vid, v, cell_id,
+               row_number() OVER (PARTITION BY vid ORDER BY cell_sim DESC, cell_id ASC)
+                   AS cell_rank
+        FROM (SELECT corp.vid, corp.v, cents.cell_id,
+                     list_dot_product(corp.v, cents.cv) /
+                         (sqrt(list_dot_product(corp.v, corp.v)) *
+                          sqrt(list_dot_product(cents.cv, cents.cv))) AS cell_sim
+              FROM corp CROSS JOIN cents)
+    ), n_ranked AS (
+        SELECT vid, v, cell_id,
+               row_number() OVER (PARTITION BY vid ORDER BY cell_sim DESC, cell_id ASC)
+                   AS cell_rank
+        FROM (SELECT newb.vid, newb.v, cents.cell_id,
+                     list_dot_product(newb.v, cents.cv) /
+                         (sqrt(list_dot_product(newb.v, newb.v)) *
+                          sqrt(list_dot_product(cents.cv, cents.cv))) AS cell_sim
+              FROM newb CROSS JOIN cents)
+    ), members AS (
+        SELECT vid, v, cell_id FROM c_ranked WHERE cell_rank = 1
+    ), probes AS (
+        SELECT vid, v, cell_id FROM n_ranked WHERE cell_rank <= {S11_N_PROBE}
+    ), bc AS (
+        SELECT p.vid AS vec, m.vid AS corpus_vec
+        FROM probes p JOIN members m USING (cell_id)
+        WHERE ROUND(list_dot_product(p.v, m.v) /
+              (sqrt(list_dot_product(p.v, p.v)) *
+               sqrt(list_dot_product(m.v, m.v))), 6) >= {S11_ADMIT_COS}
+    ), cd AS (
+        SELECT vec, CAST(count(*) AS BIGINT) AS n_corpus_dups,
+               CAST(min(corpus_vec) AS BIGINT) AS first_corpus_dup
+        FROM bc GROUP BY 1
+    ), bb AS (
+        SELECT DISTINCT a.vid AS qa, b.vid AS qb
+        FROM probes a JOIN probes b ON a.cell_id = b.cell_id AND a.vid < b.vid
+        WHERE ROUND(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))), 6) >= {S11_ADMIT_COS}
+    ), losers AS (SELECT DISTINCT qb AS vec FROM bb)
+    SELECT CAST(n.vid AS BIGINT) AS vec,
+           CAST(coalesce(cd.n_corpus_dups, 0) AS BIGINT) AS n_corpus_dups,
+           cd.first_corpus_dup,
+           CASE WHEN cd.vec IS NOT NULL THEN 'dup_of_corpus'
+                WHEN l.vec IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'accepted' END AS status
+    FROM newb n LEFT JOIN cd ON n.vid = cd.vec LEFT JOIN losers l ON n.vid = l.vec
+    """,
+    doc="Quantizer-migration proof, driver-checked (jobs/"
+    "embedding_index_lake.py::reindex_embedding_index — the backfill "
+    "the lake docstring promised): the demo corpus is bulk-loaded into "
+    "a v0 root under s11's first-8 quantizer through the REAL ingest "
+    "protocol, then MIGRATED into a v1 root under a first-16 quantizer "
+    "(one broadcast-centroid map pass per committed batch re-assigning "
+    "survivors; admissions never re-scored; members marker last, so "
+    "the backfill resumes after any crash; old root untouched until "
+    "cutover — the reference's versioned v0->v1 migration pattern, "
+    "db.py:96-208, applied to the lake). This entry admits the demo "
+    "batch against the MIGRATED index, so the driver's hash check "
+    "pins the whole path: every v1 cell id must equal the rank-1 "
+    "assignment DuckDB recomputes from raw vectors under the new "
+    "quantizer — a single mis-migrated vector flips a probe set and "
+    "the hash. Equivalence with a from-scratch rebuild and "
+    "crash-injected resume are proven in tests/test_embedding_reindex"
+    ".py.",
+)
+def s12_reindexed_admit_batch(spark, sf_dir):
+    from ..jobs.embedding_index_lake import sf_reindexed_tables
+
+    emb = t(spark, sf_dir, "embeddings")
+    newb = emb.filter(F.col("vec_id") % S11_BATCH_MOD == 0)
+    cents, members = sf_reindexed_tables(spark, sf_dir)
+    return similarity.embed_admit_batch(
+        newb, members, cents, threshold=S11_ADMIT_COS, n_probe=S11_N_PROBE
+    )
+
+
 T20_SPAN_TOKENS = 10
 T20_MAX_OCC = 1
 
