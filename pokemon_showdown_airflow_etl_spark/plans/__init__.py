@@ -20,14 +20,14 @@ from __future__ import annotations
 from .base import Query
 from . import relational, joins, llm, battlelog, extras, tpch
 
-# Front of the driver's 50-query window, round 7. Rotation rule
+# Front of the driver's 50-query window, round 8. Rotation rule
 # (VERDICT r3, made standing by r4 item 1): (1) every entry whose code
 # changed after its latest driver row (= CHANGED_SINCE_LAST_ROW), then
 # (2) the entries with the OLDEST standing rows, oldest first. After
-# CORRECTNESS_r06 (50/50 green) the cumulative freshness is 50
-# r6-latest, 50 r5-latest, 34 r4-latest — so the r7 window is: the
-# round-7 changed/new entries, then the full 34-name r4 block, then the
-# head of the r5 window to fill slot 50. All 6 names r6 greened were
+# CORRECTNESS_r07 (50/50 green) the cumulative freshness is 50
+# r7-latest, 49 r6-latest, 36 r5-latest — so the r8 window is: the
+# round-8 new entries (s13), then the full 36-name r5 block, then the
+# head of the r6 window to fill slot 50. s12/t20 greened in r7 and were
 # cleared from the changed-list (keeping them would burn slots
 # re-checking unchanged code). The local oracle-parity gate still
 # sweeps all entries each run, and tests/test_driver_window.py asserts
@@ -39,65 +39,64 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # changed query can no longer coast on a stale green row (the t8/g16/s6
 # gap VERDICT r3 flagged).
 CHANGED_SINCE_LAST_ROW: list[str] = [
-    "s12_reindexed_admit_batch",  # r7 NEW: quantizer-migration backfill
-    "t20_paragraph_dedup",  # r7: oracle anchored on documents (ADVICE r6)
+    "s13_ann_recall_audit",  # r8 NEW: IVF recall@1 vs exact per n_probe
 ]
 
 _PRIORITY: list[str] = [
     # -- (1) every entry in CHANGED_SINCE_LAST_ROW, new first --
-    "s12_reindexed_admit_batch",
-    "t20_paragraph_dedup",
-    # -- (2) the full 34-name r4-latest block, so after r7 no catalog
-    # entry's latest row predates round 5 --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "j10_asof_last_click",
-    "j11_range_follow_events",
-    "j12_asof_last_click_sliced",
-    "d1_exact_dedup",
-    "d2_ngram_jaccard_pairs",
-    "d4_simhash_fingerprint",
-    "d5_simhash_near_dups",
-    "s1_similarity_topk",
-    "s3_embedding_near_dups",
-    "s9_embedding_dup_clusters",
-    "t1_quality_features",
-    "t8_tfidf_top_terms",
-    "s8_int8_quant",
-    "t14_unigram_logprob",
-    "t16_bm25_topk",
-    "t17_chunk_windows",
-    "a2_cms_heavy_hitters",
-    "b1_log_command_histogram",
-    "b2_battle_event_times",
-    "b3_player_win_rates",
-    "b4_move_usage",
-    "b6_event_gaps",
-    "b7_move_ranks",
-    "b8_head_to_head",
-    "a1_approx_sketches",
-    "g16_funnel",
-    "g17_rolling_7day",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q20_excess_suppliers",
-    # -- (3) head of the r5 window filling to slot 50 --
-    "d9_incremental_dedup",
-    "t18_scrub",
-    "t19_hybrid_rrf",
-    "s10_mmr_rerank",
-    "s6_embedding_outliers",
-    "t5_corpus_stats",
-    "x2_salted_join",
-    "b5_first_log_timestamp",
-    "a3_mg_cms_heavy_hitters",
-    "d3_minhash_lsh_candidates",
-    "d7_lsh_verified_dups",
-    "d8_dup_clusters",
-    "u3_intersect",
-    "c9_filename_to_id",
+    "s13_ann_recall_audit",
+    # -- (2) the full 36-name r5-latest block, so after r8 no catalog
+    # entry's latest row predates round 6 --
+    "c11_mtime_fallback",
+    "d6_drop_exact_dups",
+    "g8_retry_counters",
+    "g12_event_pivot",
+    "g13_event_unpivot",
+    "g14_value_histogram",
+    "g15_retention_cohorts",
+    "j9_above_customer_avg",
+    "m1_payload_metadata",
+    "m2_image_decode_features",
+    "m3_frame_sample_plan",
+    "m4_image_resize",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q18_top_customers",
+    "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity",
+    "s2_ann_srp_topk",
+    "s5_gemm_ann_topk",
+    "t2_lang_id",
+    "t3_token_counts",
+    "t4_fingerprint",
+    "t6_token_explode",
+    "t7_quality_score",
+    "t9_decontaminate",
+    "t10_repetition_ratio",
+    "t11_pack_sequences",
+    "u4_except",
+    "w2_keyset_pagination",
+    "w3_sorted_dates",
+    "w5_session_windows",
+    "x1_salted_agg",
+    # -- (3) head of the r6 window filling to slot 50 --
+    "s11_embed_admit_batch",
+    "t21_domain_mixture",
+    "s4_ivf_ann_topk",
+    "s7_ivf_kmeans_quality",
+    "t22_domain_mixture_exact",
+    "f1_watermark_filter",
+    "f2_undownloaded_filter",
+    "f3_conjunctive_flags",
+    "f4_failed_retry_predicate",
+    "f6_point_lookup",
+    "f7_partition_filter",
+    "g1_high_watermark",
+    "g2_low_watermark",
     # ---- slot 50 boundary ----
 ]
 

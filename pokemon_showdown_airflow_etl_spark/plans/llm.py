@@ -2132,6 +2132,131 @@ def s12_reindexed_admit_batch(spark, sf_dir):
     )
 
 
+# The recall sample: ~6% of the corpus, the same deterministic slice s7
+# uses, so the audit costs O(sample * probe * cell), never O(corpus^2).
+S13_SAMPLE_MOD = 17
+S13_PROBE_VALUES = (1, 2, 4)
+
+
+@q(
+    "s13_ann_recall_audit",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), qs AS (
+        SELECT vec_id, v FROM e WHERE vec_id % {S13_SAMPLE_MOD} = 0
+    ), cents AS (
+        SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 8
+    ), assign AS (
+        SELECT vid, v, cell_id,
+               row_number() OVER (PARTITION BY vid ORDER BY cell_sim DESC, cell_id ASC)
+                   AS cell_rank
+        FROM (
+            SELECT e.vec_id AS vid, e.v, cents.cell_id,
+                   list_dot_product(e.v, cents.cv) /
+                       (sqrt(list_dot_product(e.v, e.v)) *
+                        sqrt(list_dot_product(cents.cv, cents.cv))) AS cell_sim
+            FROM e CROSS JOIN cents
+        )
+    ), members AS (
+        SELECT vid AS nn_id, v AS mv, cell_id FROM assign WHERE cell_rank = 1
+    ), pvals AS (
+        SELECT * FROM (VALUES {", ".join(f"({p})" for p in S13_PROBE_VALUES)}) AS pv(n_probe)
+    ), ivf AS (
+        SELECT pv.n_probe, a.vid AS query_id, m.nn_id,
+               list_dot_product(a.v, m.mv) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(m.mv, m.mv))) AS cs
+        FROM pvals pv
+        JOIN assign a ON a.cell_rank <= pv.n_probe
+        JOIN qs ON a.vid = qs.vec_id
+        JOIN members m USING (cell_id)
+        WHERE a.vid != m.nn_id
+    ), ivf_top AS (
+        SELECT n_probe, query_id, nn_id FROM (
+            SELECT n_probe, query_id, nn_id,
+                   row_number() OVER (PARTITION BY n_probe, query_id
+                                      ORDER BY cs DESC, nn_id ASC) AS rnk
+            FROM ivf
+        ) WHERE rnk = 1
+    ), exact AS (
+        SELECT query_id, nn_id AS exact_nn FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {COS_SQL} DESC, c.vec_id ASC) AS rnk
+            FROM qs q JOIN e c ON q.vec_id != c.vec_id
+        ) WHERE rnk = 1
+    )
+    SELECT CAST(pv.n_probe AS INT) AS n_probe,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN i.nn_id = x.exact_nn THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits,
+           ROUND(sum(CASE WHEN i.nn_id = x.exact_nn THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS recall_micro
+    FROM pvals pv
+    CROSS JOIN exact x
+    LEFT JOIN ivf_top i ON i.n_probe = pv.n_probe AND i.query_id = x.query_id
+    GROUP BY pv.n_probe
+    ORDER BY n_probe
+    """,
+    doc="ANN recall audit (r7 verdict item 2): recall@1 of the IVF probe "
+    "path (s4's kernel, the pinned first-8 quantizer) versus exact "
+    "brute force (s1's kernel) for n_probe in {1, 2, 4}, measured on "
+    "the deterministic ~6% sample s7 uses. Both legs are fully "
+    "deterministic, so the recall NUMBERS — not just the machinery — "
+    "are value-checked cross-engine; this turns the 'recall is the "
+    "n_probe dial' docstring claim on operators/similarity.py::ivf_topk "
+    "into a measured, driver-verified contract. Queries whose probed "
+    "cells hold no candidate count as misses (the exact leg anchors "
+    "the denominator), so n_queries is constant across probe values. "
+    "Cost shape: exact leg O(sample * corpus) with the sample "
+    "broadcast; each IVF leg O(sample * probe * cell) via the "
+    "query_ids prune — the audit never scores corpus x corpus, which "
+    "is what makes running it routinely at 100 TB affordable.",
+)
+def s13_ann_recall_audit(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.col("vec_id") % S13_SAMPLE_MOD == 0)
+    exact = pin(
+        similarity.brute_force_topk(emb, sample, k=1).select(
+            "query_id", F.col("nn_id").alias("exact_nn")
+        )
+    )
+    legs = [
+        similarity.ivf_topk(
+            emb, k=1, n_cells=8, n_probe=p, query_ids=sample
+        ).select(
+            F.lit(p).cast("int").alias("n_probe"),
+            "query_id",
+            F.col("nn_id").alias("ivf_nn"),
+        )
+        for p in S13_PROBE_VALUES
+    ]
+    ivf_all = legs[0]
+    for leg in legs[1:]:
+        ivf_all = ivf_all.unionByName(leg)
+    pvals = spark.createDataFrame(
+        [(p,) for p in S13_PROBE_VALUES], "n_probe int"
+    )
+    anchored = (
+        exact.crossJoin(F.broadcast(pvals))
+        .join(ivf_all, ["n_probe", "query_id"], "left")
+        .withColumn(
+            "hit",
+            F.when(F.col("ivf_nn") == F.col("exact_nn"), 1).otherwise(0),
+        )
+    )
+    return (
+        anchored.groupBy("n_probe")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum("hit").cast("long").alias("n_hits"),
+            F.round(F.sum("hit") / F.count("*"), 6).alias("recall_micro"),
+        )
+        .orderBy("n_probe")
+    )
+
+
 T20_SPAN_TOKENS = 10
 T20_MAX_OCC = 1
 
