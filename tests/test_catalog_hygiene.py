@@ -56,3 +56,24 @@ def test_pinning_disabled_actually_exposes_subtrees(spark, sf_dir):
         with contextlib.redirect_stdout(buf):
             ALL_QUERIES[name].spark(spark, sf_dir).explain("formatted")
     assert "ExistingRDD" not in buf.getvalue()
+
+
+def test_reliable_pins_flag_swaps_localcheckpoint_for_disk_persist(
+    spark, sf_dir, monkeypatch
+):
+    """SPARK_GRAFT_RELIABLE_PINS=1 (the cluster-deploy escape hatch,
+    VERDICT r7 item 10): pins become persist(DISK_ONLY) — lineage kept
+    (no opaque ExistingRDD in the plan, an InMemoryRelation instead) and
+    results identical to the localCheckpoint default."""
+    name = "q15_top_supplier"  # pins the shared revenue aggregate
+    baseline = ALL_QUERIES[name].spark(spark, sf_dir).collect()
+
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_PINS", "1")
+    df = ALL_QUERIES[name].spark(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "ExistingRDD" not in plan, "reliable pin still localCheckpoints"
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
+    assert df.collect() == baseline
