@@ -89,6 +89,28 @@ def build_parser() -> argparse.ArgumentParser:
         "run concurrently with compact-signatures)",
     )
     cur.add_argument(
+        "--embed-admit-root",
+        default=None,
+        metavar="INDEX_ROOT",
+        help="drop docs whose embeddings are semantic duplicates of an "
+        "existing embedding index's registered members (read-only s11 "
+        "decision; requires --embeddings; do not run concurrently with "
+        "compact-embeddings)",
+    )
+    cur.add_argument(
+        "--embeddings",
+        default=None,
+        metavar="PARQUET",
+        help="precomputed (doc_id, embedding) parquet covering the "
+        "input docs (vec_id accepted as the id column name)",
+    )
+    cur.add_argument(
+        "--embed-admit-threshold",
+        type=float,
+        default=0.9,
+        help="cosine threshold for the semantic-admission leg",
+    )
+    cur.add_argument(
         "--span-dedup-tokens",
         type=int,
         default=None,
@@ -269,6 +291,9 @@ def main(argv: list[str] | None = None) -> int:
             eval_path=args.decontaminate_against,
             scrub=not args.no_scrub,
             corpus_sig_root=args.dedup_against_corpus,
+            embed_admit_root=args.embed_admit_root,
+            embeddings_path=args.embeddings,
+            embed_admit_threshold=args.embed_admit_threshold,
             span_dedup_tokens=args.span_dedup_tokens,
         )
         print(json.dumps(result, sort_keys=True))

@@ -3,11 +3,13 @@ over raw documents before pretraining, composing the cataloged §2.11
 operators into one pipeline:
 
     read -> exact dedup (d6) -> near-dup clustering (d8, keep one per
-    cluster) -> optional decontamination (t9) -> optional repeated-span
-    removal (t20: the C4-style boilerplate pass) -> optional scrub
-    (t18: PII redaction + URL canonicalization) -> quality filter (t7)
-    -> deterministic split (t12) -> partitioned write + packing stats
-    (t11)
+    cluster) -> optional decontamination (t9) -> optional lexical
+    corpus dedup (d9 read-only, --dedup-against-corpus) -> optional
+    SEMANTIC corpus dedup (s11 read-only, --embed-admit-root +
+    --embeddings) -> optional repeated-span removal (t20: the C4-style
+    boilerplate pass) -> optional scrub (t18: PII redaction + URL
+    canonicalization) -> quality filter (t7) -> deterministic split
+    (t12) -> partitioned write + packing stats (t11)
 
 Plan economics: each stage's survivor frame is pinned (lazy
 localCheckpoint) so the per-stage audit counts and the next stage reuse
@@ -42,6 +44,10 @@ def curate_corpus(
     decontam_ngram: int = 4,
     scrub: bool = True,
     corpus_sig_root: str | None = None,
+    embed_admit_root: str | None = None,
+    embeddings_path: str | None = None,
+    embed_admit_threshold: float = 0.9,
+    embed_n_probe: int | None = None,
     span_dedup_tokens: int | None = None,
     span_max_occurrences: int = 1,
 ) -> dict:
@@ -64,7 +70,23 @@ def curate_corpus(
     incremental ingest instead of re-deduping history. Like ingest,
     this read must not run concurrently with compact-signatures: the
     file-level protocol is single-writer, and compaction removing a
-    partition mid-read would fail the curate job."""
+    partition mid-read would fail the curate job.
+
+    ``embed_admit_root`` (optional) is the SEMANTIC twin of
+    ``corpus_sig_root``: it points at a live embedding-index lake
+    (jobs/embedding_index_lake.py layout), and input docs whose
+    precomputed embeddings are s11-admission duplicates of the index's
+    registered members (``status == 'dup_of_corpus'``) are dropped —
+    read-only, nothing is registered or re-assigned here. Requires
+    ``embeddings_path``: a parquet of (doc_id, embedding) — ``vec_id``
+    is accepted as the id column name — covering the input docs (docs
+    without an embedding row cannot be judged and pass through).
+    ``read_centroids`` fails loudly on an uninitialized/typo'd root:
+    admitting against an accidentally-fresh index would silently
+    accept every duplicate. Within-batch semantic pairs are NOT
+    dropped by this leg (its contract is corpus membership, mirroring
+    the lexical leg's check_batch=False); the same
+    don't-run-concurrently-with-compaction rule applies."""
     docs = spark.read.parquet(input_path)
     n_input = docs.count()
 
@@ -143,6 +165,48 @@ def curate_corpus(
             near = near.join(corpus_dups, "doc_id", "left_anti").transform(pin)
             n_after_corpus = near.count()
 
+    # 2b4. cross-corpus SEMANTIC dedup (optional, s11 read-only): drop
+    #      survivors whose embeddings are admission-duplicates of the
+    #      embedding index's registered members. Probe-only: batch
+    #      vectors assign to n_probe cells via the broadcast quantizer
+    #      and GEMM-score only those cells' stored members — the index
+    #      never re-scans, the corpus text never shuffles for this.
+    n_semantic_dups = 0
+    n_after_semantic = n_after_corpus
+    if embed_admit_root is not None:
+        if embeddings_path is None:
+            raise ValueError(
+                "embed_admit_root requires embeddings_path — the docs "
+                "frame carries no vectors, so semantic admission needs "
+                "a precomputed (doc_id, embedding) parquet"
+            )
+        from ..operators.similarity import embed_admit_batch
+        from .doc_signature_lake import read_committed as _read_committed
+        from .embedding_index_lake import DEFAULT_N_PROBE, read_centroids
+
+        # fails loudly on an uninitialized or typo'd root
+        cents = read_centroids(spark, embed_admit_root)
+        members = _read_committed(spark, embed_admit_root, "assignments")
+        if members is not None:
+            emb = spark.read.parquet(embeddings_path)
+            if "doc_id" not in emb.columns and "vec_id" in emb.columns:
+                emb = emb.withColumnRenamed("vec_id", "doc_id")
+            batch = near.select("doc_id").join(emb, "doc_id")
+            decision = embed_admit_batch(
+                batch,
+                members,
+                cents,
+                threshold=embed_admit_threshold,
+                n_probe=embed_n_probe or DEFAULT_N_PROBE,
+                id_col="doc_id",
+            )
+            sem_dups = decision.filter(
+                F.col("status") == "dup_of_corpus"
+            ).select(F.col("vec").alias("doc_id"))
+            near = near.join(sem_dups, "doc_id", "left_anti").transform(pin)
+            n_after_semantic = near.count()
+            n_semantic_dups = n_after_corpus - n_after_semantic
+
     # 2b3. repeated-span removal (optional, t20): drop every
     #      span_dedup_tokens-token window whose hash occurs more than
     #      span_max_occurrences times across the surviving corpus —
@@ -216,6 +280,8 @@ def curate_corpus(
         "n_after_near_dedup": n_after_near,
         "n_after_decontam": n_after_decontam,
         "n_after_corpus_dedup": n_after_corpus,
+        "n_semantic_dups": n_semantic_dups,
+        "n_after_semantic_dedup": n_after_semantic,
         "n_paragraphs_dropped": n_paragraphs_dropped,
         "n_redacted": n_redacted,
         "n_after_quality": n_after_quality,

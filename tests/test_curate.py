@@ -337,3 +337,100 @@ def test_curate_span_dedup_stage_strips_boilerplate(spark, tmp_path):
         for r in spark.read.parquet(out2).select("doc_id", "text").collect()
     }
     assert "bp0" in kept[100]
+
+
+def test_curate_semantic_admission_drops_corpus_dups(spark, tmp_path):
+    """curate --embed-admit-root (VERDICT r7 item 3): docs whose
+    precomputed embeddings are s11 admission-duplicates of the
+    embedding index's registered members are dropped — and ONLY those
+    (docs with novel embeddings, and docs with no embedding row at
+    all, pass through). Read-only: the index registers nothing."""
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        _committed_batches,
+    )
+    from pokemon_showdown_airflow_etl_spark.jobs.embedding_index_lake import (
+        ingest_embedding_batch,
+        init_embedding_index,
+    )
+
+    dim = 8
+
+    def basis(i):
+        return [1.0 if j == i else 0.0 for j in range(dim)]
+
+    # index: 8 orthogonal corpus vectors, first-8 seed quantizer
+    corpus_emb = spark.createDataFrame(
+        [(i, basis(i)) for i in range(dim)], "vec_id long, embedding array<double>"
+    )
+    root = str(tmp_path / "idx")
+    init_embedding_index(spark, corpus_emb, root, n_cells=8, train=False)
+    ingest_embedding_batch(spark, corpus_emb, root, "seed", threshold=2.0)
+    committed_before = _committed_batches(root + "/members")
+
+    def doc_text(i):
+        return " ".join(f"d{i}w{j} the a of to in" for j in range(8))
+
+    src = str(tmp_path / "raw")
+    spark.createDataFrame(
+        [(100 + i, doc_text(i), "en", "srcA") for i in range(3)],
+        "doc_id long, text string, lang string, source string",
+    ).withColumn("n_chars", F.length("text").cast("long")).write.parquet(src)
+
+    # 100 duplicates corpus vec 0; 101 is novel (cos 1/sqrt(8) to every
+    # member); 102 has NO embedding row
+    emb_path = str(tmp_path / "doc_emb")
+    spark.createDataFrame(
+        [(100, basis(0)), (101, [1.0] * dim)],
+        "doc_id long, embedding array<double>",
+    ).write.parquet(emb_path)
+
+    stats = curate_corpus(
+        spark,
+        src,
+        str(tmp_path / "out"),
+        embed_admit_root=root,
+        embeddings_path=emb_path,
+        embed_admit_threshold=0.9,
+    )
+    assert stats["n_after_corpus_dedup"] == 3
+    assert stats["n_semantic_dups"] == 1
+    assert stats["n_after_semantic_dedup"] == 2
+    ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).select("doc_id").collect()
+    }
+    assert ids == {101, 102}
+    # read-only: curate registered nothing in the index
+    assert _committed_batches(root + "/members") == committed_before
+
+    # without the flag the stats are inert
+    base = curate_corpus(spark, src, str(tmp_path / "out2"))
+    assert base["n_semantic_dups"] == 0
+    assert base["n_after_semantic_dedup"] == base["n_after_corpus_dedup"] == 3
+
+
+def test_curate_semantic_admission_guards(spark, tmp_path):
+    """The semantic leg fails loudly on a fresh/typo'd index root
+    (admitting against nothing would silently accept every duplicate)
+    and on a missing embeddings frame."""
+    import pytest as _pytest
+
+    src = str(tmp_path / "raw")
+    _corpus(spark).write.parquet(src)
+    emb_path = str(tmp_path / "doc_emb")
+    spark.createDataFrame(
+        [(0, [1.0, 0.0])], "doc_id long, embedding array<double>"
+    ).write.parquet(emb_path)
+
+    with _pytest.raises(ValueError, match="requires embeddings_path"):
+        curate_corpus(
+            spark, src, str(tmp_path / "o1"), embed_admit_root=str(tmp_path / "idx")
+        )
+    with _pytest.raises(FileNotFoundError, match="no committed centroids"):
+        curate_corpus(
+            spark,
+            src,
+            str(tmp_path / "o2"),
+            embed_admit_root=str(tmp_path / "no-such-idx"),
+            embeddings_path=emb_path,
+        )
