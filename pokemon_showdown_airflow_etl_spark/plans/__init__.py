@@ -26,9 +26,10 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # (2) the entries with the OLDEST standing rows, oldest first. After
 # CORRECTNESS_r07 (50/50 green) the cumulative freshness is 50
 # r7-latest, 49 r6-latest, 36 r5-latest — so the r8 window is: the
-# round-8 new entries (s13), then the full 36-name r5 block, then the
-# head of the r6 window to fill slot 50. s12/t20 greened in r7 and were
-# cleared from the changed-list (keeping them would burn slots
+# round-8 new/changed entries (s13 new; s12, whose backfill went
+# batch-parallel this round), then the full 36-name r5 block, then the
+# head of the r6 window to fill slot 50. t20 greened in r7 and was
+# cleared from the changed-list (keeping it would burn a slot
 # re-checking unchanged code). The local oracle-parity gate still
 # sweeps all entries each run, and tests/test_driver_window.py asserts
 # no entry can miss both a past row and this window.
@@ -40,11 +41,13 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # gap VERDICT r3 flagged).
 CHANGED_SINCE_LAST_ROW: list[str] = [
     "s13_ann_recall_audit",  # r8 NEW: IVF recall@1 vs exact per n_probe
+    "s12_reindexed_admit_batch",  # r8: batch-parallel reindex backfill
 ]
 
 _PRIORITY: list[str] = [
     # -- (1) every entry in CHANGED_SINCE_LAST_ROW, new first --
     "s13_ann_recall_audit",
+    "s12_reindexed_admit_batch",
     # -- (2) the full 36-name r5-latest block, so after r8 no catalog
     # entry's latest row predates round 6 --
     "c11_mtime_fallback",
@@ -96,7 +99,6 @@ _PRIORITY: list[str] = [
     "f6_point_lookup",
     "f7_partition_filter",
     "g1_high_watermark",
-    "g2_low_watermark",
     # ---- slot 50 boundary ----
 ]
 
