@@ -613,3 +613,34 @@ def test_t21_targets_broadcast_and_sharded_selection(q):
     assert "_shard" in plan[detail_windows[0] : detail_windows[0] + 500], (
         "first (inner) window is not the sharded phase"
     )
+
+
+def test_t22_largest_remainder_window_sees_domains_not_corpus(q):
+    # temperature_mixture(exact_budget=True)'s scale contract (VERDICT
+    # r7 item 7): the largest-remainder topping runs one UNPARTITIONED
+    # rank window, which is only safe because its input is the
+    # constant-size domain-count aggregate. Assert it structurally:
+    # every single-partition exchange in the plan carries domain-table
+    # columns only — never the corpus id — and the remainder window
+    # (input holds the _uncapped flag) is similarly corpus-free, while
+    # the corpus-side selection windows stay partitioned.
+    import re
+
+    plan = q("t22_domain_mixture_exact")
+    nodes = re.findall(
+        r"\(\d+\) (Exchange|Window)[^\n]*\n((?:[^\n(]+\n)*)", plan
+    )
+    saw_single, saw_remainder = 0, 0
+    for kind, detail in nodes:
+        if kind == "Exchange" and "SinglePartition" in detail:
+            saw_single += 1
+            assert "doc_id" not in detail, (
+                "a single-partition exchange carries the corpus:\n" + detail
+            )
+        if kind == "Window" and "_uncapped" in detail:
+            saw_remainder += 1
+            assert "doc_id" not in detail, (
+                "the largest-remainder window ranks corpus rows:\n" + detail
+            )
+    assert saw_single, "no single-partition exchange found — plan changed shape"
+    assert saw_remainder, "largest-remainder window not found in the plan"

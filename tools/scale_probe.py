@@ -217,6 +217,66 @@ def main() -> None:
         "growth": round(compact_times[k]["sec"] / compact_times[1]["sec"], 2),
     }
 
+    # Separator-mode span-dedup probe (VERDICT r7 item 8): the C4
+    # paper's actual unit — paragraphs split on a literal separator —
+    # measured on a planted multi-paragraph corpus (the sf testdata is
+    # single-line, so the catalog's t20 entry exercises token-window
+    # mode only). Each doc becomes 3 paragraphs: a corpus-wide
+    # cookie-banner boilerplate (3 rotating variants), the doc's own
+    # text, a unique footer. Reported: blacklist size (paragraph hashes
+    # above the occurrence floor) vs corpus size, and wall-time growth
+    # at kx — the blacklist is the rare tail (boilerplate variants +
+    # exact-dup docs' bodies), which is what keeps the anti-join
+    # broadcastable at 100 TB.
+    from pokemon_showdown_airflow_etl_spark.operators.dedup import (
+        normalize_text,
+        span_dedup,
+    )
+
+    span_times: dict[int, dict] = {}
+    for scale in (1, k):
+        docs_s = scaled_docs(table(spark, sf_dir, "documents"), scale)
+        para = docs_s.select(
+            "doc_id",
+            F.concat(
+                F.lit("please accept our cookie policy variant "),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit(" before reading\n\n"),
+                F.col("text"),
+                F.lit("\n\nunique footer for document "),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+        units = para.select(F.explode(F.split("text", "\n\n")).alias("unit"))
+        n_units = units.count()
+        blacklist = (
+            units.groupBy(F.md5(normalize_text(F.col("unit"))).alias("h"))
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        t = best_of(
+            lambda: span_dedup(para, "doc_id", "text", separator="\n\n")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        # the boilerplate must actually be stripped from every doc
+        cleaned = span_dedup(para, "doc_id", "text", separator="\n\n")
+        assert cleaned.filter(F.col("n_dropped") < 1).count() == 0
+        span_times[scale] = {
+            "sec": t, "n_paragraphs": n_units, "blacklist": blacklist,
+        }
+    out["t20_separator_span_dedup"] = {
+        "t_1x": span_times[1]["sec"],
+        f"t_{k}x": span_times[k]["sec"],
+        "growth": round(span_times[k]["sec"] / span_times[1]["sec"], 2),
+        "paragraphs_1x": span_times[1]["n_paragraphs"],
+        f"paragraphs_{k}x": span_times[k]["n_paragraphs"],
+        "blacklist_1x": span_times[1]["blacklist"],
+        f"blacklist_{k}x": span_times[k]["blacklist"],
+    }
+
     print(json.dumps({"sf_dir": sf_dir, "k": k, "probes": out}))
     spark.stop()
 
