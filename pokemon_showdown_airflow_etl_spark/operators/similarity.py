@@ -931,3 +931,96 @@ def fit_kmeans_centroids(
         "cell_id long, centroid array<double>, n_members long",
     )
     return cents, history
+
+
+def pq_codebook(
+    emb: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebook: ``[m][j][d]`` — the
+    j-th codeword of subspace m is the m-th ``dim/n_sub``-dim slice of
+    the ``n_codes`` lexicographically-first corpus vectors (the same
+    oracle-reproducible rule as the s4/s11 coarse quantizer; a trained
+    deployment runs ``fit_kmeans_centroids`` per subspace instead — the
+    encode plan below is identical either way). Driver traffic is
+    ``n_codes`` rows — constant-size sufficient statistics, the s7
+    pattern, never the corpus."""
+    rows = (
+        emb.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
+        .orderBy("vid")
+        .limit(n_codes)
+        .collect()
+    )
+    dim = len(rows[0]["v"])
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
+    sd = dim // n_sub
+    return [[list(r["v"][m * sd:(m + 1) * sd]) for r in rows] for m in range(n_sub)]
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode (Jégou et al., TPAMI 2011 — the
+    compression arm of IVF-PQ, the standard 100-TB ANN layout): each
+    vector splits into ``n_sub`` subvectors and each subvector maps to
+    its nearest codeword, so a dim-64 double vector (512 bytes) becomes
+    ``n_sub`` small ints (8 bytes at n_sub=8/n_codes=16) plus the
+    shared constant-size codebook.
+
+    Plan shape — the whole point: the codebook rides the plan as
+    LITERALS, so encoding is a PURE MAP over the corpus (zero shuffle,
+    zero join, nothing O(corpus) anywhere but the scan itself; gated in
+    tests/test_plan_quality.py). Per subspace the 16 squared distances
+    are computed as ``-2*dot(sv, cw) + dot(cw, cw)`` (the ||sv||^2 term
+    is constant within a subspace and cannot change the argmin, but IS
+    added back for the error audit), argmin ties to the lowest code id
+    via array_position-of-min — bit-reproducible cross-engine, which is
+    what lets the s14 oracle hash-check every code.
+
+    Returns (vec_id, codes array<int> ordered by subspace, err_micro) —
+    err_micro is the total squared reconstruction error in integer
+    micro-units (the t8/t16 technique: quantize each subspace's term,
+    sum integers, so cross-engine float summation order can't flip a
+    bit)."""
+    n_sub = len(codebook)
+    sd = len(codebook[0][0])
+
+    def lit_vec(w):
+        return F.array(*[F.lit(float(x)) for x in w])
+
+    v = emb.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    codes = []
+    errs = []
+    for m, words in enumerate(codebook):
+        sv = F.slice(F.col("v"), m * sd + 1, sd)
+        dists = F.array(
+            *[
+                F.lit(-2.0) * dot(sv, lit_vec(w)) + dot(lit_vec(w), lit_vec(w))
+                for w in words
+            ]
+        )
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+        errs.append(
+            F.round(
+                (dot(sv, sv) + F.array_min(dists)) * F.lit(1_000_000.0)
+            ).cast("long")
+        )
+    err_micro = errs[0]
+    for e in errs[1:]:
+        err_micro = err_micro + e
+    return v.select(
+        "vec_id",
+        F.array(*codes).alias("codes"),
+        err_micro.alias("err_micro"),
+    )

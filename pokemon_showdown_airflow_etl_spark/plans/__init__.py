@@ -26,9 +26,9 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # (2) the entries with the OLDEST standing rows, oldest first. After
 # CORRECTNESS_r07 (50/50 green) the cumulative freshness is 50
 # r7-latest, 49 r6-latest, 36 r5-latest — so the r8 window is: the
-# round-8 new/changed entries (s13 new; s12, whose backfill went
-# batch-parallel this round), then the full 36-name r5 block, then the
-# head of the r6 window to fill slot 50. t20 greened in r7 and was
+# round-8 new/changed entries (s13 and s14 new; s12, whose backfill
+# went batch-parallel this round), then the full 36-name r5 block,
+# then the head of the r6 window to fill slot 50. t20 greened in r7 and was
 # cleared from the changed-list (keeping it would burn a slot
 # re-checking unchanged code). The local oracle-parity gate still
 # sweeps all entries each run, and tests/test_driver_window.py asserts
@@ -42,12 +42,14 @@ from . import relational, joins, llm, battlelog, extras, tpch
 CHANGED_SINCE_LAST_ROW: list[str] = [
     "s13_ann_recall_audit",  # r8 NEW: IVF recall@1 vs exact per n_probe
     "s12_reindexed_admit_batch",  # r8: batch-parallel reindex backfill
+    "s14_pq_codes",  # r8 NEW: product-quantization encode
 ]
 
 _PRIORITY: list[str] = [
     # -- (1) every entry in CHANGED_SINCE_LAST_ROW, new first --
     "s13_ann_recall_audit",
     "s12_reindexed_admit_batch",
+    "s14_pq_codes",
     # -- (2) the full 36-name r5-latest block, so after r8 no catalog
     # entry's latest row predates round 6 --
     "c11_mtime_fallback",
@@ -98,7 +100,6 @@ _PRIORITY: list[str] = [
     "f4_failed_retry_predicate",
     "f6_point_lookup",
     "f7_partition_filter",
-    "g1_high_watermark",
     # ---- slot 50 boundary ----
 ]
 

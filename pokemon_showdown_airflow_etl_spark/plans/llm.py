@@ -2257,6 +2257,70 @@ def s13_ann_recall_audit(spark, sf_dir):
     )
 
 
+PQ_N_SUB = 8
+PQ_SUB_DIM = 8  # dim 64 / 8 subspaces
+PQ_N_CODES = 16
+
+
+@q(
+    "s14_pq_codes",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cb AS (
+        SELECT row_number() OVER (ORDER BY vid) - 1 AS j, v AS cv
+        FROM (SELECT vec_id AS vid, v FROM e ORDER BY vec_id LIMIT {PQ_N_CODES})
+    ), ms AS (
+        SELECT unnest(range(0, {PQ_N_SUB})) AS m
+    ), sub AS (
+        SELECT e.vec_id, ms.m,
+               e.v[ms.m * {PQ_SUB_DIM} + 1 : ms.m * {PQ_SUB_DIM} + {PQ_SUB_DIM}] AS sv
+        FROM e CROSS JOIN ms
+    ), scored AS (
+        SELECT s.vec_id, s.m, cb.j,
+               -2 * list_dot_product(
+                       s.sv,
+                       cb.cv[s.m * {PQ_SUB_DIM} + 1 : s.m * {PQ_SUB_DIM} + {PQ_SUB_DIM}])
+                 + list_dot_product(
+                       cb.cv[s.m * {PQ_SUB_DIM} + 1 : s.m * {PQ_SUB_DIM} + {PQ_SUB_DIM}],
+                       cb.cv[s.m * {PQ_SUB_DIM} + 1 : s.m * {PQ_SUB_DIM} + {PQ_SUB_DIM}])
+                 AS d2,
+               list_dot_product(s.sv, s.sv) AS sn2
+        FROM sub s CROSS JOIN cb
+    ), best AS (
+        SELECT vec_id, m, j, sn2 + d2 AS dist,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rnk
+        FROM scored
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           list(CAST(j AS INT) ORDER BY m) AS codes,
+           CAST(sum(CAST(round(dist * 1000000) AS BIGINT)) AS BIGINT) AS err_micro
+    FROM best WHERE rnk = 1
+    GROUP BY vec_id
+    """,
+    doc="Product-quantization encode (Jegou et al., TPAMI 2011 — the "
+    "compression arm of IVF-PQ, the standard 100-TB ANN memory "
+    "layout): dim-64 vectors split into 8 subspaces; each subvector "
+    "maps to its nearest of 16 per-subspace codewords, 512 bytes -> "
+    "8 code bytes + a shared constant-size codebook. The codebook is "
+    "the deterministic first-16-by-id rule (the s4/s11 quantizer "
+    "pattern; production trains per-subspace k-means via "
+    "fit_kmeans_centroids — identical plan), embedded as plan "
+    "LITERALS, so encoding is a PURE MAP over the corpus: zero "
+    "shuffle, zero join (asserted in test_plan_quality). Distances "
+    "use -2*dot(sv,cw)+||cw||^2 (argmin-equivalent, shared dot "
+    "primitive, bit-reproducible cross-engine), ties to the lowest "
+    "code id; the oracle recomputes every code AND the total squared "
+    "reconstruction error in integer micro-units (the t8/t16 "
+    "order-free summation technique), so a single flipped code or a "
+    "drifted codeword mismatches the hash.",
+)
+def s14_pq_codes(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook(emb, n_sub=PQ_N_SUB, n_codes=PQ_N_CODES)
+    return similarity.pq_encode(emb, cb)
+
+
 T20_SPAN_TOKENS = 10
 T20_MAX_OCC = 1
 

@@ -644,3 +644,14 @@ def test_t22_largest_remainder_window_sees_domains_not_corpus(q):
             )
     assert saw_single, "no single-partition exchange found — plan changed shape"
     assert saw_remainder, "largest-remainder window not found in the plan"
+
+
+def test_pq_encode_is_pure_map(q):
+    # pq_encode's scale contract: the codebook rides as literals, so
+    # encoding the corpus is a single map pass — no shuffle, no join,
+    # no Python. The naive formulation (join against a codebook table,
+    # window-argmin per (vec, subspace)) shuffles the corpus twice.
+    plan = q("s14_pq_codes")
+    assert "Exchange" not in plan, "PQ encode must not shuffle"
+    assert "Join" not in plan, "PQ encode must not join"
+    assert "BatchEvalPython" not in plan
