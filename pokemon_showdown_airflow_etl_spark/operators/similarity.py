@@ -1024,3 +1024,112 @@ def pq_encode(
         F.array(*codes).alias("codes"),
         err_micro.alias("err_micro"),
     )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 3,
+    shortlist: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k with exact re-rank — the QUERY path
+    of IVF-PQ (Jegou et al., TPAMI 2011): the corpus lives as 8-byte PQ
+    codes (``pq_encode``), the query stays full-precision, and each
+    query precomputes one n_sub x n_codes lookup table of subspace
+    squared distances; a candidate's approximate distance is then
+    ``n_sub`` table lookups + integer adds — no per-pair vector math at
+    all, which is the property that makes scanning a 100-TB corpus's
+    codes affordable. The ADC shortlist (size ``shortlist``) is then
+    re-ranked EXACTLY (true cosine on the full vectors, the standard
+    rescoring step), so the shortlist size is the recall dial.
+
+    Determinism: the lookup tables quantize to integer micro-units per
+    subspace (the t8/t16 technique) and the per-candidate score is an
+    integer sum, so ADC ranking is bit-reproducible cross-engine; ties
+    break by candidate id. Plan shape: the coded corpus is a pure map
+    (see pq_encode); queries + tables broadcast; the only shuffles are
+    the two bounded top-k windows (|queries| x corpus candidate rows
+    narrow — id + one long — never the vectors).
+
+    Returns (query_id, nn_id, rank, cos_sim, adc_micro) for the final
+    exact-ranked top ``k``.
+    """
+
+    def lit_vec(w):
+        return F.array(*[F.lit(float(x)) for x in w])
+
+    n_sub = len(codebook)
+    sd = len(codebook[0][0])
+    codes = pq_encode(emb, codebook, id_col=id_col, vec_col=vec_col).select(
+        F.col("vec_id").alias("nn_id"), "codes"
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    tabs = []
+    for m, words in enumerate(codebook):
+        qsv = F.slice(F.col("qv"), m * sd + 1, sd)
+        tabs.append(
+            F.array(
+                *[
+                    F.round(
+                        (
+                            dot(qsv, qsv)
+                            + (
+                                F.lit(-2.0) * dot(qsv, lit_vec(w))
+                                + dot(lit_vec(w), lit_vec(w))
+                            )
+                        )
+                        * F.lit(1_000_000.0)
+                    ).cast("long")
+                    for w in words
+                ]
+            )
+        )
+    qtab = qv.withColumn("qtab", F.array(*tabs))
+
+    pairs = codes.crossJoin(F.broadcast(qtab)).filter(
+        F.col("query_id") != F.col("nn_id")
+    )
+    adc = F.get(F.element_at("qtab", 1), F.element_at("codes", 1))
+    for m in range(1, n_sub):
+        adc = adc + F.get(F.element_at("qtab", m + 1), F.element_at("codes", m + 1))
+    scored = pairs.select(
+        "query_id", "nn_id", "qv", adc.alias("adc_micro")
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_micro"), F.asc("nn_id")
+    )
+    short = (
+        scored.withColumn("_srnk", F.row_number().over(w_short))
+        .filter(F.col("_srnk") <= shortlist)
+        .drop("_srnk")
+    )
+    cand = (
+        emb.select(
+            F.col(id_col).alias("nn_id"), as_double(F.col(vec_col)).alias("cv")
+        )
+        .join(F.broadcast(short), "nn_id")
+        .withColumn(
+            "cos_sim",
+            dot(F.col("qv"), F.col("cv"))
+            / (l2_norm(F.col("qv")) * l2_norm(F.col("cv"))),
+        )
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("nn_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "nn_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "adc_micro",
+        )
+    )
