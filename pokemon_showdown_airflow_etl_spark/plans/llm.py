@@ -2413,6 +2413,76 @@ def s15_pq_adc_topk(spark, sf_dir):
     )
 
 
+@q(
+    "s16_hamming_topk",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), sk AS (
+        SELECT vec_id,
+               list_sum(list_transform(range(1, 33),
+                   i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 1))
+                             ELSE 0::BIGINT END)) AS b0,
+               list_sum(list_transform(range(33, 65),
+                   i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 33))
+                             ELSE 0::BIGINT END)) AS b1
+        FROM e
+    ), qs AS (
+        SELECT vec_id AS query_id, b0 AS q0, b1 AS q1 FROM sk WHERE vec_id < 5
+    ), ham AS (
+        SELECT q.query_id, c.vec_id AS nn_id,
+               CAST(bit_count(xor(c.b0, q.q0))
+                    + bit_count(xor(c.b1, q.q1)) AS INT) AS hamming
+        FROM sk c CROSS JOIN qs q
+        WHERE c.vec_id != q.query_id
+    ), short AS (
+        SELECT query_id, nn_id, hamming FROM (
+            SELECT query_id, nn_id, hamming,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY hamming ASC, nn_id ASC) AS srnk
+            FROM ham
+        ) WHERE srnk <= 10
+    ), rescored AS (
+        SELECT s.query_id, s.nn_id, s.hamming,
+               list_dot_product(eq.v, ec.v) /
+                   (sqrt(list_dot_product(eq.v, eq.v)) *
+                    sqrt(list_dot_product(ec.v, ec.v))) AS cs
+        FROM short s
+        JOIN e eq ON eq.vec_id = s.query_id
+        JOIN e ec ON ec.vec_id = s.nn_id
+    )
+    SELECT query_id, nn_id, CAST(rnk AS INT) AS rank,
+           ROUND(cs, 6) AS cos_sim, hamming
+    FROM (
+        SELECT query_id, nn_id, hamming, cs,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, nn_id ASC) AS rnk
+        FROM rescored
+    ) WHERE rnk <= 3
+    """,
+    doc="Binary-quantized ANN — the third rung of the compression "
+    "ladder (full vectors s1, PQ codes s14/s15, sign bits here): each "
+    "dim-64 vector becomes its 64 sign bits packed in two 32-bit "
+    "words, and a candidate's approximate distance is two "
+    "XOR+popcount instructions. Hamming is monotone in angle in "
+    "expectation (Charikar SRP with the identity projection), so the "
+    "10-candidate Hamming shortlist is rescored with true cosine — "
+    "shortlist size is the recall dial, same contract as s15. "
+    "Integer sketches and distances are bit-reproducible "
+    "cross-engine, so the oracle value-checks both the packing and "
+    "the popcount ranking. Plan: sketching is a pure map (static "
+    "unrolled bit-sum, zero shuffle); queries broadcast; shuffles are "
+    "two bounded top-k windows over narrow (id, int) rows. At 100 TB "
+    "the sketch table is ~2000x smaller than the vectors and scans at "
+    "memory bandwidth.",
+)
+def s16_hamming_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.hamming_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, shortlist=10
+    )
+
+
 T20_SPAN_TOKENS = 10
 T20_MAX_OCC = 1
 
