@@ -968,62 +968,70 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Product-quantization encode (Jégou et al., TPAMI 2011 — the
-    compression arm of IVF-PQ, the standard 100-TB ANN layout): each
-    vector splits into ``n_sub`` subvectors and each subvector maps to
-    its nearest codeword, so a dim-64 double vector (512 bytes) becomes
-    ``n_sub`` small ints (8 bytes at n_sub=8/n_codes=16) plus the
-    shared constant-size codebook.
+    compression arm of IVF-PQ, the standard 100-TB ANN memory layout):
+    each vector splits into ``n_sub`` subvectors and each subvector
+    maps to its nearest codeword, so a dim-64 double vector (512
+    bytes) becomes ``n_sub`` small ints (8 bytes at n_sub=8/n_codes=16)
+    plus the shared constant-size codebook.
 
-    Plan shape — the whole point: the codebook rides the plan as
-    LITERALS, so encoding is a PURE MAP over the corpus (zero shuffle,
-    zero join, nothing O(corpus) anywhere but the scan itself; gated in
-    tests/test_plan_quality.py). Per subspace the 16 squared distances
-    are computed as ``-2*dot(sv, cw) + dot(cw, cw)`` (the ||sv||^2 term
-    is constant within a subspace and cannot change the argmin, but IS
-    added back for the error audit), argmin ties to the lowest code id
-    via array_position-of-min — bit-reproducible cross-engine, which is
-    what lets the s14 oracle hash-check every code.
+    Plan shape — the whole point: the codebook rides as a NumPy
+    constant inside ONE Arrow-vectorized ``mapInPandas`` kernel (the
+    s5 GEMM pattern), so encoding is a PURE MAP over the corpus — zero
+    shuffle, zero join, nothing O(corpus) anywhere but the scan itself
+    (gated in tests/test_plan_quality.py). An all-expression
+    formulation was value-identical but built a 128-HOF plan tree
+    that cost ~29 s of driver-side analysis per call at any data size;
+    the kernel builds in milliseconds and scores each Arrow batch as
+    n_sub small GEMMs. Per subspace the distances are
+    ``-2*(sv @ cw.T) + ||cw||^2`` (the ||sv||^2 term is constant
+    within a subspace and cannot change the argmin, but IS added back
+    for the error audit); argmin ties to the lowest code id
+    (np.argmin-first ↔ the oracle's ORDER BY d2, j) —
+    bit-reproducible cross-engine, which is what lets the s14 oracle
+    hash-check every code.
 
     Returns (vec_id, codes array<int> ordered by subspace, err_micro) —
     err_micro is the total squared reconstruction error in integer
-    micro-units (the t8/t16 technique: quantize each subspace's term,
-    sum integers, so cross-engine float summation order can't flip a
-    bit)."""
+    micro-units (the t8/t16 technique: quantize each subspace's term
+    half-away-from-zero, sum integers, so cross-engine float summation
+    order can't flip a bit)."""
+    import numpy as np
+    import pandas as pd
+
     n_sub = len(codebook)
     sd = len(codebook[0][0])
-
-    def lit_vec(w):
-        return F.array(*[F.lit(float(x)) for x in w])
+    cbs = [np.asarray(words, dtype=np.float64) for words in codebook]
+    cns = [(cb * cb).sum(axis=1) for cb in cbs]
 
     v = emb.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     )
-    codes = []
-    errs = []
-    for m, words in enumerate(codebook):
-        sv = F.slice(F.col("v"), m * sd + 1, sd)
-        dists = F.array(
-            *[
-                F.lit(-2.0) * dot(sv, lit_vec(w)) + dot(lit_vec(w), lit_vec(w))
-                for w in words
-            ]
-        )
-        codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        )
-        errs.append(
-            F.round(
-                (dot(sv, sv) + F.array_min(dists)) * F.lit(1_000_000.0)
-            ).cast("long")
-        )
-    err_micro = errs[0]
-    for e in errs[1:]:
-        err_micro = err_micro + e
-    return v.select(
-        "vec_id",
-        F.array(*codes).alias("codes"),
-        err_micro.alias("err_micro"),
-    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            n = mat.shape[0]
+            codes = np.empty((n, n_sub), dtype=np.int32)
+            err = np.zeros(n, dtype=np.int64)
+            rows = np.arange(n)
+            for m in range(n_sub):
+                sv = mat[:, m * sd:(m + 1) * sd]
+                d2 = -2.0 * (sv @ cbs[m].T) + cns[m]
+                j = np.argmin(d2, axis=1)
+                codes[:, m] = j
+                dist = (sv * sv).sum(axis=1) + d2[rows, j]
+                err += np.floor(dist * 1_000_000.0 + 0.5).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "codes": list(codes),
+                    "err_micro": err,
+                }
+            )
+
+    return v.mapInPandas(kernel, "vec_id long, codes array<int>, err_micro long")
 
 
 def pq_adc_topk(
@@ -1036,7 +1044,7 @@ def pq_adc_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """PQ asymmetric-distance top-k with exact re-rank — the QUERY path
-    of IVF-PQ (Jegou et al., TPAMI 2011): the corpus lives as 8-byte PQ
+    of IVF-PQ (Jégou et al., TPAMI 2011): the corpus lives as 8-byte PQ
     codes (``pq_encode``), the query stays full-precision, and each
     query precomputes one n_sub x n_codes lookup table of subspace
     squared distances; a candidate's approximate distance is then
@@ -1047,49 +1055,58 @@ def pq_adc_topk(
     rescoring step), so the shortlist size is the recall dial.
 
     Determinism: the lookup tables quantize to integer micro-units per
-    subspace (the t8/t16 technique) and the per-candidate score is an
-    integer sum, so ADC ranking is bit-reproducible cross-engine; ties
-    break by candidate id. Plan shape: the coded corpus is a pure map
-    (see pq_encode); queries + tables broadcast; the only shuffles are
-    the two bounded top-k windows (|queries| x corpus candidate rows
-    narrow — id + one long — never the vectors).
+    subspace (the t8/t16 technique; built in one Arrow kernel over the
+    query frame — see pq_encode for why not expressions) and the
+    per-candidate score is an integer sum of JVM-side array lookups,
+    so ADC ranking is bit-reproducible cross-engine; ties break by
+    candidate id. Plan shape: the coded corpus is a pure map; queries
+    + tables broadcast; the only shuffles are the two bounded top-k
+    windows (|queries| x corpus candidate rows narrow — id + one long
+    — never the vectors).
 
     Returns (query_id, nn_id, rank, cos_sim, adc_micro) for the final
     exact-ranked top ``k``.
     """
-
-    def lit_vec(w):
-        return F.array(*[F.lit(float(x)) for x in w])
+    import numpy as np
+    import pandas as pd
 
     n_sub = len(codebook)
     sd = len(codebook[0][0])
+    cbs = [np.asarray(words, dtype=np.float64) for words in codebook]
+    cns = [(cb * cb).sum(axis=1) for cb in cbs]
+
     codes = pq_encode(emb, codebook, id_col=id_col, vec_col=vec_col).select(
         F.col("vec_id").alias("nn_id"), "codes"
     )
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    tabs = []
-    for m, words in enumerate(codebook):
-        qsv = F.slice(F.col("qv"), m * sd + 1, sd)
-        tabs.append(
-            F.array(
-                *[
-                    F.round(
-                        (
-                            dot(qsv, qsv)
-                            + (
-                                F.lit(-2.0) * dot(qsv, lit_vec(w))
-                                + dot(lit_vec(w), lit_vec(w))
-                            )
-                        )
-                        * F.lit(1_000_000.0)
-                    ).cast("long")
-                    for w in words
-                ]
+
+    def qkernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["qv"].tolist(), dtype=np.float64)
+            tabs = []
+            for row in mat:
+                t = np.empty((n_sub, len(cbs[0])), dtype=np.int64)
+                for m in range(n_sub):
+                    qsv = row[m * sd:(m + 1) * sd]
+                    d = (qsv * qsv).sum() + (-2.0 * (cbs[m] @ qsv) + cns[m])
+                    t[m] = np.floor(d * 1_000_000.0 + 0.5).astype(np.int64)
+                tabs.append(list(t))
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "qv": pdf["qv"],
+                    "qtab": tabs,
+                }
             )
-        )
-    qtab = qv.withColumn("qtab", F.array(*tabs))
+
+    qtab = qv.mapInPandas(
+        qkernel,
+        "query_id long, qv array<double>, qtab array<array<long>>",
+    )
 
     pairs = codes.crossJoin(F.broadcast(qtab)).filter(
         F.col("query_id") != F.col("nn_id")

@@ -2305,12 +2305,14 @@ PQ_N_CODES = 16
     "8 code bytes + a shared constant-size codebook. The codebook is "
     "the deterministic first-16-by-id rule (the s4/s11 quantizer "
     "pattern; production trains per-subspace k-means via "
-    "fit_kmeans_centroids — identical plan), embedded as plan "
-    "LITERALS, so encoding is a PURE MAP over the corpus: zero "
-    "shuffle, zero join (asserted in test_plan_quality). Distances "
-    "use -2*dot(sv,cw)+||cw||^2 (argmin-equivalent, shared dot "
-    "primitive, bit-reproducible cross-engine), ties to the lowest "
-    "code id; the oracle recomputes every code AND the total squared "
+    "fit_kmeans_centroids — identical plan), carried as a NumPy "
+    "constant in ONE Arrow-vectorized mapInPandas kernel (the s5 GEMM "
+    "pattern; an all-expression form was value-identical but cost "
+    "~29 s of driver-side plan analysis for its 128-HOF tree), so "
+    "encoding is a PURE MAP over the corpus: zero shuffle, zero join "
+    "(asserted in test_plan_quality). Distances use "
+    "-2*(sv @ cw.T)+||cw||^2 (argmin-equivalent, GEMM-shaped, "
+    "bit-reproducible cross-engine), ties to the lowest code id; the oracle recomputes every code AND the total squared "
     "reconstruction error in integer micro-units (the t8/t16 "
     "order-free summation technique), so a single flipped code or a "
     "drifted codeword mismatches the hash.",
