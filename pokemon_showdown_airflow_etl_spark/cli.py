@@ -198,6 +198,27 @@ def build_parser() -> argparse.ArgumentParser:
         "Lloyd trainer (ignored when --centroids is given)",
     )
 
+    bpq = sub.add_parser(
+        "build-pq",
+        help="materialize the embedding index's PQ compression layer "
+        "(codebook + 8-byte codes for every registered vector; a "
+        "snapshot — re-run with --refresh after ingest/compaction)",
+    )
+    bpq.add_argument("--index-root", required=True, help="embedding index root dir")
+    bpq.add_argument("--n-sub", type=int, default=8)
+    bpq.add_argument("--n-codes", type=int, default=16)
+    bpq.add_argument("--refresh", action="store_true")
+
+    pqs = sub.add_parser(
+        "pq-search",
+        help="ANN over the index's materialized PQ codes: ADC shortlist "
+        "+ exact cosine rescore (read-only)",
+    )
+    pqs.add_argument("--index-root", required=True, help="embedding index root dir")
+    pqs.add_argument("--queries", required=True, help="query embeddings parquet path")
+    pqs.add_argument("--k", type=int, default=3)
+    pqs.add_argument("--shortlist", type=int, default=10)
+
     sub.add_parser("deduplicate", help="remove duplicate metadata rows (O12)")
     opt = sub.add_parser("optimize", help="small-file compaction rewrite (O12 vacuum)")
     opt.add_argument("--files-per-partition", type=int, default=1)
@@ -359,6 +380,34 @@ def main(argv: list[str] | None = None) -> int:
             n_probe=args.n_probe,
         )
         print(json.dumps(result, sort_keys=True))
+        return 0
+
+    if args.cmd == "build-pq":
+        from .jobs.embedding_index_lake import build_pq_layer
+        from .session import get_spark
+
+        spark = get_spark(app_name="etl-build-pq", master=args.master)
+        result = build_pq_layer(
+            spark, args.index_root, n_sub=args.n_sub, n_codes=args.n_codes,
+            refresh=args.refresh,
+        )
+        print(json.dumps(result, sort_keys=True))
+        return 0
+
+    if args.cmd == "pq-search":
+        from .jobs.embedding_index_lake import pq_layer_search
+        from .session import get_spark
+
+        spark = get_spark(app_name="etl-pq-search", master=args.master)
+        out = pq_layer_search(
+            spark,
+            args.index_root,
+            spark.read.parquet(args.queries),
+            k=args.k,
+            shortlist=args.shortlist,
+        )
+        for r in out.orderBy("query_id", "rank").collect():
+            print(json.dumps(r.asDict(), sort_keys=True))
         return 0
 
     if args.cmd == "reindex-embeddings":

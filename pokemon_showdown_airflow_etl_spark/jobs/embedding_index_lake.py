@@ -645,3 +645,175 @@ def compact_embedding_index(
     return compact_signature_corpus(
         spark, index_root, min_batches=min_batches, data_table="assignments"
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ compression layer (s14/s15 as a materialized lake facet): the
+# index's registered vectors encoded once to 8-byte codes + one shared
+# codebook, so ANN candidate scans read ~64x less data than the raw
+# assignments and never touch a vector until the final rescore.
+# ---------------------------------------------------------------------------
+
+
+def _pq_dir(index_root: str) -> str:
+    return os.path.join(index_root, "pq")
+
+
+def build_pq_layer(
+    spark: SparkSession,
+    index_root: str,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    refresh: bool = False,
+) -> dict:
+    """Materialize the PQ facet of an embedding index: a deterministic
+    codebook (first-``n_codes``-by-id registered vectors, the s14 rule;
+    a trained deployment substitutes per-subspace k-means) stored as
+    JSON next to a ``codes/`` parquet of (vec_id, codes, err_micro)
+    for every COMMITTED assignment row. One pure-map pass over the
+    committed corpus (the s14 kernel); the layer is a SNAPSHOT — after
+    ingesting/compacting more batches, rebuild with ``refresh=True``
+    (the codebook is re-derived from the same rule, so an unchanged
+    corpus rebuilds byte-identically). Idempotent: an existing
+    committed layer is left untouched unless ``refresh``.
+
+    Returns counts only: n_vectors, n_sub, n_codes, refreshed.
+    """
+    import json as _json
+    import shutil
+
+    from ..operators.similarity import pq_codebook, pq_encode
+
+    d = _pq_dir(index_root)
+    codes_dir = os.path.join(d, "codes")
+    marker = os.path.join(codes_dir, "_SUCCESS")
+    if os.path.exists(marker) and not refresh:
+        n = spark.read.parquet(codes_dir).count()
+        return {
+            "n_vectors": n, "n_sub": n_sub, "n_codes": n_codes,
+            "refreshed": False, "already_built": True,
+        }
+    asg = read_committed(spark, index_root, "assignments")
+    if asg is None:
+        raise ValueError(
+            f"{index_root!r} has no committed assignments — ingest the "
+            "corpus before building its PQ layer"
+        )
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    os.makedirs(d)
+    cb = pq_codebook(asg, n_sub=n_sub, n_codes=n_codes, vec_col="v")
+    encoded = pq_encode(asg, cb, vec_col="v")
+    encoded.write.parquet(codes_dir)
+    # codebook JSON last-ish, but the codes/_SUCCESS is the real marker;
+    # a crash between the two leaves a marker-less dir that rebuilds
+    with open(os.path.join(d, "codebook.json"), "w") as f:
+        _json.dump({"n_sub": n_sub, "n_codes": n_codes, "codebook": cb}, f)
+    n = spark.read.parquet(codes_dir).count()
+    return {
+        "n_vectors": n, "n_sub": n_sub, "n_codes": n_codes,
+        "refreshed": True, "already_built": False,
+    }
+
+
+def pq_layer_search(
+    spark: SparkSession,
+    index_root: str,
+    queries: DataFrame,
+    k: int = 3,
+    shortlist: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN over the index's MATERIALIZED PQ codes: per-query integer
+    lookup tables broadcast against the stored ``pq/codes`` table (8
+    lookups + adds per candidate — the s15 ADC kernel), shortlist
+    rescored with true cosine against the stored assignment vectors.
+    Read-only; requires ``build_pq_layer`` to have committed. The
+    layer is a snapshot of the corpus at build time — rebuild after
+    ingest/compaction to make new vectors searchable."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.similarity import as_double, dot, l2_norm
+
+    from pyspark.sql.window import Window
+
+    d = _pq_dir(index_root)
+    codes_dir = os.path.join(d, "codes")
+    if not os.path.exists(os.path.join(codes_dir, "_SUCCESS")):
+        raise FileNotFoundError(
+            f"no committed PQ layer under {index_root!r} — run "
+            "build_pq_layer (CLI build-pq) first"
+        )
+    with open(os.path.join(d, "codebook.json")) as f:
+        meta = _json.load(f)
+    cb = meta["codebook"]
+    n_sub = meta["n_sub"]
+    sd = len(cb[0][0])
+    cbs = [np.asarray(w, dtype=np.float64) for w in cb]
+    cns = [(m * m).sum(axis=1) for m in cbs]
+
+    codes = spark.read.parquet(codes_dir).select(
+        F.col("vec_id").alias("nn_id"), "codes"
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+
+    def qkernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["qv"].tolist(), dtype=np.float64)
+            tabs = []
+            for row in mat:
+                t = np.empty((n_sub, len(cbs[0])), dtype=np.int64)
+                for m in range(n_sub):
+                    qsv = row[m * sd:(m + 1) * sd]
+                    dd = (qsv * qsv).sum() + (-2.0 * (cbs[m] @ qsv) + cns[m])
+                    t[m] = np.floor(dd * 1_000_000.0 + 0.5).astype(np.int64)
+                tabs.append(list(t))
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"].to_numpy(), "qv": pdf["qv"], "qtab": tabs}
+            )
+
+    qtab = qv.mapInPandas(
+        qkernel, "query_id long, qv array<double>, qtab array<array<long>>"
+    )
+    pairs = codes.crossJoin(F.broadcast(qtab)).filter(
+        F.col("query_id") != F.col("nn_id")
+    )
+    adc = F.get(F.element_at("qtab", 1), F.element_at("codes", 1))
+    for m in range(1, n_sub):
+        adc = adc + F.get(F.element_at("qtab", m + 1), F.element_at("codes", m + 1))
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_micro"), F.asc("nn_id")
+    )
+    short = (
+        pairs.select("query_id", "nn_id", "qv", adc.alias("adc_micro"))
+        .withColumn("_srnk", F.row_number().over(w_short))
+        .filter(F.col("_srnk") <= shortlist)
+        .drop("_srnk")
+    )
+    vecs = read_committed(spark, index_root, "assignments").select(
+        F.col("vec_id").alias("nn_id"), F.col("v").alias("cv")
+    )
+    cand = vecs.join(F.broadcast(short), "nn_id").withColumn(
+        "cos_sim",
+        dot(F.col("qv"), F.col("cv")) / (l2_norm(F.col("qv")) * l2_norm(F.col("cv"))),
+    )
+    w_final = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "nn_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "adc_micro",
+        )
+    )

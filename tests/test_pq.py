@@ -106,3 +106,62 @@ def test_hamming_topk_finds_planted_duplicate(spark):
     r = out[0]
     assert (r["nn_id"], r["hamming"]) == (3, 0)
     assert r["cos_sim"] == 1.0
+
+
+def test_pq_lake_layer_build_search_and_guards(spark, tmp_path):
+    """The PQ facet of the embedding-index lake (build_pq_layer /
+    pq_layer_search): codes match a live pq_encode of the committed
+    corpus, search finds a planted near-duplicate through the coded
+    path, the layer is idempotent unless refreshed, and search fails
+    loudly without a committed layer."""
+    from pokemon_showdown_airflow_etl_spark.jobs.embedding_index_lake import (
+        build_pq_layer,
+        ingest_embedding_batch,
+        init_embedding_index,
+        pq_layer_search,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)]
+    emb = _emb(spark, rows, 64)
+    root = str(tmp_path / "idx")
+    init_embedding_index(spark, emb, root, n_cells=4, train=False)
+    ingest_embedding_batch(spark, emb, root, "bulk", threshold=2.0)
+
+    with pytest.raises(FileNotFoundError, match="no committed PQ layer"):
+        pq_layer_search(spark, root, emb.limit(1))
+
+    st = build_pq_layer(spark, root, n_sub=8, n_codes=16)
+    assert st["n_vectors"] == 40 and st["refreshed"]
+    # idempotent unless refreshed
+    st2 = build_pq_layer(spark, root, n_sub=8, n_codes=16)
+    assert st2["already_built"] and not st2["refreshed"]
+
+    # stored codes == live encode of the committed corpus
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        read_committed,
+    )
+    from pokemon_showdown_airflow_etl_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    asg = read_committed(spark, root, "assignments")
+    live = {
+        r["vec_id"]: (list(r["codes"]), r["err_micro"])
+        for r in pq_encode(asg, pq_codebook(asg, vec_col="v"), vec_col="v").collect()
+    }
+    import os
+    stored = {
+        r["vec_id"]: (list(r["codes"]), r["err_micro"])
+        for r in spark.read.parquet(os.path.join(root, "pq", "codes")).collect()
+    }
+    assert stored == live
+
+    # a query duplicating vector 7 comes back rank-1 through the codes
+    q = _emb(spark, [(900, rows[7][1])], 64)
+    got = pq_layer_search(spark, root, q, k=1, shortlist=5).collect()
+    assert len(got) == 1
+    assert (got[0]["nn_id"], got[0]["cos_sim"]) == (7, 1.0)
