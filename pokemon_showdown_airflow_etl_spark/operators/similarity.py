@@ -1262,3 +1262,135 @@ def hamming_topk(
             "hamming",
         )
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 3,
+    shortlist: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ — the composition that actually serves 100-TB ANN
+    (Jégou et al., TPAMI 2011; the FAISS default): the coarse
+    quantizer prunes candidates to the query's ``n_probe`` cells
+    (``assign_cells``, s4's routing), the pruned candidates are scored
+    from their 8-byte PQ CODES via per-query integer lookup tables
+    (s15's ADC kernel — no vector math per pair), and only the
+    ``shortlist`` ADC-nearest are rescored with true cosine. Cost per
+    query: O(probe * avg_cell_size) table lookups + ``shortlist``
+    exact dots — both dials (n_probe = candidate recall, shortlist =
+    rescore recall) are measured contracts (s13 pattern).
+
+    Plan shape: corpus assignment is one broadcast-centroid map +
+    per-id rank window (persisted in production — the embedding-index
+    lake stores exactly this); codes are a pure map; probes and lookup
+    tables broadcast; candidates meet members in ONE equi-join on
+    cell_id carrying only (id, codes, table) — vectors reappear only
+    for the bounded rescore join. Deterministic end to end (first-N
+    quantizers, integer ADC, id tie-breaks), so the whole composed
+    path is oracle-checkable.
+
+    Returns (query_id, nn_id, rank, cos_sim, adc_micro)."""
+    import numpy as np
+    import pandas as pd
+
+    n_sub = len(codebook)
+    sd = len(codebook[0][0])
+    cbs = [np.asarray(words, dtype=np.float64) for words in codebook]
+    cns = [(cb * cb).sum(axis=1) for cb in cbs]
+
+    v = emb.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    if centroids is not None:
+        cents = centroids.select(
+            "cell_id", as_double(F.col("centroid")).alias("centroid")
+        )
+    else:
+        cents = (
+            v.orderBy("vec_id")
+            .limit(n_cells)
+            .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("centroid"))
+        )
+    members = assign_cells(emb, cents, 1, id_col, vec_col).select(
+        F.col("vec_id").alias("nn_id"), "cell_id"
+    )
+    codes = pq_encode(emb, codebook, id_col=id_col, vec_col=vec_col).select(
+        F.col("vec_id").alias("nn_id"), "codes"
+    )
+    probes = assign_cells(queries, cents, n_probe, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"), "cell_id"
+    )
+
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+
+    def qkernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["qv"].tolist(), dtype=np.float64)
+            tabs = []
+            for row in mat:
+                t = np.empty((n_sub, len(cbs[0])), dtype=np.int64)
+                for m in range(n_sub):
+                    qsv = row[m * sd:(m + 1) * sd]
+                    dd = (qsv * qsv).sum() + (-2.0 * (cbs[m] @ qsv) + cns[m])
+                    t[m] = np.floor(dd * 1_000_000.0 + 0.5).astype(np.int64)
+                tabs.append(list(t))
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"].to_numpy(), "qv": pdf["qv"], "qtab": tabs}
+            )
+
+    qtab = qv.mapInPandas(
+        qkernel, "query_id long, qv array<double>, qtab array<array<long>>"
+    )
+
+    cand = (
+        members.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("query_id") != F.col("nn_id"))
+        .join(codes, "nn_id")
+        .join(F.broadcast(qtab), "query_id")
+    )
+    adc = F.get(F.element_at("qtab", 1), F.element_at("codes", 1))
+    for m in range(1, n_sub):
+        adc = adc + F.get(F.element_at("qtab", m + 1), F.element_at("codes", m + 1))
+    scored = cand.select("query_id", "nn_id", "qv", adc.alias("adc_micro"))
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_micro"), F.asc("nn_id")
+    )
+    short = (
+        scored.withColumn("_srnk", F.row_number().over(w_short))
+        .filter(F.col("_srnk") <= shortlist)
+        .drop("_srnk")
+    )
+    rescored = (
+        emb.select(
+            F.col(id_col).alias("nn_id"), as_double(F.col(vec_col)).alias("cv")
+        )
+        .join(F.broadcast(short), "nn_id")
+        .withColumn(
+            "cos_sim",
+            dot(F.col("qv"), F.col("cv"))
+            / (l2_norm(F.col("qv")) * l2_norm(F.col("cv"))),
+        )
+    )
+    w_final = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "nn_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "adc_micro",
+        )
+    )

@@ -26,7 +26,7 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # (2) the entries with the OLDEST standing rows, oldest first. After
 # CORRECTNESS_r07 (50/50 green) the cumulative freshness is 50
 # r7-latest, 49 r6-latest, 36 r5-latest — so the r8 window is: the
-# round-8 new/changed entries (s13/s14/s15/s16 new; s12, whose backfill
+# round-8 new/changed entries (s13-s17 new; s12, whose backfill
 # went batch-parallel this round), then the full 36-name r5 block,
 # then the head of the r6 window to fill slot 50. t20 greened in r7 and was
 # cleared from the changed-list (keeping it would burn a slot
@@ -45,6 +45,7 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
     "s14_pq_codes",  # r8 NEW: product-quantization encode
     "s15_pq_adc_topk",  # r8 NEW: PQ asymmetric-distance search + rescore
     "s16_hamming_topk",  # r8 NEW: binary sign-sketch Hamming search
+    "s17_ivfpq_topk",  # r8 NEW: composed IVF-PQ (cells -> ADC -> rescore)
 ]
 
 _PRIORITY: list[str] = [
@@ -54,6 +55,7 @@ _PRIORITY: list[str] = [
     "s14_pq_codes",
     "s15_pq_adc_topk",
     "s16_hamming_topk",
+    "s17_ivfpq_topk",
     # -- (2) the full 36-name r5-latest block, so after r8 no catalog
     # entry's latest row predates round 6 --
     "c11_mtime_fallback",
@@ -101,7 +103,6 @@ _PRIORITY: list[str] = [
     "f1_watermark_filter",
     "f2_undownloaded_filter",
     "f3_conjunctive_flags",
-    "f4_failed_retry_predicate",
     # ---- slot 50 boundary ----
 ]
 

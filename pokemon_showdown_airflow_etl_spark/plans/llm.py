@@ -2485,6 +2485,120 @@ def s16_hamming_topk(spark, sf_dir):
     )
 
 
+@q(
+    "s17_ivfpq_topk",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cents AS (
+        SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 8
+    ), ranked_cells AS (
+        SELECT vid, cell_id,
+               row_number() OVER (PARTITION BY vid ORDER BY cell_sim DESC, cell_id ASC)
+                   AS cell_rank
+        FROM (
+            SELECT e.vec_id AS vid, cents.cell_id,
+                   list_dot_product(e.v, cents.cv) /
+                       (sqrt(list_dot_product(e.v, e.v)) *
+                        sqrt(list_dot_product(cents.cv, cents.cv))) AS cell_sim
+            FROM e CROSS JOIN cents
+        )
+    ), members AS (
+        SELECT vid AS nn_id, cell_id FROM ranked_cells WHERE cell_rank = 1
+    ), probes AS (
+        SELECT vid AS qid, cell_id FROM ranked_cells
+        WHERE cell_rank <= 2 AND vid < 5
+    ), cb AS (
+        SELECT row_number() OVER (ORDER BY vid) - 1 AS j, v AS cv
+        FROM (SELECT vec_id AS vid, v FROM e ORDER BY vec_id LIMIT {PQ_N_CODES})
+    ), ms AS (
+        SELECT unnest(range(0, {PQ_N_SUB})) AS m
+    ), sub AS (
+        SELECT e.vec_id, ms.m,
+               e.v[ms.m * {PQ_SUB_DIM} + 1 : ms.m * {PQ_SUB_DIM} + {PQ_SUB_DIM}] AS sv
+        FROM e CROSS JOIN ms
+    ), cbsub AS (
+        SELECT cb.j, ms.m,
+               cb.cv[ms.m * {PQ_SUB_DIM} + 1 : ms.m * {PQ_SUB_DIM} + {PQ_SUB_DIM}] AS cw
+        FROM cb CROSS JOIN ms
+    ), best AS (
+        SELECT vec_id, m, j FROM (
+            SELECT s.vec_id, s.m, c.j,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY -2 * list_dot_product(s.sv, c.cw)
+                                  + list_dot_product(c.cw, c.cw) ASC, c.j ASC
+                   ) AS rnk
+            FROM sub s JOIN cbsub c USING (m)
+        ) WHERE rnk = 1
+    ), qsub AS (
+        SELECT s.vec_id AS qid, s.m, s.sv AS qsv FROM sub s WHERE s.vec_id < 5
+    ), adc AS (
+        SELECT p.qid, mem.nn_id,
+               CAST(sum(CAST(round((list_dot_product(q.qsv, q.qsv)
+                   + (-2 * list_dot_product(q.qsv, c.cw)
+                      + list_dot_product(c.cw, c.cw))) * 1000000) AS BIGINT))
+                    AS BIGINT) AS adc_micro
+        FROM probes p
+        JOIN members mem USING (cell_id)
+        JOIN best b ON b.vec_id = mem.nn_id
+        JOIN qsub q ON q.qid = p.qid AND q.m = b.m
+        JOIN cbsub c ON c.m = b.m AND c.j = b.j
+        WHERE mem.nn_id != p.qid
+        GROUP BY 1, 2
+    ), short AS (
+        SELECT qid, nn_id, adc_micro FROM (
+            SELECT qid, nn_id, adc_micro,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY adc_micro ASC, nn_id ASC) AS srnk
+            FROM adc
+        ) WHERE srnk <= {PQ_SHORTLIST}
+    ), rescored AS (
+        SELECT s.qid AS query_id, s.nn_id, s.adc_micro,
+               list_dot_product(eq.v, ec.v) /
+                   (sqrt(list_dot_product(eq.v, eq.v)) *
+                    sqrt(list_dot_product(ec.v, ec.v))) AS cs
+        FROM short s
+        JOIN e eq ON eq.vec_id = s.qid
+        JOIN e ec ON ec.vec_id = s.nn_id
+    )
+    SELECT query_id, nn_id, CAST(rnk AS INT) AS rank,
+           ROUND(cs, 6) AS cos_sim, adc_micro
+    FROM (
+        SELECT query_id, nn_id, adc_micro, cs,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, nn_id ASC) AS rnk
+        FROM rescored
+    ) WHERE rnk <= 3
+    """,
+    doc="IVF-PQ — the composed index that actually serves 100-TB ANN "
+    "(the FAISS default; Jegou et al., TPAMI 2011), closing the "
+    "ladder: s4's coarse cells prune each query's candidates to "
+    "n_probe=2 cells, s15's ADC kernel scores the pruned candidates "
+    "from their 8-byte codes (integer table lookups, no per-pair "
+    "vector math), and the 10-candidate shortlist is rescored with "
+    "true cosine. Per query the cost is O(probe x avg_cell) lookups "
+    "+ 10 exact dots — against a 100-TB corpus the scan touches "
+    "~1/4 of a ~60x-compressed code table and a handful of raw "
+    "vectors. Both recall dials (n_probe — measured by s13; "
+    "shortlist) stay deterministic, so the COMPOSITION is "
+    "value-checked end-to-end: one wrong cell route, flipped code, "
+    "or table entry mismatches the hash.",
+)
+def s17_ivfpq_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook(emb, n_sub=PQ_N_SUB, n_codes=PQ_N_CODES)
+    return similarity.ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        cb,
+        k=3,
+        shortlist=PQ_SHORTLIST,
+        n_cells=8,
+        n_probe=2,
+    )
+
+
 T20_SPAN_TOKENS = 10
 T20_MAX_OCC = 1
 
