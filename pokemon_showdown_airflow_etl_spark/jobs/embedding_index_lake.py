@@ -703,12 +703,15 @@ def build_pq_layer(
         shutil.rmtree(d)
     os.makedirs(d)
     cb = pq_codebook(asg, n_sub=n_sub, n_codes=n_codes, vec_col="v")
-    encoded = pq_encode(asg, cb, vec_col="v")
-    encoded.write.parquet(codes_dir)
-    # codebook JSON last-ish, but the codes/_SUCCESS is the real marker;
-    # a crash between the two leaves a marker-less dir that rebuilds
+    # codebook JSON BEFORE the codes write: codes/_SUCCESS is the
+    # layer's commit marker, so everything the marker promises (the
+    # codebook the codes were encoded with) must exist first — a crash
+    # anywhere before the marker leaves a marker-less dir that the
+    # next build clears and redoes
     with open(os.path.join(d, "codebook.json"), "w") as f:
         _json.dump({"n_sub": n_sub, "n_codes": n_codes, "codebook": cb}, f)
+    encoded = pq_encode(asg, cb, vec_col="v")
+    encoded.write.parquet(codes_dir)
     n = spark.read.parquet(codes_dir).count()
     return {
         "n_vectors": n, "n_sub": n_sub, "n_codes": n_codes,

@@ -1208,10 +1208,18 @@ def hamming_topk(
 
     Returns (query_id, nn_id, rank, cos_sim, hamming)."""
     sk = sign_sketch(emb, id_col, vec_col)
+    # the query's full vector rides the broadcast alongside its sketch:
+    # the rescore must work for EXTERNAL queries too, so it can never
+    # re-derive qv from the corpus
     qsk = sign_sketch(queries, id_col, vec_col).select(
         F.col("vec_id").alias("query_id"),
         F.col("b0").alias("q0"),
         F.col("b1").alias("q1"),
+    ).join(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        ),
+        "query_id",
     )
     pairs = (
         sk.withColumnRenamed("vec_id", "nn_id")
@@ -1231,22 +1239,15 @@ def hamming_topk(
     short = (
         pairs.withColumn("_srnk", F.row_number().over(w_short))
         .filter(F.col("_srnk") <= shortlist)
-        .select("query_id", "nn_id", "hamming")
+        .select("query_id", "nn_id", "hamming", "qv")
     )
     c = emb.select(
         F.col(id_col).alias("nn_id"), as_double(F.col(vec_col)).alias("cv")
     )
-    qv = emb.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
-    cand = (
-        c.join(F.broadcast(short), "nn_id")
-        .join(F.broadcast(qv.join(F.broadcast(short.select("query_id").distinct()), "query_id")), "query_id")
-        .withColumn(
-            "cos_sim",
-            dot(F.col("qv"), F.col("cv"))
-            / (l2_norm(F.col("qv")) * l2_norm(F.col("cv"))),
-        )
+    cand = c.join(F.broadcast(short), "nn_id").withColumn(
+        "cos_sim",
+        dot(F.col("qv"), F.col("cv"))
+        / (l2_norm(F.col("qv")) * l2_norm(F.col("cv"))),
     )
     w_final = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("nn_id")

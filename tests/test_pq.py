@@ -165,3 +165,20 @@ def test_pq_lake_layer_build_search_and_guards(spark, tmp_path):
     got = pq_layer_search(spark, root, q, k=1, shortlist=5).collect()
     assert len(got) == 1
     assert (got[0]["nn_id"], got[0]["cos_sim"]) == (7, 1.0)
+
+
+def test_hamming_topk_accepts_external_queries(spark):
+    """The query frame need not be a corpus subset: an external vector
+    (id absent from emb) still gets ranked and rescored — the rescore
+    carries qv from the query side, never re-derives it from the
+    corpus."""
+    import random
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(20)]
+    emb = _emb(spark, rows, 64)
+    external = _emb(spark, [(999, rows[4][1])], 64)  # id NOT in emb
+    out = similarity.hamming_topk(emb, external, k=1, shortlist=4).collect()
+    assert len(out) == 1
+    assert (out[0]["query_id"], out[0]["nn_id"], out[0]["hamming"]) == (999, 4, 0)
+    assert out[0]["cos_sim"] == 1.0
