@@ -2599,6 +2599,183 @@ def s17_ivfpq_topk(spark, sf_dir):
     )
 
 
+S18_SHORTLISTS = (5, 20)
+
+
+@q(
+    "s18_compression_recall_audit",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), qs AS (
+        SELECT vec_id, v FROM e WHERE vec_id % {S13_SAMPLE_MOD} = 0
+    ), cb AS (
+        SELECT row_number() OVER (ORDER BY vid) - 1 AS j, v AS cv
+        FROM (SELECT vec_id AS vid, v FROM e ORDER BY vec_id LIMIT {PQ_N_CODES})
+    ), ms AS (
+        SELECT unnest(range(0, {PQ_N_SUB})) AS m
+    ), sub AS (
+        SELECT e.vec_id, ms.m,
+               e.v[ms.m * {PQ_SUB_DIM} + 1 : ms.m * {PQ_SUB_DIM} + {PQ_SUB_DIM}] AS sv
+        FROM e CROSS JOIN ms
+    ), cbsub AS (
+        SELECT cb.j, ms.m,
+               cb.cv[ms.m * {PQ_SUB_DIM} + 1 : ms.m * {PQ_SUB_DIM} + {PQ_SUB_DIM}] AS cw
+        FROM cb CROSS JOIN ms
+    ), best AS (
+        SELECT vec_id, m, j FROM (
+            SELECT s.vec_id, s.m, c.j,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY -2 * list_dot_product(s.sv, c.cw)
+                                  + list_dot_product(c.cw, c.cw) ASC, c.j ASC
+                   ) AS rnk
+            FROM sub s JOIN cbsub c USING (m)
+        ) WHERE rnk = 1
+    ), qsub AS (
+        SELECT s.vec_id AS qid, s.m, s.sv AS qsv FROM sub s
+        WHERE s.vec_id % {S13_SAMPLE_MOD} = 0
+    ), adc AS (
+        SELECT q.qid, b.vec_id AS nn_id,
+               CAST(sum(CAST(round((list_dot_product(q.qsv, q.qsv)
+                   + (-2 * list_dot_product(q.qsv, c.cw)
+                      + list_dot_product(c.cw, c.cw))) * 1000000) AS BIGINT))
+                    AS BIGINT) AS score
+        FROM best b
+        JOIN qsub q USING (m)
+        JOIN cbsub c ON c.m = b.m AND c.j = b.j
+        WHERE b.vec_id != q.qid
+        GROUP BY 1, 2
+    ), sk AS (
+        SELECT vec_id,
+               list_sum(list_transform(range(1, 33),
+                   i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 1))
+                             ELSE 0::BIGINT END)) AS b0,
+               list_sum(list_transform(range(33, 65),
+                   i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 33))
+                             ELSE 0::BIGINT END)) AS b1
+        FROM e
+    ), ham AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nn_id,
+               CAST(bit_count(xor(c.b0, q.b0))
+                    + bit_count(xor(c.b1, q.b1)) AS BIGINT) AS score
+        FROM sk c JOIN (SELECT s.* FROM sk s JOIN qs ON s.vec_id = qs.vec_id) q
+          ON c.vec_id != q.vec_id
+    ), approx AS (
+        SELECT 'pq_adc' AS method, qid, nn_id, score FROM adc
+        UNION ALL
+        SELECT 'hamming' AS method, qid, nn_id, score FROM ham
+    ), ranked AS (
+        SELECT method, qid, nn_id, score,
+               row_number() OVER (PARTITION BY method, qid
+                                  ORDER BY score ASC, nn_id ASC) AS srnk
+        FROM approx
+    ), lvals AS (
+        SELECT * FROM (VALUES {", ".join(f"({L})" for L in S18_SHORTLISTS)}) AS lv(shortlist)
+    ), rescored AS (
+        SELECT r.method, lv.shortlist, r.qid, r.nn_id,
+               list_dot_product(eq.v, ec.v) /
+                   (sqrt(list_dot_product(eq.v, eq.v)) *
+                    sqrt(list_dot_product(ec.v, ec.v))) AS cs
+        FROM lvals lv
+        JOIN ranked r ON r.srnk <= lv.shortlist
+        JOIN e eq ON eq.vec_id = r.qid
+        JOIN e ec ON ec.vec_id = r.nn_id
+    ), picked AS (
+        SELECT method, shortlist, qid, nn_id FROM (
+            SELECT method, shortlist, qid, nn_id,
+                   row_number() OVER (PARTITION BY method, shortlist, qid
+                                      ORDER BY cs DESC, nn_id ASC) AS rnk
+            FROM rescored
+        ) WHERE rnk = 1
+    ), exact AS (
+        SELECT query_id, nn_id AS exact_nn FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {COS_SQL} DESC, c.vec_id ASC) AS rnk
+            FROM qs q JOIN e c ON q.vec_id != c.vec_id
+        ) WHERE rnk = 1
+    )
+    SELECT mm.method AS method, CAST(lv.shortlist AS INT) AS shortlist,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN p.nn_id = x.exact_nn THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits,
+           ROUND(sum(CASE WHEN p.nn_id = x.exact_nn THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS recall_micro
+    FROM (VALUES ('pq_adc'), ('hamming')) AS mm(method)
+    CROSS JOIN lvals lv
+    CROSS JOIN exact x
+    LEFT JOIN picked p ON p.method = mm.method AND p.shortlist = lv.shortlist
+                      AND p.qid = x.query_id
+    GROUP BY mm.method, lv.shortlist
+    ORDER BY method, shortlist
+    """,
+    doc="Compression-ladder recall audit — s13's measured-contract "
+    "pattern applied to the two new approximate rungs: recall@1 of PQ "
+    "ADC (s15's kernel) and binary Hamming (s16's kernel) versus exact "
+    "brute force, per rescore-shortlist size in {5, 20}, on the same "
+    "deterministic ~6% sample s13/s7 use. Every leg is deterministic "
+    "(integer ADC tables, integer popcounts, id tie-breaks), so the "
+    "recall NUMBERS — the dial a user actually tunes — are "
+    "value-checked cross-engine. The exact leg anchors the "
+    "denominator, so n_queries is constant and a query whose shortlist "
+    "misses counts as a miss. Together with s13 (the n_probe dial) "
+    "every approximation knob in the ANN surface is a measured, "
+    "driver-verified contract rather than a docstring claim.",
+)
+def s18_compression_recall_audit(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.col("vec_id") % S13_SAMPLE_MOD == 0)
+    cb = similarity.pq_codebook(emb, n_sub=PQ_N_SUB, n_codes=PQ_N_CODES)
+    exact = pin(
+        similarity.brute_force_topk(emb, sample, k=1).select(
+            "query_id", F.col("nn_id").alias("exact_nn")
+        )
+    )
+    legs = []
+    for L in S18_SHORTLISTS:
+        legs.append(
+            similarity.pq_adc_topk(emb, sample, cb, k=1, shortlist=L).select(
+                F.lit("pq_adc").alias("method"),
+                F.lit(L).cast("int").alias("shortlist"),
+                "query_id",
+                F.col("nn_id").alias("approx_nn"),
+            )
+        )
+        legs.append(
+            similarity.hamming_topk(emb, sample, k=1, shortlist=L).select(
+                F.lit("hamming").alias("method"),
+                F.lit(L).cast("int").alias("shortlist"),
+                "query_id",
+                F.col("nn_id").alias("approx_nn"),
+            )
+        )
+    approx = legs[0]
+    for leg in legs[1:]:
+        approx = approx.unionByName(leg)
+    grid = spark.createDataFrame(
+        [(m, L) for m in ("pq_adc", "hamming") for L in S18_SHORTLISTS],
+        "method string, shortlist int",
+    )
+    anchored = (
+        exact.crossJoin(F.broadcast(grid))
+        .join(approx, ["method", "shortlist", "query_id"], "left")
+        .withColumn(
+            "hit",
+            F.when(F.col("approx_nn") == F.col("exact_nn"), 1).otherwise(0),
+        )
+    )
+    return (
+        anchored.groupBy("method", "shortlist")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum("hit").cast("long").alias("n_hits"),
+            F.round(F.sum("hit") / F.count("*"), 6).alias("recall_micro"),
+        )
+        .orderBy("method", "shortlist")
+    )
+
+
 T20_SPAN_TOKENS = 10
 T20_MAX_OCC = 1
 
