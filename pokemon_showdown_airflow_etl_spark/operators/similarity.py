@@ -1395,3 +1395,67 @@ def ivfpq_topk(
             "adc_micro",
         )
     )
+
+
+def pq_train_codebook(
+    emb: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = 17,
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks with Lloyd's algorithm on a
+    bounded deterministic sample — the FAISS practice (codebooks train
+    on ~10^2-10^5 sampled vectors CPU-side regardless of corpus size,
+    then broadcast): the sample (``id % sample_mod == 0``, ordered by
+    id; None = whole frame) collects to the driver as the constant-size
+    training set, each subspace runs deterministic Lloyd (init = the
+    sample's first ``n_codes`` subvectors, argmin ties to the lowest
+    code, empty clusters keep their old codeword, fixed ``max_iter``),
+    and the result plugs into ``pq_encode``/``pq_adc_topk`` unchanged.
+    Fully deterministic — no RNG anywhere — so two runs (or two
+    engines) training on the same sample produce identical codebooks.
+
+    At 100 TB nothing here touches the corpus beyond the sampled scan:
+    training cost is O(sample x codes x iter) on the driver, and the
+    encode pass that follows is the same pure map either way. Returns
+    ``[m][j][d]`` like ``pq_codebook``."""
+    import numpy as np
+
+    base = emb
+    if sample_mod is not None:
+        base = base.filter(F.col(id_col) % sample_mod == 0)
+    rows = (
+        base.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
+        .orderBy("vid")
+        .collect()
+    )
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"training sample has {len(rows)} vectors < n_codes={n_codes} — "
+            "widen the sample (smaller sample_mod or None)"
+        )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
+    sd = dim // n_sub
+    out = []
+    for m in range(n_sub):
+        S = X[:, m * sd:(m + 1) * sd]
+        C = S[:n_codes].copy()
+        for _ in range(max_iter):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            newC = C.copy()
+            for j in range(n_codes):
+                members = S[assign == j]
+                if len(members):
+                    newC[j] = members.mean(axis=0)
+            if np.array_equal(newC, C):
+                break
+            C = newC
+        out.append([list(c) for c in C])
+    return out

@@ -26,7 +26,7 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # (2) the entries with the OLDEST standing rows, oldest first. After
 # CORRECTNESS_r07 (50/50 green) the cumulative freshness is 50
 # r7-latest, 49 r6-latest, 36 r5-latest — so the r8 window is: the
-# round-8 new/changed entries (s13-s18 new; s12, whose backfill
+# round-8 new/changed entries (s13-s19 new; s12, whose backfill
 # went batch-parallel this round), then the full 36-name r5 block,
 # then the head of the r6 window to fill slot 50. t20 greened in r7 and was
 # cleared from the changed-list (keeping it would burn a slot
@@ -47,6 +47,7 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
     "s16_hamming_topk",  # r8 NEW: binary sign-sketch Hamming search
     "s17_ivfpq_topk",  # r8 NEW: composed IVF-PQ (cells -> ADC -> rescore)
     "s18_compression_recall_audit",  # r8 NEW: PQ/Hamming recall vs shortlist
+    "s19_pq_train_quality",  # r8 NEW: trained-codebook quality contract
 ]
 
 _PRIORITY: list[str] = [
@@ -58,6 +59,7 @@ _PRIORITY: list[str] = [
     "s16_hamming_topk",
     "s17_ivfpq_topk",
     "s18_compression_recall_audit",
+    "s19_pq_train_quality",
     # -- (2) the full 36-name r5-latest block, so after r8 no catalog
     # entry's latest row predates round 6 --
     "c11_mtime_fallback",
@@ -103,7 +105,6 @@ _PRIORITY: list[str] = [
     "s7_ivf_kmeans_quality",
     "t22_domain_mixture_exact",
     "f1_watermark_filter",
-    "f2_undownloaded_filter",
     # ---- slot 50 boundary ----
 ]
 

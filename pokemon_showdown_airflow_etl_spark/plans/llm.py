@@ -2776,6 +2776,56 @@ def s18_compression_recall_audit(spark, sf_dir):
     )
 
 
+@q(
+    "s19_pq_train_quality",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST({PQ_N_SUB} AS INT) AS n_sub,
+           CAST({PQ_N_CODES} AS INT) AS n_codes,
+           TRUE AS err_improved,
+           TRUE AS codes_in_range
+    FROM embeddings
+    """,
+    doc="Trained-codebook PQ, cataloged with the s7/a1 contract: the "
+    "per-subspace Lloyd trainer (operators/similarity.py::"
+    "pq_train_codebook — FAISS practice: codebooks train on a bounded "
+    "deterministic sample CPU-side, then broadcast; no RNG, so fully "
+    "reproducible) must BEAT the deterministic first-N codebook s14 "
+    "pins for its bit-exact oracle. The driver-checkable result is "
+    "the QUALITY CONTRACT, not the centroid floats: total integer "
+    "reconstruction error (sum of err_micro over the full corpus, "
+    "computed by the same pq_encode pure-map pass) strictly improves "
+    "vs the seed codebook, every code lands in [0, n_codes), and the "
+    "encode conserves rows (n_vectors == corpus rows, which DuckDB "
+    "verifies independently). Breaking the trainer flips a boolean "
+    "and the hash mismatches.",
+)
+def s19_pq_train_quality(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    seed_cb = similarity.pq_codebook(emb, n_sub=PQ_N_SUB, n_codes=PQ_N_CODES)
+    trained_cb = similarity.pq_train_codebook(
+        emb, n_sub=PQ_N_SUB, n_codes=PQ_N_CODES, sample_mod=S13_SAMPLE_MOD
+    )
+    seed = similarity.pq_encode(emb, seed_cb).agg(
+        F.sum("err_micro").cast("long").alias("seed_err")
+    )
+    trained = similarity.pq_encode(emb, trained_cb).agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum("err_micro").cast("long").alias("trained_err"),
+        F.min(F.array_min("codes")).alias("min_code"),
+        F.max(F.array_max("codes")).alias("max_code"),
+    )
+    return trained.join(F.broadcast(seed)).select(
+        "n_vectors",
+        F.lit(PQ_N_SUB).cast("int").alias("n_sub"),
+        F.lit(PQ_N_CODES).cast("int").alias("n_codes"),
+        (F.col("trained_err") < F.col("seed_err")).alias("err_improved"),
+        (
+            (F.col("min_code") >= 0) & (F.col("max_code") < PQ_N_CODES)
+        ).alias("codes_in_range"),
+    )
+
+
 T20_SPAN_TOKENS = 10
 T20_MAX_OCC = 1
 

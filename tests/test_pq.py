@@ -182,3 +182,45 @@ def test_hamming_topk_accepts_external_queries(spark):
     assert len(out) == 1
     assert (out[0]["query_id"], out[0]["nn_id"], out[0]["hamming"]) == (999, 4, 0)
     assert out[0]["cos_sim"] == 1.0
+
+
+def test_pq_lake_layer_trained_codebook(spark, tmp_path):
+    """build_pq_layer(train=True): the Lloyd-trained codebooks must
+    strictly reduce total reconstruction error vs the first-N rule on
+    the same committed corpus, and search still works through the
+    trained layer."""
+    from pokemon_showdown_airflow_etl_spark.jobs.embedding_index_lake import (
+        build_pq_layer,
+        ingest_embedding_batch,
+        init_embedding_index,
+        pq_layer_search,
+    )
+
+    import os
+    import random
+
+    rng = random.Random(29)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(60)]
+    emb = _emb(spark, rows, 64)
+    root = str(tmp_path / "idx")
+    init_embedding_index(spark, emb, root, n_cells=4, train=False)
+    ingest_embedding_batch(spark, emb, root, "bulk", threshold=2.0)
+
+    build_pq_layer(spark, root, n_sub=8, n_codes=16)
+    seed_err = (
+        spark.read.parquet(os.path.join(root, "pq", "codes"))
+        .agg(F.sum("err_micro"))
+        .first()[0]
+    )
+    st = build_pq_layer(spark, root, n_sub=8, n_codes=16, refresh=True, train=True)
+    assert st["refreshed"]
+    trained_err = (
+        spark.read.parquet(os.path.join(root, "pq", "codes"))
+        .agg(F.sum("err_micro"))
+        .first()[0]
+    )
+    assert trained_err < seed_err
+
+    q = _emb(spark, [(900, rows[9][1])], 64)
+    got = pq_layer_search(spark, root, q, k=1, shortlist=5).collect()
+    assert (got[0]["nn_id"], got[0]["cos_sim"]) == (9, 1.0)
