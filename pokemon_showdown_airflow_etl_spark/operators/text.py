@@ -469,3 +469,77 @@ def chunk_windows(
             F.slice("_tk", F.col("start_tok") + 1, window), " "
         ).alias("chunk_text"),
     )
+
+
+def build_vocab(
+    df: DataFrame, text_col: str = "text", vocab_size: int = 256, n_shards: int = 16
+) -> DataFrame:
+    """Frequency vocabulary for dictionary encoding: the ``vocab_size``
+    most frequent tokens (count desc, token asc — a total order, so the
+    boundary is deterministic) with dense ids 0..V-1. The id table is
+    what a tokenizer ships to training.
+
+    Scale shape: one map-side-combinable count aggregation, then the
+    t15 two-phase top-k — tokens rank within an md5 shard first
+    (bounded partitions; a corpus has millions of distinct tokens and
+    a single global rank window over them would serialize), shard
+    survivors (<= n_shards * vocab_size rows) take the exact global
+    rank. Returns (token, token_id)."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+    shard = F.conv(F.substring(F.md5("token"), 1, 2), 16, 10).cast("int") % n_shards
+    w_shard = Window.partitionBy("_shard").orderBy(F.desc("n"), F.asc("token"))
+    survivors = (
+        counts.withColumn("_shard", shard)
+        .withColumn("_sr", F.row_number().over(w_shard))
+        .filter(F.col("_sr") <= vocab_size)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        survivors.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= vocab_size)
+        .select("token", (F.col("_r") - 1).cast("int").alias("token_id"))
+    )
+
+
+def vocab_encode(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dictionary-encode each document's token stream against a
+    (token, token_id) vocabulary: out-of-vocabulary tokens become -1
+    (the UNK a downstream tokenizer maps explicitly). Output is
+    anchored on the INPUT ids — empty/null-text documents come back
+    with an empty ids array rather than vanishing (the t20 lesson).
+
+    Scale shape: posexplode (map) -> broadcast/AQE join against the
+    constant-size vocabulary -> one re-aggregation keyed by doc with
+    order restored from the token position. Nothing O(corpus) in one
+    task; the vocabulary never exceeds vocab_size rows.
+
+    Returns (id_col, n_tokens, n_oov, ids array<int> in token order)."""
+    flat = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    enc = flat.join(F.broadcast(vocab), "token", "left").withColumn(
+        "tid", F.coalesce(F.col("token_id"), F.lit(-1)).cast("int")
+    )
+    agg = enc.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum((F.col("tid") == -1).cast("long")).cast("long").alias("n_oov"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda x: x["tid"]
+        ).alias("ids"),
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0).cast("long")).alias("n_oov"),
+        F.coalesce("ids", F.array().cast("array<int>")).alias("ids"),
+    )

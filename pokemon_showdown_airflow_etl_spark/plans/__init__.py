@@ -26,7 +26,7 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # (2) the entries with the OLDEST standing rows, oldest first. After
 # CORRECTNESS_r07 (50/50 green) the cumulative freshness is 50
 # r7-latest, 49 r6-latest, 36 r5-latest — so the r8 window is: the
-# round-8 new/changed entries (s13-s19 new; s12, whose backfill
+# round-8 new/changed entries (s13-s19 + t23 new; s12, whose backfill
 # went batch-parallel this round), then the full 36-name r5 block,
 # then the head of the r6 window to fill slot 50. t20 greened in r7 and was
 # cleared from the changed-list (keeping it would burn a slot
@@ -48,6 +48,7 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
     "s17_ivfpq_topk",  # r8 NEW: composed IVF-PQ (cells -> ADC -> rescore)
     "s18_compression_recall_audit",  # r8 NEW: PQ/Hamming recall vs shortlist
     "s19_pq_train_quality",  # r8 NEW: trained-codebook quality contract
+    "t23_vocab_encode",  # r8 NEW: dictionary encoding (tokenize-to-ids)
 ]
 
 _PRIORITY: list[str] = [
@@ -60,6 +61,7 @@ _PRIORITY: list[str] = [
     "s17_ivfpq_topk",
     "s18_compression_recall_audit",
     "s19_pq_train_quality",
+    "t23_vocab_encode",
     # -- (2) the full 36-name r5-latest block, so after r8 no catalog
     # entry's latest row predates round 6 --
     "c11_mtime_fallback",
@@ -104,7 +106,6 @@ _PRIORITY: list[str] = [
     "s4_ivf_ann_topk",
     "s7_ivf_kmeans_quality",
     "t22_domain_mixture_exact",
-    "f1_watermark_filter",
     # ---- slot 50 boundary ----
 ]
 

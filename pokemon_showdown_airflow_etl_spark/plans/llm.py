@@ -2826,6 +2826,67 @@ def s19_pq_train_quality(spark, sf_dir):
     )
 
 
+T23_VOCAB_SIZE = 256
+
+
+@q(
+    "t23_vocab_encode",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+    ), flat AS (
+        SELECT doc_id, tk[u.i] AS token, u.i AS pos
+        FROM toks CROSS JOIN LATERAL (
+            SELECT unnest(range(1, len(tk) + 1)) AS i
+        ) u
+        WHERE tk[u.i] != ''
+    ), counts AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS n FROM flat GROUP BY 1
+    ), vocab AS (
+        SELECT token, CAST(r - 1 AS INT) AS token_id FROM (
+            SELECT token, row_number() OVER (ORDER BY n DESC, token ASC) AS r
+            FROM counts
+        ) WHERE r <= {T23_VOCAB_SIZE}
+    ), enc AS (
+        SELECT f.doc_id, f.pos,
+               CAST(coalesce(v.token_id, -1) AS INT) AS tid
+        FROM flat f LEFT JOIN vocab v USING (token)
+    ), agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               list(tid ORDER BY pos) AS ids
+        FROM enc GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(a.n_oov, 0) AS n_oov,
+           coalesce(a.ids, []::INT[]) AS ids
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Dictionary (vocabulary) encoding — the tokenize-to-ids step a "
+    f"pretraining pipeline runs after curation: the {T23_VOCAB_SIZE} "
+    "most frequent tokens (count desc, token asc — a total order, so "
+    "the vocabulary boundary is deterministic and the whole encode "
+    "hash-checks) get dense ids, every document's token stream maps "
+    "to an int array with -1 for out-of-vocabulary, and output is "
+    "anchored on input ids (empty/null docs come back with [] rather "
+    "than vanishing — the t20 lesson). Plan: one combinable count "
+    "aggregation, the t15 two-phase top-k for the vocab (shard rank "
+    "then exact re-rank of <= shards x V survivors — never a global "
+    "window over millions of distinct tokens), posexplode + "
+    "broadcast vocabulary join + one doc-keyed reassembly. At 100 TB "
+    "the vocabulary is constant-size and the encode is two shuffles "
+    "(explode-join re-aggregation) regardless of corpus size.",
+)
+def t23_vocab_encode(spark, sf_dir):
+    from ..operators.text import build_vocab, vocab_encode
+
+    docs = t(spark, sf_dir, "documents")
+    vocab = pin(build_vocab(docs, "text", vocab_size=T23_VOCAB_SIZE))
+    return vocab_encode(docs, vocab, "doc_id", "text")
+
+
 T20_SPAN_TOKENS = 10
 T20_MAX_OCC = 1
 

@@ -655,3 +655,22 @@ def test_pq_encode_is_pure_map(q):
     assert "Exchange" not in plan, "PQ encode must not shuffle"
     assert "Join" not in plan, "PQ encode must not join"
     assert "BatchEvalPython" not in plan
+
+
+def test_vocab_build_window_is_sharded(spark, sf_dir):
+    # build_vocab's scale contract (t23): the vocabulary rank runs
+    # within md5 shards first (bounded partitions), and only the
+    # <= shards x V survivors take the exact global rank — never one
+    # global window over millions of distinct tokens. Built with
+    # pinning disabled: the production plan pins the vocab subtree,
+    # which hides its windows behind an ExistingRDD scan.
+    import re
+
+    from pokemon_showdown_airflow_etl_spark import pinning
+
+    with pinning.disabled():
+        plan = plan_text(ALL_QUERIES["t23_vocab_encode"].spark(spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    sharded = [s for s in specs if "_shard" in s]
+    assert sharded, "no sharded vocab window — phase 1 missing"
+    assert "_sr" in plan, "shard-rank survivor filter missing"
