@@ -1034,39 +1034,20 @@ def pq_encode(
     return v.mapInPandas(kernel, "vec_id long, codes array<int>, err_micro long")
 
 
-def pq_adc_topk(
+def pq_adc_scores(
     emb: DataFrame,
     queries: DataFrame,
     codebook: list[list[list[float]]],
-    k: int = 3,
-    shortlist: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """PQ asymmetric-distance top-k with exact re-rank — the QUERY path
-    of IVF-PQ (Jégou et al., TPAMI 2011): the corpus lives as 8-byte PQ
-    codes (``pq_encode``), the query stays full-precision, and each
-    query precomputes one n_sub x n_codes lookup table of subspace
-    squared distances; a candidate's approximate distance is then
-    ``n_sub`` table lookups + integer adds — no per-pair vector math at
-    all, which is the property that makes scanning a 100-TB corpus's
-    codes affordable. The ADC shortlist (size ``shortlist``) is then
-    re-ranked EXACTLY (true cosine on the full vectors, the standard
-    rescoring step), so the shortlist size is the recall dial.
-
-    Determinism: the lookup tables quantize to integer micro-units per
-    subspace (the t8/t16 technique; built in one Arrow kernel over the
-    query frame — see pq_encode for why not expressions) and the
-    per-candidate score is an integer sum of JVM-side array lookups,
-    so ADC ranking is bit-reproducible cross-engine; ties break by
-    candidate id. Plan shape: the coded corpus is a pure map; queries
-    + tables broadcast; the only shuffles are the two bounded top-k
-    windows (|queries| x corpus candidate rows narrow — id + one long
-    — never the vectors).
-
-    Returns (query_id, nn_id, rank, cos_sim, adc_micro) for the final
-    exact-ranked top ``k``.
-    """
+    """The ADC scoring stage of ``pq_adc_topk``, exposed so audits
+    (s18) can rank one scored pass under several shortlist sizes:
+    every (query, candidate) pair's integer asymmetric distance —
+    corpus as PQ codes (pure map), per-query micro-unit lookup tables
+    built in one Arrow kernel and broadcast, per pair ``n_sub`` JVM
+    array lookups + integer adds. Returns
+    (query_id, nn_id, adc_micro, qv)."""
     import numpy as np
     import pandas as pd
 
@@ -1114,9 +1095,43 @@ def pq_adc_topk(
     adc = F.get(F.element_at("qtab", 1), F.element_at("codes", 1))
     for m in range(1, n_sub):
         adc = adc + F.get(F.element_at("qtab", m + 1), F.element_at("codes", m + 1))
-    scored = pairs.select(
-        "query_id", "nn_id", "qv", adc.alias("adc_micro")
-    )
+    return pairs.select("query_id", "nn_id", adc.alias("adc_micro"), "qv")
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 3,
+    shortlist: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k with exact re-rank — the QUERY path
+    of IVF-PQ (Jégou et al., TPAMI 2011): the corpus lives as 8-byte PQ
+    codes (``pq_encode``), the query stays full-precision, and each
+    query precomputes one n_sub x n_codes lookup table of subspace
+    squared distances; a candidate's approximate distance is then
+    ``n_sub`` table lookups + integer adds — no per-pair vector math at
+    all, which is the property that makes scanning a 100-TB corpus's
+    codes affordable. The ADC shortlist (size ``shortlist``) is then
+    re-ranked EXACTLY (true cosine on the full vectors, the standard
+    rescoring step), so the shortlist size is the recall dial.
+
+    Determinism: the lookup tables quantize to integer micro-units per
+    subspace (the t8/t16 technique; built in one Arrow kernel over the
+    query frame — see pq_encode for why not expressions) and the
+    per-candidate score is an integer sum of JVM-side array lookups,
+    so ADC ranking is bit-reproducible cross-engine; ties break by
+    candidate id. Plan shape: the coded corpus is a pure map; queries
+    + tables broadcast; the only shuffles are the two bounded top-k
+    windows (|queries| x corpus candidate rows narrow — id + one long
+    — never the vectors).
+
+    Returns (query_id, nn_id, rank, cos_sim, adc_micro) for the final
+    exact-ranked top ``k``.
+    """
+    scored = pq_adc_scores(emb, queries, codebook, id_col=id_col, vec_col=vec_col)
     w_short = Window.partitionBy("query_id").orderBy(
         F.asc("adc_micro"), F.asc("nn_id")
     )
@@ -1170,19 +1185,60 @@ def sign_sketch(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     )
 
+    # the packed word = dot(sign indicators, powers of two): three
+    # expression nodes instead of a 64-term unrolled sum, whose giant
+    # codegen method cost ~3 s of compile time per execution at ANY
+    # data size (the s14 lesson's JVM-side twin). Powers up to 2^31
+    # and sums < 2^32 are exact in doubles, so the cast back to long
+    # is lossless.
+    powers = F.array(*[F.lit(float(1 << i)) for i in range(32)])
+
     def half(lo: int) -> "F.Column":
-        bits = [
-            F.when(F.element_at(F.col("v"), lo + i + 1) > 0, F.lit(1 << i))
-            .otherwise(F.lit(0))
-            .cast("long")
-            for i in range(32)
-        ]
-        acc = bits[0]
-        for b in bits[1:]:
-            acc = acc + b
-        return acc
+        ind = F.transform(
+            F.slice(F.col("v"), lo + 1, 32),
+            lambda x: F.when(x > 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+        return dot(ind, powers).cast("long")
 
     return v.select("vec_id", half(0).alias("b0"), half(32).alias("b1"))
+
+
+def hamming_scores(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The Hamming scoring stage of ``hamming_topk``, exposed for the
+    s18 audit: every (query, candidate) pair's popcount distance over
+    the packed sign sketches. The query's full vector rides the
+    broadcast alongside its sketch — the rescore must work for
+    EXTERNAL queries too, so it can never re-derive qv from the
+    corpus. Returns (query_id, nn_id, hamming, qv)."""
+    sk = sign_sketch(emb, id_col, vec_col)
+    qsk = sign_sketch(queries, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("b0").alias("q0"),
+        F.col("b1").alias("q1"),
+    ).join(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        ),
+        "query_id",
+    )
+    return (
+        sk.withColumnRenamed("vec_id", "nn_id")
+        .crossJoin(F.broadcast(qsk))
+        .filter(F.col("query_id") != F.col("nn_id"))
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("b0").bitwiseXOR(F.col("q0")))
+                + F.bit_count(F.col("b1").bitwiseXOR(F.col("q1")))
+            ).cast("int"),
+        )
+        .select("query_id", "nn_id", "hamming", "qv")
+    )
 
 
 def hamming_topk(
@@ -1207,32 +1263,7 @@ def hamming_topk(
     (id, int) rows.
 
     Returns (query_id, nn_id, rank, cos_sim, hamming)."""
-    sk = sign_sketch(emb, id_col, vec_col)
-    # the query's full vector rides the broadcast alongside its sketch:
-    # the rescore must work for EXTERNAL queries too, so it can never
-    # re-derive qv from the corpus
-    qsk = sign_sketch(queries, id_col, vec_col).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("b0").alias("q0"),
-        F.col("b1").alias("q1"),
-    ).join(
-        queries.select(
-            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-        ),
-        "query_id",
-    )
-    pairs = (
-        sk.withColumnRenamed("vec_id", "nn_id")
-        .crossJoin(F.broadcast(qsk))
-        .filter(F.col("query_id") != F.col("nn_id"))
-        .withColumn(
-            "hamming",
-            (
-                F.bit_count(F.col("b0").bitwiseXOR(F.col("q0")))
-                + F.bit_count(F.col("b1").bitwiseXOR(F.col("q1")))
-            ).cast("int"),
-        )
-    )
+    pairs = hamming_scores(emb, queries, id_col, vec_col)
     w_short = Window.partitionBy("query_id").orderBy(
         F.asc("hamming"), F.asc("nn_id")
     )

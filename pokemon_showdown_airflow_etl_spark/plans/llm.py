@@ -2724,6 +2724,8 @@ S18_SHORTLISTS = (5, 20)
     "driver-verified contract rather than a docstring claim.",
 )
 def s18_compression_recall_audit(spark, sf_dir):
+    from pyspark.sql.window import Window
+
     emb = t(spark, sf_dir, "embeddings")
     sample = emb.filter(F.col("vec_id") % S13_SAMPLE_MOD == 0)
     cb = similarity.pq_codebook(emb, n_sub=PQ_N_SUB, n_codes=PQ_N_CODES)
@@ -2732,24 +2734,52 @@ def s18_compression_recall_audit(spark, sf_dir):
             "query_id", F.col("nn_id").alias("exact_nn")
         )
     )
+    # each method scores its (sample x corpus) pairs ONCE; both
+    # shortlist sizes derive from the SAME ranking (srnk <= L before
+    # the rescore pick), and the cosine rescore of the max-L shortlist
+    # is shared too — calling the top-k operators per (method, L)
+    # measured 9.5 s vs ~4 s for this shape at sf0.1
+    max_l = max(S18_SHORTLISTS)
+    cv = emb.select(
+        F.col("vec_id").alias("nn_id"), similarity.as_double(F.col("embedding")).alias("cv")
+    )
     legs = []
-    for L in S18_SHORTLISTS:
-        legs.append(
-            similarity.pq_adc_topk(emb, sample, cb, k=1, shortlist=L).select(
-                F.lit("pq_adc").alias("method"),
-                F.lit(L).cast("int").alias("shortlist"),
-                "query_id",
-                F.col("nn_id").alias("approx_nn"),
-            )
+    for method, scored, score_col in (
+        ("pq_adc", similarity.pq_adc_scores(emb, sample, cb), "adc_micro"),
+        ("hamming", similarity.hamming_scores(emb, sample), "hamming"),
+    ):
+        w_short = Window.partitionBy("query_id").orderBy(
+            F.asc(score_col), F.asc("nn_id")
         )
-        legs.append(
-            similarity.hamming_topk(emb, sample, k=1, shortlist=L).select(
-                F.lit("hamming").alias("method"),
-                F.lit(L).cast("int").alias("shortlist"),
-                "query_id",
-                F.col("nn_id").alias("approx_nn"),
-            )
+        short = (
+            scored.withColumn("_srnk", F.row_number().over(w_short))
+            .filter(F.col("_srnk") <= max_l)
         )
+        rescored = pin(
+            cv.join(F.broadcast(short), "nn_id").withColumn(
+                "cos_sim",
+                similarity.dot(F.col("qv"), F.col("cv"))
+                / (
+                    similarity.l2_norm(F.col("qv"))
+                    * similarity.l2_norm(F.col("cv"))
+                ),
+            ).select("query_id", "nn_id", "_srnk", "cos_sim")
+        )
+        for L in S18_SHORTLISTS:
+            w_pick = Window.partitionBy("query_id").orderBy(
+                F.desc("cos_sim"), F.asc("nn_id")
+            )
+            legs.append(
+                rescored.filter(F.col("_srnk") <= L)
+                .withColumn("_rnk", F.row_number().over(w_pick))
+                .filter(F.col("_rnk") == 1)
+                .select(
+                    F.lit(method).alias("method"),
+                    F.lit(L).cast("int").alias("shortlist"),
+                    "query_id",
+                    F.col("nn_id").alias("approx_nn"),
+                )
+            )
     approx = legs[0]
     for leg in legs[1:]:
         approx = approx.unionByName(leg)
