@@ -49,6 +49,7 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
     "s18_compression_recall_audit",  # r8 NEW: PQ/Hamming recall vs shortlist
     "s19_pq_train_quality",  # r8 NEW: trained-codebook quality contract
     "t23_vocab_encode",  # r8 NEW: dictionary encoding (tokenize-to-ids)
+    "s1_similarity_topk",  # r8: brute-force kernel rewrite (GEMM + local top-k)
 ]
 
 _PRIORITY: list[str] = [
@@ -62,6 +63,7 @@ _PRIORITY: list[str] = [
     "s18_compression_recall_audit",
     "s19_pq_train_quality",
     "t23_vocab_encode",
+    "s1_similarity_topk",
     # -- (2) the full 36-name r5-latest block, so after r8 no catalog
     # entry's latest row predates round 6 --
     "c11_mtime_fallback",
@@ -105,7 +107,6 @@ _PRIORITY: list[str] = [
     "t21_domain_mixture",
     "s4_ivf_ann_topk",
     "s7_ivf_kmeans_quality",
-    "t22_domain_mixture_exact",
     # ---- slot 50 boundary ----
 ]
 

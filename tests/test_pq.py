@@ -224,3 +224,27 @@ def test_pq_lake_layer_trained_codebook(spark, tmp_path):
     q = _emb(spark, [(900, rows[9][1])], 64)
     got = pq_layer_search(spark, root, q, k=1, shortlist=5).collect()
     assert (got[0]["nn_id"], got[0]["cos_sim"]) == (9, 1.0)
+
+
+def test_brute_force_topk_tie_breaks_by_id_through_local_prune(spark):
+    """brute_force_topk's per-partition prune must keep ties the global
+    rule would keep: two identical corpus vectors both score cos 1.0
+    against an equal query — the LOWER id must win rank 1, and both
+    must appear in the top-2 (a cos-only local prune could drop the
+    id-tie winner)."""
+    base = [1.0, 2.0, 3.0, 4.0]
+    rows = [
+        (50, base),            # tie pair, higher id
+        (7, base),             # tie pair, lower id
+        (8, [4.0, 3.0, 2.0, 1.0]),
+        (9, [-1.0, -2.0, -3.0, -4.0]),
+        (100, base),           # the query
+    ]
+    emb = _emb(spark, rows, 4)
+    out = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 100), k=2
+    ).orderBy("rank").collect()
+    assert [(r["nn_id"], r["rank"], r["cos_sim"]) for r in out] == [
+        (7, 1, 1.0),
+        (50, 2, 1.0),
+    ]
