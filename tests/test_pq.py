@@ -248,3 +248,49 @@ def test_brute_force_topk_tie_breaks_by_id_through_local_prune(spark):
         (7, 1, 1.0),
         (50, 2, 1.0),
     ]
+
+
+def test_pq_adc_topk_accepts_external_queries(spark):
+    """Same contract as hamming: an external query vector (id not in
+    the corpus) ranks and rescores — qv rides the query side."""
+    rows = [(i, [float(i == j) for j in range(16)]) for i in range(8)]
+    emb = _emb(spark, rows, 16)
+    external = _emb(spark, [(999, [float(j == 2) for j in range(16)])], 16)
+    cb = similarity.pq_codebook(emb, n_sub=4, n_codes=8)
+    out = similarity.pq_adc_topk(emb, external, cb, k=1, shortlist=3).collect()
+    assert len(out) == 1
+    assert (out[0]["query_id"], out[0]["nn_id"], out[0]["cos_sim"]) == (999, 2, 1.0)
+
+
+def test_build_vocab_smaller_corpus_than_vocab(spark):
+    """A corpus with fewer distinct tokens than vocab_size yields a
+    complete vocabulary (no phantom ids) with the (count desc, token)
+    order, and encoding against it has zero OOV."""
+    from pokemon_showdown_airflow_etl_spark.operators.text import (
+        build_vocab,
+        vocab_encode,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "b a b"), (2, "c b"), (3, None)],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(docs, vocab_size=256)
+    got = {(r["token"], r["token_id"]) for r in vocab.collect()}
+    assert got == {("b", 0), ("a", 1), ("c", 2)}  # b:3, then a/c tie by token
+    enc = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], list(r["ids"]))
+        for r in vocab_encode(docs, vocab).collect()
+    }
+    assert enc[1] == (3, 0, [0, 1, 0])
+    assert enc[2] == (2, 0, [2, 0])
+    assert enc[3] == (0, 0, [])  # null text anchored, not dropped
+
+
+def test_vocab_encode_marks_oov(spark):
+    from pokemon_showdown_airflow_etl_spark.operators.text import vocab_encode
+
+    docs = spark.createDataFrame([(1, "x y x z")], "doc_id long, text string")
+    vocab = spark.createDataFrame([("x", 0)], "token string, token_id int")
+    r = vocab_encode(docs, vocab).collect()[0]
+    assert (r["n_tokens"], r["n_oov"], list(r["ids"])) == (4, 2, [0, -1, 0, -1])
