@@ -225,6 +225,13 @@ def build_parser() -> argparse.ArgumentParser:
     pqs.add_argument("--queries", required=True, help="query embeddings parquet path")
     pqs.add_argument("--k", type=int, default=3)
     pqs.add_argument("--shortlist", type=int, default=10)
+    pqs.add_argument(
+        "--n-probe",
+        type=int,
+        default=None,
+        help="IVF-PQ mode: score only the query's N nearest cells' "
+        "stored members instead of the whole code table",
+    )
 
     sub.add_parser("deduplicate", help="remove duplicate metadata rows (O12)")
     opt = sub.add_parser("optimize", help="small-file compaction rewrite (O12 vacuum)")
@@ -412,6 +419,7 @@ def main(argv: list[str] | None = None) -> int:
             spark.read.parquet(args.queries),
             k=args.k,
             shortlist=args.shortlist,
+            n_probe=args.n_probe,
         )
         for r in out.orderBy("query_id", "rank").collect():
             print(json.dumps(r.asDict(), sort_keys=True))

@@ -738,14 +738,21 @@ def pq_layer_search(
     shortlist: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int | None = None,
 ) -> DataFrame:
     """ANN over the index's MATERIALIZED PQ codes: per-query integer
     lookup tables broadcast against the stored ``pq/codes`` table (8
     lookups + adds per candidate — the s15 ADC kernel), shortlist
     rescored with true cosine against the stored assignment vectors.
-    Read-only; requires ``build_pq_layer`` to have committed. The
-    layer is a snapshot of the corpus at build time — rebuild after
-    ingest/compaction to make new vectors searchable."""
+    ``n_probe`` set composes the index's OTHER stored facet in — the
+    s17 IVF-PQ shape over the real lake: each query assigns to its
+    ``n_probe`` nearest cells under the index's own quantizer and only
+    those cells' members are ADC-scored, so the scan touches
+    ~n_probe/n_cells of the code table instead of all of it (recall
+    dials: n_probe per s13, shortlist per s18). Read-only; requires
+    ``build_pq_layer`` to have committed. The layer is a snapshot of
+    the corpus at build time — rebuild after ingest/compaction to make
+    new vectors searchable."""
     import json as _json
 
     import numpy as np
@@ -773,6 +780,25 @@ def pq_layer_search(
     codes = spark.read.parquet(codes_dir).select(
         F.col("vec_id").alias("nn_id"), "codes"
     )
+    if n_probe is not None:
+        from ..operators.similarity import assign_cells
+
+        cents = read_centroids(spark, index_root)
+        members = read_committed(spark, index_root, "assignments").select(
+            F.col("vec_id").alias("nn_id"), "cell_id"
+        )
+        probes = assign_cells(queries, cents, n_probe, id_col, vec_col).select(
+            F.col("vec_id").alias("_qid"), "cell_id"
+        )
+        # candidates = stored members of any probed cell (the
+        # per-query pairing below stays the crossJoin with the filter
+        # narrowing to each query's own cells)
+        cand_ids = (
+            members.join(F.broadcast(probes), "cell_id")
+            .select("nn_id", F.col("_qid"))
+            .distinct()
+        )
+        codes = codes.join(cand_ids, "nn_id")
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
@@ -797,9 +823,19 @@ def pq_layer_search(
     qtab = qv.mapInPandas(
         qkernel, "query_id long, qv array<double>, qtab array<array<long>>"
     )
-    pairs = codes.crossJoin(F.broadcast(qtab)).filter(
-        F.col("query_id") != F.col("nn_id")
-    )
+    if n_probe is not None:
+        # candidate rows already carry the probing query's id, so the
+        # pairing is an equi-join on it (broadcast lookup tables) —
+        # never candidates x all-queries
+        pairs = (
+            codes.withColumnRenamed("_qid", "query_id")
+            .join(F.broadcast(qtab), "query_id")
+            .filter(F.col("query_id") != F.col("nn_id"))
+        )
+    else:
+        pairs = codes.crossJoin(F.broadcast(qtab)).filter(
+            F.col("query_id") != F.col("nn_id")
+        )
     adc = F.get(F.element_at("qtab", 1), F.element_at("codes", 1))
     for m in range(1, n_sub):
         adc = adc + F.get(F.element_at("qtab", m + 1), F.element_at("codes", m + 1))

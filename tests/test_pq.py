@@ -294,3 +294,34 @@ def test_vocab_encode_marks_oov(spark):
     vocab = spark.createDataFrame([("x", 0)], "token string, token_id int")
     r = vocab_encode(docs, vocab).collect()[0]
     assert (r["n_tokens"], r["n_oov"], list(r["ids"])) == (4, 2, [0, -1, 0, -1])
+
+
+def test_pq_layer_search_with_cell_pruning(spark, tmp_path):
+    """pq_layer_search(n_probe=...): the IVF-PQ shape over the real
+    lake — only the probed cells' stored members are ADC-scored, and a
+    planted duplicate (which by construction shares its twin's rank-1
+    cell) still comes back rank 1; the unpruned and pruned searches
+    agree on it."""
+    from pokemon_showdown_airflow_etl_spark.jobs.embedding_index_lake import (
+        build_pq_layer,
+        ingest_embedding_batch,
+        init_embedding_index,
+        pq_layer_search,
+    )
+
+    import random
+
+    rng = random.Random(41)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(50)]
+    emb = _emb(spark, rows, 64)
+    root = str(tmp_path / "idx")
+    init_embedding_index(spark, emb, root, n_cells=4, train=False)
+    ingest_embedding_batch(spark, emb, root, "bulk", threshold=2.0)
+    build_pq_layer(spark, root, n_sub=8, n_codes=16)
+
+    q = _emb(spark, [(900, rows[12][1])], 64)
+    full = pq_layer_search(spark, root, q, k=1, shortlist=5).collect()
+    pruned = pq_layer_search(spark, root, q, k=1, shortlist=5, n_probe=1).collect()
+    assert (full[0]["nn_id"], full[0]["cos_sim"]) == (12, 1.0)
+    assert (pruned[0]["nn_id"], pruned[0]["cos_sim"]) == (12, 1.0)
+    assert pruned[0]["adc_micro"] == full[0]["adc_micro"]
