@@ -2293,7 +2293,7 @@ PQ_N_CODES = 16
         FROM scored
     )
     SELECT CAST(vec_id AS BIGINT) AS vec_id,
-           list(CAST(j AS INT) ORDER BY m) AS codes,
+           string_agg(CAST(j AS VARCHAR), ',' ORDER BY m) AS codes,
            CAST(sum(CAST(round(dist * 1000000) AS BIGINT)) AS BIGINT) AS err_micro
     FROM best WHERE rnk = 1
     GROUP BY vec_id
@@ -2315,12 +2315,18 @@ PQ_N_CODES = 16
     "bit-reproducible cross-engine), ties to the lowest code id; the oracle recomputes every code AND the total squared "
     "reconstruction error in integer micro-units (the t8/t16 "
     "order-free summation technique), so a single flipped code or a "
-    "drifted codeword mismatches the hash.",
+    "drifted codeword mismatches the hash. The cataloged entry "
+    "serializes the code array to a ','-joined string (the g5 "
+    "array_join pattern) because the driver canonicalizer cannot hash "
+    "list-typed cells (r8 `err`); pq_encode itself keeps returning the "
+    "real array<int> for downstream ADC.",
 )
 def s14_pq_codes(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     cb = similarity.pq_codebook(emb, n_sub=PQ_N_SUB, n_codes=PQ_N_CODES)
-    return similarity.pq_encode(emb, cb)
+    return similarity.pq_encode(emb, cb).withColumn(
+        "codes", F.array_join(F.col("codes").cast("array<string>"), ",")
+    )
 
 
 PQ_SHORTLIST = 10
@@ -2885,13 +2891,13 @@ T23_VOCAB_SIZE = 256
         SELECT doc_id,
                CAST(count(*) AS BIGINT) AS n_tokens,
                CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-               list(tid ORDER BY pos) AS ids
+               string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids
         FROM enc GROUP BY 1
     )
     SELECT d.doc_id,
            coalesce(a.n_tokens, 0) AS n_tokens,
            coalesce(a.n_oov, 0) AS n_oov,
-           coalesce(a.ids, []::INT[]) AS ids
+           coalesce(a.ids, '') AS ids
     FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
     doc="Dictionary (vocabulary) encoding — the tokenize-to-ids step a "
@@ -2907,14 +2913,19 @@ T23_VOCAB_SIZE = 256
     "window over millions of distinct tokens), posexplode + "
     "broadcast vocabulary join + one doc-keyed reassembly. At 100 TB "
     "the vocabulary is constant-size and the encode is two shuffles "
-    "(explode-join re-aggregation) regardless of corpus size.",
+    "(explode-join re-aggregation) regardless of corpus size. The "
+    "cataloged entry serializes the id array to a ','-joined string "
+    "(the g5 array_join pattern; driver canonicalizer cannot hash "
+    "list cells — r8 `err`); vocab_encode keeps returning array<int>.",
 )
 def t23_vocab_encode(spark, sf_dir):
     from ..operators.text import build_vocab, vocab_encode
 
     docs = t(spark, sf_dir, "documents")
     vocab = pin(build_vocab(docs, "text", vocab_size=T23_VOCAB_SIZE))
-    return vocab_encode(docs, vocab, "doc_id", "text")
+    return vocab_encode(docs, vocab, "doc_id", "text").withColumn(
+        "ids", F.array_join(F.col("ids").cast("array<string>"), ",")
+    )
 
 
 T20_SPAN_TOKENS = 10

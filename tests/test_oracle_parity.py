@@ -49,9 +49,27 @@ def _rows_to_set(columns, rows):
     return sorted(out, key=repr)
 
 
+def _assert_canonicalizer_safe(name, schema):
+    """The driver's canonicalizer sorts cell values and cannot hash
+    list/map-typed cells (s14/t23 sat at `err` in CORRECTNESS_r08 with
+    `TypeError: unhashable type: 'list'`). Catalog entries must
+    serialize complex columns (the g5 array_join pattern) — operators
+    may still return real arrays; only the cataloged projection is
+    constrained."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for field in schema.fields:
+        assert not isinstance(field.dataType, (ArrayType, MapType, StructType)), (
+            f"{name}: output column {field.name!r} is {field.dataType} — "
+            "driver canonicalizer cannot hash complex cells; serialize "
+            "with array_join (g5 pattern) or explode to scalar rows"
+        )
+
+
 @pytest.mark.parametrize("query", ORACLE_QUERIES, ids=lambda q: q.name)
 def test_matches_oracle(query, spark, duck, sf_dir):
     sdf = query.spark(spark, sf_dir)
+    _assert_canonicalizer_safe(query.name, sdf.schema)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
@@ -78,6 +96,7 @@ def test_matches_oracle(query, spark, duck, sf_dir):
 @pytest.mark.parametrize("query", ROWS_ONLY_QUERIES, ids=lambda q: q.name)
 def test_rows_only_runs(query, spark, sf_dir):
     df = query.spark(spark, sf_dir)
+    _assert_canonicalizer_safe(query.name, df.schema)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
 
