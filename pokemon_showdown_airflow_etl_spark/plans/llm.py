@@ -2995,6 +2995,69 @@ def t20_paragraph_dedup(spark, sf_dir):
     )
 
 
+# The driver corpus is single-line (no "\n\n"), which left span_dedup's
+# separator mode — the literal C4/RefinedWeb formulation — tested but
+# never oracle-checked (open since r6). ' the ' occurs in ~3/4 of the
+# synthetic docs, so splitting on it exercises the real separator path:
+# literal split, normalized-unit hashing, same-separator reassembly.
+T20B_SEPARATOR = " the "
+
+
+@q(
+    "t20b_separator_dedup",
+    f"""
+    WITH sp AS (
+        SELECT doc_id, str_split(text, '{T20B_SEPARATOR}') AS sp FROM documents
+    ), ex AS (
+        SELECT doc_id, u.i AS idx, sp[u.i] AS unit,
+               md5(trim(regexp_replace(lower(sp[u.i]), '\\s+', ' ', 'g'))) AS h
+        FROM sp CROSS JOIN LATERAL (
+            SELECT unnest(range(1, len(sp) + 1)) AS i
+        ) u
+    ), bl AS (
+        SELECT h FROM ex GROUP BY h HAVING count(*) > {T20_MAX_OCC}
+    ), kept AS (
+        SELECT ex.* FROM ex LEFT JOIN bl ON ex.h = bl.h WHERE bl.h IS NULL
+    ), stats AS (
+        SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_spans
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1) c
+            USING (doc_id)
+    ), agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(unit, '{T20B_SEPARATOR}' ORDER BY idx) AS clean_text
+        FROM kept GROUP BY 1
+    )
+    SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.n_spans,
+           CAST(s.n_spans - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM stats s LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Separator-mode repeated-span removal — span_dedup's OTHER mode "
+    "(operators/dedup.py::span_dedup, separator=' the '), the literal "
+    "C4 (Raffel et al., JMLR 2020) / RefinedWeb repeated-paragraph "
+    "formulation: documents split on a literal separator, each unit "
+    "hashed on its NORMALIZED text (lower + collapse + trim), any unit "
+    "occurring more than once across the corpus dropped everywhere, "
+    "survivors rejoined with the same separator. In production the "
+    "separator is '\\n\\n' (paragraphs) or '\\n' (lines); the driver "
+    "corpus is single-line, so the entry synthesizes paragraph "
+    "boundaries from a frequent token — same code path, non-vacuous "
+    "(~8% of units are cross-document repeats at sf0.01). Same "
+    "explode -> blacklist agg -> anti-join -> keyed reassembly shape "
+    "as t20: nothing O(corpus) in one task, blacklist is the rare "
+    "tail (AQE broadcasts it).",
+)
+def t20b_separator_dedup(spark, sf_dir):
+    return dedup.span_dedup(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        max_occurrences=T20_MAX_OCC,
+        separator=T20B_SEPARATOR,
+    )
+
+
 T21_ALPHA = 0.7
 T21_BUDGET_NUM = 3
 T21_BUDGET_DEN = 5
