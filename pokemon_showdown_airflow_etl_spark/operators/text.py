@@ -543,3 +543,184 @@ def vocab_encode(
         F.coalesce("n_oov", F.lit(0).cast("long")).alias("n_oov"),
         F.coalesce("ids", F.array().cast("array<int>")).alias("ids"),
     )
+
+
+# --- subword (BPE-style) vocabulary -----------------------------------------
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    max_word_types: int = 256,
+    n_shards: int = 16,
+) -> list[tuple[str, str, int]]:
+    """Bounded deterministic byte-pair-encoding merges (Sennrich et al.,
+    ACL 2016) — the subword step a pretraining tokenizer runs after the
+    whole-token dictionary (t23/build_vocab): starting from character
+    symbols, repeatedly merge the most frequent adjacent symbol pair
+    across the word-type table, ``n_merges`` times. No RNG anywhere;
+    ties break (count desc, left asc, right asc), so the merge table is
+    a pure function of the corpus.
+
+    Scale shape (the s19/fit_kmeans pattern — train on constant-size
+    sufficient statistics, apply distributed): word-type counts are one
+    map-side-combinable aggregation; the ``max_word_types`` most
+    frequent types (count desc, word asc) survive via the t15 two-phase
+    sharded top-k — never a global window over millions of types, never
+    a corpus collect. Only that bounded (word, freq) table reaches the
+    driver; the merge loop itself is O(max_word_types * n_merges) pure
+    Python. BPE training is inherently sequential in the merge rank, so
+    a distributed loop would buy n_merges shuffles over a table that
+    fits in L2 — the bounded-collect is the honest plan.
+
+    Merge application uses the padded-string convention shared with
+    :func:`bpe_encode` and the DuckDB oracle: symbols joined by single
+    spaces, the pair replaced left-to-right non-overlapping, applied
+    twice (the second pass catches occurrences whose leading space the
+    first pass consumed — two passes reach the greedy-BPE fixpoint).
+
+    Returns ``[(left, right, pair_count), ...]`` in merge order.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+    shard = F.conv(F.substring(F.md5("token"), 1, 2), 16, 10).cast("int") % n_shards
+    w_shard = Window.partitionBy("_shard").orderBy(F.desc("n"), F.asc("token"))
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    types = (
+        counts.withColumn("_shard", shard)
+        .withColumn("_sr", F.row_number().over(w_shard))
+        .filter(F.col("_sr") <= max_word_types)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_word_types)
+        .select("token", "n")
+        .collect()
+    )
+    segs = {row["token"]: list(row["token"]) for row in types}
+    freq = {row["token"]: int(row["n"]) for row in types}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for word, syms in segs.items():
+            n = freq[word]
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + n
+        if not pair_counts:
+            break
+        (left, right), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right, cnt))
+        pat, rep = f" {left} {right} ", f" {left}{right} "
+        for word, syms in segs.items():
+            padded = " " + " ".join(syms) + " "
+            padded = padded.replace(pat, rep).replace(pat, rep)
+            segs[word] = padded.strip().split(" ")
+    return merges
+
+
+def bpe_segment(text_col: Column, merges: list[tuple[str, str, int]]) -> Column:
+    """Apply a trained merge table to one token column: characters
+    joined by single spaces, each merge replaced twice in rank order
+    (see :func:`bpe_train` for why twice reaches the greedy fixpoint).
+    Pure column expression — the encode stays a map inside codegen with
+    the constant merge table folded into the plan."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(text_col)),
+        lambda i: text_col.substr(i, F.lit(1)),
+    )
+    seg = F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" "))
+    for left, right, _ in merges:
+        pat, rep = F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+        seg = F.replace(F.replace(seg, pat, rep), pat, rep)
+    return F.trim(seg)
+
+
+def _bpe_subwords(
+    df: DataFrame, merges: list[tuple[str, str, int]], id_col: str, text_col: str
+) -> DataFrame:
+    """(id_col, pos, i, sym): every subword occurrence in stream order."""
+    flat = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    return flat.select(
+        id_col,
+        "pos",
+        F.posexplode(F.split(bpe_segment(F.col("token"), merges), " ")).alias(
+            "i", "sym"
+        ),
+    )
+
+
+def bpe_symbol_vocab(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(sym, n, sym_id) over the whole corpus stream. The symbol table
+    is PROVABLY bounded — every symbol is a single corpus character or
+    one of the ``len(merges)`` merged symbols — so the dense-rank window
+    (count desc, symbol asc) runs over a constant-size input, not the
+    corpus."""
+    from pyspark.sql.window import Window
+
+    return (
+        _bpe_subwords(df, merges, id_col, text_col)
+        .groupBy("sym")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn(
+            "sym_id",
+            (F.row_number().over(Window.orderBy(F.desc("n"), F.asc("sym"))) - 1).cast(
+                "int"
+            ),
+        )
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Encode each document's token stream to subword ids under a
+    trained merge table. The symbol vocabulary is PROVABLY bounded:
+    every symbol is either a single character seen in the corpus or one
+    of the ``len(merges)`` merged symbols, so ranking it (count desc,
+    symbol asc -> dense ids) is a constant-size step — unlike t23 there
+    is no OOV, every token segments to known symbols.
+
+    Scale shape: posexplode tokens (map) -> merge application as a pure
+    column expression (map, constant folded) -> subword explode + one
+    combinable count agg over the bounded symbol table -> broadcast
+    symbol->id join -> one doc-keyed reassembly. Two shuffles total
+    regardless of corpus size.
+
+    Returns (id_col, n_tokens, n_subwords, ids array<int> in stream
+    order), anchored on the INPUT ids (empty/null docs -> empty array).
+    """
+    sub = _bpe_subwords(df, merges, id_col, text_col)
+    if vocab is None:
+        # bounded symbol table: <= distinct corpus chars + len(merges)
+        vocab = bpe_symbol_vocab(df, merges, id_col, text_col)
+    enc = sub.join(F.broadcast(vocab.select("sym", "sym_id")), "sym")
+    agg = enc.groupBy(id_col).agg(
+        F.countDistinct("pos").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_subwords"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "i", "sym_id"))),
+            lambda x: x["sym_id"],
+        ).alias("ids"),
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce("n_subwords", F.lit(0).cast("long")).alias("n_subwords"),
+        F.coalesce("ids", F.array().cast("array<int>")).alias("ids"),
+    )

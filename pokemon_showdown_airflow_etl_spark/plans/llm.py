@@ -2928,6 +2928,165 @@ def t23_vocab_encode(spark, sf_dir):
     )
 
 
+T24_MERGES = 8
+T24_WORD_TYPES = 16  # binds at test scale so the bound itself is checked
+
+_T24_CHARSEG = (
+    "' ' || array_to_string("
+    "list_transform(range(1, len({col}) + 1), i -> {col}[i:i]), ' ') || ' '"
+)
+
+
+def _t24_oracle() -> str:
+    """Unrolled-BPE oracle: DuckDB has no loops, so each merge round is
+    a generated CTE triple (pair counts -> argmax -> two-pass replace) —
+    the same greedy (count desc, left asc, right asc) recurrence
+    bpe_train runs in Python on the collected word-type table."""
+
+    def _apply(prev: str, alias: str) -> str:
+        pat = f"' ' || {alias}.l || ' ' || {alias}.r || ' '"
+        rep = f"' ' || {alias}.l || {alias}.r || ' '"
+        return f"replace(replace({prev}, {pat}, {rep}), {pat}, {rep})"
+
+    # AS MATERIALIZED: each round references the previous round's CTE;
+    # left to DuckDB's default inlining the chain expands exponentially
+    # (measured 83 s at sf0.01 -> 0.4 s materialized).
+    rounds, enc_rounds, merge_union = [], [], []
+    for k in range(1, T24_MERGES + 1):
+        rounds.append(
+            f"""p{k} AS MATERIALIZED (
+        SELECT ss[u.i] AS l, ss[u.i + 1] AS r, CAST(sum(n) AS BIGINT) AS cnt
+        FROM (SELECT n, str_split(trim(seg), ' ') AS ss FROM t{k - 1}) s
+        CROSS JOIN LATERAL (SELECT unnest(range(1, len(ss))) AS i) u
+        GROUP BY 1, 2
+    ), b{k} AS MATERIALIZED (
+        SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+    ), t{k} AS MATERIALIZED (
+        SELECT word, n, {_apply("seg", "b")} AS seg
+        FROM t{k - 1} CROSS JOIN b{k} b
+    )"""
+        )
+        enc_rounds.append(
+            f"""dt{k} AS MATERIALIZED (
+        SELECT token, {_apply("seg", "b")} AS seg
+        FROM dt{k - 1} CROSS JOIN b{k} b
+    )"""
+        )
+        merge_union.append(f"SELECT {k} AS k, l, r, cnt FROM b{k}")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+    ), flat AS (
+        SELECT doc_id, tk[u.i] AS token, u.i AS pos
+        FROM toks CROSS JOIN LATERAL (
+            SELECT unnest(range(1, len(tk) + 1)) AS i
+        ) u
+        WHERE tk[u.i] != ''
+    ), wcnt AS (
+        SELECT token AS word, CAST(count(*) AS BIGINT) AS n
+        FROM flat GROUP BY 1
+    ), t0 AS (
+        SELECT word, n, {_T24_CHARSEG.format(col="word")} AS seg
+        FROM (
+            SELECT word, n,
+                   row_number() OVER (ORDER BY n DESC, word ASC) AS rnk
+            FROM wcnt
+        ) WHERE rnk <= {T24_WORD_TYPES}
+    ), {", ".join(rounds)}, dt0 AS (
+        SELECT token, {_T24_CHARSEG.format(col="token")} AS seg
+        FROM (SELECT DISTINCT token FROM flat)
+    ), {", ".join(enc_rounds)}, segs AS (
+        SELECT token, str_split(trim(seg), ' ') AS ss FROM dt{T24_MERGES}
+    ), sub AS (
+        SELECT f.doc_id, f.pos, u.i AS i, ss[u.i] AS sym
+        FROM flat f JOIN segs USING (token)
+        CROSS JOIN LATERAL (SELECT unnest(range(1, len(ss) + 1)) AS i) u
+    ), svoc AS (
+        SELECT sym, CAST(count(*) AS BIGINT) AS n,
+               CAST(row_number() OVER (ORDER BY count(*) DESC, sym ASC) - 1
+                    AS INT) AS sym_id
+        FROM sub GROUP BY sym
+    ), docenc AS (
+        SELECT s.doc_id,
+               CAST(count(DISTINCT s.pos) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_subwords,
+               string_agg(CAST(v.sym_id AS VARCHAR), ',' ORDER BY s.pos, s.i)
+                   AS ids
+        FROM sub s JOIN svoc v USING (sym) GROUP BY 1
+    )
+    SELECT 'merge' AS kind, lpad(CAST(k AS VARCHAR), 2, '0') AS item,
+           l || '|' || r || '|' || CAST(cnt AS VARCHAR) AS payload
+    FROM ({" UNION ALL ".join(merge_union)})
+    UNION ALL
+    SELECT 'vocab', sym, CAST(sym_id AS VARCHAR) || '|' || CAST(n AS VARCHAR)
+    FROM svoc
+    UNION ALL
+    SELECT 'doc', CAST(d.doc_id AS VARCHAR),
+           CAST(coalesce(e.n_tokens, 0) AS VARCHAR) || '|' ||
+           CAST(coalesce(e.n_subwords, 0) AS VARCHAR) || '|' ||
+           coalesce(e.ids, '')
+    FROM documents d LEFT JOIN docenc e USING (doc_id)
+    """
+
+
+@q(
+    "t24_bpe_encode",
+    _t24_oracle(),
+    doc="Bounded deterministic byte-pair encoding (Sennrich et al., ACL "
+    "2016) — the subword step that completes the tokenize story t23 "
+    f"starts: {T24_MERGES} greedy merges trained on the "
+    f"{T24_WORD_TYPES} most frequent word types (operators/text.py::"
+    "bpe_train), then every document encoded to dense subword ids "
+    "(bpe_encode). One entry hash-checks all three artifacts — the "
+    "merge table (rank, pair, weighted count), the symbol vocabulary "
+    "(provably bounded: corpus characters + one symbol per merge), and "
+    "every document's id stream — as 'merge'/'vocab'/'doc' rows of a "
+    "(kind, item, payload) union, all strings (driver canonicalizer "
+    "constraint). Ties break (count desc, left asc, right asc) "
+    "everywhere, so the whole artifact is a pure function of the "
+    "corpus; merge application is two-pass literal replace on "
+    "space-padded symbol strings (two passes reach the greedy-BPE "
+    "fixpoint; same convention in Spark, the Python trainer, and the "
+    "unrolled DuckDB oracle). Scale shape: training collects only the "
+    "bounded word-type table (the s19 constant-sufficient-statistics "
+    "pattern; top-K via the t15 two-phase shard rank), encode is a "
+    "pure column-expression map with the merge table constant-folded, "
+    "plus one bounded-vocab broadcast join and one doc-keyed "
+    "reassembly — two shuffles regardless of corpus size.",
+)
+def t24_bpe_encode(spark, sf_dir):
+    from ..operators.text import bpe_encode, bpe_symbol_vocab, bpe_train
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe_train(
+        docs, "text", n_merges=T24_MERGES, max_word_types=T24_WORD_TYPES
+    )
+    vocab = pin(bpe_symbol_vocab(docs, merges))
+    enc = bpe_encode(docs, merges, "doc_id", "text", vocab=vocab)
+    merge_rows = spark.createDataFrame(
+        [("merge", f"{k:02d}", f"{l}|{r}|{c}") for k, (l, r, c) in enumerate(merges, 1)],
+        "kind string, item string, payload string",
+    )
+    vocab_rows = vocab.select(
+        F.lit("vocab").alias("kind"),
+        F.col("sym").alias("item"),
+        F.concat_ws(
+            "|", F.col("sym_id").cast("string"), F.col("n").cast("string")
+        ).alias("payload"),
+    )
+    doc_rows = enc.select(
+        F.lit("doc").alias("kind"),
+        F.col("doc_id").cast("string").alias("item"),
+        F.concat_ws(
+            "|",
+            F.col("n_tokens").cast("string"),
+            F.col("n_subwords").cast("string"),
+            F.array_join(F.col("ids").cast("array<string>"), ","),
+        ).alias("payload"),
+    )
+    return merge_rows.unionAll(vocab_rows).unionAll(doc_rows)
+
+
 T20_SPAN_TOKENS = 10
 T20_MAX_OCC = 1
 
