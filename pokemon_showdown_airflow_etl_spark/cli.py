@@ -215,6 +215,14 @@ def build_parser() -> argparse.ArgumentParser:
         "reconstruction error measured) instead of the deterministic "
         "first-N rule",
     )
+    bpq.add_argument(
+        "--train-max-rows",
+        type=int,
+        default=None,
+        help="bound on the Lloyd training sample (first N committed "
+        "vectors by id; default 4096 — FAISS practice, never the "
+        "whole corpus)",
+    )
 
     pqs = sub.add_parser(
         "pq-search",
@@ -401,9 +409,12 @@ def main(argv: list[str] | None = None) -> int:
         from .session import get_spark
 
         spark = get_spark(app_name="etl-build-pq", master=args.master)
+        kw = {}
+        if args.train_max_rows is not None:
+            kw["train_max_rows"] = args.train_max_rows
         result = build_pq_layer(
             spark, args.index_root, n_sub=args.n_sub, n_codes=args.n_codes,
-            refresh=args.refresh, train=args.train,
+            refresh=args.refresh, train=args.train, **kw,
         )
         print(json.dumps(result, sort_keys=True))
         return 0

@@ -196,6 +196,48 @@ def sf_reindexed_tables(
     return read_centroids(spark, root), asg
 
 
+# ---------------------------------------------------------------------------
+# sf-keyed demo index WITH its PQ layer (catalog s20): the standing demo
+# corpus through the REAL protocol — init + bulk ingest + build_pq_layer —
+# so the s20 catalog entry's hash check covers the serving path end to
+# end: stored cells route the probes, stored codes feed the ADC tables,
+# stored vectors feed the rescore, and the oracle recomputes all three
+# from raw parquet.
+# ---------------------------------------------------------------------------
+
+SF_PQ_VERSION = 1
+
+
+def sf_pq_index_dir(sf_dir: str) -> Path:
+    return keyed_dir(
+        "embedding_index_pq", SF_PQ_VERSION, sf_dir, _sf_tag() + "-pq8x16"
+    )
+
+
+def build_sf_pq_index(spark: SparkSession, sf_dir: str, out_dir: Path) -> None:
+    """Real lake root (the s12-v0 recipe: first-``DEFAULT_N_CELLS``
+    quantizer, one bulk ingest whose threshold no cosine reaches so the
+    committed corpus is exactly the demo corpus) plus its committed PQ
+    facet."""
+    from ..io import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    corp = emb.filter(F.col("vec_id") % DEMO_BATCH_MOD != 0)
+    root = str(out_dir / "root")
+    init_embedding_index(spark, corp, root, n_cells=DEFAULT_N_CELLS, train=False)
+    ingest_embedding_batch(spark, corp, root, "bulk", threshold=2.0)
+    build_pq_layer(spark, root)
+
+
+def sf_pq_index_root(spark: SparkSession, sf_dir: str) -> str:
+    """Root of the materialized demo index + PQ layer, building on
+    first use (atomic, race-benign — jobs/_lake.py)."""
+    out = ensure_lake(
+        sf_pq_index_dir(sf_dir), lambda tmp: build_sf_pq_index(spark, sf_dir, tmp)
+    )
+    return str(out / "root")
+
+
 def _centroids_dir(index_root: str) -> str:
     return os.path.join(index_root, "centroids")
 
@@ -659,6 +701,9 @@ def _pq_dir(index_root: str) -> str:
     return os.path.join(index_root, "pq")
 
 
+PQ_TRAIN_MAX_ROWS = 4096
+
+
 def build_pq_layer(
     spark: SparkSession,
     index_root: str,
@@ -666,20 +711,31 @@ def build_pq_layer(
     n_codes: int = 16,
     refresh: bool = False,
     train: bool = False,
+    train_max_rows: int = PQ_TRAIN_MAX_ROWS,
 ) -> dict:
     """Materialize the PQ facet of an embedding index: a deterministic
     codebook (first-``n_codes``-by-id registered vectors, the s14 rule;
     a trained deployment substitutes per-subspace k-means) stored as
     JSON next to a ``codes/`` parquet of (vec_id, codes, err_micro)
     for every COMMITTED assignment row (``train=True`` swaps in the
-    per-subspace Lloyd trainer, ``pq_train_codebook`` — measured 8-16%
-    lower total reconstruction error on the bench corpus; still fully
+    per-subspace Lloyd trainer, ``pq_train_codebook``, on the
+    ``train_max_rows`` lexicographically-first committed vectors — the
+    FAISS practice of training codebooks on a bounded CPU-side sample;
+    collecting the whole corpus would OOM the driver at exactly the
+    scales this lake exists for. Measured 8-16% lower total
+    reconstruction error on the bench corpus; still fully
     deterministic). One pure-map pass over the
     committed corpus (the s14 kernel); the layer is a SNAPSHOT — after
     ingesting/compacting more batches, rebuild with ``refresh=True``
     (the codebook is re-derived from the same rule, so an unchanged
     corpus rebuilds byte-identically). Idempotent: an existing
     committed layer is left untouched unless ``refresh``.
+
+    A refresh builds the ENTIRE new layer in a sibling staging dir
+    (codebook.json first, then codes + marker) and swaps it in with two
+    atomic renames — the committed snapshot keeps serving pq_layer_search
+    until the replacement is complete, and a crash mid-build leaves it
+    untouched (crash-injection test in tests/test_pq.py).
 
     Returns counts only: n_vectors, n_sub, n_codes, refreshed.
     """
@@ -703,26 +759,40 @@ def build_pq_layer(
             f"{index_root!r} has no committed assignments — ingest the "
             "corpus before building its PQ layer"
         )
-    if os.path.isdir(d):
+    # stale residue from a crashed earlier build/swap
+    staging, old = d + ".staging", d + ".old"
+    for residue in (staging, old):
+        if os.path.isdir(residue):
+            shutil.rmtree(residue)
+    # an UNcommitted main dir (no marker) is residue too; a committed
+    # one keeps serving reads until the staged replacement swaps in
+    committed = os.path.exists(marker)
+    if os.path.isdir(d) and not committed:
         shutil.rmtree(d)
-    os.makedirs(d)
+    os.makedirs(staging)
     if train:
         from ..operators.similarity import pq_train_codebook
 
         cb = pq_train_codebook(
-            asg, n_sub=n_sub, n_codes=n_codes, vec_col="v", sample_mod=None
+            asg.orderBy("vec_id").limit(train_max_rows),
+            n_sub=n_sub, n_codes=n_codes, vec_col="v", sample_mod=None,
         )
     else:
         cb = pq_codebook(asg, n_sub=n_sub, n_codes=n_codes, vec_col="v")
     # codebook JSON BEFORE the codes write: codes/_SUCCESS is the
     # layer's commit marker, so everything the marker promises (the
     # codebook the codes were encoded with) must exist first — a crash
-    # anywhere before the marker leaves a marker-less dir that the
-    # next build clears and redoes
-    with open(os.path.join(d, "codebook.json"), "w") as f:
+    # anywhere before the marker leaves an incomplete STAGING dir; the
+    # committed layer (if any) never stops serving
+    with open(os.path.join(staging, "codebook.json"), "w") as f:
         _json.dump({"n_sub": n_sub, "n_codes": n_codes, "codebook": cb}, f)
     encoded = pq_encode(asg, cb, vec_col="v")
-    encoded.write.parquet(codes_dir)
+    encoded.write.parquet(os.path.join(staging, "codes"))
+    if os.path.isdir(d):
+        os.rename(d, old)
+    os.rename(staging, d)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
     n = spark.read.parquet(codes_dir).count()
     return {
         "n_vectors": n, "n_sub": n_sub, "n_codes": n_codes,

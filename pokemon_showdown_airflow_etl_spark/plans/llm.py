@@ -2605,6 +2605,134 @@ def s17_ivfpq_topk(spark, sf_dir):
     )
 
 
+@q(
+    "s20_lake_pq_search",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), corp AS (
+        SELECT vec_id, v FROM e WHERE vec_id % {S11_BATCH_MOD} != 0
+    ), batch AS (
+        SELECT vec_id, v FROM e WHERE vec_id % {S11_BATCH_MOD} = 0
+    ), cents AS (
+        SELECT vec_id AS cell_id, v AS cv FROM corp ORDER BY vec_id LIMIT {S11_N_CELLS}
+    ), m_ranked AS (
+        SELECT vid, cell_id,
+               row_number() OVER (PARTITION BY vid ORDER BY cell_sim DESC, cell_id ASC)
+                   AS cell_rank
+        FROM (
+            SELECT corp.vec_id AS vid, cents.cell_id,
+                   list_dot_product(corp.v, cents.cv) /
+                       (sqrt(list_dot_product(corp.v, corp.v)) *
+                        sqrt(list_dot_product(cents.cv, cents.cv))) AS cell_sim
+            FROM corp CROSS JOIN cents
+        )
+    ), members AS (
+        SELECT vid AS nn_id, cell_id FROM m_ranked WHERE cell_rank = 1
+    ), p_ranked AS (
+        SELECT vid, cell_id,
+               row_number() OVER (PARTITION BY vid ORDER BY cell_sim DESC, cell_id ASC)
+                   AS cell_rank
+        FROM (
+            SELECT batch.vec_id AS vid, cents.cell_id,
+                   list_dot_product(batch.v, cents.cv) /
+                       (sqrt(list_dot_product(batch.v, batch.v)) *
+                        sqrt(list_dot_product(cents.cv, cents.cv))) AS cell_sim
+            FROM batch CROSS JOIN cents
+        )
+    ), probes AS (
+        SELECT vid AS qid, cell_id FROM p_ranked WHERE cell_rank <= {S11_N_PROBE}
+    ), cb AS (
+        SELECT row_number() OVER (ORDER BY vid) - 1 AS j, v AS cv
+        FROM (SELECT vec_id AS vid, v FROM corp ORDER BY vec_id LIMIT {PQ_N_CODES})
+    ), ms AS (
+        SELECT unnest(range(0, {PQ_N_SUB})) AS m
+    ), sub AS (
+        SELECT corp.vec_id, ms.m,
+               corp.v[ms.m * {PQ_SUB_DIM} + 1 : ms.m * {PQ_SUB_DIM} + {PQ_SUB_DIM}] AS sv
+        FROM corp CROSS JOIN ms
+    ), cbsub AS (
+        SELECT cb.j, ms.m,
+               cb.cv[ms.m * {PQ_SUB_DIM} + 1 : ms.m * {PQ_SUB_DIM} + {PQ_SUB_DIM}] AS cw
+        FROM cb CROSS JOIN ms
+    ), best AS (
+        SELECT vec_id, m, j FROM (
+            SELECT s.vec_id, s.m, c.j,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY -2 * list_dot_product(s.sv, c.cw)
+                                  + list_dot_product(c.cw, c.cw) ASC, c.j ASC
+                   ) AS rnk
+            FROM sub s JOIN cbsub c USING (m)
+        ) WHERE rnk = 1
+    ), qsub AS (
+        SELECT batch.vec_id AS qid, ms.m,
+               batch.v[ms.m * {PQ_SUB_DIM} + 1 : ms.m * {PQ_SUB_DIM} + {PQ_SUB_DIM}] AS qsv
+        FROM batch CROSS JOIN ms
+    ), adc AS (
+        SELECT p.qid, mem.nn_id,
+               CAST(sum(CAST(round((list_dot_product(q.qsv, q.qsv)
+                   + (-2 * list_dot_product(q.qsv, c.cw)
+                      + list_dot_product(c.cw, c.cw))) * 1000000) AS BIGINT))
+                    AS BIGINT) AS adc_micro
+        FROM probes p
+        JOIN members mem USING (cell_id)
+        JOIN best b ON b.vec_id = mem.nn_id
+        JOIN qsub q ON q.qid = p.qid AND q.m = b.m
+        JOIN cbsub c ON c.m = b.m AND c.j = b.j
+        GROUP BY 1, 2
+    ), short AS (
+        SELECT qid, nn_id, adc_micro FROM (
+            SELECT qid, nn_id, adc_micro,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY adc_micro ASC, nn_id ASC) AS srnk
+            FROM adc
+        ) WHERE srnk <= {PQ_SHORTLIST}
+    ), rescored AS (
+        SELECT s.qid AS query_id, s.nn_id, s.adc_micro,
+               list_dot_product(eq.v, ec.v) /
+                   (sqrt(list_dot_product(eq.v, eq.v)) *
+                    sqrt(list_dot_product(ec.v, ec.v))) AS cs
+        FROM short s
+        JOIN batch eq ON eq.vec_id = s.qid
+        JOIN corp ec ON ec.vec_id = s.nn_id
+    )
+    SELECT query_id, nn_id, CAST(rnk AS INT) AS rank,
+           ROUND(cs, 6) AS cos_sim, adc_micro
+    FROM (
+        SELECT query_id, nn_id, adc_micro, cs,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, nn_id ASC) AS rnk
+        FROM rescored
+    ) WHERE rnk <= 3
+    """,
+    doc="IVF-PQ over the MATERIALIZED lake (jobs/embedding_index_lake"
+    ".py::pq_layer_search, the CLI pq-search --n-probe path): s17 "
+    "checks the composition live; this entry puts the SERVING path "
+    "under the driver oracle — the demo batch queries the standing "
+    "demo index built through the real protocol (init + bulk ingest + "
+    "build_pq_layer), so the stored quantizer routes the probes, the "
+    "STORED 8-byte codes feed the ADC lookup tables, and the STORED "
+    "assignment vectors feed the rescore, while DuckDB recomputes all "
+    "three facets from raw parquet. One stale code, mis-assigned "
+    "cell, or drifted stored vector mismatches the hash. Per query "
+    "the scan is n_probe/n_cells of a ~60x-compressed code table "
+    "(broadcast integer tables, equi-join pairing on the probing "
+    "query's id — never candidates x all queries) + shortlist exact "
+    "dots: the read side of the incremental-ANN story d9 tells for "
+    "lexical identity.",
+)
+def s20_lake_pq_search(spark, sf_dir):
+    from ..jobs.embedding_index_lake import pq_layer_search, sf_pq_index_root
+
+    emb = t(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % S11_BATCH_MOD == 0)
+    root = sf_pq_index_root(spark, sf_dir)
+    return pq_layer_search(
+        spark, root, batch, k=3, shortlist=PQ_SHORTLIST, n_probe=S11_N_PROBE
+    )
+
+
 S18_SHORTLISTS = (5, 20)
 
 

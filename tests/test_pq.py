@@ -390,3 +390,80 @@ def test_opq_strictly_improves_on_anisotropic_corpus(spark):
 
     assert total_err(perm, trained=False) < total_err(None, trained=False)
     assert total_err(perm, trained=True) < total_err(None, trained=True)
+
+
+def test_pq_refresh_crash_keeps_committed_layer_serving(spark, tmp_path, monkeypatch):
+    """A refresh builds the replacement in a sibling staging dir and
+    swaps it in only once complete — a crash ANYWHERE during the
+    rebuild (injected at the encode step, after staging codebook.json
+    exists) must leave the previously committed snapshot intact and
+    serving, and the next refresh must heal."""
+    from pokemon_showdown_airflow_etl_spark.jobs import embedding_index_lake as lake
+    from pokemon_showdown_airflow_etl_spark.operators import similarity
+
+    import random
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(30)]
+    emb = _emb(spark, rows, 64)
+    root = str(tmp_path / "idx")
+    lake.init_embedding_index(spark, emb, root, n_cells=4, train=False)
+    lake.ingest_embedding_batch(spark, emb, root, "bulk", threshold=2.0)
+    lake.build_pq_layer(spark, root)
+    q = _emb(spark, [(900, rows[5][1])], 64)
+    before = [tuple(r) for r in lake.pq_layer_search(spark, root, q, k=2).collect()]
+
+    real = similarity.pq_encode
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash mid-refresh")
+
+    monkeypatch.setattr(similarity, "pq_encode", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        lake.build_pq_layer(spark, root, refresh=True)
+    monkeypatch.setattr(similarity, "pq_encode", real)
+
+    # committed snapshot untouched and still serving
+    after = [tuple(r) for r in lake.pq_layer_search(spark, root, q, k=2).collect()]
+    assert after == before
+    # the healed refresh clears the stale staging dir and commits
+    st = lake.build_pq_layer(spark, root, refresh=True)
+    assert st["refreshed"] and st["n_vectors"] == 30
+    import os
+    assert not os.path.isdir(os.path.join(root, "pq") + ".staging")
+    assert not os.path.isdir(os.path.join(root, "pq") + ".old")
+    healed = [tuple(r) for r in lake.pq_layer_search(spark, root, q, k=2).collect()]
+    assert healed == before
+
+
+def test_pq_train_sample_is_bounded(spark, tmp_path):
+    """train=True must never collect the whole corpus: with
+    train_max_rows=n_codes the codebook equals one trained on exactly
+    the first-N-by-id slice (Lloyd init = those subvectors), proving
+    the bound reaches the trainer."""
+    from pokemon_showdown_airflow_etl_spark.jobs import embedding_index_lake as lake
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        read_committed,
+    )
+    from pokemon_showdown_airflow_etl_spark.operators.similarity import (
+        pq_train_codebook,
+    )
+
+    import json
+    import os
+    import random
+
+    rng = random.Random(31)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)]
+    emb = _emb(spark, rows, 64)
+    root = str(tmp_path / "idx")
+    lake.init_embedding_index(spark, emb, root, n_cells=4, train=False)
+    lake.ingest_embedding_batch(spark, emb, root, "bulk", threshold=2.0)
+    lake.build_pq_layer(spark, root, train=True, train_max_rows=16)
+    with open(os.path.join(root, "pq", "codebook.json")) as f:
+        stored = json.load(f)["codebook"]
+    asg = read_committed(spark, root, "assignments")
+    want = pq_train_codebook(
+        asg.orderBy("vec_id").limit(16), vec_col="v", sample_mod=None
+    )
+    assert stored == want
