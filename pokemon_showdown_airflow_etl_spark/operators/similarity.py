@@ -69,9 +69,17 @@ def brute_force_topk(
     partitions * |queries| * k candidate rows after the tie-safe
     per-partition top-k (local order = (-cos, id), the global rule, so
     local survivors are a superset of the global winners). Scoring is
-    one BLAS GEMM per Arrow batch — bit-identical to the
-    zip_with/aggregate expression formulation (proven since s5) at a
-    fraction of its interpreted per-pair cost.
+    one BLAS GEMM per Arrow batch — measured value-identical to the
+    zip_with/aggregate expression formulation on this host's BLAS
+    (verified since s5 by the oracle sweeps at three SFs), at a
+    fraction of its interpreted per-pair cost. That equality is
+    empirical, not guaranteed: a blocked/FMA GEMM on another BLAS
+    build could drift a last ulp at a near-tie pair and flip a rank
+    vs an engine that sums sequentially — if a port sees rank flips
+    at exact ties, rank on round(cos, 6) (the emitted precision)
+    instead. Zero-norm vectors are rejected loudly (cosine is
+    undefined; NaN would silently sort differently in NumPy, which
+    orders it last, than in Spark's DESC, which treats it greatest).
     """
     import numpy as np
     import pandas as pd
@@ -100,6 +108,9 @@ def brute_force_topk(
     qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
     Q = np.array([r["qv"] for r in qrows], dtype=np.float64)
     qn = np.sqrt((Q * Q).sum(axis=1))
+    if (qn == 0.0).any():
+        bad = [int(q) for q, n in zip(qids, qn) if n == 0.0]
+        raise ValueError(f"zero-norm query vectors (cosine undefined): {bad}")
 
     # One BLAS GEMM per Arrow batch, then a TIE-SAFE local top-k per
     # query (order by -cos then id, exactly the global rule, so the
@@ -117,6 +128,11 @@ def brute_force_topk(
             mat = np.array(pdf["v"].tolist(), dtype=np.float64)
             ids = pdf["vec_id"].to_numpy()
             cn = np.sqrt((mat * mat).sum(axis=1))
+            if (cn == 0.0).any():
+                bad = [int(i) for i, n in zip(ids, cn) if n == 0.0]
+                raise ValueError(
+                    f"zero-norm corpus vectors (cosine undefined): {bad[:5]}"
+                )
             sims = (mat @ Q.T) / np.outer(cn, qn)
             outq, outn, outs = [], [], []
             for j in range(len(qids)):
@@ -1298,9 +1314,25 @@ def sign_sketch(
     Sign sketches are the cheapest ANN tier (Charikar SRP with the
     identity projection): E[hamming] is monotone in angle, so Hamming
     top-k over the sketches is a recall-tunable shortlist generator —
-    see ``hamming_topk``. Returns (vec_id, b0, b1)."""
+    see ``hamming_topk``. Returns (vec_id, b0, b1).
+
+    The two-word layout hard-codes dim 64; any other dimensionality is
+    rejected loudly — F.slice on a shorter vector would otherwise yield
+    short indicator arrays whose zip_with dot is NULL, and every sketch
+    would silently come back NULL (the PQ path's divisibility guard,
+    applied here)."""
     v = emb.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn(
+        "v",
+        F.when(F.size("v") == 64, F.col("v")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("sign_sketch requires dim-64 vectors, got dim "),
+                    F.size("v").cast("string"),
+                )
+            )
+        ),
     )
 
     # the packed word = dot(sign indicators, powers of two): three

@@ -467,3 +467,28 @@ def test_pq_train_sample_is_bounded(spark, tmp_path):
         asg.orderBy("vec_id").limit(16), vec_col="v", sample_mod=None
     )
     assert stored == want
+
+
+def test_sign_sketch_rejects_wrong_dimensionality(spark):
+    # F.slice on a short vector would otherwise yield NULL sketches
+    # silently (zip_with null-pads) — the guard must fail loudly
+    from pyspark.errors import SparkRuntimeException
+
+    emb = _emb(spark, [(1, [0.5] * 16)], 16)
+    with pytest.raises(SparkRuntimeException, match="dim-64"):
+        similarity.sign_sketch(emb).collect()
+
+
+def test_brute_force_rejects_zero_norm_vectors(spark):
+    import pytest as _pt
+
+    rows = [(1, [1.0] * 8), (2, [0.0] * 8), (3, [0.5] * 8)]
+    emb = _emb(spark, rows, 8)
+    # zero-norm corpus vector -> kernel raises (surfaces as a Spark job failure)
+    with _pt.raises(Exception, match="zero-norm"):
+        similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") == 1), k=1).collect()
+    # zero-norm query -> driver-side raise
+    with _pt.raises(ValueError, match="zero-norm query"):
+        similarity.brute_force_topk(
+            emb.filter(F.col("vec_id") != 2), emb.filter(F.col("vec_id") == 2), k=1
+        )
