@@ -444,8 +444,14 @@ def main() -> None:
     #      tail window whole — metric/value/sf plus the slowest
     #      queries, with an assert so catalog growth can't silently
     #      push it past the window again.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_local.json"), "w") as f:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "BENCH_local.json"), "w") as f:
+        json.dump(payload, f, indent=2, sort_keys=True)
+    # per-SF archive alongside the default record (VERDICT r8 item 8:
+    # new entries should land with an sf0.01 + sf0.1 PAIR from the
+    # same session so cross-SF scaling stays visible; the default
+    # file alone is overwritten by whichever SF ran last)
+    with open(os.path.join(repo, f"BENCH_local_sf{payload['sf']}.json"), "w") as f:
         json.dump(payload, f, indent=2, sort_keys=True)
     print(json.dumps(payload))
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:20])
