@@ -232,3 +232,86 @@ def cms_heavy_hitters_approx(
         .cast("int"),
     )
     return ranked.filter(F.col("rank") <= topk).select(key_col, "est", "rank")
+
+
+# --- deterministic HyperLogLog (a4) ------------------------------------------
+
+HLL_M = 64       # registers (md5's first hex byte % 64 is uniform)
+HLL_RANK_CAP = 40  # 2^(cap-rank) keeps the register sum int64-exact
+# Flajolet et al. 2007 bias constant for m=64; evaluated the same way
+# (literal IEEE ops) the oracle SQL evaluates it, so both engines carry
+# the identical double
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def hll_rank(hash_hex: Column) -> Column:
+    """Position of the first 1-bit (+1) in the 60-bit tail of an md5,
+    computed from STRING ops only — integer hex parsing of a 60-bit
+    value is engine-dependent, but `strip leading zero hex chars, then
+    classify the first nonzero nibble` is exact everywhere. Range
+    1..61 (61 = all-zero tail)."""
+    nz = F.regexp_replace(F.substring(hash_hex, 3, 15), "^0*", "")
+    first = F.substring(nz, 1, 1)
+    bits_first = (
+        F.when(first.isin(*"89abcdef"), 4)
+        .when(first.isin("4", "5", "6", "7"), 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first == "1", 1)
+        .otherwise(0)
+    )
+    bitlen = F.when(F.length(nz) == 0, 0).otherwise(
+        (F.length(nz) - 1) * 4 + bits_first
+    )
+    return (F.lit(61) - bitlen).cast("int")
+
+
+def hll_registers(df: DataFrame, key: Column) -> DataFrame:
+    """The HLL register table of a key expression: md5 the key string,
+    route on the first hex byte % 64, keep max(first-1-bit rank) per
+    register. One map-side-combinable max aggregation over at most
+    ``HLL_M`` groups — THE mergeable distinct sketch (Flajolet et al.
+    2007), built as plain DataFrame ops so the registers themselves
+    (not just an error bound, cf. a1's built-in HLL++) are
+    deterministic and cross-engine hash-checkable."""
+    h = F.md5(key.cast("string"))
+    return (
+        df.select(h.alias("h"))
+        .filter(F.col("h").isNotNull())
+        .select(
+            (F.conv(F.substring("h", 1, 2), 16, 10).cast("int") % HLL_M).alias("reg"),
+            F.least(hll_rank(F.col("h")), F.lit(HLL_RANK_CAP)).alias("rank"),
+        )
+        .groupBy("reg")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_summary(df: DataFrame, key: Column) -> DataFrame:
+    """One-row HLL summary: integer register sum
+    S = sum(2^(cap - max_rank)) with absent registers at 2^cap (exact in
+    int64 by the cap), zero-register count V, and the standard estimate
+    — raw = alpha * m^2 * 2^cap / S, linear counting m*ln(m/V) when
+    raw <= 2.5m and V > 0. S and V hash-check exactly; the estimate is
+    emitted in milli-units (one division + one ln — far coarser than
+    any cross-libm ulp)."""
+    regs = hll_registers(df, key)
+    m = HLL_M
+    cap = HLL_RANK_CAP
+    summ = regs.agg(
+        (
+            F.sum(F.pow(F.lit(2.0), F.lit(cap) - F.col("max_rank")).cast("long"))
+            + (F.lit(m) - F.count("*")) * F.lit(2**cap)
+        ).cast("long").alias("s_sum"),
+        (F.lit(m) - F.count("*")).cast("long").alias("v_zero"),
+    )
+    raw = F.lit(HLL_ALPHA * m * m * float(2**cap)) / F.col("s_sum")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(raw)
+    return summ.select(
+        F.lit(m).cast("long").alias("n_registers"),
+        "s_sum",
+        "v_zero",
+        F.round(est * 1000).cast("long").alias("est_milli"),
+    )

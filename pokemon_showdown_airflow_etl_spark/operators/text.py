@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import normalize_text, tokens
+from ..pinning import pin
 
 # Marker stopwords per language for the n-gram/marker-word heuristic
 # language id. Deterministic and cheap; a real pipeline would swap in a
@@ -723,4 +724,87 @@ def bpe_encode(
         F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
         F.coalesce("n_subwords", F.lit(0).cast("long")).alias("n_subwords"),
         F.coalesce("ids", F.array().cast("array<int>")).alias("ids"),
+    )
+
+
+# --- bigram language-model scoring (perplexity filtering) -------------------
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document negative log-likelihood under an add-one-smoothed
+    bigram model trained on the corpus itself — the CCNet-style
+    perplexity signal (Wenzek et al., LREC 2020) one rung above t14's
+    unigram: P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), summed over the
+    document's bigram stream. Repetitive/templated text scores low NLL,
+    gibberish high — both tails are what a quality filter cuts.
+
+    Determinism: each bigram TYPE's ln P quantizes to integer
+    micro-units once (the t14 convention), documents sum integers, so
+    cross-engine float summation order cannot flip a bit.
+
+    Scale shape: bigram occurrences explode from the token array (one
+    map; the pair list is a single transform over a sequence — no
+    self-join on position), corpus counts are two combinable
+    aggregations (bigram, context), V is one scalar, scoring is one
+    equi-join of occurrences against the bigram table and one doc-keyed
+    sum. Nothing O(corpus) in one task; the bigram table shuffles on
+    its natural key.
+
+    Returns (id_col, n_bigrams, nll_micro, avg_nll_micro) anchored on
+    the INPUT ids (docs with < 2 tokens score 0)."""
+    arr = tokens(F.col(text_col))
+    pairs = F.when(
+        (F.size(arr) >= 2) & (F.element_at(arr, 1) != ""),
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.struct(
+                F.element_at(arr, i).alias("w1"),
+                F.element_at(arr, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    occ = pin(
+        df.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+            id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
+    )
+    flat = df.select(F.explode(arr).alias("tok")).filter(F.col("tok") != "")
+    vsize = flat.agg(F.countDistinct("tok").cast("long").alias("v"))
+    c2 = occ.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2"))
+    c1 = occ.groupBy("w1").agg(F.count("*").cast("long").alias("c1"))
+    lp = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("micro"),
+        )
+    )
+    agg = (
+        occ.join(lp, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            (-F.sum("micro")).cast("long").alias("nll_micro"),
+        )
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+        F.coalesce("nll_micro", F.lit(0).cast("long")).alias("nll_micro"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.expr("nll_micro div n_bigrams"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("avg_nll_micro"),
     )

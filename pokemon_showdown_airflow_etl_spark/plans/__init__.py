@@ -27,12 +27,16 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # CORRECTNESS_r08 (48/50 green; s14/t23 err on the canonicalizer's
 # list-cell crash, fixed this round by string-serializing their array
 # outputs) the cumulative freshness is 48 r8-latest, 48 r7-latest,
-# 45 r6-latest. The r9 window: the 6 new/changed entries (s14 + t23
-# reshaped; t20b/t24/s20/s21 new), then 44 of the 45-name r6-latest
-# block — one short of clearing it: 6 deliverables were owed this
-# round (VERDICT items 1, 4, 5, 6, 7) and 6 + 45 > 50, so w4_head_n
-# (a LIMIT-only plan, the lowest-risk carry) waits at the r10 window's
-# head. Rule refinement, applied this round: fail-loud guard additions
+# 45 r6-latest. The r9 window: the 8 new/changed entries (s14 + t23
+# reshaped; t20b/t24/s20/s21/a4/t25 new), then 42 of the 45-name
+# r6-latest block — three short of clearing it: 6 deliverables were
+# owed this round (VERDICT items 1, 4, 5, 6, 7) plus two new
+# first-class operators (a4 deterministic HLL, t25 bigram perplexity),
+# and 8 + 45 > 50. The three carries (w4_head_n: LIMIT-only;
+# g9_table_count: count(*); c13_bool_coercion: a cast) are the
+# lowest-risk plans in the block and head the r10 window; the local
+# parity sweep still re-verifies them every run.
+# Rule refinement, applied this round: fail-loud guard additions
 # on paths PROVEN unreachable for the driver corpus (sign_sketch's
 # dim-64 raise, brute-force's zero-norm raise — tests pin both) and
 # defaulted-no-op signature extensions (perm=None threading through
@@ -53,6 +57,8 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
     "t24_bpe_encode",  # r9 NEW: bounded deterministic BPE subword vocab
     "s21_opq_audit",  # r9 NEW: OPQ-lite permutation audit, bit-exact
     "s20_lake_pq_search",  # r9 NEW: lake IVF-PQ serving path under oracle
+    "a4_hll_distinct",  # r9 NEW: deterministic HLL, sketch itself hash-checked
+    "t25_bigram_logprob",  # r9 NEW: smoothed bigram NLL (perplexity filter)
 ]
 
 _PRIORITY: list[str] = [
@@ -63,8 +69,11 @@ _PRIORITY: list[str] = [
     "t24_bpe_encode",
     "s21_opq_audit",
     "s20_lake_pq_search",
-    # -- (2) 44 of the 45-name r6-latest block (w4_head_n carries to
-    # r10 — see the rotation note above) --
+    "a4_hll_distinct",
+    "t25_bigram_logprob",
+    # -- (2) 42 of the 45-name r6-latest block (w4_head_n,
+    # g9_table_count, c13_bool_coercion carry to r10 — see the
+    # rotation note above) --
     "c1_epoch_to_date",
     "c4_batch_id",
     "c5_regex_extract",
@@ -72,7 +81,6 @@ _PRIORITY: list[str] = [
     "c7_batch_from_details",
     "c8_prefix_predicate",
     "c10_json_extract",
-    "c13_bool_coercion",
     "f1_watermark_filter",
     "f2_undownloaded_filter",
     "f3_conjunctive_flags",
@@ -86,7 +94,6 @@ _PRIORITY: list[str] = [
     "g5_ids_by_date",
     "g6_dedup_keep_one",
     "g7_daily_counters",
-    "g9_table_count",
     "g10_throughput_metrics",
     "g11_lifecycle_cube",
     "j1_existence_flag",

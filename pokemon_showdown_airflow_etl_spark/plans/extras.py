@@ -543,3 +543,102 @@ def g17_rolling_7day(spark, sf_dir):
             F.sum("cnt").over(w).cast("double") / F.count("cnt").over(w), 4
         ).alias("avg_7d"),
     )
+
+
+# --- a4: deterministic HyperLogLog, registers and estimate hash-checked ------
+
+_HLL_AUDIT = (
+    # (label, table, column expr) — mixed cardinalities on purpose:
+    # o_custkey exercises the raw-estimate branch, event_type the
+    # linear-counting (small-range) branch, md5'd text content sits
+    # between (exact dups collapse)
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("events.event_type", "events", "event_type"),
+    ("documents.text", "documents", "text"),
+)
+
+_HLL_RANK_SQL = """61 - (CASE WHEN length(nz) = 0 THEN 0
+         ELSE (length(nz) - 1) * 4 +
+              CASE WHEN substr(nz, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 4
+                   WHEN substr(nz, 1, 1) IN ('4','5','6','7') THEN 3
+                   WHEN substr(nz, 1, 1) IN ('2','3') THEN 2
+                   ELSE 1 END END)"""
+
+
+def _hll_leg_sql(label: str, table: str, col: str) -> str:
+    # numerator: alpha scaled by exact powers of two — the identical
+    # double the Spark side embeds (operators/sketches.py::HLL_ALPHA)
+    num = "(0.7213 / (1 + 1.079 / 64)) * 64 * 64 * pow(2.0, 40)"
+    return f"""
+    SELECT '{label}' AS key_col, n_exact, s_sum, v_zero,
+           CAST(round((CASE WHEN {num} / s_sum <= 160.0 AND v_zero > 0
+                             THEN 64.0 * ln(64.0 / v_zero)
+                             ELSE {num} / s_sum END) * 1000) AS BIGINT)
+               AS est_milli
+    FROM (
+        SELECT CAST(sum(CAST(pow(2.0, 40 - mr) AS BIGINT))
+                    + (64 - count(*)) * CAST(pow(2.0, 40) AS BIGINT) AS BIGINT)
+                   AS s_sum,
+               CAST(64 - count(*) AS BIGINT) AS v_zero
+        FROM (
+            SELECT reg, max(least(rank, 40)) AS mr
+            FROM (
+                SELECT CAST(CAST('0x' || substr(h, 1, 2) AS INT) % 64 AS INT)
+                           AS reg,
+                       {_HLL_RANK_SQL} AS rank
+                FROM (
+                    SELECT h, regexp_replace(substr(h, 3, 15), '^0*', '') AS nz
+                    FROM (
+                        SELECT md5(CAST({col} AS VARCHAR)) AS h FROM {table}
+                        WHERE {col} IS NOT NULL
+                    )
+                )
+            ) GROUP BY reg
+        )
+    ) CROSS JOIN (
+        SELECT CAST(count(DISTINCT {col}) AS BIGINT) AS n_exact
+        FROM {table} WHERE {col} IS NOT NULL
+    )
+    """
+
+
+@q(
+    "a4_hll_distinct",
+    " UNION ALL ".join(_hll_leg_sql(*leg) for leg in _HLL_AUDIT),
+    doc="Deterministic HyperLogLog (Flajolet et al. 2007) — the novel-"
+    "sketch counterpart to a1's built-in HLL++: registers route on "
+    "md5's first hex byte % 64, ranks come from string ops on the "
+    "60-bit tail (no engine-dependent integer hex parse), the register "
+    "MAX is one map-side-combinable aggregation over <= 64 groups, and "
+    "the register sum S = sum(2^(40-rank)) stays int64-EXACT by the "
+    "rank cap. Because every step is deterministic, the driver hash-"
+    "checks the SKETCH ITSELF (S, V) plus the estimate (raw "
+    "alpha*m^2/sum branch AND the linear-counting small-range branch — "
+    "the three audited columns' cardinalities force both), not just an "
+    "error-bound boolean like a1. Exact distinct counts ride along per "
+    "column, so the output doubles as a measured-accuracy audit. At "
+    "100 TB this is THE mergeable distinct-count shape: per-partition "
+    "64-row partials, one exchange, constant memory.",
+)
+def a4_hll_distinct(spark, sf_dir):
+    from ..operators.sketches import hll_summary
+
+    legs = []
+    for label, table, col in _HLL_AUDIT:
+        base = t(spark, sf_dir, table).filter(F.col(col).isNotNull())
+        exact = base.agg(F.countDistinct(col).cast("long").alias("n_exact"))
+        legs.append(
+            hll_summary(base, F.col(col))
+            .crossJoin(F.broadcast(exact))
+            .select(
+                F.lit(label).alias("key_col"),
+                "n_exact",
+                "s_sum",
+                "v_zero",
+                "est_milli",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -1482,6 +1482,65 @@ def t14_unigram_logprob(spark, sf_dir):
     )
 
 
+@q(
+    "t25_bigram_logprob",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+    ), occ AS (
+        SELECT doc_id, tk[u.i] AS w1, tk[u.i + 1] AS w2
+        FROM tk CROSS JOIN LATERAL (
+            SELECT unnest(range(1, len(tk))) AS i
+        ) u
+        WHERE len(tk) >= 2 AND tk[1] != ''
+    ), flat AS (
+        SELECT unnest(tk) AS tok FROM tk
+    ), vsize AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        FROM flat WHERE tok != ''
+    ), c2 AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM occ GROUP BY 1, 2
+    ), c1 AS (
+        SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM occ GROUP BY 1
+    ), lp AS (
+        SELECT c2.w1, c2.w2,
+               CAST(round(ln((c2.c2 + 1.0) / (c1.c1 + vsize.v)) * 1000000)
+                    AS BIGINT) AS micro
+        FROM c2 JOIN c1 USING (w1) CROSS JOIN vsize
+    ), agg AS (
+        SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(-sum(l.micro) AS BIGINT) AS nll_micro
+        FROM occ o JOIN lp l USING (w1, w2) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_bigrams, 0) AS n_bigrams,
+           coalesce(a.nll_micro, 0) AS nll_micro,
+           CASE WHEN a.n_bigrams > 0 THEN a.nll_micro // a.n_bigrams
+                ELSE 0 END AS avg_nll_micro
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Add-one-smoothed bigram negative log-likelihood "
+    "(operators/text.py::bigram_logprob) — the CCNet-style perplexity "
+    "filter (Wenzek et al., LREC 2020) one rung above t14's unigram: "
+    "P(w2|w1) = (c(w1,w2)+1)/(c(w1.)+V) trained on the corpus itself, "
+    "summed over each document's bigram stream; both NLL tails are "
+    "what a pretraining quality pass cuts. Each bigram TYPE's ln P "
+    "quantizes to integer micro-units ONCE (the t14 convention) and "
+    "documents sum integers, so cross-engine summation order cannot "
+    "flip a bit; the per-doc average uses integer division. Plan: "
+    "bigram occurrences come from ONE transform over the token array "
+    "(no positional self-join), corpus counts are two combinable "
+    "aggregations, V is a broadcast scalar, scoring is one equi-join "
+    "on the natural bigram key + one doc-keyed sum — the bigram table "
+    "is unbounded at corpus scale so it shuffles, everything else is "
+    "map-side. Output anchored on INPUT ids (< 2 tokens scores 0).",
+)
+def t25_bigram_logprob(spark, sf_dir):
+    from ..operators.text import bigram_logprob
+
+    return bigram_logprob(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 DOMAIN_CAP = 10
 
 
