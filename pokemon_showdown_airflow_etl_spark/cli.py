@@ -119,6 +119,26 @@ def build_parser() -> argparse.ArgumentParser:
         "C4-style boilerplate removal; off when omitted)",
     )
 
+    tok = sub.add_parser(
+        "tokenize-docs",
+        help="build a vocabulary over a (curated) corpus and encode "
+        "every document to ids: whole-token dictionary (t23) or "
+        "bounded deterministic BPE subwords (t24); writes vocab.json "
+        "+ encoded/ parquet",
+    )
+    tok.add_argument("--input", required=True, help="documents parquet path")
+    tok.add_argument("--output", required=True, help="tokenizer output dir")
+    tok.add_argument("--mode", choices=("word", "bpe"), default="word")
+    tok.add_argument("--vocab-size", type=int, default=256, help="word mode: top-V")
+    tok.add_argument("--bpe-merges", type=int, default=8)
+    tok.add_argument(
+        "--bpe-word-types",
+        type=int,
+        default=256,
+        help="bound on the word-type table BPE trains on (first K by "
+        "count desc, word asc — only this reaches the driver)",
+    )
+
     ing = sub.add_parser(
         "ingest-docs",
         help="admit a new document batch against the growing signature "
@@ -338,6 +358,23 @@ def main(argv: list[str] | None = None) -> int:
             embeddings_path=args.embeddings,
             embed_admit_threshold=args.embed_admit_threshold,
             span_dedup_tokens=args.span_dedup_tokens,
+        )
+        print(json.dumps(result, sort_keys=True))
+        return 0
+
+    if args.cmd == "tokenize-docs":  # corpus job — no lake involved
+        from .jobs.tokenize import tokenize_corpus
+        from .session import get_spark
+
+        spark = get_spark(app_name="etl-tokenize", master=args.master)
+        result = tokenize_corpus(
+            spark,
+            args.input,
+            args.output,
+            mode=args.mode,
+            vocab_size=args.vocab_size,
+            n_merges=args.bpe_merges,
+            max_word_types=args.bpe_word_types,
         )
         print(json.dumps(result, sort_keys=True))
         return 0

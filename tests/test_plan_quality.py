@@ -674,3 +674,50 @@ def test_vocab_build_window_is_sharded(spark, sf_dir):
     sharded = [s for s in specs if "_shard" in s]
     assert sharded, "no sharded vocab window — phase 1 missing"
     assert "_sr" in plan, "shard-rank survivor filter missing"
+
+
+def test_bpe_encode_stays_jvm_with_bounded_vocab_window(q):
+    """t24: the encode must be a JVM map (merge table constant-folded
+    into replace chains, no Python in the scoring path) and the only
+    window ranks the provably bounded symbol table — never the corpus
+    (no rank over an unbounded key domain)."""
+    plan = q("t24_bpe_encode")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the symbol-vocab join must broadcast (<= chars + merges rows)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bigram_logprob_joins_on_natural_key_no_cartesian(q):
+    """t25: scoring joins occurrences to the bigram table on (w1, w2) —
+    an equi-join; V rides a broadcast scalar; no Python anywhere."""
+    plan = q("t25_bigram_logprob")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_hll_is_one_combinable_aggregation(q):
+    """a4: each audited column's register build must partial-aggregate
+    map-side (HashAggregate before the exchange) and never ship raw
+    rows — the mergeable-sketch shape."""
+    plan = q("a4_hll_distinct")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_separator_dedup_blacklist_is_equi_join(q):
+    """t20b: the blacklist anti/left join must stay an equi-join on the
+    span hash — never a cartesian over exploded units."""
+    plan = q("t20b_separator_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_lake_pq_search_pairs_by_equi_join(q):
+    """s20: candidate codes pair with their probing query by an
+    equi-join on the query id (broadcast lookup tables) — never
+    candidates x all-queries."""
+    plan = q("s20_lake_pq_search")
+    assert "CartesianProduct" not in plan
