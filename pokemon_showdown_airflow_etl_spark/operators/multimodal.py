@@ -319,3 +319,89 @@ def sample_video_frames(
             ).astype({"frame_ms": "int64", "width": "int32", "height": "int32"})
 
     return pruned.mapInPandas(run, VIDEO_FRAME_SCHEMA)
+
+
+# --- audio windowing (m5) ----------------------------------------------------
+
+AUDIO_FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("n_samples", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("start_ms", LongType()),
+        StructField("energy_u32", LongType()),
+    ]
+)
+
+
+def audio_frame_energy(
+    df: DataFrame,
+    frame_samples: int = 400,
+    hop_samples: int = 200,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio feature-extraction plumbing: decode each asset's PCM
+    stream (STUB — the deterministic ``_fake_audio_decode`` header
+    fake; torchaudio/soundfile replaces it at deploy time, the plan is
+    unchanged), slide a ``frame_samples`` window at ``hop_samples``
+    (the classic 25 ms / 10-12.5 ms speech framing at 16 kHz), and emit
+    one row per fully-contained frame with its start offset and a
+    per-frame energy. The energy is digest-derived here (a pure
+    function of the content digest and the frame index) so the ENTIRE
+    fan-out — framing arithmetic, row explosion, batch shape, typed
+    schema — is value-checked cross-engine by the m5 oracle, the same
+    contract m2/m4 use for images.
+
+    Like sample_video_frames, each asset stays ONE input row across
+    the boundary (the payload never copies per frame); the kernel
+    derives all of an asset's frames from a single payload reference.
+    At 100 TB the ~hundreds-per-asset row fan-out happens AFTER the
+    binary column is dropped, so the shuffle downstream carries narrow
+    numeric rows, never media bytes.
+    """
+    import hashlib
+
+    pruned = df.select(
+        F.col(id_col).alias("asset_id"), F.col(payload_col).alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(p)
+                sample_rate, n_samples = _fake_audio_decode(b)
+                cmd5 = hashlib.md5(b).hexdigest()
+                n_frames = max(0, (n_samples - frame_samples) // hop_samples) + (
+                    1 if n_samples >= frame_samples else 0
+                )
+                for k in range(n_frames):
+                    start = k * hop_samples
+                    energy = int(
+                        hashlib.md5(f"{cmd5}:{k}".encode()).hexdigest()[:8], 16
+                    )
+                    rows.append(
+                        (
+                            aid,
+                            n_samples,
+                            n_frames,
+                            k,
+                            start * 1000 // sample_rate,
+                            energy,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FRAME_SCHEMA.fields]
+            ).astype(
+                {
+                    "n_samples": "int64",
+                    "n_frames": "int64",
+                    "frame_idx": "int64",
+                    "start_ms": "int64",
+                    "energy_u32": "int64",
+                }
+            )
+
+    return pruned.mapInPandas(run, AUDIO_FRAME_SCHEMA)

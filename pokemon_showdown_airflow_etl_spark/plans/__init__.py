@@ -27,15 +27,16 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # CORRECTNESS_r08 (48/50 green; s14/t23 err on the canonicalizer's
 # list-cell crash, fixed this round by string-serializing their array
 # outputs) the cumulative freshness is 48 r8-latest, 48 r7-latest,
-# 45 r6-latest. The r9 window: the 8 new/changed entries (s14 + t23
-# reshaped; t20b/t24/s20/s21/a4/t25 new), then 42 of the 45-name
-# r6-latest block — three short of clearing it: 6 deliverables were
-# owed this round (VERDICT items 1, 4, 5, 6, 7) plus two new
-# first-class operators (a4 deterministic HLL, t25 bigram perplexity),
-# and 8 + 45 > 50. The three carries (w4_head_n: LIMIT-only;
-# g9_table_count: count(*); c13_bool_coercion: a cast) are the
-# lowest-risk plans in the block and head the r10 window; the local
-# parity sweep still re-verifies them every run.
+# 45 r6-latest. The r9 window: the 9 new/changed entries (s14 + t23
+# reshaped; t20b/t24/s20/s21/a4/t25/m5 new), then 41 of the 45-name
+# r6-latest block — four short of clearing it: 6 deliverables were
+# owed this round (VERDICT items 1, 4, 5, 6, 7) plus three new
+# first-class operators (a4 deterministic HLL, t25 bigram perplexity,
+# m5 audio framing), and 9 + 45 > 50. The four carries (w4_head_n:
+# LIMIT-only; g9_table_count: count(*); c13_bool_coercion: a cast;
+# u1_union_all: a unionAll) are the lowest-risk plans in the block and
+# head the r10 window; the local parity sweep still re-verifies them
+# every run.
 # Rule refinement, applied this round: fail-loud guard additions
 # on paths PROVEN unreachable for the driver corpus (sign_sketch's
 # dim-64 raise, brute-force's zero-norm raise — tests pin both) and
@@ -59,6 +60,7 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
     "s20_lake_pq_search",  # r9 NEW: lake IVF-PQ serving path under oracle
     "a4_hll_distinct",  # r9 NEW: deterministic HLL, sketch itself hash-checked
     "t25_bigram_logprob",  # r9 NEW: smoothed bigram NLL (perplexity filter)
+    "m5_audio_frame_energy",  # r9 NEW: audio windowing fan-out, oracle-checked
 ]
 
 _PRIORITY: list[str] = [
@@ -71,9 +73,10 @@ _PRIORITY: list[str] = [
     "s20_lake_pq_search",
     "a4_hll_distinct",
     "t25_bigram_logprob",
-    # -- (2) 42 of the 45-name r6-latest block (w4_head_n,
-    # g9_table_count, c13_bool_coercion carry to r10 — see the
-    # rotation note above) --
+    "m5_audio_frame_energy",
+    # -- (2) 41 of the 45-name r6-latest block (w4_head_n,
+    # g9_table_count, c13_bool_coercion, u1_union_all carry to r10 —
+    # see the rotation note above) --
     "c1_epoch_to_date",
     "c4_batch_id",
     "c5_regex_extract",
@@ -113,7 +116,6 @@ _PRIORITY: list[str] = [
     "t13_domain_mix",
     "t15_domain_cap",
     "t22_domain_mixture_exact",
-    "u1_union_all",
     "u2_distinct_union",
     "w1_latest_per_key",
     # ---- slot 50 boundary ----

@@ -638,6 +638,57 @@ def m4_image_resize(spark, sf_dir):
     return resize_images(assets, target=224)
 
 
+M5_FRAME = 400
+M5_HOP = 200
+
+
+@q(
+    "m5_audio_frame_energy",
+    f"""
+    WITH a AS (
+        SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+               md5(text) AS cmd5,
+               1000 + CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT)
+                   AS n_samples
+        FROM documents
+    ), f AS (
+        SELECT asset_id, cmd5, n_samples,
+               (n_samples - {M5_FRAME}) // {M5_HOP} + 1 AS n_frames
+        FROM a
+    )
+    SELECT asset_id,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(u.k AS BIGINT) AS frame_idx,
+           CAST((u.k * {M5_HOP} * 1000) // 16000 AS BIGINT) AS start_ms,
+           CAST(('0x' || substr(md5(cmd5 || ':' || CAST(u.k AS VARCHAR)), 1, 8))
+                AS BIGINT) AS energy_u32
+    FROM f CROSS JOIN LATERAL (SELECT unnest(range(0, n_frames)) AS k) u
+    """,
+    doc="Audio feature-extraction plumbing (operators/multimodal.py::"
+    "audio_frame_energy) — the modality m1-m4 left uncovered: each "
+    "asset's (stub-decoded) PCM header yields sample count + rate, a "
+    "25 ms window slides at a 12.5 ms hop (the standard speech "
+    "framing at 16 kHz), and one row per fully-contained frame comes "
+    "back with start offset + a digest-derived per-frame energy, so "
+    "the WHOLE fan-out — framing arithmetic, ~hundreds-per-asset row "
+    "explosion inside the Arrow kernel, typed schema, integer ms "
+    "math — is value-checked cross-engine like m2/m4 (a real "
+    "torchaudio frame-energy swaps into the inner loop, plan "
+    "unchanged). Each asset crosses the JVM/Python boundary ONCE; "
+    "frames fan out AFTER the binary column is dropped, so downstream "
+    "shuffles carry narrow numeric rows, never media bytes.",
+)
+def m5_audio_frame_energy(spark, sf_dir):
+    from ..operators.multimodal import audio_frame_energy
+
+    assets = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return audio_frame_energy(assets, frame_samples=M5_FRAME, hop_samples=M5_HOP)
+
+
 @q(
     "s4_ivf_ann_topk",
     f"""
