@@ -368,39 +368,52 @@ def audio_frame_energy(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            rows = []
+            # columnar construction: per-asset headers in one pass, then
+            # the frame fan-out as np.repeat/concatenated aranges — a
+            # row-tuple loop building the ~300x explosion cost ~4 s at
+            # sf0.1; only the per-frame digests stay a Python loop
+            # (they ARE the stub workload a real energy kernel replaces)
+            aids, nsamp, nfrm, cmd5s, rates = [], [], [], [], []
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
                 b = bytes(p)
                 sample_rate, n_samples = _fake_audio_decode(b)
-                cmd5 = hashlib.md5(b).hexdigest()
                 n_frames = max(0, (n_samples - frame_samples) // hop_samples) + (
                     1 if n_samples >= frame_samples else 0
                 )
-                for k in range(n_frames):
-                    start = k * hop_samples
-                    energy = int(
-                        hashlib.md5(f"{cmd5}:{k}".encode()).hexdigest()[:8], 16
-                    )
-                    rows.append(
-                        (
-                            aid,
-                            n_samples,
-                            n_frames,
-                            k,
-                            start * 1000 // sample_rate,
-                            energy,
-                        )
-                    )
+                aids.append(aid)
+                nsamp.append(n_samples)
+                nfrm.append(n_frames)
+                rates.append(sample_rate)
+                cmd5s.append(hashlib.md5(b).hexdigest())
+            nfrm_arr = np.asarray(nfrm, dtype=np.int64)
+            idx = np.concatenate(
+                [np.arange(n, dtype=np.int64) for n in nfrm]
+            ) if nfrm else np.array([], dtype=np.int64)
+            energy = np.fromiter(
+                (
+                    int(hashlib.md5(f"{c}:{k}".encode()).hexdigest()[:8], 16)
+                    for c, n in zip(cmd5s, nfrm)
+                    for k in range(n)
+                ),
+                dtype=np.int64,
+                count=int(nfrm_arr.sum()),
+            )
             yield pd.DataFrame(
-                rows, columns=[f.name for f in AUDIO_FRAME_SCHEMA.fields]
-            ).astype(
                 {
-                    "n_samples": "int64",
-                    "n_frames": "int64",
-                    "frame_idx": "int64",
-                    "start_ms": "int64",
-                    "energy_u32": "int64",
+                    "asset_id": np.repeat(np.asarray(aids, dtype=object), nfrm_arr),
+                    "n_samples": np.repeat(
+                        np.asarray(nsamp, dtype=np.int64), nfrm_arr
+                    ),
+                    "n_frames": np.repeat(nfrm_arr, nfrm_arr),
+                    "frame_idx": idx,
+                    "start_ms": idx
+                    * hop_samples
+                    * 1000
+                    // np.repeat(np.asarray(rates, dtype=np.int64), nfrm_arr),
+                    "energy_u32": energy,
                 }
             )
 

@@ -754,23 +754,29 @@ def bigram_logprob(
 
     Returns (id_col, n_bigrams, nll_micro, avg_nll_micro) anchored on
     the INPUT ids (docs with < 2 tokens score 0)."""
-    arr = tokens(F.col(text_col))
+    # the token array is materialized in its own projection FIRST: the
+    # transform below references it via element_at twice per element,
+    # and passing the split expression itself would re-tokenize the
+    # text O(tokens) times per row (the shingles_from_tokens gotcha,
+    # dedup.py — measured 9.3 s -> <1 s for this explode at sf0.1)
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    tk = F.col("_tk")
     pairs = F.when(
-        (F.size(arr) >= 2) & (F.element_at(arr, 1) != ""),
+        (F.size(tk) >= 2) & (F.element_at(tk, 1) != ""),
         F.transform(
-            F.sequence(F.lit(1), F.size(arr) - 1),
+            F.sequence(F.lit(1), F.size(tk) - 1),
             lambda i: F.struct(
-                F.element_at(arr, i).alias("w1"),
-                F.element_at(arr, i + 1).alias("w2"),
+                F.element_at(tk, i).alias("w1"),
+                F.element_at(tk, i + 1).alias("w2"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     occ = pin(
-        df.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+        staged.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
             id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
         )
     )
-    flat = df.select(F.explode(arr).alias("tok")).filter(F.col("tok") != "")
+    flat = staged.select(F.explode(tk).alias("tok")).filter(F.col("tok") != "")
     vsize = flat.agg(F.countDistinct("tok").cast("long").alias("v"))
     c2 = occ.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2"))
     c1 = occ.groupBy("w1").agg(F.count("*").cast("long").alias("c1"))
