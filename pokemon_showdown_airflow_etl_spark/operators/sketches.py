@@ -315,3 +315,100 @@ def hll_summary(df: DataFrame, key: Column) -> DataFrame:
         "v_zero",
         F.round(est * 1000).cast("long").alias("est_milli"),
     )
+
+
+# --- deterministic bottom-k sample + quantile audit (a5) ---------------------
+
+A5_SAMPLE_K = 512
+
+
+def bottomk_sample(
+    df: DataFrame,
+    key: Column,
+    value_col: str,
+    k: int = A5_SAMPLE_K,
+    n_shards: int = 16,
+) -> list[float]:
+    """Deterministic uniform sample: the ``k`` rows whose md5(key) sorts
+    lowest (KMV — the k-minimum-values construction; Bar-Yossef et al.
+    2002). Hash order is data-independent and total (md5 asc, then the
+    key string), so the sample is a pure function of the data — two
+    runs, two engines, or two merged partitions agree exactly. This is
+    THE mergeable uniform sample: per-partition bottom-k then bottom-k
+    of the union, which is what the t15 two-phase shard rank computes
+    (never a global sort of the corpus). Only the k sampled values
+    reach the driver (the codebook pattern). Returns the values sorted
+    ascending."""
+    from pyspark.sql.window import Window
+
+    keyed = df.select(
+        F.md5(key).alias("_h"), F.col(value_col).alias("_v")
+    )
+    shard = F.conv(F.substring(F.md5("_h"), 1, 2), 16, 10).cast("int") % n_shards
+    w_shard = Window.partitionBy("_shard").orderBy(F.asc("_h"))
+    w = Window.orderBy(F.asc("_h"))
+    rows = (
+        keyed.withColumn("_shard", shard)
+        .withColumn("_sr", F.row_number().over(w_shard))
+        .filter(F.col("_sr") <= k)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select("_v")
+        .collect()
+    )
+    return sorted(float(r["_v"]) for r in rows)
+
+
+def sampled_quantile_audit(
+    df: DataFrame,
+    key: Column,
+    value_col: str,
+    quantiles_bp: tuple[int, ...] = (2500, 5000, 9000, 9900),
+    k: int = A5_SAMPLE_K,
+) -> DataFrame:
+    """Quantile estimates from the deterministic bottom-k sample, with
+    their MEASURED rank error against the full data — the quantile twin
+    of a4's distinct sketch: because the sample is deterministic, the
+    estimates themselves (raw data values, no arithmetic) and the
+    integer rank audit hash-check cross-engine, unlike engine-specific
+    KLL/GK summaries whose internals differ by construction.
+
+    Estimate: nearest-rank on the sorted sample, index
+    floor(q * (k-1)). Audit: one aggregation over the data counts rows
+    strictly below each estimate (the estimates ride as literals — the
+    constant-size broadcast pattern), emitting the achieved rank in
+    integer basis points and its absolute error vs the target. At
+    100 TB the cost is the sampling pass (map-side bottom-k + a
+    k*shards re-rank) plus ONE combinable count aggregation.
+
+    Returns one row per quantile:
+    (q_bp, est_value, n_rows, n_below, rank_bp, err_bp)."""
+    vals = bottomk_sample(df, key, value_col, k=k)
+    ests = {q: vals[(q * (len(vals) - 1)) // 10000] for q in quantiles_bp}
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for q, est in ests.items():
+        aggs.append(
+            F.sum((F.col(value_col) < F.lit(est)).cast("long"))
+            .cast("long")
+            .alias(f"_below_{q}")
+        )
+    row = df.agg(*aggs)
+    legs = []
+    for q, est in ests.items():
+        # integer division end to end: a double divide could land an
+        # exact multiple a ulp low and floor() off by one cross-engine
+        rank_bp = F.expr(f"(_below_{q} * 10000L) div n_rows").cast("long")
+        legs.append(
+            row.select(
+                F.lit(q).cast("int").alias("q_bp"),
+                F.lit(est).alias("est_value"),
+                "n_rows",
+                F.col(f"_below_{q}").alias("n_below"),
+                rank_bp.alias("rank_bp"),
+                F.abs(rank_bp - q).cast("long").alias("err_bp"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

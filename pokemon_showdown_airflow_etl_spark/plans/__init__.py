@@ -27,16 +27,17 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # CORRECTNESS_r08 (48/50 green; s14/t23 err on the canonicalizer's
 # list-cell crash, fixed this round by string-serializing their array
 # outputs) the cumulative freshness is 48 r8-latest, 48 r7-latest,
-# 45 r6-latest. The r9 window: the 9 new/changed entries (s14 + t23
-# reshaped; t20b/t24/s20/s21/a4/t25/m5 new), then 41 of the 45-name
-# r6-latest block — four short of clearing it: 6 deliverables were
-# owed this round (VERDICT items 1, 4, 5, 6, 7) plus three new
-# first-class operators (a4 deterministic HLL, t25 bigram perplexity,
-# m5 audio framing), and 9 + 45 > 50. The four carries (w4_head_n:
-# LIMIT-only; g9_table_count: count(*); c13_bool_coercion: a cast;
-# u1_union_all: a unionAll) are the lowest-risk plans in the block and
-# head the r10 window; the local parity sweep still re-verifies them
-# every run.
+# 45 r6-latest. The r9 window: the 10 new/changed entries (s14 + t23
+# reshaped; t20b/t24/s20/s21/a4/t25/m5/a5 new), then 40 of the 45-name
+# r6-latest block — five short of clearing it: 6 deliverables were
+# owed this round (VERDICT items 1, 4, 5, 6, 7) plus four new
+# first-class operators (a4 deterministic HLL, a5 deterministic
+# sampled quantiles, t25 bigram perplexity, m5 audio framing), and
+# 10 + 45 > 50. The five carries (w4_head_n: LIMIT-only;
+# g9_table_count: count(*); c13_bool_coercion: a cast; u1_union_all /
+# u2_distinct_union: unions) are the lowest-risk plans in the block
+# and head the r10 window; the local parity sweep still re-verifies
+# them every run at two SFs.
 # Rule refinement, applied this round: fail-loud guard additions
 # on paths PROVEN unreachable for the driver corpus (sign_sketch's
 # dim-64 raise, brute-force's zero-norm raise — tests pin both) and
@@ -61,6 +62,7 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
     "a4_hll_distinct",  # r9 NEW: deterministic HLL, sketch itself hash-checked
     "t25_bigram_logprob",  # r9 NEW: smoothed bigram NLL (perplexity filter)
     "m5_audio_frame_energy",  # r9 NEW: audio windowing fan-out, oracle-checked
+    "a5_sampled_quantiles",  # r9 NEW: deterministic KMV sample + quantile audit
 ]
 
 _PRIORITY: list[str] = [
@@ -74,9 +76,10 @@ _PRIORITY: list[str] = [
     "a4_hll_distinct",
     "t25_bigram_logprob",
     "m5_audio_frame_energy",
-    # -- (2) 41 of the 45-name r6-latest block (w4_head_n,
-    # g9_table_count, c13_bool_coercion, u1_union_all carry to r10 —
-    # see the rotation note above) --
+    "a5_sampled_quantiles",
+    # -- (2) 40 of the 45-name r6-latest block (w4_head_n,
+    # g9_table_count, c13_bool_coercion, u1_union_all,
+    # u2_distinct_union carry to r10 — see the rotation note above) --
     "c1_epoch_to_date",
     "c4_batch_id",
     "c5_regex_extract",
@@ -116,7 +119,6 @@ _PRIORITY: list[str] = [
     "t13_domain_mix",
     "t15_domain_cap",
     "t22_domain_mixture_exact",
-    "u2_distinct_union",
     "w1_latest_per_key",
     # ---- slot 50 boundary ----
 ]

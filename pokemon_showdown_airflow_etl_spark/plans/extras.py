@@ -642,3 +642,65 @@ def a4_hll_distinct(spark, sf_dir):
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+A5_QUANTILES_BP = (2500, 5000, 9000, 9900)
+A5_K = 512
+
+
+@q(
+    "a5_sampled_quantiles",
+    f"""
+    WITH keyed AS (
+        SELECT md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                   CAST(l_linenumber AS VARCHAR)) AS h,
+               l_extendedprice AS v
+        FROM lineitem
+    ), samp AS (
+        SELECT v FROM (
+            SELECT v, row_number() OVER (ORDER BY h) AS r FROM keyed
+        ) WHERE r <= {A5_K}
+    ), sv AS (
+        SELECT v, row_number() OVER (ORDER BY v) AS vr FROM samp
+    ), est AS (
+        SELECT qq.q_bp, sv.v AS est_value
+        FROM (VALUES {", ".join(f"({q})" for q in A5_QUANTILES_BP)}) AS qq(q_bp)
+        JOIN sv ON sv.vr = (qq.q_bp * {A5_K - 1}) // 10000 + 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem
+    )
+    SELECT CAST(e.q_bp AS INT) AS q_bp, e.est_value, tot.n_rows,
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_extendedprice < e.est_value) AS BIGINT) AS n_below,
+           CAST(((SELECT count(*) FROM lineitem
+                  WHERE l_extendedprice < e.est_value) * 10000) // tot.n_rows
+                AS BIGINT) AS rank_bp,
+           CAST(abs(((SELECT count(*) FROM lineitem
+                      WHERE l_extendedprice < e.est_value) * 10000)
+                    // tot.n_rows - e.q_bp) AS BIGINT) AS err_bp
+    FROM est e CROSS JOIN tot
+    """,
+    doc="Deterministic sampled quantiles (operators/sketches.py::"
+    "bottomk_sample / sampled_quantile_audit) — the quantile twin of "
+    "a4's distinct sketch, closing the novel-sketch family: the k "
+    "lowest-md5(key) rows form a KMV uniform sample (Bar-Yossef et "
+    "al. 2002) that is a PURE FUNCTION of the data — mergeable by "
+    "construction (bottom-k of unions = union of bottom-ks, which is "
+    "exactly what the two-phase shard rank computes; never a global "
+    "sort) — so unlike engine-specific KLL/GK summaries (a1's "
+    "error-bound booleans) the estimates THEMSELVES hash-check "
+    "cross-engine: nearest-rank picks on the sorted 512-value sample "
+    "are raw data values, and the audit leg counts rows below each "
+    "estimate in ONE combinable aggregation with the achieved rank in "
+    "integer basis points (integer division end to end). Measured "
+    "err_bp at k=512 is the Dvoretzky-Kiefer-Wolfowitz ~sqrt(ln/k) "
+    "band; the driver hashes the exact numbers.",
+)
+def a5_sampled_quantiles(spark, sf_dir):
+    from ..operators.sketches import sampled_quantile_audit
+
+    li = t(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    return sampled_quantile_audit(
+        li, key, "l_extendedprice", quantiles_bp=A5_QUANTILES_BP, k=A5_K
+    )

@@ -117,3 +117,33 @@ def test_encode_anchored_and_bounded_vocab(spark):
     _, segs = _reference_bpe({"low": 2, "lower": 1}, 3)
     want_stream = segs["low"] + segs["lower"] + segs["low"]
     assert [sym_of[i] for i in enc[1]["ids"]] == want_stream
+
+
+def test_segmentation_is_lossless_and_deterministic(spark):
+    """Property: for ANY token, joining its segmentation reconstructs
+    the token exactly (merges only ever glue adjacent symbols), and the
+    two-pass replace chain is idempotent at its fixpoint — applying the
+    whole chain twice changes nothing."""
+    import random
+
+    rng = random.Random(99)
+    words = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 12)))
+        for _ in range(60)
+    ] + ["a", "b", "ab", "ba", "aaaaaaaa"]
+    corpus = " ".join(words)
+    df = _docs(spark, [(1, corpus)])
+    merges = bpe_train(df, "text", n_merges=6, max_word_types=32)
+    toks = spark.createDataFrame([(w,) for w in set(words)], "tok string")
+    seg1 = F.col("_s1")
+    rows = (
+        toks.withColumn("_s1", bpe_segment(F.col("tok"), merges))
+        .withColumn(
+            "_s2",
+            bpe_segment(F.concat_ws("", F.split(seg1, " ")), merges),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r["_s1"].replace(" ", "") == r["tok"], "lossless"
+        assert r["_s2"] == r["_s1"], "fixpoint: re-segmenting is stable"
