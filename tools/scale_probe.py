@@ -80,7 +80,11 @@ def best_of(fn, n: int = 2) -> float:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    spark = get_spark(app_name="scale-probe")
+    # the Kx synthetic corpora + localCheckpoint pins outgrow the 1g
+    # default driver heap (single-JVM local mode: driver == executors)
+    spark = get_spark(
+        app_name="scale-probe", extra_conf={"spark.driver.memory": "8g"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     docs1 = scaled_docs(table(spark, sf_dir, "documents"), 1)
@@ -275,6 +279,63 @@ def main() -> None:
         f"paragraphs_{k}x": span_times[k]["n_paragraphs"],
         "blacklist_1x": span_times[1]["blacklist"],
         f"blacklist_{k}x": span_times[k]["blacklist"],
+    }
+
+    # Round-9 family probes: the tokenize story and the novel sketches.
+    # BPE encode should grow ~linearly in OCCURRENCES (segmentation runs
+    # per word TYPE — constant here — then an equi-join streams the
+    # occurrences); HLL cost is one combinable aggregation (~linear) and
+    # its register table must be IDENTICAL for a duplicated corpus
+    # (distinct-ness is the whole point); the KMV sample stays k rows
+    # however large the corpus, so the quantile audit's cost is the
+    # count aggregation alone.
+    from pokemon_showdown_airflow_etl_spark.operators.sketches import (
+        bottomk_sample,
+        hll_registers,
+        hll_summary,
+    )
+    from pokemon_showdown_airflow_etl_spark.operators.text import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    merges = bpe_train(docs1, "text", n_merges=8, max_word_types=16)
+    t1 = best_of(
+        lambda: bpe_encode(docs1, merges).write.format("noop").mode("overwrite").save()
+    )
+    tk = best_of(
+        lambda: bpe_encode(docsk, merges).write.format("noop").mode("overwrite").save()
+    )
+    out["t24_bpe_encode"] = {"t_1x": t1, f"t_{k}x": tk, "growth": round(tk / t1, 2)}
+
+    t1 = best_of(
+        lambda: hll_summary(docs1, F.col("text")).write.format("noop").mode("overwrite").save()
+    )
+    tk = best_of(
+        lambda: hll_summary(docsk, F.col("text")).write.format("noop").mode("overwrite").save()
+    )
+    # EXACT-duplicate union (ids offset but text perturbed per copy —
+    # use doc_id % step to rebuild true dups): registers of corpus ∪
+    # corpus must equal registers of corpus
+    r1 = {r["reg"]: r["max_rank"] for r in hll_registers(docs1, F.col("text")).collect()}
+    rdup = {
+        r["reg"]: r["max_rank"]
+        for r in hll_registers(docs1.unionAll(docs1), F.col("text")).collect()
+    }
+    out["a4_hll_distinct"] = {
+        "t_1x": t1,
+        f"t_{k}x": tk,
+        "growth": round(tk / t1, 2),
+        "dup_union_invariant": r1 == rdup,
+    }
+
+    t1 = best_of(lambda: bottomk_sample(docs1, F.col("text"), "doc_id", k=256))
+    tkx = best_of(lambda: bottomk_sample(docsk, F.col("text"), "doc_id", k=256))
+    out["a5_bottomk_sample"] = {
+        "t_1x": t1,
+        f"t_{k}x": tkx,
+        "growth": round(tkx / t1, 2),
+        "sample_rows_both": 256,
     }
 
     print(json.dumps({"sf_dir": sf_dir, "k": k, "probes": out}))
