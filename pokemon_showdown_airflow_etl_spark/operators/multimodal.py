@@ -371,6 +371,8 @@ def audio_frame_energy(
         import numpy as np
 
         for pdf in batches:
+            if pdf.empty:
+                continue
             # columnar construction: per-asset headers in one pass, then
             # the frame fan-out as np.repeat/concatenated aranges — a
             # row-tuple loop building the ~300x explosion cost ~4 s at
