@@ -392,7 +392,11 @@ def sampled_quantile_audit(
             .cast("long")
             .alias(f"_below_{q}")
         )
-    row = df.agg(*aggs)
+    # pinned: the per-quantile legs below UNION four projections of this
+    # one-row frame — unpinned, the full-table count aggregation would
+    # re-execute once per quantile (ReuseExchange does not dedupe
+    # repeated aggregation subplans)
+    row = pin(df.agg(*aggs))
     legs = []
     for q, est in ests.items():
         # integer division end to end: a double divide could land an
