@@ -126,3 +126,40 @@ def test_bigram_logprob_matches_python_model(spark):
     assert got == want
     # repeated text scores lower NLL per bigram than unique text
     assert got[1][2] > 0 and got[2][2] > 0
+
+
+def test_bottomk_sample_is_mergeable_and_deterministic(spark):
+    """The a5 scale claim: bottom-k of a union equals bottom-k of the
+    two sides' bottom-ks merged — which is why per-partition bottom-k
+    then re-rank (the two-phase shard window) computes the exact global
+    sample without a global sort. Verified against an independent
+    Python KMV model."""
+    import hashlib
+
+    from pokemon_showdown_airflow_etl_spark.operators.sketches import (
+        bottomk_sample,
+    )
+    from pyspark.sql import functions as F
+
+    def model(keys_vals, k):
+        ranked = sorted(
+            keys_vals, key=lambda kv: hashlib.md5(kv[0].encode()).hexdigest()
+        )[:k]
+        return sorted(v for _, v in ranked)
+
+    a = [(f"a{i}", float(i)) for i in range(300)]
+    b = [(f"b{i}", float(1000 + i)) for i in range(300)]
+    df_a = spark.createDataFrame(a, "k string, v double")
+    df_b = spark.createDataFrame(b, "k string, v double")
+    got_union = bottomk_sample(df_a.unionAll(df_b), F.col("k"), "v", k=64)
+    assert got_union == model(a + b, 64)
+    # mergeable: bottom-k of (bottom-k(A) ∪ bottom-k(B)) == bottom-k(A ∪ B)
+    ka = model(a, 64)
+    kb = model(b, 64)
+    merged_model = model(
+        [kv for kv in a if kv[1] in set(ka)] + [kv for kv in b if kv[1] in set(kb)],
+        64,
+    )
+    assert got_union == merged_model
+    # determinism across runs
+    assert got_union == bottomk_sample(df_b.unionAll(df_a), F.col("k"), "v", k=64)
