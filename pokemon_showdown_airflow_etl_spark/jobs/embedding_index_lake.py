@@ -735,7 +735,9 @@ def build_pq_layer(
     (codebook.json first, then codes + marker) and swaps it in with two
     atomic renames — the committed snapshot keeps serving pq_layer_search
     until the replacement is complete, and a crash mid-build leaves it
-    untouched (crash-injection test in tests/test_pq.py).
+    untouched; a crash BETWEEN the two renames (no serving dir, snapshot
+    parked in old/) is healed on the next build by restoring old/ before
+    residue cleanup (both crash-injection tested in tests/test_pq.py).
 
     Returns counts only: n_vectors, n_sub, n_codes, refreshed.
     """
@@ -747,6 +749,17 @@ def build_pq_layer(
     d = _pq_dir(index_root)
     codes_dir = os.path.join(d, "codes")
     marker = os.path.join(codes_dir, "_SUCCESS")
+    staging, old = d + ".staging", d + ".old"
+    # recover a crash BETWEEN the two swap renames: d was renamed to
+    # old/ but staging/ never renamed in, so no layer is serving while
+    # old/ still holds the last committed snapshot — restore it before
+    # anything below treats old/ as deletable residue (losing the only
+    # committed copy) or returns "no layer"
+    old_marker = os.path.join(old, "codes", "_SUCCESS")
+    if not os.path.exists(marker) and os.path.exists(old_marker):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        os.rename(old, d)
     if os.path.exists(marker) and not refresh:
         n = spark.read.parquet(codes_dir).count()
         return {
@@ -759,8 +772,9 @@ def build_pq_layer(
             f"{index_root!r} has no committed assignments — ingest the "
             "corpus before building its PQ layer"
         )
-    # stale residue from a crashed earlier build/swap
-    staging, old = d + ".staging", d + ".old"
+    # stale residue from a crashed earlier build/swap (a committed
+    # old/ was already restored to d above, so rmtree only ever sees
+    # true residue here)
     for residue in (staging, old):
         if os.path.isdir(residue):
             shutil.rmtree(residue)

@@ -331,22 +331,30 @@ def bottomk_sample(
 ) -> list[float]:
     """Deterministic uniform sample: the ``k`` rows whose md5(key) sorts
     lowest (KMV — the k-minimum-values construction; Bar-Yossef et al.
-    2002). Hash order is data-independent and total (md5 asc, then the
-    key string), so the sample is a pure function of the data — two
-    runs, two engines, or two merged partitions agree exactly. This is
-    THE mergeable uniform sample: per-partition bottom-k then bottom-k
-    of the union, which is what the t15 two-phase shard rank computes
+    2002). The sort is TOTAL over rows, not just hashes: (md5 asc, key
+    string asc, value asc) — duplicate keys hash identically, so
+    without the key/value legs a row_number tie at the k boundary
+    would break by partition order and the sample would be
+    run-dependent whenever duplicate keys carry different values
+    (tools/scale_probe.py samples on a duplicable text key). With
+    them, the sample is a pure function of the data — two runs, two
+    engines, or two merged partitions agree exactly. This is THE
+    mergeable uniform sample: per-partition bottom-k then bottom-k of
+    the union, which is what the t15 two-phase shard rank computes
     (never a global sort of the corpus). Only the k sampled values
     reach the driver (the codebook pattern). Returns the values sorted
     ascending."""
     from pyspark.sql.window import Window
 
     keyed = df.select(
-        F.md5(key).alias("_h"), F.col(value_col).alias("_v")
+        F.md5(key).alias("_h"),
+        key.cast("string").alias("_k"),
+        F.col(value_col).alias("_v"),
     )
     shard = F.conv(F.substring(F.md5("_h"), 1, 2), 16, 10).cast("int") % n_shards
-    w_shard = Window.partitionBy("_shard").orderBy(F.asc("_h"))
-    w = Window.orderBy(F.asc("_h"))
+    order = [F.asc("_h"), F.asc("_k"), F.asc("_v")]
+    w_shard = Window.partitionBy("_shard").orderBy(*order)
+    w = Window.orderBy(*order)
     rows = (
         keyed.withColumn("_shard", shard)
         .withColumn("_sr", F.row_number().over(w_shard))
@@ -384,6 +392,16 @@ def sampled_quantile_audit(
     Returns one row per quantile:
     (q_bp, est_value, n_rows, n_below, rank_bp, err_bp)."""
     vals = bottomk_sample(df, key, value_col, k=k)
+    if len(vals) < k:
+        # the a5 oracle hard-codes nearest-rank indices against a FULL
+        # k-row sample ((q*(k-1)) div 10000 + 1, r <= k); a short sample
+        # would silently drop its quantile rows there and produce a
+        # parity break downstream — fail loudly here instead
+        raise ValueError(
+            f"sampled_quantile_audit needs >= k={k} input rows for its "
+            f"fixed-k rank arithmetic; got a {len(vals)}-row sample — "
+            "lower k or use the full-data quantile path"
+        )
     ests = {q: vals[(q * (len(vals) - 1)) // 10000] for q in quantiles_bp}
     aggs = [F.count("*").cast("long").alias("n_rows")]
     for q, est in ests.items():

@@ -575,11 +575,15 @@ def bpe_train(
     a distributed loop would buy n_merges shuffles over a table that
     fits in L2 — the bounded-collect is the honest plan.
 
-    Merge application uses the padded-string convention shared with
-    :func:`bpe_encode` and the DuckDB oracle: symbols joined by single
-    spaces, the pair replaced left-to-right non-overlapping, applied
-    twice (the second pass catches occurrences whose leading space the
-    first pass consumed — two passes reach the greedy-BPE fixpoint).
+    Merge application is the canonical greedy leftmost non-overlapping
+    scan (Sennrich's learn_bpe): walk the symbol list once, merging at
+    every (left, right) adjacency and skipping both symbols — a run of
+    n repeated symbols becomes floor(n/2) merged symbols then at most
+    one leftover, exactly. (An earlier two-pass single-space replace
+    convention diverged from greedy on runs >= 5: 'aaaaa' ->
+    [aa, a, aa]; :func:`bpe_segment` and the t24 oracle reproduce the
+    greedy scan via the double-space replace encoding documented
+    there.)
 
     Returns ``[(left, right, pair_count), ...]`` in merge order.
     """
@@ -616,29 +620,42 @@ def bpe_train(
             pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
         )
         merges.append((left, right, cnt))
-        pat, rep = f" {left} {right} ", f" {left}{right} "
         for word, syms in segs.items():
-            padded = " " + " ".join(syms) + " "
-            padded = padded.replace(pat, rep).replace(pat, rep)
-            segs[word] = padded.strip().split(" ")
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[word] = out
     return merges
 
 
 def bpe_segment(text_col: Column, merges: list[tuple[str, str, int]]) -> Column:
-    """Apply a trained merge table to one token column: characters
-    joined by single spaces, each merge replaced twice in rank order
-    (see :func:`bpe_train` for why twice reaches the greedy fixpoint).
-    Pure column expression — the encode stays a map inside codegen with
-    the constant merge table folded into the plan."""
+    """Apply a trained merge table to one token column via the
+    double-space replace encoding: symbols separated by TWO spaces,
+    each merge one literal replace of ``" l  r "`` with ``" lr "`` in
+    rank order. The pattern consumes one space from each 2-space
+    boundary and the replacement restores it, so adjacent matches never
+    fight over a shared boundary character and one left-to-right
+    non-overlapping replace pass IS the canonical greedy scan — a run
+    of n repeated symbols merges to floor(n/2) pairs, matching
+    :func:`bpe_train`'s list walk exactly (the old single-space
+    two-pass form diverged on runs >= 5). Pure column expression — the
+    encode stays a map inside codegen with the constant merge table
+    folded into the plan; output is single-space-joined."""
     chars = F.transform(
         F.sequence(F.lit(1), F.length(text_col)),
         lambda i: text_col.substr(i, F.lit(1)),
     )
-    seg = F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" "))
+    seg = F.concat(F.lit("  "), F.array_join(chars, "  "), F.lit("  "))
     for left, right, _ in merges:
-        pat, rep = F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
-        seg = F.replace(F.replace(seg, pat, rep), pat, rep)
-    return F.trim(seg)
+        pat, rep = F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+        seg = F.replace(seg, pat, rep)
+    return F.trim(F.replace(seg, F.lit("  "), F.lit(" ")))
 
 
 def _bpe_subwords(

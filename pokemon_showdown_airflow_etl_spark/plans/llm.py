@@ -3265,22 +3265,28 @@ def t23_vocab_encode(spark, sf_dir):
 T24_MERGES = 8
 T24_WORD_TYPES = 16  # binds at test scale so the bound itself is checked
 
+# Double-space encoding (see operators/text.py::bpe_segment): symbols
+# separated by TWO spaces so one literal-replace pass per merge is the
+# canonical greedy leftmost scan (each match takes one space from each
+# boundary and the replacement gives it back — adjacent matches never
+# share a consumed character). RE2 has no lookahead, so this encoding
+# is what makes greedy expressible as plain replace() in DuckDB too.
 _T24_CHARSEG = (
-    "' ' || array_to_string("
-    "list_transform(range(1, len({col}) + 1), i -> {col}[i:i]), ' ') || ' '"
+    "'  ' || array_to_string("
+    "list_transform(range(1, len({col}) + 1), i -> {col}[i:i]), '  ') || '  '"
 )
 
 
 def _t24_oracle() -> str:
     """Unrolled-BPE oracle: DuckDB has no loops, so each merge round is
-    a generated CTE triple (pair counts -> argmax -> two-pass replace) —
+    a generated CTE triple (pair counts -> argmax -> greedy replace) —
     the same greedy (count desc, left asc, right asc) recurrence
     bpe_train runs in Python on the collected word-type table."""
 
     def _apply(prev: str, alias: str) -> str:
-        pat = f"' ' || {alias}.l || ' ' || {alias}.r || ' '"
+        pat = f"' ' || {alias}.l || '  ' || {alias}.r || ' '"
         rep = f"' ' || {alias}.l || {alias}.r || ' '"
-        return f"replace(replace({prev}, {pat}, {rep}), {pat}, {rep})"
+        return f"replace({prev}, {pat}, {rep})"
 
     # AS MATERIALIZED: each round references the previous round's CTE;
     # left to DuckDB's default inlining the chain expands exponentially
@@ -3290,7 +3296,7 @@ def _t24_oracle() -> str:
         rounds.append(
             f"""p{k} AS MATERIALIZED (
         SELECT ss[u.i] AS l, ss[u.i + 1] AS r, CAST(sum(n) AS BIGINT) AS cnt
-        FROM (SELECT n, str_split(trim(seg), ' ') AS ss FROM t{k - 1}) s
+        FROM (SELECT n, str_split(trim(seg), '  ') AS ss FROM t{k - 1}) s
         CROSS JOIN LATERAL (SELECT unnest(range(1, len(ss))) AS i) u
         GROUP BY 1, 2
     ), b{k} AS MATERIALIZED (
@@ -3330,7 +3336,7 @@ def _t24_oracle() -> str:
         SELECT token, {_T24_CHARSEG.format(col="token")} AS seg
         FROM (SELECT DISTINCT token FROM flat)
     ), {", ".join(enc_rounds)}, segs AS (
-        SELECT token, str_split(trim(seg), ' ') AS ss FROM dt{T24_MERGES}
+        SELECT token, str_split(trim(seg), '  ') AS ss FROM dt{T24_MERGES}
     ), sub AS (
         SELECT f.doc_id, f.pos, u.i AS i, ss[u.i] AS sym
         FROM flat f JOIN segs USING (token)
@@ -3378,10 +3384,12 @@ def _t24_oracle() -> str:
     "(kind, item, payload) union, all strings (driver canonicalizer "
     "constraint). Ties break (count desc, left asc, right asc) "
     "everywhere, so the whole artifact is a pure function of the "
-    "corpus; merge application is two-pass literal replace on "
-    "space-padded symbol strings (two passes reach the greedy-BPE "
-    "fixpoint; same convention in Spark, the Python trainer, and the "
-    "unrolled DuckDB oracle). Scale shape: training collects only the "
+    "corpus; merge application is the canonical greedy leftmost scan, "
+    "expressed as one literal replace per merge over DOUBLE-space-"
+    "separated symbol strings (the encoding that makes greedy "
+    "expressible as plain replace in Spark codegen and lookahead-free "
+    "RE2 DuckDB alike; the Python trainer walks the symbol list "
+    "directly). Scale shape: training collects only the "
     "bounded word-type table (the s19 constant-sufficient-statistics "
     "pattern; top-K via the t15 two-phase shard rank), encode is a "
     "pure column-expression map with the merge table constant-folded, "

@@ -1,9 +1,9 @@
 """Subword (BPE-style) vocabulary: bpe_train / bpe_segment / bpe_encode
 (operators/text.py). The t24 oracle re-derives the whole artifact in
 unrolled DuckDB SQL; these tests pin the operator-level contracts a
-corpus-scale sweep can't isolate: greedy tie-breaks, the two-pass
-replace fixpoint, the word-type cap, anchoring, and the bounded-vocab
-invariant.
+corpus-scale sweep can't isolate: greedy tie-breaks, the double-space
+replace encoding's greedy-run behavior, the word-type cap, anchoring,
+and the bounded-vocab invariant.
 """
 
 from __future__ import annotations
@@ -63,13 +63,20 @@ def test_train_matches_reference_model(spark):
     assert got == want
 
 
-def test_two_pass_replace_reaches_greedy_fixpoint(spark):
-    # consecutive occurrences share a boundary space: one replace pass
-    # misses every second occurrence ("a a a a" -> "aa a a"); the
-    # operator's double replace must land on the greedy result "aa aa"
-    freq = {"aaaa": 3, "aaa": 2}
+def test_replace_encoding_is_greedy_on_repeated_runs(spark):
+    # the hard case for any string-replace formulation: a run of n
+    # repeated symbols must merge to floor(n/2) pairs plus at most one
+    # leftover, greedy left-to-right. The old single-space two-pass
+    # convention diverged at n >= 5 ('aaaaa' -> [aa, a, aa]); the
+    # double-space encoding consumes one boundary space per side and
+    # restores it, so adjacent matches never share a consumed char and
+    # one replace pass per merge IS the greedy scan.
+    freq = {"aaaa": 4, "aaa": 3, "aaaaa": 2, "aaaaaa": 1}
+    _, segs_after_one = _reference_bpe(freq, 1)
+    assert segs_after_one["aaaaa"] == ["aa", "aa", "a"], "reference sanity"
+    assert segs_after_one["aaaaaa"] == ["aa", "aa", "aa"], "reference sanity"
     want_merges, want_segs = _reference_bpe(freq, 2)
-    rows = [(1, "aaaa aaaa aaaa aaa aaa")]
+    rows = [(1, " ".join(w for w, n in freq.items() for _ in range(n)))]
     merges = bpe_train(_docs(spark, rows), "text", n_merges=2, max_word_types=16)
     assert merges == want_merges
     seg = (
@@ -121,9 +128,9 @@ def test_encode_anchored_and_bounded_vocab(spark):
 
 def test_segmentation_is_lossless_and_deterministic(spark):
     """Property: for ANY token, joining its segmentation reconstructs
-    the token exactly (merges only ever glue adjacent symbols), and the
-    two-pass replace chain is idempotent at its fixpoint — applying the
-    whole chain twice changes nothing."""
+    the token exactly (merges only ever glue adjacent symbols), and
+    segmentation is idempotent — re-segmenting the re-joined token
+    reproduces the same symbol stream."""
     import random
 
     rng = random.Random(99)

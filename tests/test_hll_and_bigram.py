@@ -163,3 +163,53 @@ def test_bottomk_sample_is_mergeable_and_deterministic(spark):
     assert got_union == merged_model
     # determinism across runs
     assert got_union == bottomk_sample(df_b.unionAll(df_a), F.col("k"), "v", k=64)
+
+
+def test_bottomk_sample_total_order_on_duplicate_keys(spark):
+    """Duplicate keys hash identically, so the sample's order must fall
+    through to (key string, value) — otherwise a row_number tie at the
+    k boundary breaks by partition order and the sampled VALUES become
+    run-dependent (the scale_probe text-key call hits this). Pin the
+    exact expected sample against the total-order model across two
+    different physical layouts."""
+    import hashlib
+
+    from pokemon_showdown_airflow_etl_spark.operators.sketches import (
+        bottomk_sample,
+    )
+    from pyspark.sql import functions as F
+
+    # 40 distinct keys, each carried by 5 rows with DIFFERENT values;
+    # k=16 guarantees the cut lands inside a duplicate-key hash tie
+    rows = [(f"k{i % 40}", float(i)) for i in range(200)]
+
+    def model(keys_vals, k):
+        ranked = sorted(
+            keys_vals,
+            key=lambda kv: (
+                hashlib.md5(kv[0].encode()).hexdigest(),
+                kv[0],
+                kv[1],
+            ),
+        )[:k]
+        return sorted(v for _, v in ranked)
+
+    want = model(rows, 16)
+    for n_parts in (1, 7, 32):
+        df = spark.createDataFrame(rows, "k string, v double").repartition(n_parts)
+        assert bottomk_sample(df, F.col("k"), "v", k=16) == want, n_parts
+
+
+def test_sampled_quantile_audit_rejects_short_input(spark):
+    """The a5 oracle hard-codes full-k nearest-rank indices; a shorter
+    sample must fail loudly instead of silently desyncing from it."""
+    import pytest
+
+    from pokemon_showdown_airflow_etl_spark.operators.sketches import (
+        sampled_quantile_audit,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(f"k{i}", float(i)) for i in range(10)], "k string, v double")
+    with pytest.raises(ValueError, match="fixed-k rank arithmetic"):
+        sampled_quantile_audit(df, F.col("k"), "v", k=64)

@@ -436,6 +436,64 @@ def test_pq_refresh_crash_keeps_committed_layer_serving(spark, tmp_path, monkeyp
     assert healed == before
 
 
+def test_pq_refresh_crash_between_renames_restores_old_snapshot(
+    spark, tmp_path, monkeypatch
+):
+    """The swap itself is two renames (d -> old, staging -> d). A crash
+    BETWEEN them leaves no serving dir while old/ still holds the last
+    committed snapshot — the next build must restore old/ as the
+    serving layer instead of deleting it as residue (which would
+    destroy the only committed copy)."""
+    from pokemon_showdown_airflow_etl_spark.jobs import embedding_index_lake as lake
+
+    import os
+    import random
+
+    rng = random.Random(47)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(30)]
+    emb = _emb(spark, rows, 64)
+    root = str(tmp_path / "idx")
+    lake.init_embedding_index(spark, emb, root, n_cells=4, train=False)
+    lake.ingest_embedding_batch(spark, emb, root, "bulk", threshold=2.0)
+    lake.build_pq_layer(spark, root)
+    q = _emb(spark, [(900, rows[5][1])], 64)
+    before = [tuple(r) for r in lake.pq_layer_search(spark, root, q, k=2).collect()]
+
+    d = os.path.join(root, "pq")
+    real_rename = os.rename
+
+    def crash_on_swap_in(src, dst):
+        if dst == d and src == d + ".staging":
+            raise RuntimeError("injected crash between swap renames")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(lake.os, "rename", crash_on_swap_in)
+    with pytest.raises(RuntimeError, match="between swap renames"):
+        lake.build_pq_layer(spark, root, refresh=True)
+    monkeypatch.setattr(lake.os, "rename", real_rename)
+    # the failure mode under test: no serving dir, snapshot only in old/
+    assert not os.path.isdir(d)
+    assert os.path.exists(os.path.join(d + ".old", "codes", "_SUCCESS"))
+
+    # a non-refresh build restores the committed snapshot and serves it
+    st = lake.build_pq_layer(spark, root)
+    assert st["already_built"] and st["n_vectors"] == 30
+    assert not os.path.isdir(d + ".old"), "snapshot restored, not deleted"
+    restored = [tuple(r) for r in lake.pq_layer_search(spark, root, q, k=2).collect()]
+    assert restored == before
+
+    # and a refresh after the same crash also recovers, then rebuilds
+    monkeypatch.setattr(lake.os, "rename", crash_on_swap_in)
+    with pytest.raises(RuntimeError, match="between swap renames"):
+        lake.build_pq_layer(spark, root, refresh=True)
+    monkeypatch.setattr(lake.os, "rename", real_rename)
+    st = lake.build_pq_layer(spark, root, refresh=True)
+    assert st["refreshed"] and st["n_vectors"] == 30
+    assert not os.path.isdir(d + ".staging") and not os.path.isdir(d + ".old")
+    healed = [tuple(r) for r in lake.pq_layer_search(spark, root, q, k=2).collect()]
+    assert healed == before
+
+
 def test_pq_train_sample_is_bounded(spark, tmp_path):
     """train=True must never collect the whole corpus: with
     train_max_rows=n_codes the codebook equals one trained on exactly
