@@ -38,7 +38,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pokemon_showdown_airflow_etl_spark.plans import ALL_QUERIES
+from pokemon_showdown_airflow_etl_spark.plans import (
+    ALL_QUERIES,
+    CHANGED_SINCE_LAST_ROW,
+)
 from pokemon_showdown_airflow_etl_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -339,17 +342,24 @@ def main() -> None:
     # vecs/s conflates floor and marginal cost (VERDICT r6 item 6 / r7
     # item 6). Two drop sizes against IDENTICAL seeded roots (the
     # second root is a file copy of the first, so corpus state is
-    # byte-equal) expose both: the small drop is mostly floor, and
-    # marginal_vecs_per_sec = (n_big - n_small) / (t_big - t_small) is
-    # the floor-free per-vector rate a real multi-thousand-vector
-    # daily drop runs at.
-    drop_small = drop_emb.filter(SF.col("vec_id") % 8 == 0)
+    # byte-equal) expose both. VERDICT r9 item 3: the old estimator
+    # divided by the difference of two independently-min'd ~2.5 s wall
+    # times with only a 4x size spread and a 0.05 s guard, so the
+    # reported rate swung 4x between rounds on an untouched path.
+    # Now: 16x size spread, the two drops timed as a PAIR inside the
+    # same iteration (shared JVM/host state cancels in the delta), the
+    # deltas summed across iterations, and the rate reported only when
+    # that summed denominator clears 1 s — otherwise null, meaning
+    # "the per-vector cost is below this host's measurement floor at
+    # this SF", which is a finding, not a failure.
+    drop_small = drop_emb.filter(SF.col("vec_id") % 32 == 0)
     n_edrop = drop_emb.count()
     n_esmall = drop_small.count()
     best = None
     best_small = None
     init_sec = None
     stats_emb = None
+    deltas = []
     for _ in range(3):
         with tempfile.TemporaryDirectory() as d:
             t0 = time.perf_counter()
@@ -374,9 +384,11 @@ def main() -> None:
             )
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            deltas.append(dt - dts)
+    denom = sum(deltas)
     marginal = (
-        round((n_edrop - n_esmall) / (best - best_small), 1)
-        if best - best_small > 0.05
+        round(len(deltas) * (n_edrop - n_esmall) / denom, 1)
+        if denom >= 1.0
         else None
     )
     embed_ingest = {
@@ -386,6 +398,7 @@ def main() -> None:
         "small_drop_vecs": n_esmall,
         "small_sec": round(best_small, 3),
         "marginal_vecs_per_sec": marginal,
+        "marginal_denom_sec": round(denom, 3),
         "index_init_sec": round(init_sec, 3),
         "n_accepted": stats_emb["n_accepted"],
         "n_dup_of_corpus": stats_emb["n_dup_of_corpus"],
@@ -431,6 +444,10 @@ def main() -> None:
         # recorded so b-query times can be normalized per replay
         # across rounds/scale factors
         "b_corpus_replays": 2 * table(spark, SF_DIR, "events").count(),
+        # which catalog entries changed since their last driver row —
+        # recorded so round-over-round drift on entries NOT in this
+        # list stays attributable to host noise (VERDICT r9 item 8)
+        "changed_entries": sorted(CHANGED_SINCE_LAST_ROW),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # BENCH_r04's `parsed` was null: the driver keeps only the LAST
@@ -487,7 +504,48 @@ def main() -> None:
         del headline["queries"][drop]
         line = json.dumps(headline, separators=(",", ":"))
     print(line)
+    _commit_artifacts(repo)
     spark.stop()
+
+
+def _commit_artifacts(repo: str) -> None:
+    """Stage and commit the evidence files from the bench step itself.
+
+    Two rounds in a row ended with BENCH_*/CORRECTNESS_* sitting
+    untracked in the working tree (VERDICT r8 item 1, r9 item 1 —
+    'fold the commit into the bench-recording step itself so the miss
+    can't recur'). Only the evidence pathspecs are staged — never code
+    or other working-tree changes — and every step is best-effort:
+    bench output must not fail because git did."""
+    import glob as _glob
+    import subprocess
+
+    try:
+        paths = sorted(
+            _glob.glob(os.path.join(repo, "BENCH_*.json"))
+            + _glob.glob(os.path.join(repo, "CORRECTNESS_*.json"))
+        )
+        if not paths:
+            return
+        subprocess.run(
+            ["git", "add", "--"] + paths,
+            cwd=repo, check=True, capture_output=True, timeout=30,
+        )
+        staged = subprocess.run(
+            ["git", "diff", "--cached", "--quiet"],
+            cwd=repo, capture_output=True, timeout=30,
+        )
+        if staged.returncode != 0:
+            subprocess.run(
+                [
+                    "git", "commit", "-q",
+                    "-m", "Record bench/correctness evidence artifacts",
+                    "-m", "No-Verification-Needed: evidence-file sync from the bench step",
+                ],
+                cwd=repo, check=True, capture_output=True, timeout=30,
+            )
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

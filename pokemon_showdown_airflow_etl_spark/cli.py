@@ -118,6 +118,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="drop repeated W-token spans across the corpus (t20 "
         "C4-style boilerplate removal; off when omitted)",
     )
+    cur.add_argument(
+        "--perplexity-band",
+        type=float,
+        nargs=2,
+        default=None,
+        metavar=("LOW_Q", "HIGH_Q"),
+        help="cut BOTH bigram-NLL tails (t25 CCNet-style): keep docs "
+        "whose per-token NLL sits inside the (LOW_Q, HIGH_Q) corpus-"
+        "quantile band, e.g. 0.05 0.95 (off when omitted; docs too "
+        "short to judge pass through)",
+    )
 
     tok = sub.add_parser(
         "tokenize-docs",
@@ -358,6 +369,11 @@ def main(argv: list[str] | None = None) -> int:
             embeddings_path=args.embeddings,
             embed_admit_threshold=args.embed_admit_threshold,
             span_dedup_tokens=args.span_dedup_tokens,
+            perplexity_band=(
+                tuple(args.perplexity_band)
+                if args.perplexity_band is not None
+                else None
+            ),
         )
         print(json.dumps(result, sort_keys=True))
         return 0

@@ -8,8 +8,10 @@ operators into one pipeline:
     SEMANTIC corpus dedup (s11 read-only, --embed-admit-root +
     --embeddings) -> optional repeated-span removal (t20: the C4-style
     boilerplate pass) -> optional scrub (t18: PII redaction + URL
-    canonicalization) -> quality filter (t7) -> deterministic split
-    (t12) -> partitioned write + packing stats (t11)
+    canonicalization) -> quality filter (t7) -> optional perplexity
+    band (t25: CCNet-style bigram-NLL cut of BOTH tails —
+    --perplexity-band) -> deterministic split (t12) -> partitioned
+    write + packing stats (t11)
 
 Plan economics: each stage's survivor frame is pinned (lazy
 localCheckpoint) so the per-stage audit counts and the next stage reuse
@@ -50,6 +52,8 @@ def curate_corpus(
     embed_n_probe: int | None = None,
     span_dedup_tokens: int | None = None,
     span_max_occurrences: int = 1,
+    perplexity_band: tuple[float, float] | None = None,
+    perplexity_sample_k: int = 512,
 ) -> dict:
     """Run the curation pipeline and write the curated corpus
     partitioned by split. Deterministic: same input -> same survivors,
@@ -86,7 +90,16 @@ def curate_corpus(
     accept every duplicate. Within-batch semantic pairs are NOT
     dropped by this leg (its contract is corpus membership, mirroring
     the lexical leg's check_batch=False); the same
-    don't-run-concurrently-with-compaction rule applies."""
+    don't-run-concurrently-with-compaction rule applies.
+
+    ``perplexity_band`` (optional) is the (low_q, high_q) quantile pair
+    for the t25 CCNet-style cut: an add-one-smoothed bigram model
+    trains on the quality survivors and documents whose per-token NLL
+    falls below the low_q or above the high_q corpus quantile are
+    dropped (boilerplate and gibberish tails respectively). Thresholds
+    come from the deterministic KMV sample (``perplexity_sample_k``
+    rows), so the stage stays a pure function of the input; docs with
+    fewer than two tokens cannot be judged and pass through."""
     docs = spark.read.parquet(input_path)
     n_input = docs.count()
 
@@ -269,6 +282,64 @@ def curate_corpus(
         "_span_dropped",
     )
 
+    # 3b. perplexity band (optional, t25): the CCNet-style cut (Wenzek
+    #     et al., LREC 2020) the heuristic t7 floor can't make — an
+    #     add-one-smoothed bigram model trains on the quality
+    #     survivors themselves and docs whose per-token NLL falls
+    #     outside the (low_q, high_q) corpus-quantile band are dropped:
+    #     the LOW tail is degenerate boilerplate (repeated templates
+    #     score near-certain), the HIGH tail is gibberish (every bigram
+    #     unseen). Band thresholds come from the a5 deterministic KMV
+    #     sample of the per-doc scores, so the cut is a pure function
+    #     of the corpus — no RNG, no engine-dependent quantile sketch.
+    #     Docs too short to judge (< 2 tokens -> n_bigrams == 0) pass
+    #     through, mirroring the no-embedding-row rule above. Cost at
+    #     scale: the t25 aggregations (bigram table shuffles on its
+    #     natural key), one bounded sample collect, one anti-join.
+    n_ppl_cut_low = 0
+    n_ppl_cut_high = 0
+    ppl_band_micro: list[int] = []
+    n_after_perplexity = n_after_quality
+    if perplexity_band is not None and n_after_quality > 0:
+        from ..operators.sketches import bottomk_sample
+        from ..operators.text import bigram_logprob
+
+        lo_q, hi_q = perplexity_band
+        if not (0.0 <= lo_q < hi_q <= 1.0):
+            raise ValueError(
+                f"perplexity_band must be quantiles with 0 <= low < "
+                f"high <= 1; got {perplexity_band!r}"
+            )
+        curated = pin(curated)
+        scored = pin(bigram_logprob(curated, "doc_id", "text"))
+        judged = scored.filter(F.col("n_bigrams") > 0)
+        vals = bottomk_sample(
+            judged,
+            F.col("doc_id").cast("string"),
+            "avg_nll_micro",
+            k=perplexity_sample_k,
+        )
+        if vals:
+            lo = vals[int(lo_q * (len(vals) - 1))]
+            hi = vals[int(hi_q * (len(vals) - 1))]
+            ppl_band_micro = [int(lo), int(hi)]
+            cut = judged.filter(
+                (F.col("avg_nll_micro") < F.lit(lo))
+                | (F.col("avg_nll_micro") > F.lit(hi))
+            )
+            tails = cut.agg(
+                F.sum((F.col("avg_nll_micro") < F.lit(lo)).cast("long")).alias("lo"),
+                F.sum((F.col("avg_nll_micro") > F.lit(hi)).cast("long")).alias("hi"),
+            ).first()
+            n_ppl_cut_low = int(tails["lo"] or 0)
+            n_ppl_cut_high = int(tails["hi"] or 0)
+            curated = curated.join(
+                cut.select("doc_id"), "doc_id", "left_anti"
+            ).transform(pin)
+            n_after_perplexity = (
+                n_after_quality - n_ppl_cut_low - n_ppl_cut_high
+            )
+
     # 4. deterministic split assignment (pure map — no shuffle)
     split_docs = hash_split(curated, "doc_id").drop("bucket")
 
@@ -285,12 +356,16 @@ def curate_corpus(
         "n_paragraphs_dropped": n_paragraphs_dropped,
         "n_redacted": n_redacted,
         "n_after_quality": n_after_quality,
+        "n_ppl_cut_low": n_ppl_cut_low,
+        "n_ppl_cut_high": n_ppl_cut_high,
+        "ppl_band_micro": ppl_band_micro,
+        "n_after_perplexity": n_after_perplexity,
         "n_written": 0,
         "splits": {},
         "train_bins": 0,
         "train_tokens": 0,
     }
-    if n_after_quality == 0:
+    if n_after_perplexity == 0:
         # the partitioned write of an empty frame leaves no parquet
         # footers to re-read — report the zeros instead of crashing
         return stats

@@ -16,12 +16,21 @@ Two modes sharing one layout:
 Output layout under ``output_dir``:
 
   vocab.json   the id table a downstream trainer ships: mode, params,
-               and (word) token->id or (bpe) merge list + symbol->id —
-               written BEFORE the encoded parquet, so the parquet's
-               _SUCCESS marker only ever commits a complete artifact
-               (the build_pq_layer convention)
+               and (word) token->id or (bpe) merge list + symbol->id
   encoded/     parquet of (id_col, n_tokens, n_oov|n_subwords,
-               ids array<int>)
+               ids array<int>); its _SUCCESS file is the artifact's
+               commit marker
+
+The two files are one artifact — ids in ``encoded/`` are meaningless
+under any other vocab — so a rebuild stages BOTH in a sibling
+``.staging`` dir and swaps the whole directory in with two renames
+(the build_pq_layer convention, VERDICT r9 item 5): the committed
+artifact keeps serving until the replacement is complete, a crash
+mid-build leaves it untouched, and a crash between the two renames is
+healed on the next run by restoring the parked ``.old`` snapshot.
+The old in-place write could crash after rewriting vocab.json but
+before the encoded parquet committed, leaving a NEW vocab beside OLD
+(or absent) ids.
 
 Scale shape: both modes collect only constant-size tables to the
 driver (top-V vocab / word-type table + the provably bounded symbol
@@ -33,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -60,10 +70,28 @@ def tokenize_corpus(
     )
     from ..pinning import pin
 
+    if mode not in ("word", "bpe"):
+        raise ValueError(f"unknown tokenize mode {mode!r} — use 'word' or 'bpe'")
+
     docs = spark.read.parquet(input_path)
-    os.makedirs(output_dir, exist_ok=True)
-    vocab_path = os.path.join(output_dir, "vocab.json")
-    encoded_dir = os.path.join(output_dir, "encoded")
+    out = output_dir.rstrip("/")
+    staging, old = out + ".staging", out + ".old"
+    marker = os.path.join(out, "encoded", "_SUCCESS")
+    old_marker = os.path.join(old, "encoded", "_SUCCESS")
+    # heal a crash between the two swap renames: out/ was renamed away
+    # but staging/ never renamed in — restore the committed snapshot
+    # parked in old/ before anything treats it as deletable residue
+    if not os.path.exists(marker) and os.path.exists(old_marker):
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        os.rename(old, out)
+    # stale residue from a crashed earlier build/swap
+    for residue in (staging, old):
+        if os.path.isdir(residue):
+            shutil.rmtree(residue)
+    os.makedirs(staging)
+    vocab_path = os.path.join(staging, "vocab.json")
+    encoded_dir = os.path.join(staging, "encoded")
 
     if mode == "word":
         vocab = pin(build_vocab(docs, text_col, vocab_size=vocab_size))
@@ -76,19 +104,19 @@ def tokenize_corpus(
             )
         enc = vocab_encode(docs, vocab, id_col, text_col)
         enc.write.mode("overwrite").parquet(encoded_dir)
-        stats = spark.read.parquet(encoded_dir).agg(
+        row = spark.read.parquet(encoded_dir).agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
             F.sum("n_oov").alias("n_oov"),
         ).collect()[0]
-        return {
+        stats = {
             "mode": "word",
-            "n_docs": int(stats["n_docs"]),
-            "n_tokens": int(stats["n_tokens"] or 0),
-            "n_oov": int(stats["n_oov"] or 0),
+            "n_docs": int(row["n_docs"]),
+            "n_tokens": int(row["n_tokens"] or 0),
+            "n_oov": int(row["n_oov"] or 0),
             "n_vocab": len(table),
         }
-    if mode == "bpe":
+    else:
         merges = bpe_train(
             docs, text_col, n_merges=n_merges, max_word_types=max_word_types
         )
@@ -108,17 +136,29 @@ def tokenize_corpus(
             )
         enc = bpe_encode(docs, merges, id_col, text_col, vocab=vocab)
         enc.write.mode("overwrite").parquet(encoded_dir)
-        stats = spark.read.parquet(encoded_dir).agg(
+        row = spark.read.parquet(encoded_dir).agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
             F.sum("n_subwords").alias("n_subwords"),
         ).collect()[0]
-        return {
+        stats = {
             "mode": "bpe",
-            "n_docs": int(stats["n_docs"]),
-            "n_tokens": int(stats["n_tokens"] or 0),
-            "n_subwords": int(stats["n_subwords"] or 0),
+            "n_docs": int(row["n_docs"]),
+            "n_tokens": int(row["n_tokens"] or 0),
+            "n_subwords": int(row["n_subwords"] or 0),
             "n_merges": len(merges),
             "n_symbols": len(syms),
         }
-    raise ValueError(f"unknown tokenize mode {mode!r} — use 'word' or 'bpe'")
+
+    # atomic-enough swap: the committed artifact (if any) is parked in
+    # old/ only after staging is COMPLETE, and a crash between the two
+    # renames is healed by the restore above on the next run
+    if os.path.isdir(out):
+        if os.path.exists(marker):
+            os.rename(out, old)
+        else:
+            shutil.rmtree(out)
+    os.rename(staging, out)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    return stats

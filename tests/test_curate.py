@@ -434,3 +434,56 @@ def test_curate_semantic_admission_guards(spark, tmp_path):
             embed_admit_root=str(tmp_path / "no-such-idx"),
             embeddings_path=emb_path,
         )
+
+
+def test_curate_perplexity_band_cuts_both_tails(spark, tmp_path):
+    """The t25 integration (VERDICT r9 item 4): a planted boilerplate
+    doc (one word repeated — near-certain bigrams, bottom NLL tail) and
+    a planted gibberish doc (every bigram unseen — top NLL tail) must
+    BOTH fall to the CCNet-style band cut, while the normal middle
+    ships. Without the band, both planted docs ship — the gap this
+    stage closes over the t7 heuristic floor."""
+    rows = [
+        (0, "spam " * 400, "en", "boiler"),
+        (1, " ".join(f"zx{i}q" for i in range(60)), "en", "gibber"),
+    ] + [
+        (
+            2 + i,
+            " ".join(f"u{i}w{j} the a of to in" for j in range(8)),
+            "en",
+            "srcD",
+        )
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    src, out = str(tmp_path / "raw"), str(tmp_path / "curated")
+    df.write.parquet(src)
+
+    stats = curate_corpus(
+        spark, src, out, min_quality=0.0, perplexity_band=(0.05, 0.9)
+    )
+    assert stats["n_after_quality"] == 22
+    assert stats["n_ppl_cut_low"] == 1, "boilerplate tail"
+    assert stats["n_ppl_cut_high"] == 1, "gibberish tail"
+    assert stats["n_after_perplexity"] == 20 == stats["n_written"]
+    assert len(stats["ppl_band_micro"]) == 2
+    assert stats["ppl_band_micro"][0] <= stats["ppl_band_micro"][1]
+    ids = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert 0 not in ids and 1 not in ids
+    assert ids == set(range(2, 22))
+
+    # band off: both planted docs pass the heuristic floor and ship
+    out2 = str(tmp_path / "curated_noband")
+    stats2 = curate_corpus(spark, src, out2, min_quality=0.0)
+    ids2 = {r["doc_id"] for r in spark.read.parquet(out2).select("doc_id").collect()}
+    assert {0, 1} <= ids2
+    assert stats2["n_ppl_cut_low"] == 0 and stats2["n_after_perplexity"] == 22
+
+    # deterministic: same input + band -> same stats and survivors
+    out3 = str(tmp_path / "curated_again")
+    stats3 = curate_corpus(
+        spark, src, out3, min_quality=0.0, perplexity_band=(0.05, 0.9)
+    )
+    assert stats3 == stats

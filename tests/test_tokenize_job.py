@@ -67,3 +67,89 @@ def test_tokenize_bpe_mode(spark, tmp_path):
     # no OOV concept in bpe mode: every id resolves to a symbol
     inv = {v: k for k, v in vocab["symbols"].items()}
     assert all(i in inv for i in enc[1]["ids"])
+
+
+def test_tokenize_rebuild_crash_keeps_committed_artifact(spark, tmp_path, monkeypatch):
+    """vocab.json and encoded/ are ONE artifact: a crash anywhere
+    during a rebuild (injected at the encode step, after the staged
+    vocab.json exists) must leave the previously committed pair intact
+    and mutually consistent — the old in-place write left a NEW vocab
+    beside OLD ids. A later rebuild heals."""
+    import pytest
+
+    from pokemon_showdown_airflow_etl_spark.jobs import tokenize as tok_mod
+    from pokemon_showdown_airflow_etl_spark.operators import text as text_ops
+
+    inp = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "tok")
+    _write_docs(spark, inp)
+    stats1 = tokenize_corpus(spark, inp, out, mode="word", vocab_size=3)
+    vocab_before = json.load(open(os.path.join(out, "vocab.json")))
+    ids_before = sorted(
+        map(tuple, spark.read.parquet(os.path.join(out, "encoded")).collect())
+    )
+
+    real = text_ops.vocab_encode
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash mid-rebuild")
+
+    # tokenize_corpus imports the operator inside the function body, so
+    # patching the source module intercepts the rebuild's encode step
+    monkeypatch.setattr(text_ops, "vocab_encode", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        tokenize_corpus(spark, inp, out, mode="word", vocab_size=2)
+    monkeypatch.setattr(text_ops, "vocab_encode", real)
+
+    # committed pair untouched: OLD vocab (size 3) beside OLD ids —
+    # never the crashed rebuild's size-2 vocab
+    assert json.load(open(os.path.join(out, "vocab.json"))) == vocab_before
+    ids_after = sorted(
+        map(tuple, spark.read.parquet(os.path.join(out, "encoded")).collect())
+    )
+    assert ids_after == ids_before
+
+    # the healed rebuild clears residue and commits the new artifact
+    stats2 = tokenize_corpus(spark, inp, out, mode="word", vocab_size=2)
+    assert stats2["n_vocab"] == 2
+    assert not os.path.isdir(out + ".staging") and not os.path.isdir(out + ".old")
+    assert len(json.load(open(os.path.join(out, "vocab.json")))["tokens"]) == 2
+    # first build's stats shape still sane
+    assert stats1["n_vocab"] == 3
+
+
+def test_tokenize_crash_between_renames_restores_old_artifact(
+    spark, tmp_path, monkeypatch
+):
+    """A crash BETWEEN the two swap renames (out parked in old/,
+    staging never renamed in) must be healed by the next run restoring
+    the committed snapshot instead of deleting it as residue."""
+    import pytest
+
+    from pokemon_showdown_airflow_etl_spark.jobs import tokenize as tok_mod
+
+    inp = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "tok")
+    _write_docs(spark, inp)
+    tokenize_corpus(spark, inp, out, mode="word", vocab_size=3)
+    vocab_before = json.load(open(os.path.join(out, "vocab.json")))
+
+    real_rename = os.rename
+
+    def crash_on_swap_in(src, dst):
+        if dst == out and src == out + ".staging":
+            raise RuntimeError("injected crash between swap renames")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(tok_mod.os, "rename", crash_on_swap_in)
+    with pytest.raises(RuntimeError, match="between swap renames"):
+        tokenize_corpus(spark, inp, out, mode="word", vocab_size=2)
+    monkeypatch.setattr(tok_mod.os, "rename", real_rename)
+    assert not os.path.isdir(out), "the failure mode under test"
+    assert os.path.exists(os.path.join(out + ".old", "encoded", "_SUCCESS"))
+
+    # next run restores the snapshot before rebuilding on top of it
+    stats = tokenize_corpus(spark, inp, out, mode="word", vocab_size=3)
+    assert stats["n_vocab"] == 3
+    assert json.load(open(os.path.join(out, "vocab.json"))) == vocab_before
+    assert not os.path.isdir(out + ".staging") and not os.path.isdir(out + ".old")
