@@ -326,6 +326,7 @@ def sample_video_frames(
 AUDIO_FRAME_SCHEMA = StructType(
     [
         StructField("asset_id", StringType()),
+        StructField("sample_rate", LongType()),
         StructField("n_samples", LongType()),
         StructField("n_frames", LongType()),
         StructField("frame_idx", LongType()),
@@ -352,7 +353,13 @@ def audio_frame_energy(
     function of the content digest and the frame index) so the ENTIRE
     fan-out — framing arithmetic, row explosion, batch shape, typed
     schema — is value-checked cross-engine by the m5 oracle, the same
-    contract m2/m4 use for images.
+    contract m2/m4 use for images. ``sample_rate`` rides along as an
+    output column (VERDICT r9 item 6): ``start_ms`` divides by the
+    DECODER-reported rate, so a real decoder returning 44100 must be
+    visible downstream rather than silently diverging from any
+    fixed-16-kHz expectation; :func:`audio_pcm_frame_energy` is the
+    sibling whose energies are COMPUTED from synthesized PCM instead
+    of digest-stubbed.
 
     Like sample_video_frames, each asset stays ONE input row across
     the boundary (the payload never copies per frame); the kernel
@@ -403,20 +410,123 @@ def audio_frame_energy(
                 dtype=np.int64,
                 count=int(nfrm_arr.sum()),
             )
+            rates_rep = np.repeat(np.asarray(rates, dtype=np.int64), nfrm_arr)
             yield pd.DataFrame(
                 {
                     "asset_id": np.repeat(np.asarray(aids, dtype=object), nfrm_arr),
+                    "sample_rate": rates_rep,
                     "n_samples": np.repeat(
                         np.asarray(nsamp, dtype=np.int64), nfrm_arr
                     ),
                     "n_frames": np.repeat(nfrm_arr, nfrm_arr),
                     "frame_idx": idx,
-                    "start_ms": idx
-                    * hop_samples
-                    * 1000
-                    // np.repeat(np.asarray(rates, dtype=np.int64), nfrm_arr),
+                    "start_ms": idx * hop_samples * 1000 // rates_rep,
                     "energy_u32": energy,
                 }
             )
 
     return pruned.mapInPandas(run, AUDIO_FRAME_SCHEMA)
+
+
+AUDIO_PCM_FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("start_ms", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+# the deterministic PCM synthesizer's multiplier (Knuth's 2^32 golden
+# ratio): s_i = ((seed + (i+1)*A) mod 2^31) mod 2^16 - 2^15, an int16
+# sample stream that numpy, codegen'd SQL, and DuckDB compute
+# identically in pure integer arithmetic
+PCM_MULT = 2654435761
+
+
+def audio_pcm_frame_energy(
+    df: DataFrame,
+    frame_samples: int = 400,
+    hop_samples: int = 200,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """:func:`audio_frame_energy` with the inner loop made REAL: the
+    per-frame energy is an actual windowed sum of squares over the
+    asset's sample stream, not a digest stub — the computation a
+    VAD / loudness-normalization / silence-trim stage runs per frame.
+    The samples themselves are synthesized deterministically from the
+    content digest (seed = first 8 md5 hex digits;
+    ``s_i = ((seed + (i+1)*PCM_MULT) mod 2^31) mod 2^16 - 2^15``), so
+    every energy is still a pure integer function of the payload that
+    the m5b oracle re-derives bit-exactly in SQL; at deploy the
+    synthesizer is replaced by the real decoder's sample array and the
+    windowing/energy code below runs unchanged.
+
+    Kernel shape: one JVM/Python crossing per asset; per asset the
+    sample stream, its squares, and a cumulative sum are vectorized
+    numpy (energy of frame k = csum[k*hop+frame] - csum[k*hop] — each
+    sample is squared ONCE however many overlapping windows cover it);
+    headers fan out via np.repeat AFTER the binary column drops, so
+    downstream shuffles carry narrow numeric rows, never media bytes.
+    Energies fit int64 by construction: 400 * 32768^2 < 2^39.
+    """
+    import hashlib
+
+    pruned = df.select(
+        F.col(id_col).alias("asset_id"), F.col(payload_col).alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            aids, nsamp, nfrm, rates, energies = [], [], [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(p)
+                sample_rate, n_samples = _fake_audio_decode(b)
+                n_frames = max(0, (n_samples - frame_samples) // hop_samples) + (
+                    1 if n_samples >= frame_samples else 0
+                )
+                aids.append(aid)
+                nsamp.append(n_samples)
+                nfrm.append(n_frames)
+                rates.append(sample_rate)
+                if n_frames == 0:
+                    energies.append(np.array([], dtype=np.int64))
+                    continue
+                seed = int(hashlib.md5(b).hexdigest()[:8], 16)
+                i = np.arange(n_samples, dtype=np.int64)
+                smp = ((seed + (i + 1) * PCM_MULT) % 2**31) % 65536 - 32768
+                csum = np.concatenate(
+                    [np.zeros(1, dtype=np.int64), np.cumsum(smp * smp)]
+                )
+                starts = np.arange(n_frames, dtype=np.int64) * hop_samples
+                energies.append(csum[starts + frame_samples] - csum[starts])
+            nfrm_arr = np.asarray(nfrm, dtype=np.int64)
+            idx = np.concatenate(
+                [np.arange(n, dtype=np.int64) for n in nfrm]
+            ) if nfrm else np.array([], dtype=np.int64)
+            rates_rep = np.repeat(np.asarray(rates, dtype=np.int64), nfrm_arr)
+            yield pd.DataFrame(
+                {
+                    "asset_id": np.repeat(np.asarray(aids, dtype=object), nfrm_arr),
+                    "sample_rate": rates_rep,
+                    "n_samples": np.repeat(
+                        np.asarray(nsamp, dtype=np.int64), nfrm_arr
+                    ),
+                    "n_frames": np.repeat(nfrm_arr, nfrm_arr),
+                    "frame_idx": idx,
+                    "start_ms": idx * hop_samples * 1000 // rates_rep,
+                    "energy": np.concatenate(energies)
+                    if energies
+                    else np.array([], dtype=np.int64),
+                }
+            )
+
+    return pruned.mapInPandas(run, AUDIO_PCM_FRAME_SCHEMA)

@@ -20,24 +20,16 @@ from __future__ import annotations
 from .base import Query
 from . import relational, joins, llm, battlelog, extras, tpch
 
-# Front of the driver's 50-query window, round 9. Rotation rule
+# Front of the driver's 50-query window, round 10. Rotation rule
 # (VERDICT r3, made standing by r4 item 1): (1) every entry whose code
 # changed after its latest driver row (= CHANGED_SINCE_LAST_ROW), then
 # (2) the entries with the OLDEST standing rows, oldest first. After
-# CORRECTNESS_r08 (48/50 green; s14/t23 err on the canonicalizer's
-# list-cell crash, fixed this round by string-serializing their array
-# outputs) the cumulative freshness is 48 r8-latest, 48 r7-latest,
-# 45 r6-latest. The r9 window: the 10 new/changed entries (s14 + t23
-# reshaped; t20b/t24/s20/s21/a4/t25/m5/a5 new), then 40 of the 45-name
-# r6-latest block — five short of clearing it: 6 deliverables were
-# owed this round (VERDICT items 1, 4, 5, 6, 7) plus four new
-# first-class operators (a4 deterministic HLL, a5 deterministic
-# sampled quantiles, t25 bigram perplexity, m5 audio framing), and
-# 10 + 45 > 50. The five carries (w4_head_n: LIMIT-only;
-# g9_table_count: count(*); c13_bool_coercion: a cast; u1_union_all /
-# u2_distinct_union: unions) are the lowest-risk plans in the block
-# and head the r10 window; the local parity sweep still re-verifies
-# them every run at two SFs.
+# CORRECTNESS_r09 (50/50 green) the cumulative freshness is 50
+# r9-latest, 48 r8-latest, 48 r7-latest, 5 r6-latest. The r10 window:
+# the changed/new entries, then the five r6-latest carries owed since
+# r9, then 41 of the 48-name r7-latest block — seven spill to r11
+# (listed at the section (3) comment below; all were green in r7 and
+# are re-verified by every local parity sweep).
 # Rule refinement, applied this round: fail-loud guard additions
 # on paths PROVEN unreachable for the driver corpus (sign_sketch's
 # dim-64 raise, brute-force's zero-norm raise — tests pin both) and
@@ -53,73 +45,78 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # changed query can no longer coast on a stale green row (the t8/g16/s6
 # gap VERDICT r3 flagged).
 CHANGED_SINCE_LAST_ROW: list[str] = [
-    "s14_pq_codes",  # r9: codes serialized to a ','-string (r8 driver err)
-    "t23_vocab_encode",  # r9: ids serialized to a ','-string (r8 driver err)
-    "t20b_separator_dedup",  # r9 NEW: separator-mode span dedup (C4 form)
-    "t24_bpe_encode",  # r9 NEW: bounded deterministic BPE subword vocab
-    "s21_opq_audit",  # r9 NEW: OPQ-lite permutation audit, bit-exact
-    "s20_lake_pq_search",  # r9 NEW: lake IVF-PQ serving path under oracle
-    "a4_hll_distinct",  # r9 NEW: deterministic HLL, sketch itself hash-checked
-    "t25_bigram_logprob",  # r9 NEW: smoothed bigram NLL (perplexity filter)
-    "m5_audio_frame_energy",  # r9 NEW: audio windowing fan-out, oracle-checked
-    "a5_sampled_quantiles",  # r9 NEW: deterministic KMV sample + quantile audit
+    "t24_bpe_encode",  # r10: merge application made canonically greedy
+    #   (double-space replace encoding; runs >= 5 now match Sennrich)
+    "m5_audio_frame_energy",  # r10: sample_rate emitted as an output column
+    "m5b_audio_pcm_energy",  # r10 NEW: REAL windowed sum-of-squares energy
+    #   over digest-seeded synthesized PCM
+    "a5_sampled_quantiles",  # r10: bottomk_sample's total order gained
+    #   (key, value) tie-break legs — provably no-op on a5's unique PK
+    #   key (re-verified bit-exact on a bare session), rotated anyway
+    #   since the ordering expression itself changed
 ]
 
 _PRIORITY: list[str] = [
     # -- (1) every entry in CHANGED_SINCE_LAST_ROW, new first --
-    "s14_pq_codes",
-    "t23_vocab_encode",
-    "t20b_separator_dedup",
+    "m5b_audio_pcm_energy",
     "t24_bpe_encode",
-    "s21_opq_audit",
-    "s20_lake_pq_search",
-    "a4_hll_distinct",
-    "t25_bigram_logprob",
     "m5_audio_frame_energy",
     "a5_sampled_quantiles",
-    # -- (2) 40 of the 45-name r6-latest block (w4_head_n,
-    # g9_table_count, c13_bool_coercion, u1_union_all,
-    # u2_distinct_union carry to r10 — see the rotation note above) --
-    "c1_epoch_to_date",
-    "c4_batch_id",
-    "c5_regex_extract",
-    "c6_players_concat",
-    "c7_batch_from_details",
-    "c8_prefix_predicate",
-    "c10_json_extract",
-    "f1_watermark_filter",
-    "f2_undownloaded_filter",
-    "f3_conjunctive_flags",
-    "f4_failed_retry_predicate",
-    "f6_point_lookup",
-    "f7_partition_filter",
-    "g1_high_watermark",
-    "g2_low_watermark",
-    "g3_lifecycle_stats",
-    "g4_duplicate_detection",
-    "g5_ids_by_date",
-    "g6_dedup_keep_one",
-    "g7_daily_counters",
-    "g10_throughput_metrics",
-    "g11_lifecycle_cube",
-    "j1_existence_flag",
-    "j2_ingest_anti_join",
-    "j3_compaction_anti_join",
-    "j4_reconcile_semi_join",
-    "j5_broadcast_lookup",
-    "j7_membership_flag",
-    "j8_star_join_revenue",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q21_waiting_suppliers",
-    "t12_hash_split",
-    "t13_domain_mix",
-    "t15_domain_cap",
-    "t22_domain_mixture_exact",
-    "w1_latest_per_key",
+    # -- (2) the five r6-latest carries, owed since r9 (VERDICT r9
+    # item 2: after CORRECTNESS_r10 no entry's latest driver row may
+    # predate r7) --
+    "c13_bool_coercion",
+    "g9_table_count",
+    "u1_union_all",
+    "u2_distinct_union",
+    "w4_head_n",
+    # -- (3) 41 of the 48-name r7-latest block, oldest standing rows
+    # first; the seven short (b5_first_log_timestamp, c9_filename_to_id,
+    # t1_quality_features, t5_corpus_stats, t17_chunk_windows,
+    # u3_intersect, x2_salted_join — the block's lowest-risk plans)
+    # head the r11 window; the local parity sweep still re-verifies
+    # them every run at two SFs --
+    "a1_approx_sketches",
+    "a2_cms_heavy_hitters",
+    "a3_mg_cms_heavy_hitters",
+    "b1_log_command_histogram",
+    "b2_battle_event_times",
+    "b3_player_win_rates",
+    "b4_move_usage",
+    "b6_event_gaps",
+    "b7_move_ranks",
+    "b8_head_to_head",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard_pairs",
+    "d3_minhash_lsh_candidates",
+    "d4_simhash_fingerprint",
+    "d5_simhash_near_dups",
+    "d7_lsh_verified_dups",
+    "d8_dup_clusters",
+    "d9_incremental_dedup",
+    "g16_funnel",
+    "g17_rolling_7day",
+    "j10_asof_last_click",
+    "j11_range_follow_events",
+    "j12_asof_last_click_sliced",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q20_excess_suppliers",
+    "s3_embedding_near_dups",
+    "s6_embedding_outliers",
+    "s8_int8_quant",
+    "s9_embedding_dup_clusters",
+    "s10_mmr_rerank",
+    "t8_tfidf_top_terms",
+    "t14_unigram_logprob",
+    "t16_bm25_topk",
+    "t18_scrub",
+    "t19_hybrid_rrf",
+    "t20_paragraph_dedup",
     # ---- slot 50 boundary ----
 ]
 

@@ -721,3 +721,18 @@ def test_lake_pq_search_pairs_by_equi_join(q):
     candidates x all-queries."""
     plan = q("s20_lake_pq_search")
     assert "CartesianProduct" not in plan
+
+
+def test_audio_kernels_single_crossing_no_shuffle(q):
+    """m5/m5b: one Arrow crossing per asset and NO exchange anywhere —
+    the frame fan-out happens inside the kernel AFTER the binary
+    column drops, so no shuffle ever carries media bytes."""
+    import re
+
+    for name in ("m5_audio_frame_energy", "m5b_audio_pcm_energy"):
+        plan = q(name)
+        # the formatted plan names each node twice (tree + detail
+        # section); count detail headers for the true node count
+        assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, name
+        assert "Exchange" not in plan, f"{name} shuffles its fan-out"
+        assert "CartesianProduct" not in plan, name
