@@ -123,6 +123,17 @@ def signature_tables(
 #                            incl. short docs with no signature row) —
 #                            the re-run guard: a rejected doc must not
 #                            be re-classified on the next run
+#   sketches/batch=<id>/     the batch's intake SKETCH facet (VERDICT
+#                            r9 item 7): HLL registers over normalized
+#                            content + KMV bottom-k (doc-length
+#                            values) over the CONSIDERED docs — both
+#                            mergeable (max per register / bottom-k of
+#                            unions, laws property-tested), so corpus-
+#                            wide distinct-content and length-quantile
+#                            monitoring reads a few hundred stored
+#                            rows instead of re-scanning 100 TB of
+#                            text; compaction REDUCES many per-batch
+#                            sketches to one merged partition
 #
 # Idempotency + crash-safety (the K3/T5 contract, file-level here; a
 # table format with transactions takes over at deploy time): members/
@@ -177,6 +188,114 @@ def read_committed(
     return spark.read.parquet(
         *[os.path.join(sig_root, table, f"batch={b}") for b in committed]
     )
+
+
+SKETCH_TABLE = "sketches"
+SKETCH_KMV_K = 512  # operators/sketches.py::A5_SAMPLE_K, pinned here so
+#                     a default change there can't silently re-key lakes
+
+
+def batch_sketch_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SKETCH_KMV_K,
+) -> DataFrame:
+    """One batch's intake sketch as (kind, reg, h, k, v) rows:
+
+    - ``kind='hll'``: the a4 deterministic HLL registers over the
+      batch docs' NORMALIZED CONTENT (reg = register index, v = max
+      first-1-bit rank) — merged across batches by max-per-register,
+      this estimates how many distinct texts the corpus has SEEN.
+    - ``kind='kmv'``: the a5 bottom-k rows keyed on the doc id with
+      the doc's text length as the value — merged by
+      bottom-k-of-union, this is the exact deterministic uniform
+      sample corpus length-quantiles read from.
+
+    Sketches cover the CONSIDERED docs (not just accepted survivors):
+    intake statistics must be a pure function of what arrived, not of
+    dedup decisions, so the stored facet re-derives from the raw batch
+    inputs alone (what the a6 oracle checks). Both shapes are a few
+    hundred rows per batch regardless of batch size."""
+    from ..operators.dedup import normalize_text
+    from ..operators.sketches import bottomk_rows, hll_registers
+
+    null_s = F.lit(None).cast("string")
+    hll = hll_registers(docs, normalize_text(F.col(text_col))).select(
+        F.lit("hll").alias("kind"),
+        F.col("reg").cast("long").alias("reg"),
+        null_s.alias("h"),
+        null_s.alias("k"),
+        F.col("max_rank").cast("long").alias("v"),
+    )
+    lengths = docs.select(
+        F.col(id_col),
+        F.coalesce(F.length(F.col(text_col)), F.lit(0)).cast("long").alias("_len"),
+    )
+    kmv = bottomk_rows(
+        lengths, F.col(id_col).cast("string"), "_len", k=k
+    ).select(
+        F.lit("kmv").alias("kind"),
+        F.lit(None).cast("long").alias("reg"),
+        "h",
+        "k",
+        "v",
+    )
+    return hll.unionByName(kmv)
+
+
+def merge_sketch_rows(rows: DataFrame, k: int = SKETCH_KMV_K) -> DataFrame:
+    """Merge any union of per-batch sketch rows back to ONE sketch in
+    the same (kind, reg, h, k, v) shape: max per HLL register,
+    bottom-k of the KMV rows under their total order. Merging is
+    associative and idempotent, so merged-then-stored partitions merge
+    again with fresh batches — read path and compaction share this."""
+    from ..operators.sketches import bottomk_of_rows
+
+    null_s = F.lit(None).cast("string")
+    hll = (
+        rows.filter(F.col("kind") == "hll")
+        .groupBy("reg")
+        .agg(F.max("v").alias("v"))
+        .select(
+            F.lit("hll").alias("kind"),
+            "reg",
+            null_s.alias("h"),
+            null_s.alias("k"),
+            "v",
+        )
+    )
+    kmv = bottomk_of_rows(
+        rows.filter(F.col("kind") == "kmv").select("h", "k", "v"), k
+    ).select(
+        F.lit("kmv").alias("kind"),
+        F.lit(None).cast("long").alias("reg"),
+        "h",
+        "k",
+        "v",
+    )
+    return hll.unionByName(kmv)
+
+
+def read_corpus_sketch(
+    spark: SparkSession, sig_root: str, k: int = SKETCH_KMV_K
+) -> DataFrame | None:
+    """The corpus-wide merged sketch over every COMMITTED batch's
+    stored sketch partition, or None when nothing is committed.
+    Batches ingested before the sketch facet existed simply have no
+    sketches/ partition and drop out of the merge (the facet then
+    summarizes the batches that carry it)."""
+    import os
+
+    committed = _committed_batches(os.path.join(sig_root, "members"))
+    paths = []
+    for b in committed:
+        p = os.path.join(sig_root, SKETCH_TABLE, f"batch={b}")
+        if os.path.exists(os.path.join(p, "_SUCCESS")):
+            paths.append(p)
+    if not paths:
+        return None
+    return merge_sketch_rows(spark.read.parquet(*paths), k=k)
 
 
 def ingest_signature_batch(
@@ -272,6 +391,13 @@ def ingest_signature_batch(
     batch_sig.join(accepted, "doc").write.mode("overwrite").parquet(
         os.path.join(sig_dir, f"batch={batch_id}")
     )
+    # the batch's intake sketch facet (HLL registers + KMV bottom-k
+    # over the CONSIDERED docs) — before the members marker, so the
+    # marker commits the whole batch including its sketch; its own
+    # _SUCCESS additionally lets readers skip pre-facet batches
+    batch_sketch_rows(fresh_docs, id_col, text_col).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sig_root, SKETCH_TABLE, f"batch={batch_id}"))
     counts = {
         r["status"]: r["n"]
         for r in decision.groupBy("status")
@@ -402,6 +528,26 @@ def compact_signature_corpus(
         sigs.repartition(n_files).write.mode("overwrite").parquet(
             os.path.join(sig_dir, f"batch={cid}")
         )
+        # the sketch facet consolidates by REDUCTION, not concatenation:
+        # the old partitions' rows merge to one sketch (max/bottom-k —
+        # merged == from-scratch by the property-tested laws), so the
+        # stored facet stays a few hundred rows however many batches
+        # fold in. Batches predating the facet have no sketch dir and
+        # contribute nothing; written before the members marker like
+        # every other part of the consolidated batch.
+        sk_paths = [
+            os.path.join(sig_root, SKETCH_TABLE, f"batch={b}")
+            for b in old
+        ]
+        sk_paths = [
+            p for p in sk_paths if os.path.exists(os.path.join(p, "_SUCCESS"))
+        ]
+        if sk_paths:
+            merge_sketch_rows(spark.read.parquet(*sk_paths)).coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                os.path.join(sig_root, SKETCH_TABLE, f"batch={cid}")
+            )
         with open(_manifest_path(cid), "w") as f:
             json.dump(sorted(old), f)
         # members commit marker LAST — until it lands, the consolidated
@@ -422,12 +568,71 @@ def compact_signature_corpus(
     for b in old:
         shutil.rmtree(os.path.join(mem_dir, f"batch={b}"), ignore_errors=True)
         shutil.rmtree(os.path.join(sig_dir, f"batch={b}"), ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(sig_root, SKETCH_TABLE, f"batch={b}"),
+            ignore_errors=True,
+        )
     _sweep_retired(sig_root, data_table)
     return {
         "n_batches_consolidated": len(old),
         "n_signature_rows": n_sig,
         "n_member_rows": n_mem,
     }
+
+
+# ---------------------------------------------------------------------------
+# sf-keyed DEMO sketch lake (catalog a6): the sf documents table pushed
+# through the REAL incremental protocol — two ingest batches, then one
+# compaction — so the a6 entry's hash check covers the whole facet end
+# to end: ingest persisted per-batch sketch rows, compaction REDUCED
+# them to one merged partition, and read_corpus_sketch serves that
+# stored state; the oracle re-derives the merged sketch from the raw
+# parquet alone.
+# ---------------------------------------------------------------------------
+
+SF_SKETCH_VERSION = 1
+
+
+def _sketch_tag() -> str:
+    from ..operators import dedup, sketches
+
+    return formula_tag(
+        batch_sketch_rows,
+        merge_sketch_rows,
+        sketches.hll_rank,
+        sketches.hll_registers,
+        sketches.bottomk_of_rows,
+        sketches.bottomk_rows,
+        dedup.normalize_text,
+    )
+
+
+def sf_sketch_lake_dir(sf_dir: str) -> Path:
+    return keyed_dir("signature_sketch_lake", SF_SKETCH_VERSION, sf_dir, _sketch_tag())
+
+
+def build_sf_sketch_lake(spark: SparkSession, sf_dir: str, out_dir: Path) -> None:
+    from ..io import table
+
+    docs = table(spark, sf_dir, "documents")
+    root = str(out_dir / "root")
+    ingest_signature_batch(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), root, "even"
+    )
+    ingest_signature_batch(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), root, "odd"
+    )
+    compact_signature_corpus(spark, root, min_batches=2)
+
+
+def sf_sketch_root(spark: SparkSession, sf_dir: str) -> str:
+    """Root of the materialized demo sketch lake, building on first use
+    (atomic, race-benign — jobs/_lake.py)."""
+    out = ensure_lake(
+        sf_sketch_lake_dir(sf_dir),
+        lambda tmp: build_sf_sketch_lake(spark, sf_dir, tmp),
+    )
+    return str(out / "root")
 
 
 def _retired_path(sig_root: str) -> str:
@@ -477,5 +682,9 @@ def _sweep_retired(sig_root: str, data_table: str = "signatures") -> None:
         )
         shutil.rmtree(
             os.path.join(sig_root, data_table, f"batch={b}"),
+            ignore_errors=True,
+        )
+        shutil.rmtree(
+            os.path.join(sig_root, SKETCH_TABLE, f"batch={b}"),
             ignore_errors=True,
         )

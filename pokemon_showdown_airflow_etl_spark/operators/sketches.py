@@ -344,27 +344,53 @@ def bottomk_sample(
     (never a global sort of the corpus). Only the k sampled values
     reach the driver (the codebook pattern). Returns the values sorted
     ascending."""
+    rows = bottomk_rows(df, key, value_col, k=k, n_shards=n_shards)
+    return sorted(float(r["v"]) for r in rows.select("v").collect())
+
+
+def bottomk_of_rows(rows: DataFrame, k: int, n_shards: int = 16) -> DataFrame:
+    """Bottom-``k`` of an (h, k, v) frame under the total order
+    (h asc, k asc, v asc) — the KMV merge step itself: because
+    bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B))
+    (property-tested in tests/test_hll_and_bigram.py), this one
+    function serves both the fresh sample (over per-row hashes) and
+    re-merging previously persisted bottom-k partitions (the lake
+    facet, jobs/doc_signature_lake.py::merge_sketch_rows). Two-phase
+    shard rank — never a global sort of the input."""
     from pyspark.sql.window import Window
 
-    keyed = df.select(
-        F.md5(key).alias("_h"),
-        key.cast("string").alias("_k"),
-        F.col(value_col).alias("_v"),
-    )
-    shard = F.conv(F.substring(F.md5("_h"), 1, 2), 16, 10).cast("int") % n_shards
-    order = [F.asc("_h"), F.asc("_k"), F.asc("_v")]
+    shard = F.conv(F.substring(F.md5("h"), 1, 2), 16, 10).cast("int") % n_shards
+    order = [F.asc("h"), F.asc("k"), F.asc("v")]
     w_shard = Window.partitionBy("_shard").orderBy(*order)
     w = Window.orderBy(*order)
-    rows = (
-        keyed.withColumn("_shard", shard)
+    return (
+        rows.withColumn("_shard", shard)
         .withColumn("_sr", F.row_number().over(w_shard))
         .filter(F.col("_sr") <= k)
         .withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= k)
-        .select("_v")
-        .collect()
+        .select("h", "k", "v")
     )
-    return sorted(float(r["_v"]) for r in rows)
+
+
+def bottomk_rows(
+    df: DataFrame,
+    key: Column,
+    value_col: str,
+    k: int = A5_SAMPLE_K,
+    n_shards: int = 16,
+) -> DataFrame:
+    """The KMV bottom-k ROWS (h = md5(key), k = key string, v = value)
+    as a DataFrame — the persistable form of :func:`bottomk_sample`
+    (which collects just the values): per-batch bottom-k rows stored
+    in a lake merge to the exact global sample via
+    :func:`bottomk_of_rows`."""
+    keyed = df.select(
+        F.md5(key).alias("h"),
+        key.cast("string").alias("k"),
+        F.col(value_col).alias("v"),
+    )
+    return bottomk_of_rows(keyed, k, n_shards=n_shards)
 
 
 def sampled_quantile_audit(

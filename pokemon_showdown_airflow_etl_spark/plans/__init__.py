@@ -27,7 +27,7 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # CORRECTNESS_r09 (50/50 green) the cumulative freshness is 50
 # r9-latest, 48 r8-latest, 48 r7-latest, 5 r6-latest. The r10 window:
 # the changed/new entries, then the five r6-latest carries owed since
-# r9, then 41 of the 48-name r7-latest block — seven spill to r11
+# r9, then 40 of the 48-name r7-latest block — eight spill to r11
 # (listed at the section (3) comment below; all were green in r7 and
 # are re-verified by every local parity sweep).
 # Rule refinement, applied this round: fail-loud guard additions
@@ -50,6 +50,8 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
     "m5_audio_frame_energy",  # r10: sample_rate emitted as an output column
     "m5b_audio_pcm_energy",  # r10 NEW: REAL windowed sum-of-squares energy
     #   over digest-seeded synthesized PCM
+    "a6_lake_sketch",  # r10 NEW: the signature lake's stored sketch facet
+    #   (ingest-persisted HLL registers + KMV bottom-k, compaction-merged)
     "a5_sampled_quantiles",  # r10: bottomk_sample's total order gained
     #   (key, value) tie-break legs — provably no-op on a5's unique PK
     #   key (re-verified bit-exact on a bare session), rotated anyway
@@ -59,6 +61,7 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
 _PRIORITY: list[str] = [
     # -- (1) every entry in CHANGED_SINCE_LAST_ROW, new first --
     "m5b_audio_pcm_energy",
+    "a6_lake_sketch",
     "t24_bpe_encode",
     "m5_audio_frame_energy",
     "a5_sampled_quantiles",
@@ -70,12 +73,12 @@ _PRIORITY: list[str] = [
     "u1_union_all",
     "u2_distinct_union",
     "w4_head_n",
-    # -- (3) 41 of the 48-name r7-latest block, oldest standing rows
-    # first; the seven short (b5_first_log_timestamp, c9_filename_to_id,
+    # -- (3) 40 of the 48-name r7-latest block, oldest standing rows
+    # first; the eight short (b5_first_log_timestamp, c9_filename_to_id,
     # t1_quality_features, t5_corpus_stats, t17_chunk_windows,
-    # u3_intersect, x2_salted_join — the block's lowest-risk plans)
-    # head the r11 window; the local parity sweep still re-verifies
-    # them every run at two SFs --
+    # t20_paragraph_dedup, u3_intersect, x2_salted_join — the block's
+    # lowest-risk plans) head the r11 window; the local parity sweep
+    # still re-verifies them every run at two SFs --
     "a1_approx_sketches",
     "a2_cms_heavy_hitters",
     "a3_mg_cms_heavy_hitters",
@@ -116,7 +119,6 @@ _PRIORITY: list[str] = [
     "t16_bm25_topk",
     "t18_scrub",
     "t19_hybrid_rrf",
-    "t20_paragraph_dedup",
     # ---- slot 50 boundary ----
 ]
 

@@ -704,3 +704,70 @@ def a5_sampled_quantiles(spark, sf_dir):
     return sampled_quantile_audit(
         li, key, "l_extendedprice", quantiles_bp=A5_QUANTILES_BP, k=A5_K
     )
+
+
+_A6_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@q(
+    "a6_lake_sketch",
+    f"""
+    SELECT 'hll' AS kind, CAST(reg AS BIGINT) AS reg,
+           CAST(NULL AS VARCHAR) AS hash_hex,
+           CAST(NULL AS VARCHAR) AS key_str,
+           CAST(mr AS BIGINT) AS v
+    FROM (
+        SELECT reg, max(least(rank, 40)) AS mr
+        FROM (
+            SELECT CAST(CAST('0x' || substr(h, 1, 2) AS INT) % 64 AS INT)
+                       AS reg,
+                   {_HLL_RANK_SQL} AS rank
+            FROM (
+                SELECT h, regexp_replace(substr(h, 3, 15), '^0*', '') AS nz
+                FROM (
+                    SELECT md5({_A6_NORM_SQL}) AS h FROM documents
+                    WHERE text IS NOT NULL
+                )
+            )
+        ) GROUP BY reg
+    )
+    UNION ALL
+    SELECT 'kmv' AS kind, CAST(NULL AS BIGINT) AS reg,
+           h AS hash_hex, k AS key_str, v
+    FROM (
+        SELECT h, k, v, row_number() OVER (ORDER BY h, k, v) AS r
+        FROM (
+            SELECT md5(CAST(doc_id AS VARCHAR)) AS h,
+                   CAST(doc_id AS VARCHAR) AS k,
+                   CAST(coalesce(length(text), 0) AS BIGINT) AS v
+            FROM documents
+        )
+    ) WHERE r <= 512
+    """,
+    doc="The STORED corpus sketch facet of the incremental signature "
+    "lake (jobs/doc_signature_lake.py::read_corpus_sketch over the "
+    "sf-keyed demo lake — documents ingested as two real batches, then "
+    "compacted): a4's HLL registers over normalized content merged by "
+    "max-per-register, a5's KMV bottom-k (doc-length values) merged by "
+    "bottom-k-of-union, both REDUCED to one partition by compaction. "
+    "The oracle re-derives the merged sketch from raw parquet alone, "
+    "so the hash check proves ingest-persist -> compaction-merge -> "
+    "read serve the exact from-scratch sketch (merge laws additionally "
+    "property-tested in tests/test_sketch_lake.py). At 100 TB this is "
+    "why the facet exists: corpus-wide distinct-content estimates and "
+    "length quantiles come from a few hundred stored rows per corpus — "
+    "no re-scan of the text, and tomorrow's batch folds in with a "
+    "64-row max and a bottom-k re-rank.",
+)
+def a6_lake_sketch(spark, sf_dir):
+    from ..jobs.doc_signature_lake import read_corpus_sketch, sf_sketch_root
+
+    root = sf_sketch_root(spark, sf_dir)
+    sk = read_corpus_sketch(spark, root)
+    return sk.select(
+        "kind",
+        F.col("reg").cast("long").alias("reg"),
+        F.col("h").alias("hash_hex"),
+        F.col("k").alias("key_str"),
+        F.col("v").cast("long").alias("v"),
+    )

@@ -736,3 +736,14 @@ def test_audio_kernels_single_crossing_no_shuffle(q):
         assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, name
         assert "Exchange" not in plan, f"{name} shuffles its fan-out"
         assert "CartesianProduct" not in plan, name
+
+
+def test_lake_sketch_read_is_bounded_merge(q):
+    """a6: serving the stored sketch is a <= (64 + k)-row merge — a
+    grouped max plus the two-phase bottom-k re-rank; no Python, no
+    cartesian, and the only joins/windows run over stored sketch rows,
+    never the corpus."""
+    plan = q("a6_lake_sketch")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_sr" in plan, "two-phase shard re-rank missing from KMV merge"
