@@ -169,6 +169,14 @@ def build_parser() -> argparse.ArgumentParser:
     csig.add_argument("--sig-root", required=True, help="signature corpus root dir")
     csig.add_argument("--min-batches", type=int, default=8)
 
+    skst = sub.add_parser(
+        "sketch-stats",
+        help="corpus-wide stats from the signature lake's STORED sketch "
+        "facet (HLL distinct-content estimate + doc-length quantiles) — "
+        "served from a few hundred persisted rows, no corpus scan",
+    )
+    skst.add_argument("--sig-root", required=True, help="signature corpus root dir")
+
     iei = sub.add_parser(
         "init-embedding-index",
         help="train the IVF quantizer on a seed corpus and commit it as "
@@ -423,6 +431,14 @@ def main(argv: list[str] | None = None) -> int:
                 sort_keys=True,
             )
         )
+        return 0
+
+    if args.cmd == "sketch-stats":
+        from .jobs.doc_signature_lake import corpus_sketch_stats
+        from .session import get_spark
+
+        spark = get_spark(app_name="etl-sketch-stats", master=args.master)
+        print(json.dumps(corpus_sketch_stats(spark, args.sig_root), sort_keys=True))
         return 0
 
     if args.cmd == "init-embedding-index":

@@ -580,6 +580,51 @@ def compact_signature_corpus(
     }
 
 
+def corpus_sketch_stats(
+    spark: SparkSession,
+    sig_root: str,
+    quantiles_bp: tuple[int, ...] = (2500, 5000, 9000, 9900),
+) -> dict:
+    """The number a corpus operator actually asks the sketch facet for
+    (counts only, the O5 rule): the HLL distinct-content estimate and
+    nearest-rank doc-length quantiles, served entirely from the stored
+    sketch rows — the corpus text is never touched. Returns zeros/empty
+    when no sketch is committed."""
+    from ..operators.sketches import hll_summary_of_registers
+    from ..pinning import pin
+
+    sk = read_corpus_sketch(spark, sig_root)
+    if sk is None:
+        return {
+            "has_sketch": False,
+            "distinct_content_est_milli": 0,
+            "s_sum": 0,
+            "v_zero": 0,
+            "n_kmv_sample": 0,
+            "len_quantiles_bp": {},
+        }
+    sk = pin(sk)
+    regs = sk.filter(F.col("kind") == "hll").select(
+        F.col("reg").cast("int").alias("reg"),
+        F.col("v").cast("int").alias("max_rank"),
+    )
+    summ = hll_summary_of_registers(regs).collect()[0]
+    vals = sorted(
+        int(r["v"])
+        for r in sk.filter(F.col("kind") == "kmv").select("v").collect()
+    )
+    return {
+        "has_sketch": True,
+        "distinct_content_est_milli": int(summ["est_milli"]),
+        "s_sum": int(summ["s_sum"]),
+        "v_zero": int(summ["v_zero"]),
+        "n_kmv_sample": len(vals),
+        "len_quantiles_bp": {
+            str(q): vals[(q * (len(vals) - 1)) // 10000] for q in quantiles_bp
+        },
+    }
+
+
 # ---------------------------------------------------------------------------
 # sf-keyed DEMO sketch lake (catalog a6): the sf documents table pushed
 # through the REAL incremental protocol — two ingest batches, then one

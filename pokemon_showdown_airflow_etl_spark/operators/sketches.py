@@ -294,7 +294,14 @@ def hll_summary(df: DataFrame, key: Column) -> DataFrame:
     raw <= 2.5m and V > 0. S and V hash-check exactly; the estimate is
     emitted in milli-units (one division + one ln — far coarser than
     any cross-libm ulp)."""
-    regs = hll_registers(df, key)
+    return hll_summary_of_registers(hll_registers(df, key))
+
+
+def hll_summary_of_registers(regs: DataFrame) -> DataFrame:
+    """:func:`hll_summary` over an ALREADY-BUILT (reg, max_rank) frame —
+    the serving path for registers persisted by the signature lake's
+    sketch facet (jobs/doc_signature_lake.py): merged stored registers
+    estimate the corpus cardinality without touching the corpus."""
     m = HLL_M
     cap = HLL_RANK_CAP
     summ = regs.agg(

@@ -114,3 +114,28 @@ def test_sketch_covers_considered_docs_not_just_survivors(spark, tmp_path):
     assert _rows(merged) == _rows(scratch)
     # the KMV leg saw all 50 considered docs
     assert merged.filter(F.col("kind") == "kmv").count() == 50
+
+
+def test_corpus_sketch_stats_serves_estimates_from_stored_rows(spark, tmp_path):
+    """The operational read (cli sketch-stats): distinct-content
+    estimate within HLL error of the true count, and — because the
+    corpus is smaller than k — EXACT nearest-rank length quantiles."""
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        corpus_sketch_stats,
+    )
+
+    root = str(tmp_path / "sig")
+    assert corpus_sketch_stats(spark, root)["has_sketch"] is False
+
+    docs = _docs(spark, 0, 60).unionAll(_docs(spark, 60, 100, salt="y"))
+    ingest_signature_batch(spark, docs.filter("doc_id < 50"), root, "d1")
+    ingest_signature_batch(spark, docs.filter("doc_id >= 50"), root, "d2")
+    st = corpus_sketch_stats(spark, root)
+    assert st["has_sketch"] and st["n_kmv_sample"] == 100
+    est = st["distinct_content_est_milli"] / 1000.0
+    assert abs(est - 100) / 100 < 0.45, f"HLL estimate {est} too far from 100"
+    lens = sorted(
+        len(r["text"]) for r in docs.select("text").collect()
+    )
+    for q_bp, got in st["len_quantiles_bp"].items():
+        assert got == lens[(int(q_bp) * 99) // 10000]
