@@ -154,3 +154,31 @@ def test_segmentation_is_lossless_and_deterministic(spark):
     for r in rows:
         assert r["_s1"].replace(" ", "") == r["tok"], "lossless"
         assert r["_s2"] == r["_s1"], "fixpoint: re-segmenting is stable"
+
+
+def test_greedy_semantics_match_reference_on_random_runs(spark):
+    """Randomized sweep of the ADVICE-r9 fix: corpora drawn from a
+    run-heavy alphabet (repeated-symbol runs are exactly where the old
+    two-pass convention diverged) must train the same merge table AND
+    segment every word identically to the canonical greedy reference."""
+    import random
+    from collections import Counter
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("aab") for _ in range(rng.randint(1, 10)))
+            for _ in range(40)
+        ] + ["aaaaa", "aaaaaa", "aaaaaaa", "ababab"]
+        freq = Counter(words)
+        want_merges, want_segs = _reference_bpe(freq, 4)
+        df = _docs(spark, [(1, " ".join(words))])
+        merges = bpe_train(df, "text", n_merges=4, max_word_types=64)
+        assert merges == want_merges, f"seed {seed}"
+        seg = (
+            spark.createDataFrame([(w,) for w in freq], "tok string")
+            .select("tok", bpe_segment(F.col("tok"), merges).alias("seg"))
+            .collect()
+        )
+        got = {r["tok"]: r["seg"].split(" ") for r in seg}
+        assert got == want_segs, f"seed {seed}"

@@ -338,6 +338,56 @@ def main() -> None:
         "sample_rows_both": 256,
     }
 
+    # m5b: the REAL windowed-energy kernel — cost grows with the frame
+    # fan-out (output rows), linear in samples, never superlinear
+    from pokemon_showdown_airflow_etl_spark.operators.multimodal import (
+        audio_pcm_frame_energy,
+    )
+
+    def pcm_assets(d):
+        return d.select(
+            F.col("doc_id").cast("string").alias("asset_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+
+    t1 = best_of(
+        lambda: audio_pcm_frame_energy(pcm_assets(docs1))
+        .write.format("noop").mode("overwrite").save()
+    )
+    tk = best_of(
+        lambda: audio_pcm_frame_energy(pcm_assets(docsk))
+        .write.format("noop").mode("overwrite").save()
+    )
+    out["m5b_pcm_energy"] = {"t_1x": t1, f"t_{k}x": tk, "growth": round(tk / t1, 2)}
+
+    # a6 read path: the stored-sketch merge is over BOUNDED rows (64 +
+    # kmv_k per batch), so serving cost is flat in corpus size — probe
+    # the merge itself over 1 vs k per-batch sketch row sets
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        batch_sketch_rows,
+        merge_sketch_rows,
+    )
+
+    sk1 = batch_sketch_rows(docs1).localCheckpoint(eager=True)
+    skk_parts = [batch_sketch_rows(docs1) for _ in range(k)]
+    skk = skk_parts[0]
+    for p in skk_parts[1:]:
+        skk = skk.unionByName(p)
+    skk = skk.localCheckpoint(eager=True)
+    t1 = best_of(
+        lambda: merge_sketch_rows(sk1).write.format("noop").mode("overwrite").save()
+    )
+    tk = best_of(
+        lambda: merge_sketch_rows(skk).write.format("noop").mode("overwrite").save()
+    )
+    out["a6_sketch_merge"] = {
+        "t_1x": t1,
+        f"t_{k}x_batches": tk,
+        "growth": round(tk / t1, 2),
+        "rows_merged_1x": sk1.count(),
+        f"rows_merged_{k}x": skk.count(),
+    }
+
     print(json.dumps({"sf_dir": sf_dir, "k": k, "probes": out}))
     spark.stop()
 
