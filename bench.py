@@ -532,16 +532,19 @@ def _commit_artifacts(repo: str) -> None:
             cwd=repo, check=True, capture_output=True, timeout=30,
         )
         staged = subprocess.run(
-            ["git", "diff", "--cached", "--quiet"],
+            ["git", "diff", "--cached", "--quiet", "--"] + paths,
             cwd=repo, capture_output=True, timeout=30,
         )
         if staged.returncode != 0:
+            # pathspec-scoped commit: ONLY the evidence files land, even
+            # if unrelated work happens to be sitting in the index
             subprocess.run(
                 [
                     "git", "commit", "-q",
                     "-m", "Record bench/correctness evidence artifacts",
                     "-m", "No-Verification-Needed: evidence-file sync from the bench step",
-                ],
+                    "--",
+                ] + paths,
                 cwd=repo, check=True, capture_output=True, timeout=30,
             )
     except Exception:
