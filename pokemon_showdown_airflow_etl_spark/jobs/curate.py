@@ -300,16 +300,21 @@ def curate_corpus(
     n_ppl_cut_high = 0
     ppl_band_micro: list[int] = []
     n_after_perplexity = n_after_quality
-    if perplexity_band is not None and n_after_quality > 0:
-        from ..operators.sketches import bottomk_sample
-        from ..operators.text import bigram_logprob
-
+    if perplexity_band is not None:
+        # validate BEFORE the survivor-count gate: a malformed band must
+        # fail on an empty/filtered smoke slice exactly as it would on
+        # real data, not return a false green
         lo_q, hi_q = perplexity_band
         if not (0.0 <= lo_q < hi_q <= 1.0):
             raise ValueError(
                 f"perplexity_band must be quantiles with 0 <= low < "
                 f"high <= 1; got {perplexity_band!r}"
             )
+    if perplexity_band is not None and n_after_quality > 0:
+        from ..operators.sketches import bottomk_sample
+        from ..operators.text import bigram_logprob
+
+        lo_q, hi_q = perplexity_band
         curated = pin(curated)
         scored = pin(bigram_logprob(curated, "doc_id", "text"))
         judged = scored.filter(F.col("n_bigrams") > 0)

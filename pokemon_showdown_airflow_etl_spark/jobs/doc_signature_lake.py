@@ -360,9 +360,14 @@ def ingest_signature_batch(
 
     # id-dedupe first: a drop carrying the same doc id twice (re-sent
     # row in an at-least-once feed) must produce ONE signature row per
-    # accepted doc, not two riding into the corpus
-    fresh_docs = new_docs.dropDuplicates([id_col]).join(
-        fresh_ids.withColumnRenamed("doc", id_col), id_col
+    # accepted doc, not two riding into the corpus. Pinned: three
+    # consumers derive from it — the signature lineage and BOTH legs
+    # (HLL + KMV) of the sketch facet's union — so unpinned the
+    # scan + dedupe + members anti-join would run three times
+    fresh_docs = pin(
+        new_docs.dropDuplicates([id_col]).join(
+            fresh_ids.withColumnRenamed("doc", id_col), id_col
+        )
     )
     # pinned: the signature lineage (members anti-join + tokenize +
     # shingle + 8 MinHashes) feeds the band frame, the shingle-verify
@@ -619,9 +624,14 @@ def corpus_sketch_stats(
         "s_sum": int(summ["s_sum"]),
         "v_zero": int(summ["v_zero"]),
         "n_kmv_sample": len(vals),
-        "len_quantiles_bp": {
-            str(q): vals[(q * (len(vals) - 1)) // 10000] for q in quantiles_bp
-        },
+        # an empty KMV leg (conceivable only on a hand-built sketch —
+        # ingest always has considered docs) degrades to no quantiles
+        # rather than indexing vals[-1] on an empty list
+        "len_quantiles_bp": (
+            {str(q): vals[(q * (len(vals) - 1)) // 10000] for q in quantiles_bp}
+            if vals
+            else {}
+        ),
     }
 
 

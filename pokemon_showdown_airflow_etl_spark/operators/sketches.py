@@ -301,12 +301,19 @@ def hll_summary_of_registers(regs: DataFrame) -> DataFrame:
     """:func:`hll_summary` over an ALREADY-BUILT (reg, max_rank) frame —
     the serving path for registers persisted by the signature lake's
     sketch facet (jobs/doc_signature_lake.py): merged stored registers
-    estimate the corpus cardinality without touching the corpus."""
+    estimate the corpus cardinality without touching the corpus.
+    An EMPTY register frame (nothing hashed — e.g. a lake of all-null
+    texts) is a valid zero sketch, not an error: the sum coalesces to
+    0 so S = m * 2^cap and V = m, which the linear-counting branch
+    maps to estimate 0."""
     m = HLL_M
     cap = HLL_RANK_CAP
     summ = regs.agg(
         (
-            F.sum(F.pow(F.lit(2.0), F.lit(cap) - F.col("max_rank")).cast("long"))
+            F.coalesce(
+                F.sum(F.pow(F.lit(2.0), F.lit(cap) - F.col("max_rank")).cast("long")),
+                F.lit(0).cast("long"),
+            )
             + (F.lit(m) - F.count("*")) * F.lit(2**cap)
         ).cast("long").alias("s_sum"),
         (F.lit(m) - F.count("*")).cast("long").alias("v_zero"),

@@ -57,6 +57,18 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
     #   key (re-verified bit-exact on a bare session), rotated anyway
     #   since the ordering expression itself changed
 ]
+# Rule-refinement applications this round (the r9 convention: changes
+# that are output-identical on the driver corpus AND re-verified
+# bit-exact on a bare session do not evict r7 rotation slots):
+#  - a4_hll_distinct: hll_summary split into a pure delegation to
+#    hll_summary_of_registers (identical expressions, extracted so the
+#    lake facet can serve persisted registers); the later empty-frame
+#    coalesce only changes the zero-row input no corpus produces.
+#  - s14_pq_codes / s20_lake_pq_search: build_pq_layer gained the
+#    between-renames crash recovery — filesystem control flow that is
+#    a no-op unless crash residue exists; no data-path expression
+#    changed. All three re-verified by the full both-SF raw sweeps run
+#    after the edits (153/153 bit-exact at sf0.01 and sf0.1).
 
 _PRIORITY: list[str] = [
     # -- (1) every entry in CHANGED_SINCE_LAST_ROW, new first --

@@ -487,3 +487,21 @@ def test_curate_perplexity_band_cuts_both_tails(spark, tmp_path):
         spark, src, out3, min_quality=0.0, perplexity_band=(0.05, 0.9)
     )
     assert stats3 == stats
+
+
+def test_curate_rejects_malformed_perplexity_band_even_on_empty_slice(
+    spark, tmp_path
+):
+    """A malformed band must fail on an empty/filtered smoke slice
+    exactly as it would on real data — never a false green."""
+    import pytest
+
+    src, out = str(tmp_path / "raw"), str(tmp_path / "c")
+    # every doc falls below the quality floor -> zero survivors
+    spark.createDataFrame(
+        [(1, "x", "en", "s")], "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("long")).write.parquet(src)
+    with pytest.raises(ValueError, match="perplexity_band"):
+        curate_corpus(
+            spark, src, out, min_quality=0.99, perplexity_band=(0.9, 0.2)
+        )

@@ -213,3 +213,21 @@ def test_sampled_quantile_audit_rejects_short_input(spark):
     df = spark.createDataFrame([(f"k{i}", float(i)) for i in range(10)], "k string, v double")
     with pytest.raises(ValueError, match="fixed-k rank arithmetic"):
         sampled_quantile_audit(df, F.col("k"), "v", k=64)
+
+
+def test_hll_summary_of_empty_registers_is_a_zero_sketch(spark):
+    """An empty register frame (nothing hashed — a lake of all-null
+    texts) is a valid ZERO sketch: S = m*2^cap, V = m, estimate 0 via
+    the linear-counting branch — not a NULL that crashes the stats
+    reader downstream."""
+    from pokemon_showdown_airflow_etl_spark.operators.sketches import (
+        HLL_M,
+        HLL_RANK_CAP,
+        hll_summary_of_registers,
+    )
+
+    empty = spark.createDataFrame([], "reg int, max_rank int")
+    row = hll_summary_of_registers(empty).collect()[0]
+    assert row["s_sum"] == HLL_M * 2**HLL_RANK_CAP
+    assert row["v_zero"] == HLL_M
+    assert row["est_milli"] == 0
