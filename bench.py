@@ -152,6 +152,11 @@ def main() -> None:
         "hand-rerunning — VERDICT r5 item 8)",
     )
     args = ap.parse_args()
+    # start-of-run evidence sweep (VERDICT r10 item 2): the driver
+    # stamps BENCH_rNN.json after the previous bench run exited, so
+    # the prior round always ends with one untracked straggler — commit
+    # it before this run does anything else
+    _commit_artifacts(os.path.dirname(os.path.abspath(__file__)))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     spark = _SPARK = get_spark(
         app_name="bench",
@@ -234,14 +239,32 @@ def main() -> None:
     # scheduler/GC noise at this scale (measured swings of 2-3x on
     # window-heavy queries when a previous query's garbage is still
     # being collected), which is the same order as real plan changes.
+    # Alternate sweep order between passes (forward, reverse, forward,
+    # ...): with a fixed order an entry always runs in the same JVM
+    # state (same predecessor's garbage, same broadcast residue), so a
+    # *positional* cost looks like a *per-entry* cost and min-of-N
+    # can't cancel it — the s-family's ±30% round-over-round swing on
+    # untouched code (VERDICT r10 item 6). The recorded spread makes
+    # the remaining noise floor explicit per entry.
     times: dict[str, float] = {}
-    for _ in range(args.repeat):
-        for name in HEADLINE:
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for rep in range(args.repeat):
+        order = HEADLINE if rep % 2 == 0 else list(reversed(HEADLINE))
+        for name in order:
             t0 = time.perf_counter()
             _run(name)
             dt = round(time.perf_counter() - t0, 3)
+            samples[name].append(dt)
             if name not in times or dt < times[name]:
                 times[name] = dt
+    # per-entry repeat spread (max-min)/min, in percent — the documented
+    # noise band: a round-over-round delta on an UNTOUCHED entry smaller
+    # than its own recorded spread is instrument noise, not a regression
+    spread_pct = {
+        name: round(100.0 * (max(s) - min(s)) / min(s), 1)
+        for name, s in samples.items()
+        if s and min(s) > 0
+    }
 
     # End-to-end ETL throughput (discover -> download -> retry -> compact
     # against the deterministic fake API over a tmp lake). Reported as a
@@ -320,6 +343,12 @@ def main() -> None:
         "docs_per_sec": round(n_drop / best, 1),
         "n_accepted": stats_ing["n_accepted"],
         "n_dup_of_corpus": stats_ing["n_dup_of_corpus"],
+        # r10 added the stored sketch facet to every ingest batch (two
+        # bounded aggregations + one small partition write), so this
+        # number is NOT comparable to pre-r10 rounds (894 -> ~750 at
+        # bench scale, where the constant cost looms; it amortizes at
+        # production batch sizes) — VERDICT r10 item 8
+        "includes_sketch_facet": True,
     }
 
     # Incremental SEMANTIC admission throughput (s11's production
@@ -429,6 +458,11 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        # per-entry repeat noise band, percent (max-min)/min across the
+        # interleaved passes — compare a round-over-round delta on an
+        # untouched entry against ITS OWN band before calling it a
+        # regression (VERDICT r10 item 6)
+        "query_spread_pct": spread_pct,
         "pipeline": pipe,
         "streaming": streaming,
         "curate": curate,
@@ -516,7 +550,14 @@ def _commit_artifacts(repo: str) -> None:
     'fold the commit into the bench-recording step itself so the miss
     can't recur'). Only the evidence pathspecs are staged — never code
     or other working-tree changes — and every step is best-effort:
-    bench output must not fail because git did."""
+    bench output must not fail because git did, but a skipped commit
+    is WARNED to stderr (ADVICE r10: a bare pass here silently
+    recreated the exact miss this helper exists to prevent).
+
+    Called at bench START as well as end (VERDICT r10 item 2): the
+    driver stamps BENCH_rNN.json AFTER bench.py exits, so the end-of-
+    run sweep always misses the round stamp — the start-of-run sweep
+    commits the PRIOR round's straggler, keeping the tree clean."""
     import glob as _glob
     import subprocess
 
@@ -547,8 +588,12 @@ def _commit_artifacts(repo: str) -> None:
                 ] + paths,
                 cwd=repo, check=True, capture_output=True, timeout=30,
             )
-    except Exception:
-        pass
+    except Exception as exc:
+        print(
+            f"WARNING: evidence-artifact commit skipped ({exc!r}) — "
+            "BENCH_*/CORRECTNESS_* may be sitting uncommitted",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

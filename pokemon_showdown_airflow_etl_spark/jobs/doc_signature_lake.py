@@ -249,7 +249,16 @@ def merge_sketch_rows(rows: DataFrame, k: int = SKETCH_KMV_K) -> DataFrame:
     the same (kind, reg, h, k, v) shape: max per HLL register,
     bottom-k of the KMV rows under their total order. Merging is
     associative and idempotent, so merged-then-stored partitions merge
-    again with fresh batches — read path and compaction share this."""
+    again with fresh batches — read path and compaction share this.
+
+    The KMV leg dedupes identical (h, k, v) rows BEFORE ranking: a KMV
+    sample is a set of distinct keys, but the same key can arrive
+    twice — the same doc considered in two ingest batches, or (the
+    compaction crash window) a consolidated partition's rows read
+    alongside the not-yet-removed partitions it replaced. Without the
+    dedupe those duplicates each hold a rank and the sample degenerates
+    to ~bottom-k/2-each-twice, skewing the served quantiles; HLL is
+    already idempotent under max so only the KMV leg needs it."""
     from ..operators.sketches import bottomk_of_rows
 
     null_s = F.lit(None).cast("string")
@@ -266,7 +275,10 @@ def merge_sketch_rows(rows: DataFrame, k: int = SKETCH_KMV_K) -> DataFrame:
         )
     )
     kmv = bottomk_of_rows(
-        rows.filter(F.col("kind") == "kmv").select("h", "k", "v"), k
+        rows.filter(F.col("kind") == "kmv")
+        .select("h", "k", "v")
+        .dropDuplicates(["h", "k", "v"]),
+        k,
     ).select(
         F.lit("kmv").alias("kind"),
         F.lit(None).cast("long").alias("reg"),

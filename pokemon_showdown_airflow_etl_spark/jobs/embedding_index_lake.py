@@ -738,6 +738,11 @@ def build_pq_layer(
     untouched; a crash BETWEEN the two renames (no serving dir, snapshot
     parked in old/) is healed on the next build by restoring old/ before
     residue cleanup (both crash-injection tested in tests/test_pq.py).
+    SINGLE-WRITER per index_root: the fixed .staging/.old sibling names
+    are swept as crash residue, so concurrent builds on the same root
+    would delete each other's in-flight state — serialize via the
+    orchestrator (jobs/tokenize.py::tokenize_corpus shares this
+    convention and its caveat).
 
     Returns counts only: n_vectors, n_sub, n_codes, refreshed.
     """

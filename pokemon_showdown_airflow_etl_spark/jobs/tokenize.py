@@ -60,7 +60,16 @@ def tokenize_corpus(
     text_col: str = "text",
 ) -> dict:
     """Returns counts only (the O5 XCom rule): n_docs, n_tokens, and
-    per-mode vocabulary stats."""
+    per-mode vocabulary stats.
+
+    SINGLE-WRITER per ``output_dir``, like every maintenance job here
+    (and build_pq_layer, which shares the swap protocol): the staged
+    swap uses the fixed sibling names ``<out>.staging`` / ``<out>.old``
+    and sweeps them as crash residue, so two concurrent runs on the
+    same output_dir would delete each other's in-flight staging or
+    parked snapshot. Serialize via the orchestrator (the DAGs already
+    run one tokenize task per corpus); concurrency across DIFFERENT
+    output_dirs is fine."""
     from ..operators.text import (
         bpe_encode,
         bpe_subwords,

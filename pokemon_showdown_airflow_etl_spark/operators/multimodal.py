@@ -370,9 +370,12 @@ def audio_frame_energy(
     """
     import hashlib
 
+    # null payloads (e.g. a null text encoded upstream) have no frames
+    # and would TypeError inside bytes(p); filter at the scan so the
+    # pushdown reaches parquet, matching hll_registers' null handling
     pruned = df.select(
         F.col(id_col).alias("asset_id"), F.col(payload_col).alias("payload")
-    )
+    ).filter(F.col("payload").isNotNull())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -476,9 +479,11 @@ def audio_pcm_frame_energy(
     """
     import hashlib
 
+    # same null-payload guard as audio_frame_energy: no payload, no
+    # frames — and bytes(None) must never reach the Arrow kernel
     pruned = df.select(
         F.col(id_col).alias("asset_id"), F.col(payload_col).alias("payload")
-    )
+    ).filter(F.col("payload").isNotNull())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -20,24 +20,21 @@ from __future__ import annotations
 from .base import Query
 from . import relational, joins, llm, battlelog, extras, tpch
 
-# Front of the driver's 50-query window, round 10. Rotation rule
+# Front of the driver's 50-query window, round 11. Rotation rule
 # (VERDICT r3, made standing by r4 item 1): (1) every entry whose code
 # changed after its latest driver row (= CHANGED_SINCE_LAST_ROW), then
 # (2) the entries with the OLDEST standing rows, oldest first. After
-# CORRECTNESS_r09 (50/50 green) the cumulative freshness is 50
-# r9-latest, 48 r8-latest, 48 r7-latest, 5 r6-latest. The r10 window:
-# the changed/new entries, then the five r6-latest carries owed since
-# r9, then 40 of the 48-name r7-latest block — eight spill to r11
-# (listed at the section (3) comment below; all were green in r7 and
-# are re-verified by every local parity sweep).
-# Rule refinement, applied this round: fail-loud guard additions
-# on paths PROVEN unreachable for the driver corpus (sign_sketch's
-# dim-64 raise, brute-force's zero-norm raise — tests pin both) and
-# defaulted-no-op signature extensions (perm=None threading through
-# the PQ kernels) do NOT rotate their entries; the affected entries
-# (s1, s13, s15-s19) were re-verified bit-exact against their oracles
-# on a bare session before commit, and the local parity gate sweeps
-# everything each run regardless.
+# CORRECTNESS_r10 (50/50 green) the cumulative freshness is 50
+# r10-latest, 47 r9-latest, 48 r8-latest, 8 r7-latest. The r11 window
+# (VERDICT r10 item 1): the changed/new entries, then the three
+# rule-refinement entries whose code changed after their latest row
+# without rotating in r10 (a4 hll_summary split, s14/s20 perm threading
+# + crash recovery — re-greening them retires the refinement debt),
+# then the eight r7-latest spills, then 33 of the 48-name r8-latest
+# block — 15 spill to r12 (listed at the section (4) comment below; all
+# were green in r8 and are re-verified by every local parity sweep).
+# After CORRECTNESS_r11 no entry's latest driver row predates r8 and no
+# changed-since-row entry remains.
 # Entries whose implementation changed since their latest driver row —
 # maintained by hand when editing query code, cleared when the next
 # CORRECTNESS file greens them. tests/test_driver_window.py asserts
@@ -45,92 +42,83 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # changed query can no longer coast on a stale green row (the t8/g16/s6
 # gap VERDICT r3 flagged).
 CHANGED_SINCE_LAST_ROW: list[str] = [
-    "t24_bpe_encode",  # r10: merge application made canonically greedy
-    #   (double-space replace encoding; runs >= 5 now match Sennrich)
-    "m5_audio_frame_energy",  # r10: sample_rate emitted as an output column
-    "m5b_audio_pcm_energy",  # r10 NEW: REAL windowed sum-of-squares energy
-    #   over digest-seeded synthesized PCM
-    "a6_lake_sketch",  # r10 NEW: the signature lake's stored sketch facet
-    #   (ingest-persisted HLL registers + KMV bottom-k, compaction-merged)
-    "a5_sampled_quantiles",  # r10: bottomk_sample's total order gained
-    #   (key, value) tie-break legs — provably no-op on a5's unique PK
-    #   key (re-verified bit-exact on a bare session), rotated anyway
-    #   since the ordering expression itself changed
+    "a6_lake_sketch",  # r11: merge_sketch_rows dedupes identical KMV
+    #   (h,k,v) rows before ranking (ADVICE r10: compaction crash-window
+    #   reads saw each row twice) — a no-op for a6's disjoint demo
+    #   batches, rotated because the merge expression changed
+    "m5b_audio_pcm_energy",  # r11: null-payload guard at the pruned
+    #   select + text IS NOT NULL in the oracle (ADVICE r10)
+    "m5_audio_frame_energy",  # r11: same null-payload guard as m5b
 ]
-# Rule-refinement applications this round (the r9 convention: changes
-# that are output-identical on the driver corpus AND re-verified
-# bit-exact on a bare session do not evict r7 rotation slots):
-#  - a4_hll_distinct: hll_summary split into a pure delegation to
-#    hll_summary_of_registers (identical expressions, extracted so the
-#    lake facet can serve persisted registers); the later empty-frame
-#    coalesce only changes the zero-row input no corpus produces.
-#  - s14_pq_codes / s20_lake_pq_search: build_pq_layer gained the
-#    between-renames crash recovery — filesystem control flow that is
-#    a no-op unless crash residue exists; no data-path expression
-#    changed. All three re-verified by the full both-SF raw sweeps run
-#    after the edits (153/153 bit-exact at sf0.01 and sf0.1).
 
 _PRIORITY: list[str] = [
     # -- (1) every entry in CHANGED_SINCE_LAST_ROW, new first --
-    "m5b_audio_pcm_energy",
     "a6_lake_sketch",
-    "t24_bpe_encode",
+    "m5b_audio_pcm_energy",
     "m5_audio_frame_energy",
-    "a5_sampled_quantiles",
-    # -- (2) the five r6-latest carries, owed since r9 (VERDICT r9
-    # item 2: after CORRECTNESS_r10 no entry's latest driver row may
-    # predate r7) --
-    "c13_bool_coercion",
-    "g9_table_count",
-    "u1_union_all",
-    "u2_distinct_union",
-    "w4_head_n",
-    # -- (3) 40 of the 48-name r7-latest block, oldest standing rows
-    # first; the eight short (b5_first_log_timestamp, c9_filename_to_id,
-    # t1_quality_features, t5_corpus_stats, t17_chunk_windows,
-    # t20_paragraph_dedup, u3_intersect, x2_salted_join — the block's
-    # lowest-risk plans) head the r11 window; the local parity sweep
-    # still re-verifies them every run at two SFs --
-    "a1_approx_sketches",
-    "a2_cms_heavy_hitters",
-    "a3_mg_cms_heavy_hitters",
-    "b1_log_command_histogram",
-    "b2_battle_event_times",
-    "b3_player_win_rates",
-    "b4_move_usage",
-    "b6_event_gaps",
-    "b7_move_ranks",
-    "b8_head_to_head",
-    "d1_exact_dedup",
-    "d2_ngram_jaccard_pairs",
-    "d3_minhash_lsh_candidates",
-    "d4_simhash_fingerprint",
-    "d5_simhash_near_dups",
-    "d7_lsh_verified_dups",
-    "d8_dup_clusters",
-    "d9_incremental_dedup",
-    "g16_funnel",
-    "g17_rolling_7day",
-    "j10_asof_last_click",
-    "j11_range_follow_events",
-    "j12_asof_last_click_sliced",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q20_excess_suppliers",
-    "s3_embedding_near_dups",
-    "s6_embedding_outliers",
-    "s8_int8_quant",
-    "s9_embedding_dup_clusters",
-    "s10_mmr_rerank",
-    "t8_tfidf_top_terms",
-    "t14_unigram_logprob",
-    "t16_bm25_topk",
-    "t18_scrub",
-    "t19_hybrid_rrf",
+    # -- (2) the r10 rule-refinement trio: output-identical changes
+    # (verified on a bare session) that skipped rotation under the
+    # documented convention; VERDICT r10 item 1 asks for the hard
+    # driver signal anyway --
+    "a4_hll_distinct",
+    "s14_pq_codes",
+    "s20_lake_pq_search",
+    # -- (3) the eight r7-latest spills owed since r10 --
+    "b5_first_log_timestamp",
+    "c9_filename_to_id",
+    "t1_quality_features",
+    "t5_corpus_stats",
+    "t17_chunk_windows",
+    "t20_paragraph_dedup",
+    "u3_intersect",
+    "x2_salted_join",
+    # -- (4) 33 of the 48-name r8-latest block; the 15 spilling to r12:
+    # s7_ivf_kmeans_quality, t10_repetition_ratio, t11_pack_sequences,
+    # t21_domain_mixture, t2_lang_id, t3_token_counts, t4_fingerprint,
+    # t6_token_explode, t7_quality_score, t9_decontaminate, u4_except,
+    # w2_keyset_pagination, w3_sorted_dates, w5_session_windows,
+    # x1_salted_agg (all green in r8; the local parity sweep still
+    # re-verifies them every run at two SFs) --
+    "c11_mtime_fallback",
+    "d6_drop_exact_dups",
+    "g12_event_pivot",
+    "g13_event_unpivot",
+    "g14_value_histogram",
+    "g15_retention_cohorts",
+    "g8_retry_counters",
+    "j9_above_customer_avg",
+    "m1_payload_metadata",
+    "m2_image_decode_features",
+    "m3_frame_sample_plan",
+    "m4_image_resize",
+    "q10_returned_items",
+    "q18_top_customers",
+    "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "s11_embed_admit_batch",
+    "s12_reindexed_admit_batch",
+    "s13_ann_recall_audit",
+    "s15_pq_adc_topk",
+    "s16_hamming_topk",
+    "s17_ivfpq_topk",
+    "s18_compression_recall_audit",
+    "s19_pq_train_quality",
+    "s1_similarity_topk",
+    "s2_ann_srp_topk",
+    "s4_ivf_ann_topk",
+    "s5_gemm_ann_topk",
+    # three head slots are reserved for this round's planned new
+    # entries (t26 stored-LM NLL, a7 lake CMS, s22 OPQ-served search);
+    # as each lands it is inserted in section (1) and the tail of this
+    # block yields its slot to keep the window at exactly 50
+    "s7_ivf_kmeans_quality",
+    "t10_repetition_ratio",
+    "t11_pack_sequences",
     # ---- slot 50 boundary ----
 ]
 

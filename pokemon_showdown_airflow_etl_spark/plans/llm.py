@@ -654,6 +654,7 @@ from ..operators.multimodal import PCM_MULT as PCM_MULT_SQL  # noqa: E402
                1000 + CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT)
                    AS n_samples
         FROM documents
+        WHERE text IS NOT NULL
     ), f AS (
         SELECT asset_id, cmd5, n_samples,
                (n_samples - {M5_FRAME}) // {M5_HOP} + 1 AS n_frames
@@ -707,6 +708,7 @@ def m5_audio_frame_energy(spark, sf_dir):
                1000 + CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT)
                    AS n_samples
         FROM documents
+        WHERE text IS NOT NULL
     ), f AS (
         SELECT asset_id, seed, n_samples,
                (n_samples - {M5_FRAME}) // {M5_HOP} + 1 AS n_frames

@@ -97,3 +97,17 @@ def test_audio_pcm_energy_skips_assets_too_short_for_one_frame(spark):
         for i, p in enumerate(payloads)
         if _fake_audio_decode(p)[1] >= frame
     }
+
+
+def test_audio_energy_kernels_drop_null_payloads(spark):
+    """A null payload (e.g. a null text encoded upstream) has no frames
+    and must be filtered BEFORE the Arrow kernel — bytes(None) raised a
+    TypeError inside both kernels (ADVICE r10)."""
+    df = spark.createDataFrame(
+        [("a0", b"\x01\x02"), ("a1", None), ("a2", b"\x03")],
+        "asset_id string, payload binary",
+    )
+    for fn in (audio_frame_energy, audio_pcm_frame_energy):
+        rows = fn(df, frame_samples=400, hop_samples=200).collect()
+        assert rows, "non-null assets must still frame"
+        assert {r["asset_id"] for r in rows} == {"a0", "a2"}

@@ -139,3 +139,20 @@ def test_corpus_sketch_stats_serves_estimates_from_stored_rows(spark, tmp_path):
     )
     for q_bp, got in st["len_quantiles_bp"].items():
         assert got == lens[(int(q_bp) * 99) // 10000]
+
+
+def test_kmv_merge_dedupes_crash_window_duplicates(spark, tmp_path):
+    """During the compaction crash window the consolidated partition's
+    rows are read alongside the not-yet-removed partitions they replaced,
+    so every KMV row arrives twice. HLL is idempotent under max, but the
+    KMV rank must dedupe identical (h, k, v) rows or the sample
+    degenerates to ~bottom-k/2-each-twice (ADVICE r10)."""
+    a, b = _docs(spark, 0, 40), _docs(spark, 40, 75, salt="x")
+    sk_a, sk_b = batch_sketch_rows(a, k=32), batch_sketch_rows(b, k=32)
+    clean = merge_sketch_rows(sk_a.unionAll(sk_b), k=32)
+    # the crash-window read: both originals AND their merge
+    window = sk_a.unionAll(sk_b).unionAll(clean)
+    assert _rows(merge_sketch_rows(window, k=32)) == _rows(clean)
+    kmv = merge_sketch_rows(window, k=32).filter(F.col("kind") == "kmv")
+    assert kmv.count() == 32
+    assert kmv.select("h").distinct().count() == 32
