@@ -129,6 +129,30 @@ def build_parser() -> argparse.ArgumentParser:
         "quantile band, e.g. 0.05 0.95 (off when omitted; docs too "
         "short to judge pass through)",
     )
+    cur.add_argument(
+        "--mixture-alpha",
+        type=float,
+        default=None,
+        metavar="ALPHA",
+        help="rebalance the TRAIN split by temperature-weighted domain "
+        "sampling (t21/t22: keep proportional to count^ALPHA per "
+        "domain, exact largest-remainder budget; off when omitted)",
+    )
+    cur.add_argument(
+        "--mixture-domain-col",
+        default="source",
+        metavar="COL",
+        help="domain label column for --mixture-alpha (default: source)",
+    )
+    cur.add_argument(
+        "--mixture-budget",
+        type=int,
+        nargs=2,
+        default=(3, 5),
+        metavar=("NUM", "DEN"),
+        help="train-split document budget for --mixture-alpha as an "
+        "integer corpus fraction NUM/DEN (default: 3 5 = 60%%)",
+    )
 
     tok = sub.add_parser(
         "tokenize-docs",
@@ -382,6 +406,9 @@ def main(argv: list[str] | None = None) -> int:
                 if args.perplexity_band is not None
                 else None
             ),
+            mixture_alpha=args.mixture_alpha,
+            mixture_domain_col=args.mixture_domain_col,
+            mixture_budget=tuple(args.mixture_budget),
         )
         print(json.dumps(result, sort_keys=True))
         return 0

@@ -10,8 +10,9 @@ operators into one pipeline:
     boilerplate pass) -> optional scrub (t18: PII redaction + URL
     canonicalization) -> quality filter (t7) -> optional perplexity
     band (t25: CCNet-style bigram-NLL cut of BOTH tails —
-    --perplexity-band) -> deterministic split (t12) -> partitioned
-    write + packing stats (t11)
+    --perplexity-band) -> deterministic split (t12) -> optional
+    temperature-weighted domain mixture of the train split (t21/t22 —
+    --mixture-alpha) -> partitioned write + packing stats (t11)
 
 Plan economics: each stage's survivor frame is pinned (lazy
 localCheckpoint) so the per-stage audit counts and the next stage reuse
@@ -54,6 +55,9 @@ def curate_corpus(
     span_max_occurrences: int = 1,
     perplexity_band: tuple[float, float] | None = None,
     perplexity_sample_k: int = 512,
+    mixture_alpha: float | None = None,
+    mixture_domain_col: str = "source",
+    mixture_budget: tuple[int, int] = (3, 5),
 ) -> dict:
     """Run the curation pipeline and write the curated corpus
     partitioned by split. Deterministic: same input -> same survivors,
@@ -99,7 +103,20 @@ def curate_corpus(
     dropped (boilerplate and gibberish tails respectively). Thresholds
     come from the deterministic KMV sample (``perplexity_sample_k``
     rows), so the stage stays a pure function of the input; docs with
-    fewer than two tokens cannot be judged and pass through."""
+    fewer than two tokens cannot be judged and pass through.
+
+    ``mixture_alpha`` (optional) turns on the final t21/t22 stage a
+    pretraining-corpus job actually ends with: the TRAIN split is
+    rebalanced by temperature-weighted domain sampling (keep
+    proportional to count^alpha per ``mixture_domain_col``), to an
+    exact total budget of ``floor(n_train * num / den)`` documents
+    (``mixture_budget = (num, den)``) topped up largest-remainder
+    (Hamilton's method) so only domain-size caps can leave shortfall.
+    Val/test holdouts pass through untouched — rebalancing heldout
+    data would change what eval measures. Selection is hash-ranked
+    (operators/sampling.py::temperature_mixture), so the kept set is
+    deterministic and monotone under budget growth; per-domain
+    n_train/target/kept counts land in the stats dict."""
     docs = spark.read.parquet(input_path)
     n_input = docs.count()
 
@@ -348,6 +365,66 @@ def curate_corpus(
     # 4. deterministic split assignment (pure map — no shuffle)
     split_docs = hash_split(curated, "doc_id").drop("bucket")
 
+    # 4b. domain mixture of the train split (optional, t21/t22): the
+    #     two-phase sharded selection (rank within (domain, shard),
+    #     superset filter, exact re-rank) so no task ever sorts a whole
+    #     domain; targets come from one count aggregation + the
+    #     largest-remainder topping over the constant-size domain
+    #     table. Only the bounded per-domain audit reaches the driver.
+    mixture_domains: dict[str, dict[str, int]] = {}
+    n_train_before_mixture = 0
+    if mixture_alpha is not None:
+        from ..operators.sampling import temperature_mixture
+
+        num, den = mixture_budget
+        if not (0 < num <= den):
+            raise ValueError(
+                f"mixture_budget must be a fraction 0 < num <= den; "
+                f"got {mixture_budget!r}"
+            )
+        if mixture_domain_col not in split_docs.columns:
+            raise ValueError(
+                f"mixture_domain_col {mixture_domain_col!r} not in the "
+                f"corpus columns {split_docs.columns} — domain mixture "
+                "needs a domain label per document"
+            )
+        # pinned: feeds the target/selection aggregations, the
+        # per-domain audit AND the final semi-join
+        train_rows = split_docs.filter(F.col("split") == "train").transform(pin)
+        sel = temperature_mixture(
+            train_rows,
+            "doc_id",
+            mixture_domain_col,
+            alpha=mixture_alpha,
+            budget_num=num,
+            budget_den=den,
+            exact_budget=True,
+        ).transform(pin)
+        pre = train_rows.groupBy(mixture_domain_col).agg(
+            F.count("*").cast("long").alias("_n")
+        )
+        kept = sel.groupBy(mixture_domain_col).agg(
+            F.count("*").cast("long").alias("_kept"),
+            F.max("mix_target").cast("long").alias("_target"),
+        )
+        # bounded collect: one row per domain (a zero-target domain has
+        # no selection row — it still lands in the audit with kept 0)
+        audit = pre.join(kept, mixture_domain_col, "left").collect()
+        mixture_domains = {
+            str(r[mixture_domain_col]): {
+                "n_train": int(r["_n"]),
+                "target": int(r["_target"] or 0),
+                "kept": int(r["_kept"] or 0),
+            }
+            for r in audit
+        }
+        n_train_before_mixture = sum(
+            v["n_train"] for v in mixture_domains.values()
+        )
+        split_docs = split_docs.filter(F.col("split") != "train").unionByName(
+            train_rows.join(sel.select("doc_id"), "doc_id", "left_semi")
+        )
+
     split_docs.write.mode("overwrite").partitionBy("split").parquet(output_path)
 
     stats = {
@@ -365,6 +442,8 @@ def curate_corpus(
         "n_ppl_cut_high": n_ppl_cut_high,
         "ppl_band_micro": ppl_band_micro,
         "n_after_perplexity": n_after_perplexity,
+        "n_train_before_mixture": n_train_before_mixture,
+        "mixture_domains": mixture_domains,
         "n_written": 0,
         "splits": {},
         "train_bins": 0,

@@ -505,3 +505,134 @@ def test_curate_rejects_malformed_perplexity_band_even_on_empty_slice(
         curate_corpus(
             spark, src, out, min_quality=0.99, perplexity_band=(0.9, 0.2)
         )
+
+
+def _expected_mixture(train_counts: dict[str, int], alpha, num, den):
+    """Pure-Python replica of temperature_mixture's integer contract:
+    micro weights, floor targets capped at domain size, largest-
+    remainder topping over uncapped domains (Hamilton's method)."""
+    import math
+
+    n_total = sum(train_counts.values())
+    budget = (n_total * num) // den
+    micro = {
+        d: int(math.floor(n**alpha * 1_000_000 + 0.5))
+        for d, n in train_counts.items()
+    }
+    tot = sum(micro.values())
+    t0 = {d: min(train_counts[d], (micro[d] * budget) // tot) for d in micro}
+    rem = {d: (micro[d] * budget) % tot for d in micro}
+    leftover = budget - sum(t0.values())
+    uncapped = sorted(
+        (d for d in micro if t0[d] < train_counts[d]),
+        key=lambda d: (-rem[d], d),
+    )
+    for d in uncapped[:leftover]:
+        t0[d] += 1
+    return budget, t0
+
+
+def test_curate_mixture_stage_hits_exact_per_domain_budget(spark, tmp_path):
+    """The t21/t22 integration (VERDICT r10 item 3): a planted skewed
+    domain histogram must come out of the final mixture stage at
+    EXACTLY the largest-remainder per-domain targets, with val/test
+    holdouts untouched and the audit in the stats dict."""
+    rows = [
+        (i, " ".join(f"big{i}w{j} the a of to in" for j in range(8)), "en", "crawl")
+        for i in range(120)
+    ] + [
+        (
+            1000 + i,
+            " ".join(f"sm{i}w{j} the a of to in" for j in range(8)),
+            "en",
+            "curated",
+        )
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    src = str(tmp_path / "raw")
+    df.write.parquet(src)
+
+    # reference run without the mixture: per-domain train counts
+    out0 = str(tmp_path / "plain")
+    stats0 = curate_corpus(spark, src, out0, min_quality=0.0)
+    assert stats0["mixture_domains"] == {}
+    plain = spark.read.parquet(out0)
+    train_counts = {
+        r["source"]: r["n"]
+        for r in plain.filter(F.col("split") == "train")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    holdout_ids = {
+        r["doc_id"]
+        for r in plain.filter(F.col("split") != "train").collect()
+    }
+    budget, targets = _expected_mixture(train_counts, 0.5, 2, 5)
+
+    out = str(tmp_path / "mixed")
+    stats = curate_corpus(
+        spark,
+        src,
+        out,
+        min_quality=0.0,
+        mixture_alpha=0.5,
+        mixture_budget=(2, 5),
+    )
+    assert stats["n_train_before_mixture"] == sum(train_counts.values())
+    assert stats["mixture_domains"] == {
+        d: {"n_train": train_counts[d], "target": targets[d], "kept": targets[d]}
+        for d in train_counts
+    }
+    written = spark.read.parquet(out)
+    got = {
+        r["source"]: r["n"]
+        for r in written.filter(F.col("split") == "train")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == {d: t for d, t in targets.items() if t > 0}
+    # the exact total budget lands when no domain cap binds
+    if all(targets[d] < train_counts[d] for d in targets):
+        assert sum(got.values()) == budget
+    # val/test pass through untouched
+    assert {
+        r["doc_id"] for r in written.filter(F.col("split") != "train").collect()
+    } == holdout_ids
+    # alpha < 1 upweights the small curated domain vs natural share
+    assert targets["curated"] / train_counts["curated"] > targets[
+        "crawl"
+    ] / train_counts["crawl"]
+
+    # deterministic: rerun -> identical stats
+    out2 = str(tmp_path / "mixed2")
+    stats2 = curate_corpus(
+        spark, src, out2, min_quality=0.0, mixture_alpha=0.5, mixture_budget=(2, 5)
+    )
+    assert stats2 == stats
+
+
+def test_curate_mixture_guards(spark, tmp_path):
+    import pytest
+
+    src = str(tmp_path / "raw")
+    spark.createDataFrame(
+        [(1, "some words here to pass the floor easily today", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    ).withColumn("n_chars", F.length("text").cast("long")).write.parquet(src)
+    with pytest.raises(ValueError, match="mixture_budget"):
+        curate_corpus(
+            spark, src, str(tmp_path / "a"), mixture_alpha=0.5, mixture_budget=(0, 5)
+        )
+    with pytest.raises(ValueError, match="mixture_domain_col"):
+        curate_corpus(
+            spark,
+            src,
+            str(tmp_path / "b"),
+            mixture_alpha=0.5,
+            mixture_domain_col="no_such_col",
+        )
