@@ -130,6 +130,15 @@ def build_parser() -> argparse.ArgumentParser:
         "short to judge pass through)",
     )
     cur.add_argument(
+        "--lm-root",
+        default=None,
+        metavar="DIR",
+        help="score --perplexity-band under the STORED bigram LM of "
+        "this signature corpus root's lm/ facet instead of retraining "
+        "(falls back to self-training when the committed batches "
+        "predate the facet)",
+    )
+    cur.add_argument(
         "--mixture-alpha",
         type=float,
         default=None,
@@ -200,6 +209,15 @@ def build_parser() -> argparse.ArgumentParser:
         "served from a few hundred persisted rows, no corpus scan",
     )
     skst.add_argument("--sig-root", required=True, help="signature corpus root dir")
+    skst.add_argument(
+        "--gram",
+        action="append",
+        default=None,
+        metavar="'w1 w2'",
+        help="also report the STORED count-min estimate for this token "
+        "bigram (repeatable) — corpus-wide heavy-hitter point lookups "
+        "from <= 1024 persisted cells, no corpus scan",
+    )
 
     iei = sub.add_parser(
         "init-embedding-index",
@@ -406,6 +424,7 @@ def main(argv: list[str] | None = None) -> int:
                 if args.perplexity_band is not None
                 else None
             ),
+            lm_root=args.lm_root,
             mixture_alpha=args.mixture_alpha,
             mixture_domain_col=args.mixture_domain_col,
             mixture_budget=tuple(args.mixture_budget),
@@ -465,7 +484,12 @@ def main(argv: list[str] | None = None) -> int:
         from .session import get_spark
 
         spark = get_spark(app_name="etl-sketch-stats", master=args.master)
-        print(json.dumps(corpus_sketch_stats(spark, args.sig_root), sort_keys=True))
+        print(
+            json.dumps(
+                corpus_sketch_stats(spark, args.sig_root, grams=args.gram),
+                sort_keys=True,
+            )
+        )
         return 0
 
     if args.cmd == "init-embedding-index":

@@ -55,6 +55,7 @@ def curate_corpus(
     span_max_occurrences: int = 1,
     perplexity_band: tuple[float, float] | None = None,
     perplexity_sample_k: int = 512,
+    lm_root: str | None = None,
     mixture_alpha: float | None = None,
     mixture_domain_col: str = "source",
     mixture_budget: tuple[int, int] = (3, 5),
@@ -104,6 +105,18 @@ def curate_corpus(
     come from the deterministic KMV sample (``perplexity_sample_k``
     rows), so the stage stays a pure function of the input; docs with
     fewer than two tokens cannot be judged and pass through.
+
+    ``lm_root`` (optional, with ``perplexity_band``) points at a live
+    signature-corpus root whose lm/ facet holds the STORED bigram LM
+    (jobs/doc_signature_lake.py::read_corpus_lm): the band then scores
+    survivors under the corpus model instead of retraining from
+    scratch every run — at 100 TB retraining per run re-scans the
+    corpus the lake was built to avoid. A typo'd root fails loudly
+    (the corpus_sig_root rule); a real root whose committed batches
+    predate the LM facet falls back to self-training (there is no
+    stored model to read). Band thresholds still come from THIS run's
+    survivor scores, so the cut adapts to the batch while the model
+    stays the corpus's.
 
     ``mixture_alpha`` (optional) turns on the final t21/t22 stage a
     pretraining-corpus job actually ends with: the TRAIN split is
@@ -316,6 +329,7 @@ def curate_corpus(
     n_ppl_cut_low = 0
     n_ppl_cut_high = 0
     ppl_band_micro: list[int] = []
+    ppl_lm_source = ""
     n_after_perplexity = n_after_quality
     if perplexity_band is not None:
         # validate BEFORE the survivor-count gate: a malformed band must
@@ -332,8 +346,30 @@ def curate_corpus(
         from ..operators.text import bigram_logprob
 
         lo_q, hi_q = perplexity_band
+        stored_lm = None
+        if lm_root is not None:
+            import os
+
+            from .doc_signature_lake import read_corpus_lm
+
+            if not os.path.isdir(lm_root):
+                # a typo'd root silently retraining would report
+                # success while scoring under the wrong model
+                raise ValueError(
+                    f"lm_root {lm_root!r} does not exist — point at a "
+                    "signature corpus root (the directory holding "
+                    "members/ and lm/)"
+                )
+            stored_lm = read_corpus_lm(spark, lm_root)
         curated = pin(curated)
-        scored = pin(bigram_logprob(curated, "doc_id", "text"))
+        if stored_lm is not None:
+            from ..operators.text import bigram_nll_with_lm
+
+            ppl_lm_source = "stored"
+            scored = pin(bigram_nll_with_lm(curated, stored_lm, "doc_id", "text"))
+        else:
+            ppl_lm_source = "self"
+            scored = pin(bigram_logprob(curated, "doc_id", "text"))
         judged = scored.filter(F.col("n_bigrams") > 0)
         vals = bottomk_sample(
             judged,
@@ -441,6 +477,7 @@ def curate_corpus(
         "n_ppl_cut_low": n_ppl_cut_low,
         "n_ppl_cut_high": n_ppl_cut_high,
         "ppl_band_micro": ppl_band_micro,
+        "ppl_lm": ppl_lm_source,
         "n_after_perplexity": n_after_perplexity,
         "n_train_before_mixture": n_train_before_mixture,
         "mixture_domains": mixture_domains,

@@ -134,6 +134,19 @@ def signature_tables(
 #                            rows instead of re-scanning 100 TB of
 #                            text; compaction REDUCES many per-batch
 #                            sketches to one merged partition
+#   lm/batch=<id>/           the batch's bigram-LM facet (VERDICT r10
+#                            item 4): additive bigram-type counts +
+#                            distinct vocab rows over the CONSIDERED
+#                            docs (operators/text.py::bigram_lm_rows),
+#                            merged by SUM/DISTINCT — curate's
+#                            perplexity band reads the stored LM
+#                            instead of retraining per run
+#   cms/batch=<id>/          the batch's count-min facet (VERDICT r10
+#                            item 5): additive md5-variant CMS cells
+#                            over the considered docs' token bigrams
+#                            (<= 1024 rows/batch), merged by SUM —
+#                            corpus-wide heavy-hitter estimates served
+#                            from stored rows (cli sketch-stats --gram)
 #
 # Idempotency + crash-safety (the K3/T5 contract, file-level here; a
 # table format with transactions takes over at deploy time): members/
@@ -193,6 +206,55 @@ def read_committed(
 SKETCH_TABLE = "sketches"
 SKETCH_KMV_K = 512  # operators/sketches.py::A5_SAMPLE_K, pinned here so
 #                     a default change there can't silently re-key lakes
+LM_TABLE = "lm"
+CMS_TABLE = "cms"
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _crash_window_replaced(
+    sig_root: str, committed: list[str], data_table: str = "signatures"
+) -> set[str]:
+    """Batch ids still committed but already replaced by a COMMITTED
+    consolidated batch — the compaction crash window between the
+    consolidated partition's members marker and the removals. Readers
+    of ADDITIVE facets (LM bigram counts, CMS cells) must exclude them
+    or every replaced batch's counts enter the merge twice; the
+    max/bottom-k sketch facet instead heals by idempotence + KMV row
+    dedup (merge_sketch_rows)."""
+    import json
+    import os
+
+    out: set[str] = set()
+    for b in committed:
+        if not b.startswith("compact-"):
+            continue
+        mp = os.path.join(sig_root, data_table, f"batch={b}", "_replaces.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                replaced = json.load(f)
+            out.update(x for x in replaced if x in committed)
+    return out
+
+
+def _committed_facet_paths(
+    sig_root: str, facet_table: str, data_table: str = "signatures"
+) -> list[str]:
+    """The committed, non-crash-window facet partitions of
+    ``facet_table`` that actually carry a _SUCCESS marker (batches
+    predating the facet have no partition and drop out)."""
+    import os
+
+    committed = _committed_batches(os.path.join(sig_root, "members"))
+    skip = _crash_window_replaced(sig_root, committed, data_table)
+    paths = []
+    for b in committed:
+        if b in skip:
+            continue
+        p = os.path.join(sig_root, facet_table, f"batch={b}")
+        if os.path.exists(os.path.join(p, "_SUCCESS")):
+            paths.append(p)
+    return paths
 
 
 def batch_sketch_rows(
@@ -310,6 +372,57 @@ def read_corpus_sketch(
     return merge_sketch_rows(spark.read.parquet(*paths), k=k)
 
 
+def batch_cms_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """One batch's count-min facet: md5-variant CMS cells (cell, cnt)
+    over the batch docs' token-bigram occurrence stream (a2's gram
+    key: 'w1 w2'). <= depth * width rows however large the batch;
+    additive, so per-batch partitions merge by SUM at compaction and
+    read time. Covers the CONSIDERED docs, same contract as the
+    sketch/LM facets."""
+    from ..operators.sketches import cms_rows_md5
+    from ..operators.text import _bigram_occurrences, _bigram_staged
+
+    occ = _bigram_occurrences(_bigram_staged(docs, id_col, text_col), id_col)
+    grams = occ.select(
+        F.concat(F.col("w1"), F.lit(" "), F.col("w2")).alias("gram")
+    )
+    return cms_rows_md5(grams, "gram", depth, width)
+
+
+def read_corpus_lm(spark: SparkSession, sig_root: str) -> DataFrame | None:
+    """The corpus-wide MERGED bigram LM over every committed batch's
+    stored lm/ partition (kind, w1, w2, n rows), or None when no batch
+    carries the facet. Additive counts cannot heal crash-window
+    duplication by idempotence, so batches already replaced by a
+    committed consolidated partition are excluded explicitly
+    (_committed_facet_paths)."""
+    from ..operators.text import merge_lm_rows
+
+    paths = _committed_facet_paths(sig_root, LM_TABLE)
+    if not paths:
+        return None
+    return merge_lm_rows(spark.read.parquet(*paths))
+
+
+def read_corpus_cms(spark: SparkSession, sig_root: str) -> DataFrame | None:
+    """The corpus-wide MERGED count-min sketch over every committed
+    batch's stored cms/ partition ((cell, cnt) rows, <= depth * width),
+    or None when no batch carries the facet. Same crash-window
+    exclusion as the LM facet — cells are additive."""
+    from ..operators.sketches import merge_cms_rows
+
+    paths = _committed_facet_paths(sig_root, CMS_TABLE)
+    if not paths:
+        return None
+    return merge_cms_rows(spark.read.parquet(*paths))
+
+
 def ingest_signature_batch(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -408,13 +521,25 @@ def ingest_signature_batch(
     batch_sig.join(accepted, "doc").write.mode("overwrite").parquet(
         os.path.join(sig_dir, f"batch={batch_id}")
     )
-    # the batch's intake sketch facet (HLL registers + KMV bottom-k
-    # over the CONSIDERED docs) — before the members marker, so the
-    # marker commits the whole batch including its sketch; its own
-    # _SUCCESS additionally lets readers skip pre-facet batches
+    # the batch's intake facets — before the members marker, so the
+    # marker commits the whole batch including them; each facet's own
+    # _SUCCESS additionally lets readers skip pre-facet batches.
+    # sketches: HLL registers + KMV bottom-k over the CONSIDERED docs
     batch_sketch_rows(fresh_docs, id_col, text_col).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(sig_root, SKETCH_TABLE, f"batch={batch_id}"))
+    # lm: additive bigram-type counts + distinct vocab rows. coalesce(1)
+    # fits the O(batch bigram types) row set at daily-drop sizes; a
+    # deployment with very large drops sizes files like compaction does
+    from ..operators.text import bigram_lm_rows
+
+    bigram_lm_rows(fresh_docs, id_col, text_col).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sig_root, LM_TABLE, f"batch={batch_id}"))
+    # cms: additive md5-variant cells over the token-bigram stream
+    batch_cms_rows(fresh_docs, id_col, text_col).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sig_root, CMS_TABLE, f"batch={batch_id}"))
     counts = {
         r["status"]: r["n"]
         for r in decision.groupBy("status")
@@ -565,6 +690,37 @@ def compact_signature_corpus(
             ).write.mode("overwrite").parquet(
                 os.path.join(sig_root, SKETCH_TABLE, f"batch={cid}")
             )
+        # the additive facets consolidate by the same reduction shape:
+        # lm rows merge by SUM/DISTINCT, cms cells by SUM — each stays
+        # O(types)/O(depth*width) however many batches fold in
+        lm_paths = [
+            os.path.join(sig_root, LM_TABLE, f"batch={b}") for b in old
+        ]
+        lm_paths = [
+            p for p in lm_paths if os.path.exists(os.path.join(p, "_SUCCESS"))
+        ]
+        if lm_paths:
+            from ..operators.text import merge_lm_rows
+
+            merge_lm_rows(spark.read.parquet(*lm_paths)).coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                os.path.join(sig_root, LM_TABLE, f"batch={cid}")
+            )
+        cms_paths = [
+            os.path.join(sig_root, CMS_TABLE, f"batch={b}") for b in old
+        ]
+        cms_paths = [
+            p for p in cms_paths if os.path.exists(os.path.join(p, "_SUCCESS"))
+        ]
+        if cms_paths:
+            from ..operators.sketches import merge_cms_rows
+
+            merge_cms_rows(spark.read.parquet(*cms_paths)).coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                os.path.join(sig_root, CMS_TABLE, f"batch={cid}")
+            )
         with open(_manifest_path(cid), "w") as f:
             json.dump(sorted(old), f)
         # members commit marker LAST — until it lands, the consolidated
@@ -585,10 +741,11 @@ def compact_signature_corpus(
     for b in old:
         shutil.rmtree(os.path.join(mem_dir, f"batch={b}"), ignore_errors=True)
         shutil.rmtree(os.path.join(sig_dir, f"batch={b}"), ignore_errors=True)
-        shutil.rmtree(
-            os.path.join(sig_root, SKETCH_TABLE, f"batch={b}"),
-            ignore_errors=True,
-        )
+        for facet in (SKETCH_TABLE, LM_TABLE, CMS_TABLE):
+            shutil.rmtree(
+                os.path.join(sig_root, facet, f"batch={b}"),
+                ignore_errors=True,
+            )
     _sweep_retired(sig_root, data_table)
     return {
         "n_batches_consolidated": len(old),
@@ -601,14 +758,38 @@ def corpus_sketch_stats(
     spark: SparkSession,
     sig_root: str,
     quantiles_bp: tuple[int, ...] = (2500, 5000, 9000, 9900),
+    grams: list[str] | None = None,
 ) -> dict:
     """The number a corpus operator actually asks the sketch facet for
     (counts only, the O5 rule): the HLL distinct-content estimate and
     nearest-rank doc-length quantiles, served entirely from the stored
     sketch rows — the corpus text is never touched. Returns zeros/empty
-    when no sketch is committed."""
+    when no sketch is committed. ``grams`` (optional) additionally
+    reports the STORED count-min estimate per requested token bigram —
+    corpus-wide heavy-hitter point lookups from the <= depth*width
+    persisted cells (a gram none of whose cells were ever touched, or
+    a corpus predating the cms facet, estimates 0)."""
     from ..operators.sketches import hll_summary_of_registers
     from ..pinning import pin
+
+    def _gram_estimates() -> dict:
+        if not grams:
+            return {}
+        cms = read_corpus_cms(spark, sig_root)
+        if cms is None:
+            return {g: 0 for g in grams}
+        from ..operators.sketches import cms_estimate_md5
+
+        cand = spark.createDataFrame(
+            [(g,) for g in grams], "gram string"
+        )
+        est = {
+            r["gram"]: int(r["est"])
+            for r in cms_estimate_md5(
+                cand, cms, "gram", CMS_DEPTH, CMS_WIDTH
+            ).collect()
+        }
+        return {g: est.get(g, 0) for g in grams}
 
     sk = read_corpus_sketch(spark, sig_root)
     if sk is None:
@@ -619,6 +800,7 @@ def corpus_sketch_stats(
             "v_zero": 0,
             "n_kmv_sample": 0,
             "len_quantiles_bp": {},
+            "gram_est": _gram_estimates(),
         }
     sk = pin(sk)
     regs = sk.filter(F.col("kind") == "hll").select(
@@ -644,6 +826,7 @@ def corpus_sketch_stats(
             if vals
             else {}
         ),
+        "gram_est": _gram_estimates(),
     }
 
 
@@ -661,15 +844,23 @@ SF_SKETCH_VERSION = 1
 
 
 def _sketch_tag() -> str:
-    from ..operators import dedup, sketches
+    from ..operators import dedup, sketches, text
 
     return formula_tag(
         batch_sketch_rows,
         merge_sketch_rows,
+        batch_cms_rows,
         sketches.hll_rank,
         sketches.hll_registers,
         sketches.bottomk_of_rows,
         sketches.bottomk_rows,
+        sketches.cms_cells_md5,
+        sketches.cms_rows_md5,
+        sketches.merge_cms_rows,
+        text.bigram_lm_rows,
+        text.merge_lm_rows,
+        text._bigram_staged,
+        text._bigram_occurrences,
         dedup.normalize_text,
     )
 
@@ -751,7 +942,8 @@ def _sweep_retired(sig_root: str, data_table: str = "signatures") -> None:
             os.path.join(sig_root, data_table, f"batch={b}"),
             ignore_errors=True,
         )
-        shutil.rmtree(
-            os.path.join(sig_root, SKETCH_TABLE, f"batch={b}"),
-            ignore_errors=True,
-        )
+        for facet in (SKETCH_TABLE, LM_TABLE, CMS_TABLE):
+            shutil.rmtree(
+                os.path.join(sig_root, facet, f"batch={b}"),
+                ignore_errors=True,
+            )

@@ -128,6 +128,81 @@ def cms_heavy_hitters(
     )
 
 
+def cms_cells_md5(key: Column, depth: int, width: int) -> Column:
+    """Engine-PORTABLE CMS cells — same role as ``cms_cells`` but the
+    row hashes are md5-based (row r's hash = first 15 hex chars of
+    md5('r:' || key), 60 bits < 2^63) so ANSI SQL / DuckDB can
+    re-derive every cell bit-exactly. The signature lake's stored CMS
+    facet uses this variant: stored cells themselves then sit under
+    the driver's oracle hash check (the a6/a7 pattern), which
+    xxhash64 cells can't (a2's oracle had to fall back to audit
+    booleans)."""
+    return F.array(
+        *[
+            F.lit(r * width).cast("long")
+            + F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{r}:"), key)), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % width
+            for r in range(depth)
+        ]
+    )
+
+
+def cms_rows_md5(
+    keys: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Build the md5-variant sketch from an occurrence stream:
+    (cell long, cnt long), <= depth * width rows. One pass, map-side
+    partial aggregation, one bounded-key shuffle — cells are ADDITIVE,
+    so per-batch row sets merge by SUM (``merge_cms_rows``)."""
+    return (
+        keys.select(
+            F.explode(cms_cells_md5(F.col(key_col), depth, width)).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def merge_cms_rows(rows: DataFrame) -> DataFrame:
+    """Merge any union of per-batch CMS row sets to ONE sketch: SUM per
+    cell (the CMS merge law — counter matrices add). Associative;
+    merging disjoint batches equals building from scratch on their
+    union. NOT idempotent: a batch's rows must enter exactly once (the
+    lake's committed-partition read + crash-window exclusion guarantee
+    that, jobs/doc_signature_lake.py::_committed_facet_paths)."""
+    return rows.groupBy("cell").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def cms_estimate_md5(
+    candidates: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Estimate counts for a candidate-key frame against an md5-variant
+    sketch (stored facet or ``cms_rows_md5`` output): explode each
+    candidate into its cells, broadcast-join the <= depth*width-row
+    sketch, min over rows. Adds ``est`` to ``candidates``. Inner-join
+    semantics: a candidate none of whose cells were ever touched drops
+    out — corpus-drawn candidates always estimate (every cell of a
+    seen key holds at least its own count)."""
+    cells = candidates.select(
+        key_col,
+        F.explode(cms_cells_md5(F.col(key_col), depth, width)).alias("cell"),
+    )
+    return (
+        cells.join(F.broadcast(sketch), "cell")
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est"))
+        .join(candidates, key_col)
+    )
+
+
 def mg_merge(counters, vc, m: int):
     """One mergeable-summary reduction step (Agarwal et al. 2012): add
     the new counts, and if more than ``m`` counters survive, subtract

@@ -770,36 +770,21 @@ def bpe_encode(
 # --- bigram language-model scoring (perplexity filtering) -------------------
 
 
-def bigram_logprob(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Per-document negative log-likelihood under an add-one-smoothed
-    bigram model trained on the corpus itself — the CCNet-style
-    perplexity signal (Wenzek et al., LREC 2020) one rung above t14's
-    unigram: P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), summed over the
-    document's bigram stream. Repetitive/templated text scores low NLL,
-    gibberish high — both tails are what a quality filter cuts.
+def _bigram_staged(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _tk) token-array projection. The token array is
+    materialized in its own projection FIRST: downstream transforms
+    reference it via element_at twice per element, and passing the
+    split expression itself would re-tokenize the text O(tokens) times
+    per row (the shingles_from_tokens gotcha, dedup.py — measured
+    9.3 s -> <1 s for the bigram explode at sf0.1)."""
+    return df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
 
-    Determinism: each bigram TYPE's ln P quantizes to integer
-    micro-units once (the t14 convention), documents sum integers, so
-    cross-engine float summation order cannot flip a bit.
 
-    Scale shape: bigram occurrences explode from the token array (one
-    map; the pair list is a single transform over a sequence — no
-    self-join on position), corpus counts are two combinable
-    aggregations (bigram, context), V is one scalar, scoring is one
-    equi-join of occurrences against the bigram table and one doc-keyed
-    sum. Nothing O(corpus) in one task; the bigram table shuffles on
-    its natural key.
-
-    Returns (id_col, n_bigrams, nll_micro, avg_nll_micro) anchored on
-    the INPUT ids (docs with < 2 tokens score 0)."""
-    # the token array is materialized in its own projection FIRST: the
-    # transform below references it via element_at twice per element,
-    # and passing the split expression itself would re-tokenize the
-    # text O(tokens) times per row (the shingles_from_tokens gotcha,
-    # dedup.py — measured 9.3 s -> <1 s for this explode at sf0.1)
-    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+def _bigram_occurrences(staged: DataFrame, id_col: str) -> DataFrame:
+    """The (id, w1, w2) bigram occurrence stream from a ``_bigram_staged``
+    projection — one transform over a sequence, no positional self-join;
+    docs with < 2 tokens (or an empty normalized text) contribute no
+    rows."""
     tk = F.col("_tk")
     pairs = F.when(
         (F.size(tk) >= 2) & (F.element_at(tk, 1) != ""),
@@ -811,15 +796,119 @@ def bigram_logprob(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    occ = pin(
-        staged.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
-            id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    return staged.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+
+
+def bigram_lm_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The add-one-smoothed bigram LM's sufficient statistics as
+    MERGEABLE (kind, w1, w2, n) rows — the persistable form of the t25
+    model, shaped for the signature lake's facet protocol
+    (jobs/doc_signature_lake.py): per-batch rows land at ingest and
+    compaction reduces them by the merge laws, so a 100 TB corpus's LM
+    is served from the stored rows instead of retrained per run.
+
+    - ``kind='bigram'``: bigram TYPE counts c(w1, w2) — merge law SUM
+      (counts are additive across disjoint batches).
+    - ``kind='vocab'``: one row per distinct token (w2 NULL, n = 1) —
+      merge law DISTINCT union. Stored as rows (not a scalar) because
+      distinct counts don't add; the context count c(w1·) needs no leg
+      at all — it is the w1-marginal of the bigram rows.
+
+    Scale shape: one explode + two combinable aggregations; the row
+    set is O(bigram types), never O(corpus)."""
+    staged = _bigram_staged(df, id_col, text_col)
+    occ = _bigram_occurrences(staged, id_col)
+    null_s = F.lit(None).cast("string")
+    big = (
+        occ.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.lit("bigram").alias("kind"), "w1", "w2", "n")
+    )
+    voc = (
+        staged.select(F.explode(F.col("_tk")).alias("w1"))
+        .filter(F.col("w1") != "")
+        .distinct()
+        .select(
+            F.lit("vocab").alias("kind"),
+            "w1",
+            null_s.alias("w2"),
+            F.lit(1).cast("long").alias("n"),
         )
     )
-    flat = staged.select(F.explode(tk).alias("tok")).filter(F.col("tok") != "")
-    vsize = flat.agg(F.countDistinct("tok").cast("long").alias("v"))
-    c2 = occ.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2"))
-    c1 = occ.groupBy("w1").agg(F.count("*").cast("long").alias("c1"))
+    return big.unionByName(voc)
+
+
+def merge_lm_rows(rows: DataFrame) -> DataFrame:
+    """Merge any union of per-batch LM rows back to ONE model in the
+    same (kind, w1, w2, n) shape: SUM per bigram type, DISTINCT vocab.
+    Associative; merging disjoint batches' rows equals training from
+    scratch on their union (property-tested in tests/test_sketch_lake
+    .py). NOT idempotent on the bigram leg — counts are additive, so a
+    batch's rows must enter the merge exactly once (the lake's
+    committed-partition read guarantees that; compaction's crash window
+    is healed by excluding manifest-replaced batches, see
+    read_corpus_lm)."""
+    null_s = F.lit(None).cast("string")
+    big = (
+        rows.filter(F.col("kind") == "bigram")
+        .groupBy("w1", "w2")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .select(F.lit("bigram").alias("kind"), "w1", "w2", "n")
+    )
+    voc = (
+        rows.filter(F.col("kind") == "vocab")
+        .select("w1")
+        .distinct()
+        .select(
+            F.lit("vocab").alias("kind"),
+            "w1",
+            null_s.alias("w2"),
+            F.lit(1).cast("long").alias("n"),
+        )
+    )
+    return big.unionByName(voc)
+
+
+def bigram_nll_with_lm(
+    df: DataFrame,
+    lm_rows: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document negative log-likelihood under an add-one-smoothed
+    bigram model GIVEN as (kind, w1, w2, n) rows (``bigram_lm_rows``
+    output or the lake's stored/merged facet): P(w2|w1) =
+    (c(w1,w2) + 1) / (c(w1·) + V). Bigrams/contexts unseen by the
+    model coalesce to count 0 — exactly what the smoothing is for —
+    so a doc can be scored under a corpus LM it wasn't part of.
+
+    Determinism: each scored bigram's ln P quantizes to integer
+    micro-units once (the t14 convention), documents sum integers, so
+    cross-engine float summation order cannot flip a bit. When the
+    model was trained on these very docs the output is bit-identical
+    to training from scratch (every occurrence then has a model row,
+    so the left joins degenerate to t25's inner joins).
+
+    Scale shape: c(w1·) and V reduce from the MODEL rows (O(types),
+    not O(corpus)); scoring is one equi-join of the occurrence stream
+    against the bigram table plus one doc-keyed integer sum.
+
+    Returns (id_col, n_bigrams, nll_micro, avg_nll_micro) anchored on
+    the INPUT ids (docs with < 2 tokens score 0)."""
+    c2 = lm_rows.filter(F.col("kind") == "bigram").select(
+        "w1", "w2", F.col("n").alias("c2")
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    vsize = (
+        lm_rows.filter(F.col("kind") == "vocab")
+        .select("w1")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("v"))
+    )
     lp = (
         c2.join(c1, "w1")
         .crossJoin(F.broadcast(vsize))
@@ -834,13 +923,33 @@ def bigram_logprob(
             .alias("micro"),
         )
     )
-    agg = (
-        occ.join(lp, ["w1", "w2"])
-        .groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            (-F.sum("micro")).cast("long").alias("nll_micro"),
+    occ = _bigram_occurrences(_bigram_staged(df, id_col, text_col), id_col)
+    # unseen bigram: smoothed mass 1 / (c1 + V); unseen context: 1 / V.
+    # The seen path takes the model table's pre-quantized micro so the
+    # self-trained case stays bit-identical to t25; the unseen path
+    # quantizes the same way. c1 joins on its own (broadcastable
+    # marginal) for the unseen-bigram-seen-context case.
+    scored = (
+        occ.join(lp.select("w1", "w2", "micro"), ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.col("micro"),
+                F.round(
+                    F.log(
+                        F.lit(1.0)
+                        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+                    )
+                    * 1_000_000
+                ).cast("long"),
+            ).alias("micro"),
         )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        (-F.sum("micro")).cast("long").alias("nll_micro"),
     )
     return df.select(id_col).join(agg, id_col, "left").select(
         id_col,
@@ -853,4 +962,25 @@ def bigram_logprob(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("avg_nll_micro"),
+    )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document negative log-likelihood under an add-one-smoothed
+    bigram model trained on the corpus itself — the CCNet-style
+    perplexity signal (Wenzek et al., LREC 2020) one rung above t14's
+    unigram: P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), summed over the
+    document's bigram stream. Repetitive/templated text scores low NLL,
+    gibberish high — both tails are what a quality filter cuts.
+    Composition of ``bigram_lm_rows`` (train) + ``bigram_nll_with_lm``
+    (score) on the same frame — value-identical to the pre-facet
+    r10 single-pass form (the model rows cover every occurrence, so
+    the scorer's left joins are effectively inner), re-oracled as t25.
+
+    Returns (id_col, n_bigrams, nll_micro, avg_nll_micro) anchored on
+    the INPUT ids (docs with < 2 tokens score 0)."""
+    return bigram_nll_with_lm(
+        df, bigram_lm_rows(df, id_col, text_col), id_col, text_col
     )

@@ -771,3 +771,186 @@ def a6_lake_sketch(spark, sf_dir):
         F.col("k").alias("key_str"),
         F.col("v").cast("long").alias("v"),
     )
+
+
+# t26/a7 oracles re-tokenize exactly like the t25/a2 entries (llm.py)
+from .llm import TOKENS_SQL as _TOKENS_SQL  # noqa: E402
+
+
+@q(
+    "t26_lake_bigram_nll",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents
+    ), occ AS (
+        SELECT doc_id, tk[u.i] AS w1, tk[u.i + 1] AS w2
+        FROM tk CROSS JOIN LATERAL (
+            SELECT unnest(range(1, len(tk))) AS i
+        ) u
+        WHERE len(tk) >= 2 AND tk[1] != ''
+    ), flat AS (
+        SELECT unnest(tk) AS tok FROM tk
+    ), vsize AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        FROM flat WHERE tok != ''
+    ), c2 AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM occ GROUP BY 1, 2
+    ), c1 AS (
+        SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM occ GROUP BY 1
+    ), lp AS (
+        SELECT c2.w1, c2.w2,
+               CAST(round(ln((c2.c2 + 1.0) / (c1.c1 + vsize.v)) * 1000000)
+                    AS BIGINT) AS micro
+        FROM c2 JOIN c1 USING (w1) CROSS JOIN vsize
+    ), agg AS (
+        SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(-sum(l.micro) AS BIGINT) AS nll_micro
+        FROM occ o JOIN lp l USING (w1, w2) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_bigrams, 0) AS n_bigrams,
+           coalesce(a.nll_micro, 0) AS nll_micro,
+           CASE WHEN a.n_bigrams > 0 THEN a.nll_micro // a.n_bigrams
+                ELSE 0 END AS avg_nll_micro
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Bigram NLL served from the STORED corpus LM (jobs/"
+    "doc_signature_lake.py::read_corpus_lm over the sf-keyed demo lake "
+    "— documents ingested as two real batches, then compacted): the "
+    "lm/ facet persists additive bigram-type counts + distinct vocab "
+    "rows per ingest batch, compaction REDUCES them by SUM/DISTINCT, "
+    "and operators/text.py::bigram_nll_with_lm scores the corpus under "
+    "the merged stored model. The oracle is t25's from-scratch SQL "
+    "verbatim, so the hash check proves ingest-persist -> compaction-"
+    "merge -> stored-model scoring is BIT-identical to retraining on "
+    "the raw text — the contract that lets curate's --lm-root "
+    "perplexity band skip the 100 TB re-scan every run (curate.py "
+    "reads this exact facet). c(w1.) is the w1-marginal of the stored "
+    "bigram rows (no third leg), V is the distinct-vocab row count; "
+    "scoring is one equi-join of the occurrence stream against the "
+    "O(types) model table plus one doc-keyed integer sum.",
+)
+def t26_lake_bigram_nll(spark, sf_dir):
+    from ..jobs.doc_signature_lake import read_corpus_lm, sf_sketch_root
+    from ..operators.text import bigram_nll_with_lm
+
+    root = sf_sketch_root(spark, sf_dir)
+    lm = read_corpus_lm(spark, root)
+    return bigram_nll_with_lm(t(spark, sf_dir, "documents"), lm, "doc_id", "text")
+
+
+_A7_CELLS_SQL = (
+    "r.r * 256 + CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || "
+    "{key}), 1, 15)) AS BIGINT) % 256"
+)
+
+
+@q(
+    "a7_lake_cms_heavy_hitters",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents
+    ), grams AS (
+        SELECT tk[u.i] || ' ' || tk[u.i + 1] AS gram
+        FROM tk CROSS JOIN LATERAL (
+            SELECT unnest(range(1, len(tk))) AS i
+        ) u
+        WHERE len(tk) >= 2 AND tk[1] != ''
+    ), rs AS (
+        SELECT unnest(range(0, 4)) AS r
+    ), sk AS (
+        SELECT cell, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT {_A7_CELLS_SQL.format(key="gram")} AS cell
+            FROM grams CROSS JOIN rs r
+        ) GROUP BY cell
+    ), exact AS (
+        SELECT gram, CAST(count(*) AS BIGINT) AS exact_n
+        FROM grams GROUP BY gram
+    ), total AS (
+        SELECT CAST(sum(exact_n) AS BIGINT) AS n_total FROM exact
+    ), top AS (
+        SELECT gram, exact_n,
+               CAST(row_number() OVER (ORDER BY exact_n DESC, gram) AS INT)
+                   AS rank
+        FROM exact ORDER BY exact_n DESC, gram LIMIT 10
+    ), est AS (
+        SELECT gram, CAST(min(sk.cnt) AS BIGINT) AS est FROM (
+            SELECT t.gram, {_A7_CELLS_SQL.format(key="t.gram")} AS cell
+            FROM top t CROSS JOIN rs r
+        ) JOIN sk USING (cell) GROUP BY gram
+    )
+    SELECT t.gram, t.exact_n, t.rank, e.est,
+           e.est >= t.exact_n AS est_ge_exact,
+           e.est <= t.exact_n + (4.0 / 256) * total.n_total AS est_within_eps
+    FROM top t JOIN est e USING (gram) CROSS JOIN total
+    ORDER BY t.rank
+    """,
+    doc="Heavy hitters served from the STORED count-min facet (jobs/"
+    "doc_signature_lake.py::read_corpus_cms over the sf-keyed demo "
+    "lake): ingest persists <= depth*width md5-variant CMS cells per "
+    "batch, compaction REDUCES them by SUM (the additive merge law), "
+    "and the exact top-10 token bigrams are estimated against the "
+    "merged STORED cells — a2's audit shape with the sketch coming "
+    "from the lake instead of a fresh build. The md5 cell hash "
+    "(operators/sketches.py::cms_cells_md5) is what makes this "
+    "oracle-checkable: DuckDB re-derives every merged cell bit-exactly "
+    "from raw parquet, so one drifted stored count mismatches the "
+    "hash (xxhash64 cells forced a2 to check booleans only). The "
+    "estimate itself is in the output: est >= exact is the CMS "
+    "no-underestimate law, est <= exact + 4/width * N the width "
+    "bound. At 100 TB the serving read is a broadcast of ~1k stored "
+    "rows (cli sketch-stats --gram); only the exact-audit candidates "
+    "scan the corpus, and production swaps them for per-partition "
+    "top-m proposal exactly as a2's doc promises.",
+)
+def a7_lake_cms_heavy_hitters(spark, sf_dir):
+    from ..jobs.doc_signature_lake import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        read_corpus_cms,
+        sf_sketch_root,
+    )
+    from ..operators.sketches import cms_estimate_md5
+    from ..operators.text import _bigram_occurrences, _bigram_staged
+
+    root = sf_sketch_root(spark, sf_dir)
+    cms = read_corpus_cms(spark, root)
+    docs = t(spark, sf_dir, "documents")
+    occ = _bigram_occurrences(_bigram_staged(docs, "doc_id", "text"), "doc_id")
+    # pinned: the gram stream feeds the exact audit aggregation only
+    # (the sketch is READ, not rebuilt) — pin guards the re-tokenize
+    # against the two downstream aggregations sharing it
+    grams = occ.select(
+        F.concat(F.col("w1"), F.lit(" "), F.col("w2")).alias("gram")
+    ).transform(pin)
+    exact = grams.groupBy("gram").agg(
+        F.count("*").cast("long").alias("exact_n")
+    ).transform(pin)
+    total = exact.agg(F.sum("exact_n").cast("long").alias("n_total"))
+    ranked = (
+        exact.orderBy(F.desc("exact_n"), F.asc("gram"))
+        .limit(10)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("exact_n"), F.asc("gram")))
+            .cast("int"),
+        )
+    )
+    est = cms_estimate_md5(ranked, cms, "gram", CMS_DEPTH, CMS_WIDTH)
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            "gram",
+            "exact_n",
+            "rank",
+            F.col("est").cast("long").alias("est"),
+            (F.col("est") >= F.col("exact_n")).alias("est_ge_exact"),
+            (
+                F.col("est")
+                <= F.col("exact_n")
+                + F.lit(4.0 / CMS_WIDTH) * F.col("n_total")
+            ).alias("est_within_eps"),
+        )
+        .orderBy("rank")
+    )

@@ -636,3 +636,86 @@ def test_curate_mixture_guards(spark, tmp_path):
             mixture_alpha=0.5,
             mixture_domain_col="no_such_col",
         )
+
+
+def test_curate_perplexity_band_reads_stored_lm(spark, tmp_path):
+    """--lm-root scores the band under the lake's STORED bigram LM
+    (VERDICT r10 item 4). With a lake ingested from exactly this
+    corpus the stored model equals the self-trained one, so the cut is
+    bit-identical; a pre-facet lake falls back to self-training; a
+    typo'd root fails loudly."""
+    import shutil
+
+    import pytest
+
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        LM_TABLE,
+        ingest_signature_batch,
+    )
+
+    rows = [
+        (0, "spam " * 400, "en", "boiler"),
+        (1, " ".join(f"zx{i}q" for i in range(60)), "en", "gibber"),
+    ] + [
+        (
+            2 + i,
+            " ".join(f"u{i}w{j} the a of to in" for j in range(8)),
+            "en",
+            "srcD",
+        )
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    src = str(tmp_path / "raw")
+    df.write.parquet(src)
+    root = str(tmp_path / "sig")
+    ingest_signature_batch(spark, df.filter("doc_id % 2 = 0"), root, "even")
+    ingest_signature_batch(spark, df.filter("doc_id % 2 = 1"), root, "odd")
+
+    self_stats = curate_corpus(
+        spark,
+        src,
+        str(tmp_path / "self"),
+        min_quality=0.0,
+        perplexity_band=(0.05, 0.9),
+    )
+    assert self_stats["ppl_lm"] == "self"
+    stored_stats = curate_corpus(
+        spark,
+        src,
+        str(tmp_path / "stored"),
+        min_quality=0.0,
+        perplexity_band=(0.05, 0.9),
+        lm_root=root,
+    )
+    assert stored_stats["ppl_lm"] == "stored"
+    assert {k: v for k, v in stored_stats.items() if k != "ppl_lm"} == {
+        k: v for k, v in self_stats.items() if k != "ppl_lm"
+    }
+
+    # pre-facet lake (no lm/ partitions): silent fallback to self-train
+    shutil.rmtree(os.path.join(root, LM_TABLE))
+    fb_stats = curate_corpus(
+        spark,
+        src,
+        str(tmp_path / "fallback"),
+        min_quality=0.0,
+        perplexity_band=(0.05, 0.9),
+        lm_root=root,
+    )
+    assert fb_stats["ppl_lm"] == "self"
+    assert {k: v for k, v in fb_stats.items() if k != "ppl_lm"} == {
+        k: v for k, v in self_stats.items() if k != "ppl_lm"
+    }
+
+    with pytest.raises(ValueError, match="lm_root"):
+        curate_corpus(
+            spark,
+            src,
+            str(tmp_path / "typo"),
+            min_quality=0.0,
+            perplexity_band=(0.05, 0.9),
+            lm_root=str(tmp_path / "no_such_root"),
+        )

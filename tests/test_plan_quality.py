@@ -747,3 +747,23 @@ def test_lake_sketch_read_is_bounded_merge(q):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "_sr" in plan, "two-phase shard re-rank missing from KMV merge"
+
+
+def test_lake_lm_scoring_is_equi_join_on_model_rows(q):
+    """t26: scoring under the STORED LM is equi-joins of the occurrence
+    stream against the O(types) model table (+ a broadcast V scalar) —
+    no Python, no cartesian, and the model marginals reduce from the
+    stored rows, never from a corpus re-scan."""
+    plan = q("t26_lake_bigram_nll")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lake_cms_estimates_broadcast_stored_cells(q):
+    """a7: the stored <= depth*width cell table BROADCASTS to the
+    candidate estimate join — the corpus-side work is only the exact
+    audit aggregation; no Python, no cartesian."""
+    plan = q("a7_lake_cms_heavy_hitters")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, "stored-cell join must broadcast"
