@@ -297,6 +297,13 @@ def build_parser() -> argparse.ArgumentParser:
         "first-N rule",
     )
     bpq.add_argument(
+        "--opq",
+        action="store_true",
+        help="train + store the OPQ-lite variance-balancing coordinate "
+        "permutation (s21) with the layer; codes encode the permuted "
+        "vectors and pq-search permutes queries automatically",
+    )
+    bpq.add_argument(
         "--train-max-rows",
         type=int,
         default=None,
@@ -534,7 +541,7 @@ def main(argv: list[str] | None = None) -> int:
             kw["train_max_rows"] = args.train_max_rows
         result = build_pq_layer(
             spark, args.index_root, n_sub=args.n_sub, n_codes=args.n_codes,
-            refresh=args.refresh, train=args.train, **kw,
+            refresh=args.refresh, train=args.train, opq=args.opq, **kw,
         )
         print(json.dumps(result, sort_keys=True))
         return 0

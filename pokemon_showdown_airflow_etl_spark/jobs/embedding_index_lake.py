@@ -238,6 +238,52 @@ def sf_pq_index_root(spark: SparkSession, sf_dir: str) -> str:
     return str(out / "root")
 
 
+SF_OPQ_VERSION = 1
+OPQ_SAMPLE_MOD = 17  # plans/llm.py::S13_SAMPLE_MOD — the oracle
+#                      re-derives the permutation from this exact sample
+
+
+def _sf_opq_tag() -> str:
+    from ..operators import similarity
+
+    return (
+        _sf_tag()
+        + "-"
+        + formula_tag(similarity.opq_snake_permutation)
+        + f"-opq8x16sm{OPQ_SAMPLE_MOD}"
+    )
+
+
+def sf_opq_index_dir(sf_dir: str) -> Path:
+    return keyed_dir("embedding_index_opq", SF_OPQ_VERSION, sf_dir, _sf_opq_tag())
+
+
+def build_sf_opq_index(spark: SparkSession, sf_dir: str, out_dir: Path) -> None:
+    """s20's recipe with the OPQ-lite leg ON (catalog s22): the same
+    real protocol — init + bulk ingest — then ``build_pq_layer(opq=
+    True)``, so the committed layer stores a TRAINED non-identity
+    coordinate permutation next to the codebook and every stored code
+    is an encoding of the permuted vectors."""
+    from ..io import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    corp = emb.filter(F.col("vec_id") % DEMO_BATCH_MOD != 0)
+    root = str(out_dir / "root")
+    init_embedding_index(spark, corp, root, n_cells=DEFAULT_N_CELLS, train=False)
+    ingest_embedding_batch(spark, corp, root, "bulk", threshold=2.0)
+    build_pq_layer(spark, root, opq=True)
+
+
+def sf_opq_index_root(spark: SparkSession, sf_dir: str) -> str:
+    """Root of the materialized OPQ-permuted demo index + PQ layer,
+    building on first use (atomic, race-benign — jobs/_lake.py)."""
+    out = ensure_lake(
+        sf_opq_index_dir(sf_dir),
+        lambda tmp: build_sf_opq_index(spark, sf_dir, tmp),
+    )
+    return str(out / "root")
+
+
 def _centroids_dir(index_root: str) -> str:
     return os.path.join(index_root, "centroids")
 
@@ -712,6 +758,8 @@ def build_pq_layer(
     refresh: bool = False,
     train: bool = False,
     train_max_rows: int = PQ_TRAIN_MAX_ROWS,
+    opq: bool = False,
+    opq_sample_mod: int | None = OPQ_SAMPLE_MOD,
 ) -> dict:
     """Materialize the PQ facet of an embedding index: a deterministic
     codebook (first-``n_codes``-by-id registered vectors, the s14 rule;
@@ -744,7 +792,15 @@ def build_pq_layer(
     orchestrator (jobs/tokenize.py::tokenize_corpus shares this
     convention and its caveat).
 
-    Returns counts only: n_vectors, n_sub, n_codes, refreshed.
+    ``opq=True`` additionally trains the OPQ-lite variance-balancing
+    coordinate permutation (operators/similarity.py::
+    opq_snake_permutation, s21) on the ``vec_id % opq_sample_mod == 0``
+    sample of the committed corpus and stores it in codebook.json next
+    to the codebook it permutes — codes then encode the PERMUTED
+    vectors and ``pq_layer_search`` permutes queries the same way
+    before building its ADC tables. Composes with ``train``.
+
+    Returns counts only: n_vectors, n_sub, n_codes, refreshed, opq.
     """
     import json as _json
     import shutil
@@ -767,9 +823,12 @@ def build_pq_layer(
         os.rename(old, d)
     if os.path.exists(marker) and not refresh:
         n = spark.read.parquet(codes_dir).count()
+        with open(os.path.join(d, "codebook.json")) as f:
+            meta = _json.load(f)
         return {
             "n_vectors": n, "n_sub": n_sub, "n_codes": n_codes,
             "refreshed": False, "already_built": True,
+            "opq": meta.get("perm") is not None,
         }
     asg = read_committed(spark, index_root, "assignments")
     if asg is None:
@@ -789,23 +848,40 @@ def build_pq_layer(
     if os.path.isdir(d) and not committed:
         shutil.rmtree(d)
     os.makedirs(staging)
+    # OPQ-lite leg (s21/s22): train the variance-balancing coordinate
+    # permutation on the bounded deterministic sample of the committed
+    # corpus; the codebook slices PERMUTED vectors and every stored
+    # code encodes the permuted corpus, so the layer must persist the
+    # permutation beside the codebook — a search that forgot to
+    # permute its queries would ADC-score against the wrong subspaces
+    perm = None
+    if opq:
+        from ..operators.similarity import opq_snake_permutation
+
+        perm = opq_snake_permutation(
+            asg, n_sub=n_sub, vec_col="v", sample_mod=opq_sample_mod
+        )
     if train:
         from ..operators.similarity import pq_train_codebook
 
         cb = pq_train_codebook(
             asg.orderBy("vec_id").limit(train_max_rows),
             n_sub=n_sub, n_codes=n_codes, vec_col="v", sample_mod=None,
+            perm=perm,
         )
     else:
-        cb = pq_codebook(asg, n_sub=n_sub, n_codes=n_codes, vec_col="v")
+        cb = pq_codebook(asg, n_sub=n_sub, n_codes=n_codes, vec_col="v", perm=perm)
     # codebook JSON BEFORE the codes write: codes/_SUCCESS is the
     # layer's commit marker, so everything the marker promises (the
     # codebook the codes were encoded with) must exist first — a crash
     # anywhere before the marker leaves an incomplete STAGING dir; the
     # committed layer (if any) never stops serving
     with open(os.path.join(staging, "codebook.json"), "w") as f:
-        _json.dump({"n_sub": n_sub, "n_codes": n_codes, "codebook": cb}, f)
-    encoded = pq_encode(asg, cb, vec_col="v")
+        _json.dump(
+            {"n_sub": n_sub, "n_codes": n_codes, "codebook": cb, "perm": perm},
+            f,
+        )
+    encoded = pq_encode(asg, cb, vec_col="v", perm=perm)
     encoded.write.parquet(os.path.join(staging, "codes"))
     if os.path.isdir(d):
         os.rename(d, old)
@@ -815,7 +891,7 @@ def build_pq_layer(
     n = spark.read.parquet(codes_dir).count()
     return {
         "n_vectors": n, "n_sub": n_sub, "n_codes": n_codes,
-        "refreshed": True, "already_built": False,
+        "refreshed": True, "already_built": False, "opq": bool(opq),
     }
 
 
@@ -865,6 +941,12 @@ def pq_layer_search(
     sd = len(cb[0][0])
     cbs = [np.asarray(w, dtype=np.float64) for w in cb]
     cns = [(m * m).sum(axis=1) for m in cbs]
+    # an OPQ layer's stored codes encode the PERMUTED corpus — queries
+    # must permute the same way before the ADC tables are built (the
+    # exact-cosine rescore below uses the raw stored vectors, where the
+    # permutation cancels). Pre-OPQ layers have no "perm" key.
+    perm = meta.get("perm")
+    parr = None if perm is None else np.asarray(perm, dtype=np.int64)
 
     codes = spark.read.parquet(codes_dir).select(
         F.col("vec_id").alias("nn_id"), "codes"
@@ -897,6 +979,8 @@ def pq_layer_search(
             if pdf.empty:
                 continue
             mat = np.array(pdf["qv"].tolist(), dtype=np.float64)
+            if parr is not None:
+                mat = mat[:, parr]
             tabs = []
             for row in mat:
                 t = np.empty((n_sub, len(cbs[0])), dtype=np.int64)

@@ -55,6 +55,7 @@ _PRIORITY: list[str] = [
     # -- (1) every entry in CHANGED_SINCE_LAST_ROW, new first --
     "t26_lake_bigram_nll",  # NEW r11: stored-LM NLL (lm/ facet)
     "a7_lake_cms_heavy_hitters",  # NEW r11: lake-served CMS (cms/ facet)
+    "s22_opq_lake_search",  # NEW r11: OPQ perm served from the PQ lake
     "a6_lake_sketch",
     "m5b_audio_pcm_energy",
     "m5_audio_frame_energy",
@@ -75,7 +76,7 @@ _PRIORITY: list[str] = [
     "u3_intersect",
     "x2_salted_join",
     # -- (4) the r8-latest block fills the remaining slots; spilling to
-    # r12: t10_repetition_ratio, t11_pack_sequences,
+    # r12: s7_ivf_kmeans_quality, t10_repetition_ratio, t11_pack_sequences,
     # t21_domain_mixture, t2_lang_id, t3_token_counts, t4_fingerprint,
     # t6_token_explode, t7_quality_score, t9_decontaminate, u4_except,
     # w2_keyset_pagination, w3_sorted_dates, w5_session_windows,
@@ -114,11 +115,9 @@ _PRIORITY: list[str] = [
     "s2_ann_srp_topk",
     "s4_ivf_ann_topk",
     "s5_gemm_ann_topk",
-    # one head slot remains reserved for this round's last planned new
-    # entry (s22 OPQ-served search); t26/a7 landed in section (1) and
-    # t10/t11 yielded their slots (to r12's spill list above). When s22
-    # lands, s7 yields the final slot.
-    "s7_ivf_kmeans_quality",
+    # all three reserved head slots are now taken (t26, a7, s22 in
+    # section (1)); s7/t10/t11 yielded their slots to r12's spill list
+    # above.
     # ---- slot 50 boundary ----
 ]
 

@@ -3212,6 +3212,150 @@ def s21_opq_audit(spark, sf_dir):
 
 
 @q(
+    "s22_opq_lake_search",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), corp AS (
+        SELECT vec_id, v FROM e WHERE vec_id % {S11_BATCH_MOD} != 0
+    ), batch AS (
+        SELECT vec_id, v FROM e WHERE vec_id % {S11_BATCH_MOD} = 0
+    ), samp AS (
+        SELECT vec_id, v FROM corp WHERE vec_id % {S13_SAMPLE_MOD} = 0
+    ), vars AS (
+        SELECT u.i AS d,
+               CAST(floor(var_pop(v[u.i]) * 1000000 + 0.5) AS BIGINT) AS vmic
+        FROM samp CROSS JOIN LATERAL (
+            SELECT unnest(range(1, {PQ_N_SUB * PQ_SUB_DIM} + 1)) AS i
+        ) u
+        GROUP BY u.i
+    ), snake AS (
+        SELECT d,
+               CAST(CASE WHEN ((r0 // {PQ_N_SUB}) % 2) = 0 THEN r0 % {PQ_N_SUB}
+                         ELSE {PQ_N_SUB - 1} - (r0 % {PQ_N_SUB}) END AS INT) AS m,
+               CAST(r0 // {PQ_N_SUB} AS INT) AS rnd
+        FROM (
+            SELECT d, row_number() OVER (ORDER BY vmic DESC, d ASC) - 1 AS r0
+            FROM vars
+        )
+    ), cents AS (
+        SELECT vec_id AS cell_id, v AS cv FROM corp ORDER BY vec_id LIMIT {S11_N_CELLS}
+    ), m_ranked AS (
+        SELECT vid, cell_id,
+               row_number() OVER (PARTITION BY vid ORDER BY cell_sim DESC, cell_id ASC)
+                   AS cell_rank
+        FROM (
+            SELECT corp.vec_id AS vid, cents.cell_id,
+                   list_dot_product(corp.v, cents.cv) /
+                       (sqrt(list_dot_product(corp.v, corp.v)) *
+                        sqrt(list_dot_product(cents.cv, cents.cv))) AS cell_sim
+            FROM corp CROSS JOIN cents
+        )
+    ), members AS (
+        SELECT vid AS nn_id, cell_id FROM m_ranked WHERE cell_rank = 1
+    ), p_ranked AS (
+        SELECT vid, cell_id,
+               row_number() OVER (PARTITION BY vid ORDER BY cell_sim DESC, cell_id ASC)
+                   AS cell_rank
+        FROM (
+            SELECT batch.vec_id AS vid, cents.cell_id,
+                   list_dot_product(batch.v, cents.cv) /
+                       (sqrt(list_dot_product(batch.v, batch.v)) *
+                        sqrt(list_dot_product(cents.cv, cents.cv))) AS cell_sim
+            FROM batch CROSS JOIN cents
+        )
+    ), probes AS (
+        SELECT vid AS qid, cell_id FROM p_ranked WHERE cell_rank <= {S11_N_PROBE}
+    ), cb AS (
+        SELECT row_number() OVER (ORDER BY vid) - 1 AS j, v AS cv
+        FROM (SELECT vec_id AS vid, v FROM corp ORDER BY vec_id LIMIT {PQ_N_CODES})
+    ), sub AS (
+        SELECT corp.vec_id, sn.m, list(corp.v[sn.d] ORDER BY sn.rnd) AS sv
+        FROM corp CROSS JOIN snake sn GROUP BY 1, 2
+    ), cbsub AS (
+        SELECT cb.j, sn.m, list(cb.cv[sn.d] ORDER BY sn.rnd) AS cw
+        FROM cb CROSS JOIN snake sn GROUP BY 1, 2
+    ), best AS (
+        SELECT vec_id, m, j FROM (
+            SELECT s.vec_id, s.m, c.j,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY -2 * list_dot_product(s.sv, c.cw)
+                                  + list_dot_product(c.cw, c.cw) ASC, c.j ASC
+                   ) AS rnk
+            FROM sub s JOIN cbsub c USING (m)
+        ) WHERE rnk = 1
+    ), qsub AS (
+        SELECT batch.vec_id AS qid, sn.m, list(batch.v[sn.d] ORDER BY sn.rnd) AS qsv
+        FROM batch CROSS JOIN snake sn GROUP BY 1, 2
+    ), adc AS (
+        SELECT p.qid, mem.nn_id,
+               CAST(sum(CAST(round((list_dot_product(q.qsv, q.qsv)
+                   + (-2 * list_dot_product(q.qsv, c.cw)
+                      + list_dot_product(c.cw, c.cw))) * 1000000) AS BIGINT))
+                    AS BIGINT) AS adc_micro
+        FROM probes p
+        JOIN members mem USING (cell_id)
+        JOIN best b ON b.vec_id = mem.nn_id
+        JOIN qsub q ON q.qid = p.qid AND q.m = b.m
+        JOIN cbsub c ON c.m = b.m AND c.j = b.j
+        GROUP BY 1, 2
+    ), short AS (
+        SELECT qid, nn_id, adc_micro FROM (
+            SELECT qid, nn_id, adc_micro,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY adc_micro ASC, nn_id ASC) AS srnk
+            FROM adc
+        ) WHERE srnk <= {PQ_SHORTLIST}
+    ), rescored AS (
+        SELECT s.qid AS query_id, s.nn_id, s.adc_micro,
+               list_dot_product(eq.v, ec.v) /
+                   (sqrt(list_dot_product(eq.v, eq.v)) *
+                    sqrt(list_dot_product(ec.v, ec.v))) AS cs
+        FROM short s
+        JOIN batch eq ON eq.vec_id = s.qid
+        JOIN corp ec ON ec.vec_id = s.nn_id
+    )
+    SELECT query_id, nn_id, CAST(rnk AS INT) AS rank,
+           ROUND(cs, 6) AS cos_sim, adc_micro
+    FROM (
+        SELECT query_id, nn_id, adc_micro, cs,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, nn_id ASC) AS rnk
+        FROM rescored
+    ) WHERE rnk <= 3
+    """,
+    doc="IVF-PQ over the lake with the TRAINED OPQ-lite permutation "
+    "SERVED from storage (jobs/embedding_index_lake.py::build_pq_layer"
+    "(opq=True) + pq_layer_search; VERDICT r10 item 7): s21 proved the "
+    "permutation standalone, s20 proved the un-permuted serving path — "
+    "this entry closes the loop by committing the trained permutation "
+    "IN the layer (codebook.json beside the codebook it permutes, "
+    "staged-swap protocol unchanged) so every stored 8-byte code "
+    "encodes the permuted corpus and the search permutes queries "
+    "before building its ADC lookup tables; the exact-cosine rescore "
+    "reads the raw stored vectors, where the permutation cancels. The "
+    "oracle composes s20's full IVF-PQ re-derivation with s21's "
+    "closed-form SQL permutation (var_pop micro-rank -> boustrophedon "
+    "deal over the corp sample), so one wrong stored perm entry, "
+    "unpermuted code, or unpermuted query table mismatches the hash. "
+    "Same 100-TB shape as s20: n_probe/n_cells of the code table, "
+    "broadcast integer tables, equi-join pairing on the probing "
+    "query's id, bounded rescore — the permutation adds one stored "
+    "64-int list and one in-kernel column gather.",
+)
+def s22_opq_lake_search(spark, sf_dir):
+    from ..jobs.embedding_index_lake import pq_layer_search, sf_opq_index_root
+
+    emb = t(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % S11_BATCH_MOD == 0)
+    root = sf_opq_index_root(spark, sf_dir)
+    return pq_layer_search(
+        spark, root, batch, k=3, shortlist=PQ_SHORTLIST, n_probe=S11_N_PROBE
+    )
+
+
+@q(
     "s19_pq_train_quality",
     f"""
     SELECT CAST(count(*) AS BIGINT) AS n_vectors,

@@ -767,3 +767,12 @@ def test_lake_cms_estimates_broadcast_stored_cells(q):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, "stored-cell join must broadcast"
+
+
+def test_opq_lake_search_pairs_by_equi_join(q):
+    """s22: same contract as s20 — candidate codes pair with their
+    probing query by an equi-join on the query id; the stored
+    permutation is applied inside the query kernel, never as a plan
+    node over the corpus."""
+    plan = q("s22_opq_lake_search")
+    assert "CartesianProduct" not in plan

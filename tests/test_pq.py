@@ -550,3 +550,74 @@ def test_brute_force_rejects_zero_norm_vectors(spark):
         similarity.brute_force_topk(
             emb.filter(F.col("vec_id") != 2), emb.filter(F.col("vec_id") == 2), k=1
         )
+
+
+def test_pq_lake_layer_serves_stored_opq_permutation(spark, tmp_path):
+    """build_pq_layer(opq=True) trains + stores a NON-identity
+    permutation on the planted anisotropic corpus, the stored codes
+    encode the PERMUTED vectors, and pq_layer_search permutes queries
+    the same way — a planted duplicate still comes back rank-1 with
+    cosine 1.0 (VERDICT r10 item 7)."""
+    import json
+    import os
+
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        read_committed,
+    )
+    from pokemon_showdown_airflow_etl_spark.jobs.embedding_index_lake import (
+        build_pq_layer,
+        ingest_embedding_batch,
+        init_embedding_index,
+        pq_layer_search,
+    )
+    from pokemon_showdown_airflow_etl_spark.operators.similarity import (
+        opq_snake_permutation,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = _planted_anisotropic(spark, n=60, dim=16, n_sub=4)
+    root = str(tmp_path / "idx")
+    init_embedding_index(spark, emb, root, n_cells=4, train=False)
+    ingest_embedding_batch(spark, emb, root, "bulk", threshold=2.0)
+    st = build_pq_layer(spark, root, n_sub=4, n_codes=8, opq=True, opq_sample_mod=1)
+    assert st["opq"] and st["refreshed"]
+
+    with open(os.path.join(root, "pq", "codebook.json")) as f:
+        meta = json.load(f)
+    perm = meta["perm"]
+    assert sorted(perm) == list(range(16))
+    assert perm != list(range(16)), "anisotropic corpus must train a real perm"
+
+    # stored codes == live permuted encode of the committed corpus
+    asg = read_committed(spark, root, "assignments")
+    live_perm = opq_snake_permutation(asg, n_sub=4, vec_col="v", sample_mod=1)
+    assert live_perm == perm
+    cb = pq_codebook(asg, n_sub=4, n_codes=8, vec_col="v", perm=perm)
+    live = {
+        r["vec_id"]: (list(r["codes"]), r["err_micro"])
+        for r in pq_encode(asg, cb, vec_col="v", perm=perm).collect()
+    }
+    stored = {
+        r["vec_id"]: (list(r["codes"]), r["err_micro"])
+        for r in spark.read.parquet(os.path.join(root, "pq", "codes")).collect()
+    }
+    assert stored == live
+
+    # a duplicate of vector 7 routes through the permuted ADC path
+    dup = _planted_anisotropic(spark, n=60, dim=16, n_sub=4).filter(
+        "vec_id = 7"
+    ).selectExpr("900 as vec_id", "embedding")
+    got = pq_layer_search(spark, root, dup, k=1, shortlist=5).collect()
+    assert len(got) == 1
+    assert (got[0]["nn_id"], got[0]["cos_sim"]) == (7, 1.0)
+
+    # already-built report surfaces the stored layer's opq state
+    st2 = build_pq_layer(spark, root, n_sub=4, n_codes=8)
+    assert st2["already_built"] and st2["opq"]
+
+    # a refresh WITHOUT opq drops the permutation (snapshot semantics)
+    st3 = build_pq_layer(spark, root, n_sub=4, n_codes=8, refresh=True)
+    assert st3["refreshed"] and not st3["opq"]
+    with open(os.path.join(root, "pq", "codebook.json")) as f:
+        assert json.load(f)["perm"] is None
