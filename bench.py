@@ -347,8 +347,12 @@ def main() -> None:
         # bounded aggregations + one small partition write), so this
         # number is NOT comparable to pre-r10 rounds (894 -> ~750 at
         # bench scale, where the constant cost looms; it amortizes at
-        # production batch sizes) — VERDICT r10 item 8
+        # production batch sizes) — VERDICT r10 item 8. r11 added the
+        # lm/ (bigram counts + vocab) and cms/ (count-min cells)
+        # additive facets per batch — three more bounded aggregations
+        # + two small writes — so r11+ is its own baseline again.
         "includes_sketch_facet": True,
+        "includes_lm_cms_facets": True,
     }
 
     # Incremental SEMANTIC admission throughput (s11's production

@@ -218,6 +218,15 @@ def build_parser() -> argparse.ArgumentParser:
         "bigram (repeatable) — corpus-wide heavy-hitter point lookups "
         "from <= 1024 persisted cells, no corpus scan",
     )
+    skst.add_argument(
+        "--top-grams",
+        type=int,
+        default=None,
+        metavar="K",
+        help="also serve the corpus-wide top-K heavy-hitter bigrams "
+        "ENTIRELY from the stored hh/ + cms/ facets (stored candidates "
+        "ranked by stored-cell estimates; no corpus scan)",
+    )
 
     iei = sub.add_parser(
         "init-embedding-index",
@@ -493,7 +502,12 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name="etl-sketch-stats", master=args.master)
         print(
             json.dumps(
-                corpus_sketch_stats(spark, args.sig_root, grams=args.gram),
+                corpus_sketch_stats(
+                    spark,
+                    args.sig_root,
+                    grams=args.gram,
+                    top_grams=args.top_grams,
+                ),
                 sort_keys=True,
             )
         )

@@ -147,6 +147,14 @@ def signature_tables(
 #                            (<= 1024 rows/batch), merged by SUM —
 #                            corpus-wide heavy-hitter estimates served
 #                            from stored rows (cli sketch-stats --gram)
+#   hh/batch=<id>/           the batch's heavy-hitter CANDIDATE facet:
+#                            the exact top-m token bigrams of the
+#                            batch (deterministic, <= m rows), merged
+#                            by distinct-union/max (idempotent) — with
+#                            cms/ this serves corpus-wide top-k heavy
+#                            hitters ENTIRELY from stored rows: stored
+#                            candidates ranked by stored-cell
+#                            estimates, no corpus scan anywhere
 #
 # Idempotency + crash-safety (the K3/T5 contract, file-level here; a
 # table format with transactions takes over at deploy time): members/
@@ -210,6 +218,8 @@ LM_TABLE = "lm"
 CMS_TABLE = "cms"
 CMS_DEPTH = 4
 CMS_WIDTH = 256
+HH_TABLE = "hh"
+HH_TOP_M = 64
 
 
 def _crash_window_replaced(
@@ -372,27 +382,81 @@ def read_corpus_sketch(
     return merge_sketch_rows(spark.read.parquet(*paths), k=k)
 
 
+def _batch_grams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The batch's token-bigram occurrence stream as (gram) rows (a2's
+    key: 'w1 w2') — shared input of the cms/ and hh/ facets."""
+    from ..operators.text import _bigram_occurrences, _bigram_staged
+
+    occ = _bigram_occurrences(_bigram_staged(docs, id_col, text_col), id_col)
+    return occ.select(
+        F.concat(F.col("w1"), F.lit(" "), F.col("w2")).alias("gram")
+    )
+
+
 def batch_cms_rows(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    _grams: DataFrame | None = None,
 ) -> DataFrame:
     """One batch's count-min facet: md5-variant CMS cells (cell, cnt)
     over the batch docs' token-bigram occurrence stream (a2's gram
     key: 'w1 w2'). <= depth * width rows however large the batch;
     additive, so per-batch partitions merge by SUM at compaction and
     read time. Covers the CONSIDERED docs, same contract as the
-    sketch/LM facets."""
+    sketch/LM facets. ``_grams`` lets ingest share one pinned gram
+    stream across the gram-keyed facets."""
     from ..operators.sketches import cms_rows_md5
-    from ..operators.text import _bigram_occurrences, _bigram_staged
 
-    occ = _bigram_occurrences(_bigram_staged(docs, id_col, text_col), id_col)
-    grams = occ.select(
-        F.concat(F.col("w1"), F.lit(" "), F.col("w2")).alias("gram")
-    )
+    grams = _grams if _grams is not None else _batch_grams(docs, id_col, text_col)
     return cms_rows_md5(grams, "gram", depth, width)
+
+
+def batch_hh_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m: int = HH_TOP_M,
+    _grams: DataFrame | None = None,
+) -> DataFrame:
+    """One batch's heavy-hitter CANDIDATE facet: the exact top-``m``
+    token bigrams of the batch by (count desc, gram asc), as
+    (gram, n) rows — n is the gram's count WITHIN this batch (a lower
+    bound on its corpus count, not the corpus count). Deterministic
+    (exact batch-level counts, total tie order) — unlike per-partition
+    Misra-Gries (a3's production proposal) this is independent of
+    partition layout, which is what lets the a8 oracle re-derive the
+    stored candidates from raw parquet.
+
+    Coverage argument (the SpaceSaving/local-HH law): a gram with
+    corpus count N_g has count >= N_g / n_batches in some batch, so
+    every true corpus top-k heavy hitter is proposed as long as its
+    per-batch share clears that batch's rank-m count — with m
+    comfortably above k (64 vs top-10) this holds for any near-Zipfian
+    gram distribution; widen m if a deployment's batches are tiny.
+
+    Scale shape: one combinable count aggregation over the batch's
+    gram types + a TakeOrdered(m) — per-partition top-m then a single
+    m-row reduce, never a global sort."""
+    grams = _grams if _grams is not None else _batch_grams(docs, id_col, text_col)
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(m)
+    )
+
+
+def merge_hh_rows(rows: DataFrame) -> DataFrame:
+    """Merge any union of per-batch candidate rows: distinct grams,
+    n = MAX of the per-batch counts (still a lower bound on the corpus
+    count; ranking for SERVING comes from the CMS estimate, not n).
+    Max is IDEMPOTENT, so — like the HLL/KMV facet and unlike the
+    additive lm/cms legs — the compaction crash window cannot corrupt
+    this merge even without the committed-path exclusion."""
+    return rows.groupBy("gram").agg(F.max("n").cast("long").alias("n"))
 
 
 def read_corpus_lm(spark: SparkSession, sig_root: str) -> DataFrame | None:
@@ -421,6 +485,51 @@ def read_corpus_cms(spark: SparkSession, sig_root: str) -> DataFrame | None:
     if not paths:
         return None
     return merge_cms_rows(spark.read.parquet(*paths))
+
+
+def read_corpus_hh(spark: SparkSession, sig_root: str) -> DataFrame | None:
+    """The corpus-wide merged heavy-hitter candidate set over every
+    committed batch's stored hh/ partition, or None when no batch
+    carries the facet."""
+    paths = _committed_facet_paths(sig_root, HH_TABLE)
+    if not paths:
+        return None
+    return merge_hh_rows(spark.read.parquet(*paths))
+
+
+def lake_heavy_hitters(
+    spark: SparkSession,
+    sig_root: str,
+    topk: int = 10,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame | None:
+    """Corpus-wide top-``topk`` heavy hitters served ENTIRELY from
+    stored rows — the end-to-end read the hh/ + cms/ facets exist for:
+    the merged stored candidates (<= m * n_batches grams) estimate
+    against the merged stored cells (<= depth * width rows, broadcast)
+    and rank by (est desc, gram asc). No corpus scan anywhere; at
+    100 TB this touches a few thousand stored rows. Returns
+    (gram, est, rank) or None when either facet is missing."""
+    from pyspark.sql.window import Window
+
+    from ..operators.sketches import cms_estimate_md5
+
+    hh = read_corpus_hh(spark, sig_root)
+    cms = read_corpus_cms(spark, sig_root)
+    if hh is None or cms is None:
+        return None
+    est = cms_estimate_md5(hh.select("gram"), cms, "gram", depth, width)
+    return (
+        est.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("est"), F.asc("gram")))
+            .cast("int"),
+        )
+        .filter(F.col("rank") <= topk)
+        .select("gram", F.col("est").cast("long").alias("est"), "rank")
+    )
 
 
 def ingest_signature_batch(
@@ -528,18 +637,40 @@ def ingest_signature_batch(
     batch_sketch_rows(fresh_docs, id_col, text_col).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(sig_root, SKETCH_TABLE, f"batch={batch_id}"))
-    # lm: additive bigram-type counts + distinct vocab rows. coalesce(1)
-    # fits the O(batch bigram types) row set at daily-drop sizes; a
-    # deployment with very large drops sizes files like compaction does
-    from ..operators.text import bigram_lm_rows
+    # the three bigram-keyed facets (lm counts, cms cells, hh
+    # candidates) share ONE pinned occurrence stream — unshared, each
+    # would re-tokenize and re-explode the batch. coalesce(1) fits the
+    # bounded/O(batch-types) row sets at daily-drop sizes; a deployment
+    # with very large drops sizes the lm files like compaction does
+    from ..operators.text import (
+        _bigram_occurrences,
+        _bigram_staged,
+        bigram_lm_rows,
+    )
 
-    bigram_lm_rows(fresh_docs, id_col, text_col).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(sig_root, LM_TABLE, f"batch={batch_id}"))
+    staged = _bigram_staged(fresh_docs, id_col, text_col)
+    occ = pin(_bigram_occurrences(staged, id_col))
+    grams = occ.select(
+        F.concat(F.col("w1"), F.lit(" "), F.col("w2")).alias("gram")
+    )
+    # lm: additive bigram-type counts + distinct vocab rows
+    bigram_lm_rows(
+        fresh_docs, id_col, text_col, _staged=staged, _occ=occ
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sig_root, LM_TABLE, f"batch={batch_id}")
+    )
     # cms: additive md5-variant cells over the token-bigram stream
-    batch_cms_rows(fresh_docs, id_col, text_col).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(sig_root, CMS_TABLE, f"batch={batch_id}"))
+    batch_cms_rows(fresh_docs, id_col, text_col, _grams=grams).coalesce(
+        1
+    ).write.mode("overwrite").parquet(
+        os.path.join(sig_root, CMS_TABLE, f"batch={batch_id}")
+    )
+    # hh: the batch's exact top-m candidate grams
+    batch_hh_rows(fresh_docs, id_col, text_col, _grams=grams).coalesce(
+        1
+    ).write.mode("overwrite").parquet(
+        os.path.join(sig_root, HH_TABLE, f"batch={batch_id}")
+    )
     counts = {
         r["status"]: r["n"]
         for r in decision.groupBy("status")
@@ -721,6 +852,18 @@ def compact_signature_corpus(
             ).write.mode("overwrite").parquet(
                 os.path.join(sig_root, CMS_TABLE, f"batch={cid}")
             )
+        hh_paths = [
+            os.path.join(sig_root, HH_TABLE, f"batch={b}") for b in old
+        ]
+        hh_paths = [
+            p for p in hh_paths if os.path.exists(os.path.join(p, "_SUCCESS"))
+        ]
+        if hh_paths:
+            merge_hh_rows(spark.read.parquet(*hh_paths)).coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                os.path.join(sig_root, HH_TABLE, f"batch={cid}")
+            )
         with open(_manifest_path(cid), "w") as f:
             json.dump(sorted(old), f)
         # members commit marker LAST — until it lands, the consolidated
@@ -741,7 +884,7 @@ def compact_signature_corpus(
     for b in old:
         shutil.rmtree(os.path.join(mem_dir, f"batch={b}"), ignore_errors=True)
         shutil.rmtree(os.path.join(sig_dir, f"batch={b}"), ignore_errors=True)
-        for facet in (SKETCH_TABLE, LM_TABLE, CMS_TABLE):
+        for facet in (SKETCH_TABLE, LM_TABLE, CMS_TABLE, HH_TABLE):
             shutil.rmtree(
                 os.path.join(sig_root, facet, f"batch={b}"),
                 ignore_errors=True,
@@ -759,6 +902,7 @@ def corpus_sketch_stats(
     sig_root: str,
     quantiles_bp: tuple[int, ...] = (2500, 5000, 9000, 9900),
     grams: list[str] | None = None,
+    top_grams: int | None = None,
 ) -> dict:
     """The number a corpus operator actually asks the sketch facet for
     (counts only, the O5 rule): the HLL distinct-content estimate and
@@ -768,7 +912,10 @@ def corpus_sketch_stats(
     reports the STORED count-min estimate per requested token bigram —
     corpus-wide heavy-hitter point lookups from the <= depth*width
     persisted cells (a gram none of whose cells were ever touched, or
-    a corpus predating the cms facet, estimates 0)."""
+    a corpus predating the cms facet, estimates 0). ``top_grams``
+    serves the corpus-wide top-K heavy hitters entirely from the
+    stored hh/ + cms/ facets (lake_heavy_hitters; empty list on a
+    pre-facet corpus)."""
     from ..operators.sketches import hll_summary_of_registers
     from ..pinning import pin
 
@@ -791,6 +938,17 @@ def corpus_sketch_stats(
         }
         return {g: est.get(g, 0) for g in grams}
 
+    def _top_grams() -> list:
+        if not top_grams:
+            return []
+        hh = lake_heavy_hitters(spark, sig_root, topk=top_grams)
+        if hh is None:
+            return []
+        return [
+            [r["gram"], int(r["est"]), int(r["rank"])]
+            for r in hh.orderBy("rank").collect()
+        ]
+
     sk = read_corpus_sketch(spark, sig_root)
     if sk is None:
         return {
@@ -801,6 +959,7 @@ def corpus_sketch_stats(
             "n_kmv_sample": 0,
             "len_quantiles_bp": {},
             "gram_est": _gram_estimates(),
+            "top_grams": _top_grams(),
         }
     sk = pin(sk)
     regs = sk.filter(F.col("kind") == "hll").select(
@@ -827,6 +986,7 @@ def corpus_sketch_stats(
             else {}
         ),
         "gram_est": _gram_estimates(),
+        "top_grams": _top_grams(),
     }
 
 
@@ -850,6 +1010,9 @@ def _sketch_tag() -> str:
         batch_sketch_rows,
         merge_sketch_rows,
         batch_cms_rows,
+        batch_hh_rows,
+        merge_hh_rows,
+        _batch_grams,
         sketches.hll_rank,
         sketches.hll_registers,
         sketches.bottomk_of_rows,
@@ -942,7 +1105,7 @@ def _sweep_retired(sig_root: str, data_table: str = "signatures") -> None:
             os.path.join(sig_root, data_table, f"batch={b}"),
             ignore_errors=True,
         )
-        for facet in (SKETCH_TABLE, LM_TABLE, CMS_TABLE):
+        for facet in (SKETCH_TABLE, LM_TABLE, CMS_TABLE, HH_TABLE):
             shutil.rmtree(
                 os.path.join(sig_root, facet, f"batch={b}"),
                 ignore_errors=True,

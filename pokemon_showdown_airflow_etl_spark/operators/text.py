@@ -802,7 +802,11 @@ def _bigram_occurrences(staged: DataFrame, id_col: str) -> DataFrame:
 
 
 def bigram_lm_rows(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    _staged: DataFrame | None = None,
+    _occ: DataFrame | None = None,
 ) -> DataFrame:
     """The add-one-smoothed bigram LM's sufficient statistics as
     MERGEABLE (kind, w1, w2, n) rows — the persistable form of the t25
@@ -819,9 +823,11 @@ def bigram_lm_rows(
       at all — it is the w1-marginal of the bigram rows.
 
     Scale shape: one explode + two combinable aggregations; the row
-    set is O(bigram types), never O(corpus)."""
-    staged = _bigram_staged(df, id_col, text_col)
-    occ = _bigram_occurrences(staged, id_col)
+    set is O(bigram types), never O(corpus). ``_staged``/``_occ`` let
+    a caller that also scores (bigram_logprob) share one pinned
+    tokenize + explode instead of paying it twice."""
+    staged = _staged if _staged is not None else _bigram_staged(df, id_col, text_col)
+    occ = _occ if _occ is not None else _bigram_occurrences(staged, id_col)
     null_s = F.lit(None).cast("string")
     big = (
         occ.groupBy("w1", "w2")
@@ -878,6 +884,7 @@ def bigram_nll_with_lm(
     lm_rows: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    _occ: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document negative log-likelihood under an add-one-smoothed
     bigram model GIVEN as (kind, w1, w2, n) rows (``bigram_lm_rows``
@@ -923,7 +930,11 @@ def bigram_nll_with_lm(
             .alias("micro"),
         )
     )
-    occ = _bigram_occurrences(_bigram_staged(df, id_col, text_col), id_col)
+    occ = (
+        _occ
+        if _occ is not None
+        else _bigram_occurrences(_bigram_staged(df, id_col, text_col), id_col)
+    )
     # unseen bigram: smoothed mass 1 / (c1 + V); unseen context: 1 / V.
     # The seen path takes the model table's pre-quantized micro so the
     # self-trained case stays bit-identical to t25; the unseen path
@@ -981,6 +992,11 @@ def bigram_logprob(
 
     Returns (id_col, n_bigrams, nll_micro, avg_nll_micro) anchored on
     the INPUT ids (docs with < 2 tokens score 0)."""
-    return bigram_nll_with_lm(
-        df, bigram_lm_rows(df, id_col, text_col), id_col, text_col
-    )
+    # ONE pinned occurrence stream feeds both the model aggregations
+    # and the scoring join (the pre-facet r10 plan shape) — without
+    # the sharing, train + score would tokenize and explode the
+    # corpus twice
+    staged = _bigram_staged(df, id_col, text_col)
+    occ = pin(_bigram_occurrences(staged, id_col))
+    lm = bigram_lm_rows(df, id_col, text_col, _staged=staged, _occ=occ)
+    return bigram_nll_with_lm(df, lm, id_col, text_col, _occ=occ)

@@ -42,6 +42,12 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # changed query can no longer coast on a stale green row (the t8/g16/s6
 # gap VERDICT r3 flagged).
 CHANGED_SINCE_LAST_ROW: list[str] = [
+    "t25_bigram_logprob",  # r11: refactored into the bigram_lm_rows +
+    #   bigram_nll_with_lm composition so the lm/ lake facet and the
+    #   self-trained path share one implementation — value-identical
+    #   (shared pinned occurrence stream keeps the r10 plan shape),
+    #   re-oracled in the 156-entry raw sweep; rotated for the hard
+    #   driver signal anyway (VERDICT r10 item 1's standing rule)
     "a6_lake_sketch",  # r11: merge_sketch_rows dedupes identical KMV
     #   (h,k,v) rows before ranking (ADVICE r10: compaction crash-window
     #   reads saw each row twice) — a no-op for a6's disjoint demo
@@ -55,7 +61,9 @@ _PRIORITY: list[str] = [
     # -- (1) every entry in CHANGED_SINCE_LAST_ROW, new first --
     "t26_lake_bigram_nll",  # NEW r11: stored-LM NLL (lm/ facet)
     "a7_lake_cms_heavy_hitters",  # NEW r11: lake-served CMS (cms/ facet)
+    "a8_lake_heavy_hitters",  # NEW r11: end-to-end stored-row HH serve
     "s22_opq_lake_search",  # NEW r11: OPQ perm served from the PQ lake
+    "t25_bigram_logprob",
     "a6_lake_sketch",
     "m5b_audio_pcm_energy",
     "m5_audio_frame_energy",
@@ -76,7 +84,8 @@ _PRIORITY: list[str] = [
     "u3_intersect",
     "x2_salted_join",
     # -- (4) the r8-latest block fills the remaining slots; spilling to
-    # r12: s7_ivf_kmeans_quality, t10_repetition_ratio, t11_pack_sequences,
+    # r12: s4_ivf_ann_topk, s5_gemm_ann_topk, s7_ivf_kmeans_quality,
+    # t10_repetition_ratio, t11_pack_sequences,
     # t21_domain_mixture, t2_lang_id, t3_token_counts, t4_fingerprint,
     # t6_token_explode, t7_quality_score, t9_decontaminate, u4_except,
     # w2_keyset_pagination, w3_sorted_dates, w5_session_windows,
@@ -113,11 +122,10 @@ _PRIORITY: list[str] = [
     "s19_pq_train_quality",
     "s1_similarity_topk",
     "s2_ann_srp_topk",
-    "s4_ivf_ann_topk",
-    "s5_gemm_ann_topk",
     # all three reserved head slots are now taken (t26, a7, s22 in
-    # section (1)); s7/t10/t11 yielded their slots to r12's spill list
-    # above.
+    # section (1)), t25's rotation took a fourth and a8 a fifth;
+    # s4_ivf_ann_topk and s5_gemm_ann_topk joined s7/t10/t11 in
+    # yielding their slots to r12's spill list above.
     # ---- slot 50 boundary ----
 ]
 

@@ -954,3 +954,70 @@ def a7_lake_cms_heavy_hitters(spark, sf_dir):
         )
         .orderBy("rank")
     )
+
+
+@q(
+    "a8_lake_heavy_hitters",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents
+    ), grams AS (
+        SELECT doc_id % 2 AS b, tk[u.i] || ' ' || tk[u.i + 1] AS gram
+        FROM tk CROSS JOIN LATERAL (
+            SELECT unnest(range(1, len(tk))) AS i
+        ) u
+        WHERE len(tk) >= 2 AND tk[1] != ''
+    ), bc AS (
+        SELECT b, gram, CAST(count(*) AS BIGINT) AS n
+        FROM grams GROUP BY 1, 2
+    ), cand AS (
+        SELECT DISTINCT gram FROM (
+            SELECT b, gram,
+                   row_number() OVER (
+                       PARTITION BY b ORDER BY n DESC, gram ASC
+                   ) AS r
+            FROM bc
+        ) WHERE r <= 64
+    ), rs AS (
+        SELECT unnest(range(0, 4)) AS r
+    ), sk AS (
+        SELECT cell, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT {_A7_CELLS_SQL.format(key="gram")} AS cell
+            FROM grams CROSS JOIN rs r
+        ) GROUP BY cell
+    ), est AS (
+        SELECT gram, CAST(min(sk.cnt) AS BIGINT) AS est FROM (
+            SELECT c.gram, {_A7_CELLS_SQL.format(key="c.gram")} AS cell
+            FROM cand c CROSS JOIN rs r
+        ) JOIN sk USING (cell) GROUP BY gram
+    )
+    SELECT gram, est, rank FROM (
+        SELECT gram, est,
+               CAST(row_number() OVER (ORDER BY est DESC, gram ASC) AS INT)
+                   AS rank
+        FROM est
+    ) WHERE rank <= 10 ORDER BY rank
+    """,
+    doc="Corpus-wide heavy hitters served ENTIRELY from stored rows "
+    "(jobs/doc_signature_lake.py::lake_heavy_hitters; cli sketch-stats "
+    "--top-grams): the hh/ facet persists each ingest batch's exact "
+    "top-m candidate bigrams (deterministic — batch-level counts with "
+    "a total tie order, so unlike per-partition Misra-Gries the "
+    "oracle can re-derive them from raw parquet), compaction merges "
+    "candidates by distinct/max (idempotent — crash-window safe "
+    "twice over), and serving estimates the merged stored candidates "
+    "against the merged stored cms/ cells, ranking by (est desc, "
+    "gram). a7 audits the sketch against an exact corpus scan; THIS "
+    "entry is the production read — the whole pipeline, candidates "
+    "included, touches only a few thousand persisted rows however "
+    "large the corpus (the local-HH coverage law: a corpus heavy "
+    "hitter clears some batch's top-m). The oracle replays per-batch "
+    "top-64 proposal + merged-cell estimation from raw parquet, so "
+    "one missing candidate or drifted stored count mismatches the "
+    "hash.",
+)
+def a8_lake_heavy_hitters(spark, sf_dir):
+    from ..jobs.doc_signature_lake import lake_heavy_hitters, sf_sketch_root
+
+    root = sf_sketch_root(spark, sf_dir)
+    return lake_heavy_hitters(spark, root, topk=10)

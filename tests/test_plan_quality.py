@@ -776,3 +776,15 @@ def test_opq_lake_search_pairs_by_equi_join(q):
     node over the corpus."""
     plan = q("s22_opq_lake_search")
     assert "CartesianProduct" not in plan
+
+
+def test_lake_hh_serve_is_stored_rows_only(q):
+    """a8: the serving read must touch only the stored candidate and
+    cell row sets — broadcast estimate join, bounded rank window, no
+    Python, no cartesian. (The documents scan in the plan belongs to
+    the demo-lake BUILD path, not the serve; the oracle-side corpus
+    replay is DuckDB's.)"""
+    plan = q("a8_lake_heavy_hitters")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, "stored-cell join must broadcast"

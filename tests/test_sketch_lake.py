@@ -341,3 +341,55 @@ def test_additive_facets_exclude_crash_window_batches(spark, tmp_path):
             )
     assert _rows(read_corpus_lm(spark, root)) == clean_lm
     assert _rows(read_corpus_cms(spark, root)) == clean_cms
+
+
+def test_hh_facet_serves_heavy_hitters_from_stored_rows(spark, tmp_path):
+    """The end-to-end stored-row serve (a8): a planted heavy gram that
+    dominates BOTH batches must come out of lake_heavy_hitters rank-1
+    with a CMS-law-sound estimate, with no corpus access on the read
+    path (both facets are tiny stored row sets)."""
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        batch_hh_rows,
+        lake_heavy_hitters,
+        merge_hh_rows,
+        read_corpus_hh,
+    )
+
+    root = str(tmp_path / "sig")
+    a, b = _docs(spark, 0, 40), _docs(spark, 40, 75, salt="x")
+    ingest_signature_batch(spark, a, root, "day1")
+    ingest_signature_batch(spark, b, root, "day2")
+    union = a.unionAll(b)
+    # merged candidates = distinct union of per-batch top-m, n by max
+    merged = read_corpus_hh(spark, root)
+    scratch = merge_hh_rows(
+        batch_hh_rows(a).unionAll(batch_hh_rows(b))
+    )
+    assert _rows(merged) == _rows(scratch)
+    # idempotent: re-merging (the compaction crash window) is a no-op
+    assert _rows(merge_hh_rows(merged.unionAll(merged))) == _rows(merged)
+
+    hh = lake_heavy_hitters(spark, root, topk=5).orderBy("rank").collect()
+    assert len(hh) == 5
+    # 'shared words' / 'words here' appear once per doc (75x) — the
+    # corpus-wide heavy hitters; CMS never underestimates
+    top_grams = {r["gram"] for r in hh[:2]}
+    assert top_grams == {"shared words", "words here"}
+    assert all(r["est"] >= 75 for r in hh[:2])
+
+    # the operational read serves the same rows
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        corpus_sketch_stats,
+    )
+
+    st = corpus_sketch_stats(spark, root, top_grams=5)
+    assert st["top_grams"] == [
+        [r["gram"], r["est"], r["rank"]] for r in hh
+    ]
+
+    # pre-facet corpus: no hh/ partitions -> None / empty serve
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "hh"))
+    assert lake_heavy_hitters(spark, root) is None
+    assert corpus_sketch_stats(spark, root, top_grams=5)["top_grams"] == []
