@@ -582,3 +582,69 @@ def test_scrub_is_idempotent_and_removes_pii(spark_prop, frags):
     ), "second pass still found matches"
     assert "@mail-host.org" not in r1["text"]
     assert "utm_source" not in r1["text"]
+
+
+# ---------------------------------------------------------------------------
+# additive lake-facet merge laws: for ANY partition of a corpus into
+# batches, merging the per-batch facet rows equals building the facet
+# from scratch on the whole corpus (the property compaction and the
+# committed-read path rely on; max/bottom-k laws are covered in
+# tests/test_sketch_lake.py)
+# ---------------------------------------------------------------------------
+
+_word_st = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+_facet_doc_st = st.lists(_word_st, min_size=0, max_size=6).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(_facet_doc_st, min_size=1, max_size=10),
+    cut=st.integers(min_value=0, max_value=10),
+)
+def test_facet_merges_equal_from_scratch_for_any_batch_split(
+    spark_prop, docs, cut
+):
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        batch_cms_rows,
+        batch_hh_rows,
+        merge_hh_rows,
+    )
+    from pokemon_showdown_airflow_etl_spark.operators.sketches import (
+        merge_cms_rows,
+    )
+    from pokemon_showdown_airflow_etl_spark.operators.text import (
+        bigram_lm_rows,
+        merge_lm_rows,
+    )
+
+    spark = spark_prop
+    cut = min(cut, len(docs))
+    rows = [(i, t) for i, t in enumerate(docs)]
+    whole = spark.createDataFrame(rows, "doc_id long, text string")
+    a = spark.createDataFrame(rows[:cut] or [], "doc_id long, text string")
+    b = spark.createDataFrame(rows[cut:] or [], "doc_id long, text string")
+
+    def srt(df):
+        return sorted(map(tuple, df.collect()))
+
+    # lm: SUM per bigram type + DISTINCT vocab
+    assert srt(merge_lm_rows(bigram_lm_rows(a).unionAll(bigram_lm_rows(b)))) == srt(
+        bigram_lm_rows(whole)
+    )
+    # cms: SUM per cell (width shrunk so collisions actually occur)
+    assert srt(
+        merge_cms_rows(
+            batch_cms_rows(a, width=16).unionAll(batch_cms_rows(b, width=16))
+        )
+    ) == srt(batch_cms_rows(whole, width=16))
+    # hh with m >= all gram types degenerates to exact counts, where
+    # max-merge of a 2-way split must equal the per-batch maxima
+    merged = merge_hh_rows(
+        batch_hh_rows(a, m=100).unionAll(batch_hh_rows(b, m=100))
+    )
+    ca = {r[0]: r[1] for r in srt(batch_hh_rows(a, m=100))}
+    cb = {r[0]: r[1] for r in srt(batch_hh_rows(b, m=100))}
+    expect = sorted(
+        (g, max(ca.get(g, 0), cb.get(g, 0))) for g in set(ca) | set(cb)
+    )
+    assert srt(merged) == expect
