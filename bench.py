@@ -198,10 +198,25 @@ def main() -> None:
 
     from pokemon_showdown_airflow_etl_spark.jobs import battlelog_lake as bl
 
-    shutil.rmtree(bl.lake_dir(SF_DIR), ignore_errors=True)
-    t0 = time.perf_counter()
-    bl.ensure_battlelog_lake(spark, SF_DIR)
-    lake_build_sec = round(time.perf_counter() - t0, 3)
+    # Each build is measured best-of-2 rebuilds: the first build in a
+    # given JVM state pays whole-stage-codegen compilation for its
+    # kernels (measured 11.8 s cold vs 3.4 s warm for the signature
+    # lake at sf0.1), so a single-shot number conflates JVM position
+    # with build cost — the same instrument problem the query sweep's
+    # repeat/alternation fixes (VERDICT r10 item 6).
+    def _build_twice(cache_dir, build_fn) -> float:
+        best = None
+        for _ in range(2):
+            shutil.rmtree(cache_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            build_fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    lake_build_sec = _build_twice(
+        bl.lake_dir(SF_DIR), lambda: bl.ensure_battlelog_lake(spark, SF_DIR)
+    )
 
     # Content-signature layer: the d-queries read materialized shingles/
     # MinHash/SimHash (jobs/doc_signature_lake.py). Same accounting as
@@ -209,28 +224,25 @@ def main() -> None:
     # cost, let the per-query numbers measure the steady state.
     from pokemon_showdown_airflow_etl_spark.jobs import doc_signature_lake as sl
 
-    shutil.rmtree(sl.lake_dir(SF_DIR), ignore_errors=True)
-    t0 = time.perf_counter()
-    sl.ensure_signature_lake(spark, SF_DIR)
-    sig_lake_build_sec = round(time.perf_counter() - t0, 3)
+    sig_lake_build_sec = _build_twice(
+        sl.lake_dir(SF_DIR), lambda: sl.ensure_signature_lake(spark, SF_DIR)
+    )
 
     # Embedding-index cache: s11 reads the materialized centroids +
     # rank-1 cell assignments (jobs/embedding_index_lake.py sf cache).
     # Same accounting: rebuild from scratch, report the one-time cost.
     from pokemon_showdown_airflow_etl_spark.jobs import embedding_index_lake as el
 
-    shutil.rmtree(el.sf_index_dir(SF_DIR), ignore_errors=True)
-    t0 = time.perf_counter()
-    el.sf_index_tables(spark, SF_DIR)
-    emb_index_build_sec = round(time.perf_counter() - t0, 3)
+    emb_index_build_sec = _build_twice(
+        el.sf_index_dir(SF_DIR), lambda: el.sf_index_tables(spark, SF_DIR)
+    )
 
     # Reindexed demo index: s12 reads the MIGRATED (v1) root; the build
     # is bulk ingest into v0 + the quantizer-migration backfill. Same
     # accounting: rebuild from scratch, report the one-time cost.
-    shutil.rmtree(el.sf_reindexed_dir(SF_DIR), ignore_errors=True)
-    t0 = time.perf_counter()
-    el.sf_reindexed_tables(spark, SF_DIR)
-    emb_reindex_build_sec = round(time.perf_counter() - t0, 3)
+    emb_reindex_build_sec = _build_twice(
+        el.sf_reindexed_dir(SF_DIR), lambda: el.sf_reindexed_tables(spark, SF_DIR)
+    )
 
     for name in HEADLINE:
         _run(name)
@@ -328,31 +340,39 @@ def main() -> None:
     seed_docs = docs_tbl.filter(SF.col("doc_id") % 2 != 0)
     drop_docs = docs_tbl.filter(SF.col("doc_id") % 2 == 0)
     n_drop = drop_docs.count()
-    best = None
+    best: dict[bool, float] = {}
     stats_ing = None
-    for _ in range(3):
-        with tempfile.TemporaryDirectory() as d:
-            ingest_signature_batch(spark, seed_docs, d + "/sig", "seed")
-            t0 = time.perf_counter()
-            stats_ing = ingest_signature_batch(spark, drop_docs, d + "/sig", "drop")
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+    for facets_on in (True, False):
+        for _ in range(3):
+            with tempfile.TemporaryDirectory() as d:
+                ingest_signature_batch(
+                    spark, seed_docs, d + "/sig", "seed", facets=facets_on
+                )
+                t0 = time.perf_counter()
+                st_ = ingest_signature_batch(
+                    spark, drop_docs, d + "/sig", "drop", facets=facets_on
+                )
+                dt = time.perf_counter() - t0
+                best[facets_on] = min(best.get(facets_on, dt), dt)
+                if facets_on:
+                    stats_ing = st_
     ingest = {
         "drop_docs": n_drop,
-        "sec": round(best, 3),
-        "docs_per_sec": round(n_drop / best, 1),
+        "sec": round(best[True], 3),
+        "docs_per_sec": round(n_drop / best[True], 1),
+        # the admission protocol alone (facets=False) — comparable to
+        # pre-r10 rounds; the headline number keeps the facets because
+        # that is what a production ingest runs. The gap is the fixed
+        # per-batch facet cost (4 intake facets after r11: sketches +
+        # lm + cms + hh — bounded aggregations + small writes) that
+        # looms at 2.5k-doc bench batches and amortizes at production
+        # drop sizes — VERDICT r10 item 8 made explicit.
+        "nofacets_sec": round(best[False], 3),
+        "nofacets_docs_per_sec": round(n_drop / best[False], 1),
         "n_accepted": stats_ing["n_accepted"],
         "n_dup_of_corpus": stats_ing["n_dup_of_corpus"],
-        # r10 added the stored sketch facet to every ingest batch (two
-        # bounded aggregations + one small partition write), so this
-        # number is NOT comparable to pre-r10 rounds (894 -> ~750 at
-        # bench scale, where the constant cost looms; it amortizes at
-        # production batch sizes) — VERDICT r10 item 8. r11 added the
-        # lm/ (bigram counts + vocab) and cms/ (count-min cells)
-        # additive facets per batch — three more bounded aggregations
-        # + two small writes — so r11+ is its own baseline again.
         "includes_sketch_facet": True,
-        "includes_lm_cms_facets": True,
+        "includes_lm_cms_hh_facets": True,
     }
 
     # Incremental SEMANTIC admission throughput (s11's production
@@ -520,6 +540,7 @@ def main() -> None:
         "pipeline_replays_per_sec": pipe["replays_per_sec"],
         "curate_docs_per_sec": curate["docs_per_sec"],
         "ingest_docs_per_sec": ingest["docs_per_sec"],
+        "ingest_nofacets_docs_per_sec": ingest["nofacets_docs_per_sec"],
         "embed_ingest_vecs_per_sec": embed_ingest["vecs_per_sec"],
         "embed_ingest_marginal_vecs_per_sec": embed_ingest["marginal_vecs_per_sec"],
         "repeat": args.repeat,

@@ -540,11 +540,19 @@ def ingest_signature_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    facets: bool = True,
 ) -> dict:
     """Admit ``new_docs`` against the signatures under ``sig_root`` and
     register the accepted docs. Returns counts only (the O5 stats
     rule): n_batch, n_already_registered, n_considered, n_accepted,
     n_dup_of_corpus, n_dup_in_batch.
+
+    ``facets=False`` skips the four intake facets (sketches/lm/cms/hh)
+    — the admission protocol is identical, the batch simply behaves
+    like a pre-facet one (readers skip it per facet). The facets cost
+    a handful of bounded aggregations + small writes per batch: a
+    fixed overhead that looms at small batch sizes and amortizes at
+    production drops (bench.py records both legs).
     """
     import os
 
@@ -632,45 +640,49 @@ def ingest_signature_batch(
     )
     # the batch's intake facets — before the members marker, so the
     # marker commits the whole batch including them; each facet's own
-    # _SUCCESS additionally lets readers skip pre-facet batches.
-    # sketches: HLL registers + KMV bottom-k over the CONSIDERED docs
-    batch_sketch_rows(fresh_docs, id_col, text_col).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(sig_root, SKETCH_TABLE, f"batch={batch_id}"))
-    # the three bigram-keyed facets (lm counts, cms cells, hh
-    # candidates) share ONE pinned occurrence stream — unshared, each
-    # would re-tokenize and re-explode the batch. coalesce(1) fits the
-    # bounded/O(batch-types) row sets at daily-drop sizes; a deployment
-    # with very large drops sizes the lm files like compaction does
-    from ..operators.text import (
-        _bigram_occurrences,
-        _bigram_staged,
-        bigram_lm_rows,
-    )
+    # _SUCCESS additionally lets readers skip pre-facet batches
+    if facets:
+        # sketches: HLL registers + KMV bottom-k over the CONSIDERED docs
+        batch_sketch_rows(fresh_docs, id_col, text_col).coalesce(
+            1
+        ).write.mode("overwrite").parquet(
+            os.path.join(sig_root, SKETCH_TABLE, f"batch={batch_id}")
+        )
+        # the three bigram-keyed facets (lm counts, cms cells, hh
+        # candidates) share ONE pinned occurrence stream — unshared,
+        # each would re-tokenize and re-explode the batch. coalesce(1)
+        # fits the bounded/O(batch-types) row sets at daily-drop sizes;
+        # a deployment with very large drops sizes the lm files like
+        # compaction does
+        from ..operators.text import (
+            _bigram_occurrences,
+            _bigram_staged,
+            bigram_lm_rows,
+        )
 
-    staged = _bigram_staged(fresh_docs, id_col, text_col)
-    occ = pin(_bigram_occurrences(staged, id_col))
-    grams = occ.select(
-        F.concat(F.col("w1"), F.lit(" "), F.col("w2")).alias("gram")
-    )
-    # lm: additive bigram-type counts + distinct vocab rows
-    bigram_lm_rows(
-        fresh_docs, id_col, text_col, _staged=staged, _occ=occ
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(sig_root, LM_TABLE, f"batch={batch_id}")
-    )
-    # cms: additive md5-variant cells over the token-bigram stream
-    batch_cms_rows(fresh_docs, id_col, text_col, _grams=grams).coalesce(
-        1
-    ).write.mode("overwrite").parquet(
-        os.path.join(sig_root, CMS_TABLE, f"batch={batch_id}")
-    )
-    # hh: the batch's exact top-m candidate grams
-    batch_hh_rows(fresh_docs, id_col, text_col, _grams=grams).coalesce(
-        1
-    ).write.mode("overwrite").parquet(
-        os.path.join(sig_root, HH_TABLE, f"batch={batch_id}")
-    )
+        staged = _bigram_staged(fresh_docs, id_col, text_col)
+        occ = pin(_bigram_occurrences(staged, id_col))
+        grams = occ.select(
+            F.concat(F.col("w1"), F.lit(" "), F.col("w2")).alias("gram")
+        )
+        # lm: additive bigram-type counts + distinct vocab rows
+        bigram_lm_rows(
+            fresh_docs, id_col, text_col, _staged=staged, _occ=occ
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sig_root, LM_TABLE, f"batch={batch_id}")
+        )
+        # cms: additive md5-variant cells over the token-bigram stream
+        batch_cms_rows(fresh_docs, id_col, text_col, _grams=grams).coalesce(
+            1
+        ).write.mode("overwrite").parquet(
+            os.path.join(sig_root, CMS_TABLE, f"batch={batch_id}")
+        )
+        # hh: the batch's exact top-m candidate grams
+        batch_hh_rows(fresh_docs, id_col, text_col, _grams=grams).coalesce(
+            1
+        ).write.mode("overwrite").parquet(
+            os.path.join(sig_root, HH_TABLE, f"batch={batch_id}")
+        )
     counts = {
         r["status"]: r["n"]
         for r in decision.groupBy("status")

@@ -393,3 +393,39 @@ def test_hh_facet_serves_heavy_hitters_from_stored_rows(spark, tmp_path):
     shutil.rmtree(os.path.join(root, "hh"))
     assert lake_heavy_hitters(spark, root) is None
     assert corpus_sketch_stats(spark, root, top_grams=5)["top_grams"] == []
+
+
+def test_ingest_facets_off_commits_like_a_pre_facet_batch(spark, tmp_path):
+    """facets=False skips the intake facets but changes NOTHING about
+    admission: the batch commits, dedup still sees its survivors, and
+    every facet reader simply skips it."""
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        lake_heavy_hitters,
+        read_corpus_cms,
+        read_corpus_lm,
+    )
+
+    root = str(tmp_path / "sig")
+    st = ingest_signature_batch(
+        spark, _docs(spark, 0, 30), root, "lean", facets=False
+    )
+    assert st["n_accepted"] == 30
+    for table in ("sketches", "lm", "cms", "hh"):
+        assert not os.path.exists(os.path.join(root, table, "batch=lean"))
+    assert read_corpus_sketch(spark, root) is None
+    assert read_corpus_lm(spark, root) is None
+    assert read_corpus_cms(spark, root) is None
+    assert lake_heavy_hitters(spark, root) is None
+    # a later faceted batch serves ITS facet while dedup covers both
+    st2 = ingest_signature_batch(spark, _docs(spark, 30, 50), root, "full")
+    assert st2["n_accepted"] == 20
+    assert read_corpus_lm(spark, root) is not None
+    dup = ingest_signature_batch(
+        spark,
+        _docs(spark, 0, 30).select(
+            (F.col("doc_id") + 900).alias("doc_id"), "text"
+        ),
+        root,
+        "resend",
+    )
+    assert dup["n_dup_of_corpus"] == 30
