@@ -388,6 +388,66 @@ def main() -> None:
         f"rows_merged_{k}x": skk.count(),
     }
 
+    # Round-11 facet probes: (1) scoring under a STORED bigram LM must
+    # grow ~linearly in the scored corpus while the model side stays
+    # O(types) — the same 1x-trained model scores 1x and kx docs;
+    # (2) the additive facet merges (lm SUM/DISTINCT, cms cell SUM, hh
+    # distinct/max) run over per-batch row sets that are bounded (cms,
+    # hh) or O(batch types) (lm), so merging k batches costs ~k row
+    # sets, never the corpus — the read path lake_heavy_hitters pays
+    # exactly one such merge + a broadcast estimate join.
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        batch_cms_rows,
+        batch_hh_rows,
+        merge_hh_rows,
+    )
+    from pokemon_showdown_airflow_etl_spark.operators.sketches import merge_cms_rows
+    from pokemon_showdown_airflow_etl_spark.operators.text import (
+        bigram_lm_rows,
+        bigram_nll_with_lm,
+        merge_lm_rows,
+    )
+
+    lm1 = bigram_lm_rows(docs1).localCheckpoint(eager=True)
+    t1 = best_of(
+        lambda: bigram_nll_with_lm(docs1, lm1)
+        .write.format("noop").mode("overwrite").save()
+    )
+    tk = best_of(
+        lambda: bigram_nll_with_lm(docsk, lm1)
+        .write.format("noop").mode("overwrite").save()
+    )
+    out["t26_stored_lm_scoring"] = {
+        "t_1x": t1,
+        f"t_{k}x": tk,
+        "growth": round(tk / t1, 2),
+        "model_rows_fixed": lm1.count(),
+    }
+
+    def _merge_probe(batch_fn, merge_fn):
+        one = batch_fn(docs1).localCheckpoint(eager=True)
+        many = one
+        for _ in range(k - 1):
+            many = many.unionByName(batch_fn(docs1))
+        many = many.localCheckpoint(eager=True)
+        t1 = best_of(
+            lambda: merge_fn(one).write.format("noop").mode("overwrite").save()
+        )
+        tk = best_of(
+            lambda: merge_fn(many).write.format("noop").mode("overwrite").save()
+        )
+        return {
+            "t_1x": t1,
+            f"t_{k}x_batches": tk,
+            "growth": round(tk / t1, 2),
+            "rows_1x": one.count(),
+            f"rows_{k}x": many.count(),
+        }
+
+    out["lm_facet_merge"] = _merge_probe(bigram_lm_rows, merge_lm_rows)
+    out["cms_facet_merge"] = _merge_probe(batch_cms_rows, merge_cms_rows)
+    out["hh_facet_merge"] = _merge_probe(batch_hh_rows, merge_hh_rows)
+
     print(json.dumps({"sf_dir": sf_dir, "k": k, "probes": out}))
     spark.stop()
 
