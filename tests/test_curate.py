@@ -719,3 +719,31 @@ def test_curate_perplexity_band_reads_stored_lm(spark, tmp_path):
             perplexity_band=(0.05, 0.9),
             lm_root=str(tmp_path / "no_such_root"),
         )
+
+
+def test_curate_mixture_on_zero_survivors_returns_zeros(spark, tmp_path):
+    """The mixture stage must behave on an empty survivor slice exactly
+    as on real data: malformed budgets still fail loudly, a valid
+    mixture returns the zero stats without crashing."""
+    import pytest
+
+    src = str(tmp_path / "raw")
+    spark.createDataFrame(
+        [(1, "x", "en", "s")], "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("long")).write.parquet(src)
+    # every doc falls below the quality floor -> zero survivors
+    stats = curate_corpus(
+        spark, src, str(tmp_path / "out"), min_quality=0.99, mixture_alpha=0.5
+    )
+    assert stats["n_written"] == 0
+    assert stats["mixture_domains"] == {}
+    assert stats["n_train_before_mixture"] == 0
+    with pytest.raises(ValueError, match="mixture_budget"):
+        curate_corpus(
+            spark,
+            src,
+            str(tmp_path / "out2"),
+            min_quality=0.99,
+            mixture_alpha=0.5,
+            mixture_budget=(7, 5),
+        )
