@@ -352,20 +352,31 @@ def curate_corpus(
 
             from .doc_signature_lake import read_corpus_lm
 
-            if not os.path.isdir(lm_root):
-                # a typo'd root silently retraining would report
-                # success while scoring under the wrong model
+            if not os.path.isdir(os.path.join(lm_root, "members")):
+                # a typo'd or wrong directory (e.g. the lm/ subdir
+                # itself) silently retraining would report success
+                # while scoring under the wrong model — only a real
+                # corpus root (one that has registered batches) may
+                # fall back, and only when its batches predate the
+                # facet
                 raise ValueError(
-                    f"lm_root {lm_root!r} does not exist — point at a "
-                    "signature corpus root (the directory holding "
-                    "members/ and lm/)"
+                    f"lm_root {lm_root!r} is not a signature corpus "
+                    "root (no members/ directory) — point at the "
+                    "directory holding members/ and lm/"
                 )
             stored_lm = read_corpus_lm(spark, lm_root)
         curated = pin(curated)
         if stored_lm is not None:
             from ..operators.text import bigram_nll_with_lm
+            from .doc_signature_lake import LM_TABLE, facet_coverage
 
-            ppl_lm_source = "stored"
+            # a corpus mixing pre-facet and faceted batches serves a
+            # model trained on the faceted subset only — report that
+            # honestly rather than implying the corpus model
+            n_facet, n_committed = facet_coverage(lm_root, LM_TABLE)
+            ppl_lm_source = (
+                "stored" if n_facet == n_committed else "stored_partial"
+            )
             scored = pin(bigram_nll_with_lm(curated, stored_lm, "doc_id", "text"))
         else:
             ppl_lm_source = "self"
@@ -486,7 +497,18 @@ def curate_corpus(
         "train_bins": 0,
         "train_tokens": 0,
     }
-    if n_after_perplexity == 0:
+    # what the write could have landed AFTER the mixture stage: the
+    # holdout rows plus exactly the per-domain targets — a tiny corpus
+    # whose budget floors to 0 can empty the output even when
+    # n_after_perplexity > 0
+    n_expected_written = n_after_perplexity
+    if mixture_alpha is not None:
+        n_expected_written = (
+            n_after_perplexity
+            - n_train_before_mixture
+            + sum(v["kept"] for v in mixture_domains.values())
+        )
+    if n_expected_written == 0:
         # the partitioned write of an empty frame leaves no parquet
         # footers to re-read — report the zeros instead of crashing
         return stats

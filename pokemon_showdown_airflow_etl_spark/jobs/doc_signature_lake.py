@@ -267,6 +267,31 @@ def _committed_facet_paths(
     return paths
 
 
+def facet_coverage(
+    sig_root: str, facet_table: str, data_table: str = "signatures"
+) -> tuple[int, int]:
+    """(n_batches_with_facet, n_committed_batches) for ``facet_table``.
+    Facet reads serve the FACETED batches only, so on a corpus mixing
+    pre-facet (or facets=False) batches with faceted ones the served
+    model/sketch/candidates cover a SUBSET of the corpus — callers that
+    promise corpus-wide numbers (curate --lm-root, sketch-stats) check
+    this and surface partial coverage instead of implying the whole
+    corpus was summarized."""
+    import os
+
+    committed = _committed_batches(os.path.join(sig_root, "members"))
+    skip = _crash_window_replaced(sig_root, committed, data_table)
+    live = [b for b in committed if b not in skip]
+    n_facet = sum(
+        1
+        for b in live
+        if os.path.exists(
+            os.path.join(sig_root, facet_table, f"batch={b}", "_SUCCESS")
+        )
+    )
+    return (n_facet, len(live))
+
+
 def batch_sketch_rows(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -382,13 +407,23 @@ def read_corpus_sketch(
     return merge_sketch_rows(spark.read.parquet(*paths), k=k)
 
 
-def _batch_grams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _batch_grams(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    _occ: DataFrame | None = None,
+) -> DataFrame:
     """The batch's token-bigram occurrence stream as (gram) rows (a2's
-    key: 'w1 w2') — shared input of the cms/ and hh/ facets."""
-    from ..operators.text import _bigram_occurrences, _bigram_staged
+    key: 'w1 w2') — the ONE place the facet gram key is constructed,
+    shared by the cms/ and hh/ facets (and by ingest via ``_occ``, so
+    the pinned occurrence stream is exploded once per batch)."""
+    if _occ is None:
+        from ..operators.text import _bigram_occurrences, _bigram_staged
 
-    occ = _bigram_occurrences(_bigram_staged(docs, id_col, text_col), id_col)
-    return occ.select(
+        _occ = _bigram_occurrences(
+            _bigram_staged(docs, id_col, text_col), id_col
+        )
+    return _occ.select(
         F.concat(F.col("w1"), F.lit(" "), F.col("w2")).alias("gram")
     )
 
@@ -465,7 +500,9 @@ def read_corpus_lm(spark: SparkSession, sig_root: str) -> DataFrame | None:
     carries the facet. Additive counts cannot heal crash-window
     duplication by idempotence, so batches already replaced by a
     committed consolidated partition are excluded explicitly
-    (_committed_facet_paths)."""
+    (_committed_facet_paths). On a corpus mixing pre-facet and faceted
+    batches the model covers the faceted subset only — check
+    ``facet_coverage`` before treating it as corpus-wide."""
     from ..operators.text import merge_lm_rows
 
     paths = _committed_facet_paths(sig_root, LM_TABLE)
@@ -478,7 +515,8 @@ def read_corpus_cms(spark: SparkSession, sig_root: str) -> DataFrame | None:
     """The corpus-wide MERGED count-min sketch over every committed
     batch's stored cms/ partition ((cell, cnt) rows, <= depth * width),
     or None when no batch carries the facet. Same crash-window
-    exclusion as the LM facet — cells are additive."""
+    exclusion and partial-coverage caveat as the LM facet — cells are
+    additive, and only faceted batches contribute."""
     from ..operators.sketches import merge_cms_rows
 
     paths = _committed_facet_paths(sig_root, CMS_TABLE)
@@ -662,9 +700,7 @@ def ingest_signature_batch(
 
         staged = _bigram_staged(fresh_docs, id_col, text_col)
         occ = pin(_bigram_occurrences(staged, id_col))
-        grams = occ.select(
-            F.concat(F.col("w1"), F.lit(" "), F.col("w2")).alias("gram")
-        )
+        grams = _batch_grams(fresh_docs, id_col, text_col, _occ=occ)
         # lm: additive bigram-type counts + distinct vocab rows
         bigram_lm_rows(
             fresh_docs, id_col, text_col, _staged=staged, _occ=occ
@@ -961,6 +997,10 @@ def corpus_sketch_stats(
             for r in hh.orderBy("rank").collect()
         ]
 
+    coverage = {
+        t: list(facet_coverage(sig_root, t))
+        for t in (SKETCH_TABLE, LM_TABLE, CMS_TABLE, HH_TABLE)
+    }
     sk = read_corpus_sketch(spark, sig_root)
     if sk is None:
         return {
@@ -972,6 +1012,7 @@ def corpus_sketch_stats(
             "len_quantiles_bp": {},
             "gram_est": _gram_estimates(),
             "top_grams": _top_grams(),
+            "facet_coverage": coverage,
         }
     sk = pin(sk)
     regs = sk.filter(F.col("kind") == "hll").select(
@@ -999,6 +1040,10 @@ def corpus_sketch_stats(
         ),
         "gram_est": _gram_estimates(),
         "top_grams": _top_grams(),
+        # [n_batches_with_facet, n_committed] per facet: estimates
+        # above cover the FACETED batches only — partial coverage
+        # means the numbers summarize a subset of the corpus
+        "facet_coverage": coverage,
     }
 
 

@@ -822,9 +822,19 @@ def build_pq_layer(
             shutil.rmtree(d)
         os.rename(old, d)
     if os.path.exists(marker) and not refresh:
-        n = spark.read.parquet(codes_dir).count()
         with open(os.path.join(d, "codebook.json")) as f:
             meta = _json.load(f)
+        if opq and meta.get("perm") is None:
+            # silently returning the un-permuted snapshot would leave
+            # the operator believing OPQ is on while searches run
+            # without it — the no-op-unless-refresh contract must not
+            # swallow an explicit conflicting request
+            raise ValueError(
+                f"{index_root!r} has a committed PQ layer built WITHOUT "
+                "the OPQ permutation — pass refresh=True (CLI "
+                "--refresh) to rebuild it with opq"
+            )
+        n = spark.read.parquet(codes_dir).count()
         return {
             "n_vectors": n, "n_sub": n_sub, "n_codes": n_codes,
             "refreshed": False, "already_built": True,

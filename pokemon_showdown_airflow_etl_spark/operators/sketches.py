@@ -187,18 +187,23 @@ def cms_estimate_md5(
     """Estimate counts for a candidate-key frame against an md5-variant
     sketch (stored facet or ``cms_rows_md5`` output): explode each
     candidate into its cells, broadcast-join the <= depth*width-row
-    sketch, min over rows. Adds ``est`` to ``candidates``. Inner-join
-    semantics: a candidate none of whose cells were ever touched drops
-    out — corpus-drawn candidates always estimate (every cell of a
-    seen key holds at least its own count)."""
+    sketch, min over rows. Adds ``est`` to ``candidates``. Canonical
+    CMS semantics: the row-set form stores only touched cells, so an
+    absent cell coalesces to count 0 before the min — a key with ANY
+    untouched cell correctly estimates 0 (an inner join would instead
+    report the min of its collision counts, inflating absent keys).
+    Corpus-drawn candidates are unaffected — every cell of a seen key
+    holds at least its own count."""
     cells = candidates.select(
         key_col,
         F.explode(cms_cells_md5(F.col(key_col), depth, width)).alias("cell"),
     )
     return (
-        cells.join(F.broadcast(sketch), "cell")
+        cells.join(F.broadcast(sketch), "cell", "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("est"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est")
+        )
         .join(candidates, key_col)
     )
 

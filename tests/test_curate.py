@@ -747,3 +747,101 @@ def test_curate_mixture_on_zero_survivors_returns_zeros(spark, tmp_path):
             mixture_alpha=0.5,
             mixture_budget=(7, 5),
         )
+
+
+def test_curate_mixture_zero_budget_empties_output_without_crash(spark, tmp_path):
+    """A budget that floors to 0 can empty the output even when
+    survivors exist (review finding r11): the empty-write gate must
+    account for the post-mixture count, not just n_after_perplexity."""
+    from pokemon_showdown_airflow_etl_spark.operators.sampling import hash_split
+
+    # pick ids that deterministically land in the train split, so the
+    # zero-target mixture removes every written row
+    cand = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    train_ids = [
+        r["doc_id"]
+        for r in hash_split(cand, "doc_id").filter("split = 'train'").collect()
+    ][:6]
+    rows = [
+        (i, " ".join(f"z{i}w{j} the a of to in" for j in range(8)), "en", "s")
+        for i in train_ids
+    ]
+    src = str(tmp_path / "raw")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("long")).write.parquet(src)
+    stats = curate_corpus(
+        spark,
+        src,
+        str(tmp_path / "out"),
+        min_quality=0.0,
+        mixture_alpha=0.5,
+        mixture_budget=(1, 1000),  # floor(6/1000) = 0 docs
+    )
+    assert stats["n_after_quality"] == 6
+    assert stats["n_train_before_mixture"] == 6
+    assert stats["mixture_domains"]["s"]["kept"] == 0
+    assert stats["n_written"] == 0 and stats["splits"] == {}
+
+
+def test_curate_lm_root_rejects_non_corpus_directory(spark, tmp_path):
+    """An existing directory that is NOT a signature corpus root (e.g.
+    the lm/ facet subdir itself) must fail loudly, not silently
+    self-train while claiming success (review finding r11)."""
+    import pytest
+
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        ingest_signature_batch,
+    )
+
+    src = str(tmp_path / "raw")
+    df = spark.createDataFrame(
+        [
+            (i, " ".join(f"q{i}w{j} the a of to in" for j in range(8)), "en", "s")
+            for i in range(8)
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    df.write.parquet(src)
+    root = str(tmp_path / "sig")
+    ingest_signature_batch(spark, df, root, "b1")
+    with pytest.raises(ValueError, match="lm_root"):
+        curate_corpus(
+            spark,
+            src,
+            str(tmp_path / "o1"),
+            min_quality=0.0,
+            perplexity_band=(0.05, 0.9),
+            lm_root=os.path.join(root, "lm"),  # exists, but wrong dir
+        )
+
+
+def test_curate_reports_partial_lm_coverage(spark, tmp_path):
+    """A corpus mixing facets=False and faceted batches serves a model
+    trained on the faceted subset only — curate must say
+    'stored_partial', not imply the corpus model (review finding r11)."""
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        ingest_signature_batch,
+    )
+
+    rows = [
+        (i, " ".join(f"p{i}w{j} the a of to in" for j in range(8)), "en", "s")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    src = str(tmp_path / "raw")
+    df.write.parquet(src)
+    root = str(tmp_path / "sig")
+    ingest_signature_batch(spark, df.filter("doc_id < 6"), root, "old", facets=False)
+    ingest_signature_batch(spark, df.filter("doc_id >= 6"), root, "new")
+    stats = curate_corpus(
+        spark,
+        src,
+        str(tmp_path / "out"),
+        min_quality=0.0,
+        perplexity_band=(0.05, 0.9),
+        lm_root=root,
+    )
+    assert stats["ppl_lm"] == "stored_partial"

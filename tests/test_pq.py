@@ -621,3 +621,26 @@ def test_pq_lake_layer_serves_stored_opq_permutation(spark, tmp_path):
     assert st3["refreshed"] and not st3["opq"]
     with open(os.path.join(root, "pq", "codebook.json")) as f:
         assert json.load(f)["perm"] is None
+
+
+def test_build_pq_opq_conflicting_with_committed_layer_raises(spark, tmp_path):
+    """An explicit opq=True against a committed non-OPQ layer must not
+    silently no-op (review finding r11): the operator would believe
+    OPQ is on while searches run un-permuted."""
+    from pokemon_showdown_airflow_etl_spark.jobs.embedding_index_lake import (
+        build_pq_layer,
+        ingest_embedding_batch,
+        init_embedding_index,
+    )
+
+    emb = _planted_anisotropic(spark, n=40, dim=16, n_sub=4)
+    root = str(tmp_path / "idx")
+    init_embedding_index(spark, emb, root, n_cells=4, train=False)
+    ingest_embedding_batch(spark, emb, root, "bulk", threshold=2.0)
+    build_pq_layer(spark, root, n_sub=4, n_codes=8)
+    with pytest.raises(ValueError, match="WITHOUT the OPQ permutation"):
+        build_pq_layer(spark, root, n_sub=4, n_codes=8, opq=True)
+    # refresh resolves the conflict
+    st = build_pq_layer(spark, root, n_sub=4, n_codes=8, opq=True, refresh=True,
+                        opq_sample_mod=1)
+    assert st["opq"] and st["refreshed"]

@@ -429,3 +429,48 @@ def test_ingest_facets_off_commits_like_a_pre_facet_batch(spark, tmp_path):
         "resend",
     )
     assert dup["n_dup_of_corpus"] == 30
+
+
+def test_cms_estimate_reports_zero_for_absent_keys_with_untouched_cells(
+    spark, tmp_path
+):
+    """Canonical CMS: an absent key with ANY untouched cell estimates
+    0 — the row-set join must coalesce missing cells to 0 instead of
+    taking the min over collision counts only (review finding r11)."""
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        batch_cms_rows,
+    )
+    from pokemon_showdown_airflow_etl_spark.operators.sketches import (
+        cms_estimate_md5,
+    )
+
+    tiny = _docs(spark, 0, 3)  # ~18 gram types -> ~93% of cells untouched
+    cms = batch_cms_rows(tiny)
+    cand = spark.createDataFrame(
+        [("never seen",), ("shared words",)], "gram string"
+    )
+    est = {
+        r["gram"]: r["est"]
+        for r in cms_estimate_md5(cand, cms, "gram", CMS_DEPTH, CMS_WIDTH).collect()
+    }
+    assert est["never seen"] == 0
+    assert est["shared words"] >= 3
+
+
+def test_facet_coverage_tracks_pre_facet_batches(spark, tmp_path):
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        corpus_sketch_stats,
+        facet_coverage,
+    )
+
+    root = str(tmp_path / "sig")
+    ingest_signature_batch(spark, _docs(spark, 0, 20), root, "old", facets=False)
+    assert facet_coverage(root, "lm") == (0, 1)
+    ingest_signature_batch(spark, _docs(spark, 20, 40), root, "new")
+    assert facet_coverage(root, "lm") == (1, 2)
+    st = corpus_sketch_stats(spark, root)
+    assert st["facet_coverage"] == {
+        "sketches": [1, 2], "lm": [1, 2], "cms": [1, 2], "hh": [1, 2]
+    }
