@@ -162,6 +162,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="train-split document budget for --mixture-alpha as an "
         "integer corpus fraction NUM/DEN (default: 3 5 = 60%%)",
     )
+    cur.add_argument(
+        "--mixture-budget-tokens",
+        type=int,
+        default=None,
+        metavar="T",
+        help="switch --mixture-alpha's budget unit to an absolute "
+        "TOKEN count: per-domain targets split T largest-remainder "
+        "and each domain keeps the maximal hash-ordered doc prefix "
+        "fitting its target (overrides --mixture-budget)",
+    )
 
     tok = sub.add_parser(
         "tokenize-docs",
@@ -444,6 +454,7 @@ def main(argv: list[str] | None = None) -> int:
             mixture_alpha=args.mixture_alpha,
             mixture_domain_col=args.mixture_domain_col,
             mixture_budget=tuple(args.mixture_budget),
+            mixture_budget_tokens=args.mixture_budget_tokens,
         )
         print(json.dumps(result, sort_keys=True))
         return 0

@@ -59,6 +59,7 @@ def curate_corpus(
     mixture_alpha: float | None = None,
     mixture_domain_col: str = "source",
     mixture_budget: tuple[int, int] = (3, 5),
+    mixture_budget_tokens: int | None = None,
 ) -> dict:
     """Run the curation pipeline and write the curated corpus
     partitioned by split. Deterministic: same input -> same survivors,
@@ -129,7 +130,14 @@ def curate_corpus(
     data would change what eval measures. Selection is hash-ranked
     (operators/sampling.py::temperature_mixture), so the kept set is
     deterministic and monotone under budget growth; per-domain
-    n_train/target/kept counts land in the stats dict."""
+    n_train/target/kept counts land in the stats dict.
+    ``mixture_budget_tokens`` switches the budget unit to TOKENS (the
+    unit a pretraining run plans by): per-domain token targets split
+    the absolute budget largest-remainder and each domain keeps the
+    maximal hash-ordered prefix of its docs whose running whitespace
+    token total fits (operators/sampling.py::token_budget_mixture —
+    undershoot < one doc, never overshoot); the per-domain audit then
+    carries tok_target/kept_tokens."""
     docs = spark.read.parquet(input_path)
     n_input = docs.count()
 
@@ -429,6 +437,11 @@ def curate_corpus(
                 f"mixture_budget must be a fraction 0 < num <= den; "
                 f"got {mixture_budget!r}"
             )
+        if mixture_budget_tokens is not None and mixture_budget_tokens < 0:
+            raise ValueError(
+                f"mixture_budget_tokens must be >= 0; got "
+                f"{mixture_budget_tokens!r}"
+            )
         if mixture_domain_col not in split_docs.columns:
             raise ValueError(
                 f"mixture_domain_col {mixture_domain_col!r} not in the "
@@ -438,21 +451,44 @@ def curate_corpus(
         # pinned: feeds the target/selection aggregations, the
         # per-domain audit AND the final semi-join
         train_rows = split_docs.filter(F.col("split") == "train").transform(pin)
-        sel = temperature_mixture(
-            train_rows,
-            "doc_id",
-            mixture_domain_col,
-            alpha=mixture_alpha,
-            budget_num=num,
-            budget_den=den,
-            exact_budget=True,
-        ).transform(pin)
+        if mixture_budget_tokens is not None:
+            from ..operators.sampling import token_budget_mixture
+            from ..operators.text import tokens as _tokens
+
+            sel = token_budget_mixture(
+                train_rows.withColumn(
+                    "_ntok",
+                    F.coalesce(
+                        F.size(_tokens(F.col("text"))), F.lit(0)
+                    ).cast("long"),
+                ),
+                "doc_id",
+                mixture_domain_col,
+                "_ntok",
+                mixture_budget_tokens,
+                alpha=mixture_alpha,
+            ).transform(pin)
+            kept = sel.groupBy(mixture_domain_col).agg(
+                F.count("*").cast("long").alias("_kept"),
+                F.max("tok_target").cast("long").alias("_target"),
+                F.sum("n_tokens").cast("long").alias("_kept_tok"),
+            )
+        else:
+            sel = temperature_mixture(
+                train_rows,
+                "doc_id",
+                mixture_domain_col,
+                alpha=mixture_alpha,
+                budget_num=num,
+                budget_den=den,
+                exact_budget=True,
+            ).transform(pin)
+            kept = sel.groupBy(mixture_domain_col).agg(
+                F.count("*").cast("long").alias("_kept"),
+                F.max("mix_target").cast("long").alias("_target"),
+            )
         pre = train_rows.groupBy(mixture_domain_col).agg(
             F.count("*").cast("long").alias("_n")
-        )
-        kept = sel.groupBy(mixture_domain_col).agg(
-            F.count("*").cast("long").alias("_kept"),
-            F.max("mix_target").cast("long").alias("_target"),
         )
         # bounded collect: one row per domain (a zero-target domain has
         # no selection row — it still lands in the audit with kept 0)
@@ -460,8 +496,15 @@ def curate_corpus(
         mixture_domains = {
             str(r[mixture_domain_col]): {
                 "n_train": int(r["_n"]),
-                "target": int(r["_target"] or 0),
+                (
+                    "tok_target" if mixture_budget_tokens is not None else "target"
+                ): int(r["_target"] or 0),
                 "kept": int(r["_kept"] or 0),
+                **(
+                    {"kept_tokens": int(r["_kept_tok"] or 0)}
+                    if mixture_budget_tokens is not None
+                    else {}
+                ),
             }
             for r in audit
         }

@@ -250,3 +250,116 @@ def cap_per_group(
         .filter(F.col("_gr") <= cap)
         .drop("_h", "_shard", "_sr", "_gr")
     )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    tokens_col: str,
+    budget_tokens: int,
+    alpha: float = 0.7,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Temperature-weighted domain mixture to an exact TOKEN budget —
+    the unit a pretraining run actually plans by ("3T tokens", not "N
+    documents"). Per-domain weights come from doc counts exactly like
+    ``temperature_mixture`` (micro = round(count^alpha * 1e6)); the
+    GLOBAL ``budget_tokens`` splits into per-domain token targets by
+    floor shares capped at each domain's token supply, topped up
+    largest-remainder (+1 token units, ties by domain name) so only
+    cap-induced shortfall remains; each domain then keeps the maximal
+    PREFIX of its documents, in a deterministic hash order, whose
+    cumulative tokens fit the target. Doc granularity means a target
+    is undershot by less than the first excluded doc's length — never
+    overshot. Zero-token docs cost nothing and ride along wherever the
+    running total already fits.
+
+    Selection order is (hash-shard asc, md5(id) asc, id asc) within a
+    domain — as deterministic and engine-portable as t12's plain md5
+    order, chosen because it makes the running total two-phase: the
+    corpus shuffles ONCE on (domain, shard), the cumulative sum runs
+    within each (domain, shard) window, and the cross-shard offsets
+    come from a CONSTANT-SIZE (domain x n_shards) totals table — no
+    window ever sorts a whole domain in one task (the t15/t22 shard
+    discipline applied to prefix sums). 64-bit note: micro * budget
+    must stay under 2^63 — rescale the 1e6 micro-unit if a
+    deployment's counts approach that.
+
+    Returns kept rows: (id_col, domain_col, n_tokens, cum_tokens,
+    tok_target).
+    """
+    from pyspark.sql.window import Window
+
+    tok = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    cnt = df.groupBy(domain_col).agg(
+        F.count("*").cast("long").alias("n_domain"),
+        F.sum(tok).cast("long").alias("tok_domain"),
+    )
+    mic = cnt.withColumn(
+        "micro",
+        F.round(F.pow(F.col("n_domain"), F.lit(alpha)) * 1_000_000).cast("long"),
+    )
+    tot = mic.agg(F.sum("micro").cast("long").alias("tot"))
+    b = F.lit(int(budget_tokens)).cast("long")
+    base = (
+        mic.join(F.broadcast(tot))
+        .withColumn("_floor", F.expr(f"(micro * {int(budget_tokens)}) div tot"))
+        .withColumn("_t0", F.least(F.col("tok_domain"), F.col("_floor")))
+        .withColumn("_rem", F.expr(f"(micro * {int(budget_tokens)}) % tot"))
+        .withColumn("_uncapped", F.col("_floor") < F.col("tok_domain"))
+    )
+    leftover = base.agg((b - F.sum("_t0")).cast("long").alias("_L"))
+    w_lr = Window.orderBy(
+        F.desc(F.when(F.col("_uncapped"), F.col("_rem")).otherwise(F.lit(-1))),
+        F.col(domain_col),
+    )
+    targets = (
+        base.withColumn("_rnk", F.row_number().over(w_lr))
+        .join(F.broadcast(leftover))
+        .select(
+            F.col(domain_col),
+            (
+                F.col("_t0")
+                + F.when(
+                    F.col("_uncapped") & (F.col("_rnk") <= F.col("_L")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("tok_target"),
+        )
+    )
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % n_shards
+    w_sc = (
+        Window.partitionBy(domain_col, "_shard")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = (
+        df.select(F.col(id_col), F.col(domain_col), tok.alias("n_tokens"))
+        .join(F.broadcast(targets), domain_col)
+        .withColumn("_h", h)
+        .withColumn("_shard", shard)
+        .withColumn("_scum", F.sum("n_tokens").over(w_sc))
+    )
+    # cross-shard offsets over the constant-size (domain, shard) table
+    w_off = (
+        Window.partitionBy(domain_col)
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = (
+        rows.groupBy(domain_col, "_shard")
+        .agg(F.sum("n_tokens").alias("_st"))
+        .withColumn("_off", F.sum("_st").over(w_off) - F.col("_st"))
+        .select(domain_col, "_shard", "_off")
+    )
+    return (
+        rows.join(F.broadcast(offs), [domain_col, "_shard"])
+        .withColumn(
+            "cum_tokens", (F.col("_off") + F.col("_scum")).cast("long")
+        )
+        .filter(F.col("cum_tokens") <= F.col("tok_target"))
+        .select(id_col, domain_col, "n_tokens", "cum_tokens", "tok_target")
+    )

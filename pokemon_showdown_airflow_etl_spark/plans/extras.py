@@ -1021,3 +1021,115 @@ def a8_lake_heavy_hitters(spark, sf_dir):
 
     root = sf_sketch_root(spark, sf_dir)
     return lake_heavy_hitters(spark, root, topk=10)
+
+
+T27_ALPHA = 0.5
+T27_NUM, T27_DEN = 2, 5  # token budget = 40% of corpus tokens
+T27_SHARDS = 16
+
+
+@q(
+    "t27_token_budget_mixture",
+    f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(coalesce(len({_TOKENS_SQL}), 0) AS BIGINT) AS n_tokens
+        FROM documents
+    ), cnt AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_domain,
+               CAST(sum(n_tokens) AS BIGINT) AS tok_domain
+        FROM d GROUP BY source
+    ), mic AS (
+        SELECT source, tok_domain,
+               CAST(round(pow(n_domain, {T27_ALPHA}) * 1000000) AS BIGINT)
+                   AS micro
+        FROM cnt
+    ), tot AS (
+        SELECT CAST(sum(micro) AS BIGINT) AS tot,
+               CAST((SELECT (sum(n_tokens) * {T27_NUM}) // {T27_DEN} FROM d)
+                    AS BIGINT) AS b
+        FROM mic
+    ), base AS (
+        SELECT m.source, m.tok_domain,
+               least(m.tok_domain, (m.micro * t.b) // t.tot) AS t0,
+               (m.micro * t.b) % t.tot AS rem,
+               ((m.micro * t.b) // t.tot) < m.tok_domain AS uncapped,
+               t.b AS b
+        FROM mic m CROSS JOIN tot t
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   ORDER BY CASE WHEN uncapped THEN rem ELSE -1 END DESC,
+                            source ASC
+               ) AS rnk
+        FROM base
+    ), lo AS (
+        SELECT CAST(max(b) - sum(t0) AS BIGINT) AS L FROM base
+    ), tgt AS (
+        SELECT r.source,
+               CAST(r.t0 + CASE WHEN r.uncapped AND r.rnk <= lo.L
+                                THEN 1 ELSE 0 END AS BIGINT) AS tok_target
+        FROM ranked r CROSS JOIN lo
+    ), sel AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(CAST('0x' ||
+                              substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                              AS INT) % {T27_SHARDS} AS INT) ASC,
+                            md5(CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM d
+    )
+    SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.source, s.n_tokens,
+           s.cum_tokens, t.tok_target
+    FROM sel s JOIN tgt t USING (source)
+    WHERE s.cum_tokens <= t.tok_target
+    """,
+    doc="Temperature mixture to an exact TOKEN budget (operators/"
+    "sampling.py::token_budget_mixture) — the unit a pretraining run "
+    "plans by: per-domain count^alpha weights split a 40%-of-corpus "
+    "token budget by capped floor shares + largest-remainder topping "
+    "(+1 token units), and each domain keeps the maximal hash-ordered "
+    "PREFIX of its docs whose running token total fits the target "
+    "(undershoot < the first excluded doc, never overshoot; "
+    "zero-token docs ride free). The running total is TWO-PHASE for "
+    "scale: the corpus shuffles once on (domain, hash-shard), the "
+    "cumulative sum runs within each (domain, shard) window, and the "
+    "cross-shard offsets come from the constant-size domain x shard "
+    "totals table — no window sorts a whole domain in one task (the "
+    "t15/t22 shard discipline applied to prefix sums); the oracle "
+    "computes the same order with one flat window, which is exactly "
+    "the equivalence the hash check proves. Completes the mixture "
+    "family: t13 given weights, t15 given caps, t21/t22 doc budgets, "
+    "t27 token budgets.",
+)
+def t27_token_budget_mixture(spark, sf_dir):
+    from ..operators.dedup import tokens as _tokens
+    from ..operators.sampling import token_budget_mixture
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.coalesce(F.size(_tokens(F.col("text"))), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    ).transform(pin)
+    total = d.agg(F.sum("n_tokens")).first()[0] or 0
+    budget = (int(total) * T27_NUM) // T27_DEN
+    return token_budget_mixture(
+        d,
+        "doc_id",
+        "source",
+        "n_tokens",
+        budget,
+        alpha=T27_ALPHA,
+        n_shards=T27_SHARDS,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "n_tokens",
+        "cum_tokens",
+        "tok_target",
+    )

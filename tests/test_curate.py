@@ -845,3 +845,90 @@ def test_curate_reports_partial_lm_coverage(spark, tmp_path):
         lm_root=root,
     )
     assert stats["ppl_lm"] == "stored_partial"
+
+
+def test_curate_mixture_token_budget_keeps_maximal_prefix(spark, tmp_path):
+    """--mixture-budget-tokens: each domain keeps the maximal
+    hash-ordered doc prefix whose token total fits its target —
+    kept_tokens never overshoots, and adding the first excluded doc
+    would overshoot (replicated in pure Python)."""
+    import hashlib
+    import math
+
+    rows = [
+        (i, " ".join(f"big{i}w{j} the a of to in" for j in range(8)), "en", "crawl")
+        for i in range(60)
+    ] + [
+        (
+            1000 + i,
+            " ".join(f"sm{i}w{j} the a of to in" for j in range(4)),
+            "en",
+            "curated",
+        )
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    src = str(tmp_path / "raw")
+    df.write.parquet(src)
+
+    budget = 600
+    stats = curate_corpus(
+        spark,
+        src,
+        str(tmp_path / "out"),
+        min_quality=0.0,
+        mixture_alpha=0.5,
+        mixture_budget_tokens=budget,
+    )
+    md = stats["mixture_domains"]
+    assert sum(v["tok_target"] for v in md.values()) <= budget
+    for dom, v in md.items():
+        assert v["kept_tokens"] <= v["tok_target"]
+
+    # python replica of the per-domain prefix rule over the TRAIN rows
+    plain = curate_corpus(spark, src, str(tmp_path / "plain"), min_quality=0.0)
+    written = spark.read.parquet(str(tmp_path / "plain"))
+    train = [
+        (r["doc_id"], r["source"], len(r["text"].split()))
+        for r in written.filter("split = 'train'").collect()
+    ]
+
+    def order_key(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return (int(h[:2], 16) % 16, h, doc_id)
+
+    counts: dict[str, int] = {}
+    toks: dict[str, int] = {}
+    for _, dom, n in train:
+        counts[dom] = counts.get(dom, 0) + 1
+        toks[dom] = toks.get(dom, 0) + n
+    micro = {
+        d: int(math.floor(n**0.5 * 1_000_000 + 0.5)) for d, n in counts.items()
+    }
+    tot = sum(micro.values())
+    t0 = {d: min(toks[d], (micro[d] * budget) // tot) for d in micro}
+    rem = {d: (micro[d] * budget) % tot for d in micro}
+    L = budget - sum(t0.values())
+    for d in sorted(
+        (d for d in micro if t0[d] < toks[d]), key=lambda d: (-rem[d], d)
+    )[:max(0, L)]:
+        t0[d] += 1
+    expect_tokens: dict[str, int] = {}
+    expect_kept: dict[str, int] = {}
+    for dom in counts:
+        cum = 0
+        kept = 0
+        for doc_id, _, n in sorted(
+            (r for r in train if r[1] == dom), key=lambda r: order_key(r[0])
+        ):
+            if cum + n > t0[dom]:
+                break
+            cum += n
+            kept += 1
+        expect_tokens[dom] = cum
+        expect_kept[dom] = kept
+    assert {d: v["kept_tokens"] for d, v in md.items()} == expect_tokens
+    assert {d: v["kept"] for d, v in md.items()} == expect_kept
+    assert {d: v["tok_target"] for d, v in md.items()} == t0

@@ -788,3 +788,14 @@ def test_lake_hh_serve_is_stored_rows_only(q):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, "stored-cell join must broadcast"
+
+
+def test_token_budget_mixture_cumsum_is_sharded(q):
+    """t27: the corpus-side running total must window over
+    (domain, shard) — never a whole-domain sort in one task; the only
+    domain-partitioned window allowed is over the constant-size
+    shard-totals table."""
+    plan = q("t27_token_budget_mixture")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "_shard" in plan, "sharded cumsum missing from the plan"
