@@ -27,6 +27,7 @@ def start_document_admission(
     text_col: str = "text",
     threshold: float = 0.8,
     available_now: bool = True,
+    facets: bool = True,
 ):
     """Admit a streaming frame of (id, text) documents against
     ``sig_root``. Each micro-batch runs the full d9 decision against
@@ -38,7 +39,12 @@ def start_document_admission(
     ``epoch-N`` would collide when a second stream (fresh checkpoint,
     epochs restarting at 0) feeds the same sig_root — its epoch-0
     would be mistaken for a crashed re-run of the first stream's
-    epoch-0 and repair-overwrite committed corpus partitions."""
+    epoch-0 and repair-overwrite committed corpus partitions.
+
+    Each admitted micro-batch also persists its intake facets
+    (sketches/lm/cms/hh — ``facets=False`` to skip), so the corpus-wide
+    sketch stats, stored LM, and heavy hitters stay current as the
+    stream drains; compaction later reduces the per-epoch partitions."""
     import hashlib
 
     from ..jobs.doc_signature_lake import ingest_signature_batch
@@ -54,6 +60,7 @@ def start_document_admission(
             id_col=id_col,
             text_col=text_col,
             threshold=threshold,
+            facets=facets,
         )
 
     writer = docs.writeStream.foreachBatch(admit).option(

@@ -731,3 +731,49 @@ def test_compaction_steady_state_multi_generation(
     for b in retired_so_far:
         assert not os.path.exists(root + f"/members/batch={b}")
         assert not os.path.exists(root + f"/{data_table}/batch={b}")
+
+
+def test_streaming_admission_keeps_facets_current(spark, tmp_path):
+    """Every admitted micro-batch persists its intake facets, so the
+    stored corpus LM / sketch / heavy hitters reflect the stream as it
+    drains — the merged stored LM must equal training from scratch on
+    every CONSIDERED doc across the epochs."""
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        corpus_sketch_stats,
+        lake_heavy_hitters,
+        read_corpus_lm,
+    )
+    from pokemon_showdown_airflow_etl_spark.operators.text import bigram_lm_rows
+    from pokemon_showdown_airflow_etl_spark.streaming import (
+        start_document_admission,
+    )
+
+    land = str(tmp_path / "in")
+    root = str(tmp_path / "sig")
+    ck = str(tmp_path / "ck")
+    rows = [
+        (i, f"tok{i}a tok{i}b shared words here {i}") for i in range(20)
+    ]
+    spark.createDataFrame(rows[:10], "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(land)
+    spark.createDataFrame(rows[10:], "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(land)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    start_document_admission(stream, root, ck).awaitTermination()
+
+    whole = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = read_corpus_lm(spark, root)
+    assert sorted(map(tuple, lm.collect())) == sorted(
+        map(tuple, bigram_lm_rows(whole).collect())
+    )
+    st = corpus_sketch_stats(spark, root, top_grams=2)
+    n_f, n_c = st["facet_coverage"]["lm"]
+    assert n_f == n_c >= 2  # one facet partition per non-empty epoch
+    hh = {r["gram"] for r in lake_heavy_hitters(spark, root, topk=2).collect()}
+    assert hh == {"shared words", "words here"}
