@@ -275,6 +275,20 @@ def build_parser() -> argparse.ArgumentParser:
     cemb.add_argument("--index-root", required=True, help="embedding index root dir")
     cemb.add_argument("--min-batches", type=int, default=8)
 
+    ist = sub.add_parser(
+        "index-stats",
+        help="per-dimension embedding-drift summary from the index's "
+        "STORED estats facet (mean/variance per dim, top-variance "
+        "dims) — the stale-quantizer signal, no vector scan",
+    )
+    ist.add_argument("--index-root", required=True, help="embedding index root dir")
+    ist.add_argument(
+        "--top",
+        type=int,
+        default=8,
+        help="how many highest-variance dimensions to list (default 8)",
+    )
+
     rei = sub.add_parser(
         "reindex-embeddings",
         help="quantizer migration: rebuild the embedding index under new "
@@ -617,6 +631,39 @@ def main(argv: list[str] | None = None) -> int:
                 compact_embedding_index(
                     spark, args.index_root, min_batches=args.min_batches
                 ),
+                sort_keys=True,
+            )
+        )
+        return 0
+
+    if args.cmd == "index-stats":
+        from .jobs.embedding_index_lake import read_index_estats
+        from .session import get_spark
+
+        spark = get_spark(app_name="etl-index-stats", master=args.master)
+        est = read_index_estats(spark, args.index_root)
+        if est is None:
+            print(json.dumps({"has_estats": False}, sort_keys=True))
+            return 0
+        rows = sorted(est.collect(), key=lambda r: r["d"])  # dim rows only
+        stats = []
+        for r in rows:
+            n, s, ss = int(r["n"]), int(r["s_milli"]), int(r["ss_milli"])
+            mean = s / n
+            var = ss / n - mean * mean
+            stats.append((int(r["d"]), round(mean, 3), round(var, 3)))
+        top = sorted(stats, key=lambda x: -x[2])[: args.top]
+        print(
+            json.dumps(
+                {
+                    "has_estats": True,
+                    "n_vectors": int(rows[0]["n"]) if rows else 0,
+                    "dim": len(rows),
+                    "top_variance_dims": [
+                        {"d": d, "mean_milli": m, "var_milli2": v}
+                        for d, m, v in top
+                    ],
+                },
                 sort_keys=True,
             )
         )

@@ -155,6 +155,10 @@ def signature_tables(
 #                            hitters ENTIRELY from stored rows: stored
 #                            candidates ranked by stored-cell
 #                            estimates, no corpus scan anywhere
+#   estats/batch=<id>/       (embedding lake roots only) per-dimension
+#                            additive drift statistics — see
+#                            jobs/embedding_index_lake.py; the same
+#                            compaction reduction + sweep covers it
 #
 # Idempotency + crash-safety (the K3/T5 contract, file-level here; a
 # table format with transactions takes over at deploy time): members/
@@ -220,6 +224,23 @@ CMS_DEPTH = 4
 CMS_WIDTH = 256
 HH_TABLE = "hh"
 HH_TOP_M = 64
+ESTATS_TABLE = "estats"  # embedding-drift facet (embedding lake only —
+#                          jobs/embedding_index_lake.py writes it; the
+#                          merge law and compaction reduction live here
+#                          beside the other facets')
+
+
+def merge_estats_rows(rows: DataFrame) -> DataFrame:
+    """Merge per-batch embedding-drift rows by SUM per dimension —
+    (d, n, s_milli, ss_milli) are additive sufficient statistics
+    (count, sum, sum-of-squares of milli-quantized coordinates).
+    Same additive contract as lm/cms: NOT idempotent, so readers use
+    the crash-window-excluding committed paths."""
+    return rows.groupBy("d").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s_milli").cast("long").alias("s_milli"),
+        F.sum("ss_milli").cast("long").alias("ss_milli"),
+    )
 
 
 def _crash_window_replaced(
@@ -912,6 +933,18 @@ def compact_signature_corpus(
             ).write.mode("overwrite").parquet(
                 os.path.join(sig_root, HH_TABLE, f"batch={cid}")
             )
+        es_paths = [
+            os.path.join(sig_root, ESTATS_TABLE, f"batch={b}") for b in old
+        ]
+        es_paths = [
+            p for p in es_paths if os.path.exists(os.path.join(p, "_SUCCESS"))
+        ]
+        if es_paths:
+            merge_estats_rows(spark.read.parquet(*es_paths)).coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                os.path.join(sig_root, ESTATS_TABLE, f"batch={cid}")
+            )
         with open(_manifest_path(cid), "w") as f:
             json.dump(sorted(old), f)
         # members commit marker LAST — until it lands, the consolidated
@@ -932,7 +965,7 @@ def compact_signature_corpus(
     for b in old:
         shutil.rmtree(os.path.join(mem_dir, f"batch={b}"), ignore_errors=True)
         shutil.rmtree(os.path.join(sig_dir, f"batch={b}"), ignore_errors=True)
-        for facet in (SKETCH_TABLE, LM_TABLE, CMS_TABLE, HH_TABLE):
+        for facet in (SKETCH_TABLE, LM_TABLE, CMS_TABLE, HH_TABLE, ESTATS_TABLE):
             shutil.rmtree(
                 os.path.join(sig_root, facet, f"batch={b}"),
                 ignore_errors=True,
@@ -1162,7 +1195,7 @@ def _sweep_retired(sig_root: str, data_table: str = "signatures") -> None:
             os.path.join(sig_root, data_table, f"batch={b}"),
             ignore_errors=True,
         )
-        for facet in (SKETCH_TABLE, LM_TABLE, CMS_TABLE, HH_TABLE):
+        for facet in (SKETCH_TABLE, LM_TABLE, CMS_TABLE, HH_TABLE, ESTATS_TABLE):
             shutil.rmtree(
                 os.path.join(sig_root, facet, f"batch={b}"),
                 ignore_errors=True,

@@ -284,6 +284,55 @@ def sf_opq_index_root(spark: SparkSession, sf_dir: str) -> str:
     return str(out / "root")
 
 
+SF_ESTATS_VERSION = 1
+
+
+def _sf_estats_tag() -> str:
+    from .doc_signature_lake import merge_estats_rows
+
+    return (
+        _sf_tag()
+        + "-"
+        + formula_tag(batch_embedding_stats_rows, merge_estats_rows)
+        + "-estats"
+    )
+
+
+def sf_estats_index_dir(sf_dir: str) -> Path:
+    return keyed_dir(
+        "embedding_index_estats", SF_ESTATS_VERSION, sf_dir, _sf_estats_tag()
+    )
+
+
+def build_sf_estats_index(spark: SparkSession, sf_dir: str, out_dir: Path) -> None:
+    """Demo index for the a9 drift-facet entry: the demo corpus pushed
+    through TWO real ingest batches then one compaction, so the a9
+    oracle check covers ingest-persist -> compaction-reduce -> read."""
+    from ..io import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    corp = emb.filter(F.col("vec_id") % DEMO_BATCH_MOD != 0)
+    root = str(out_dir / "root")
+    init_embedding_index(spark, corp, root, n_cells=DEFAULT_N_CELLS, train=False)
+    ingest_embedding_batch(
+        spark, corp.filter(F.col("vec_id") % 2 == 0), root, "even", threshold=2.0
+    )
+    ingest_embedding_batch(
+        spark, corp.filter(F.col("vec_id") % 2 == 1), root, "odd", threshold=2.0
+    )
+    compact_embedding_index(spark, root, min_batches=2)
+
+
+def sf_estats_index_root(spark: SparkSession, sf_dir: str) -> str:
+    """Root of the materialized drift-facet demo index, building on
+    first use (atomic, race-benign — jobs/_lake.py)."""
+    out = ensure_lake(
+        sf_estats_index_dir(sf_dir),
+        lambda tmp: build_sf_estats_index(spark, sf_dir, tmp),
+    )
+    return str(out / "root")
+
+
 def _centroids_dir(index_root: str) -> str:
     return os.path.join(index_root, "centroids")
 
@@ -362,6 +411,65 @@ def init_embedding_index(
     }
 
 
+def batch_embedding_stats_rows(
+    vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """One ingest batch's embedding-DRIFT facet: per-dimension additive
+    sufficient statistics (d, n, s_milli, ss_milli) — count, sum, and
+    sum-of-squares of the coordinates, each coordinate quantized to
+    integer milli-units ONCE (round half-away) so the sums are
+    deterministic across engines and partitionings and batches merge by
+    SUM (jobs/doc_signature_lake.py::merge_estats_rows). dim rows per
+    batch however large the batch.
+
+    Why it exists: an IVF index's quantizer is trained on the geometry
+    of SOME corpus snapshot; as drops keep arriving, per-dimension
+    mean/variance migrating away from the training-time values is the
+    cheapest reliable signal that the centroids have gone stale and a
+    reindex (s12) is due — served from the stored rows, never a corpus
+    re-scan. 64-bit note: ss per value <= 1e6 for unit-range
+    coordinates, so ~9e12 quantized coordinates fit int64; rescale the
+    milli unit beyond that."""
+    from ..operators.similarity import as_double
+
+    milli = F.transform(
+        as_double(F.col(vec_col)),
+        lambda x: F.round(x * 1000).cast("long"),
+    )
+    return (
+        vecs.select(F.posexplode(milli).alias("d", "m"))
+        .groupBy("d")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("m").cast("long").alias("s_milli"),
+            F.sum(F.col("m") * F.col("m")).cast("long").alias("ss_milli"),
+        )
+        .select(F.col("d").cast("int").alias("d"), "n", "s_milli", "ss_milli")
+    )
+
+
+def read_index_estats(spark: SparkSession, index_root: str) -> DataFrame | None:
+    """The corpus-wide merged drift statistics over every committed
+    batch's stored estats/ partition, or None when no batch carries
+    the facet. Additive — same committed-path crash-window exclusion
+    as the lm/cms facets (manifests live in assignments/ here); on a
+    corpus mixing pre-facet and faceted batches the statistics cover
+    the faceted subset only (doc_signature_lake.facet_coverage with
+    data_table='assignments' reports the split)."""
+    from .doc_signature_lake import (
+        ESTATS_TABLE,
+        _committed_facet_paths,
+        merge_estats_rows,
+    )
+
+    paths = _committed_facet_paths(
+        index_root, ESTATS_TABLE, data_table="assignments"
+    )
+    if not paths:
+        return None
+    return merge_estats_rows(spark.read.parquet(*paths))
+
+
 def ingest_embedding_batch(
     spark: SparkSession,
     new_emb: DataFrame,
@@ -371,6 +479,7 @@ def ingest_embedding_batch(
     n_probe: int = DEFAULT_N_PROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    facets: bool = True,
 ) -> dict:
     """Admit ``new_emb`` against the committed assignments under
     ``index_root`` and register the accepted vectors (assigned to their
@@ -381,7 +490,9 @@ def ingest_embedding_batch(
 
     Returns counts only (the O5 stats rule): n_batch,
     n_already_registered, n_considered, n_accepted, n_dup_of_corpus,
-    n_dup_in_batch.
+    n_dup_in_batch. ``facets=False`` skips the intake drift facet
+    (estats/) — the batch then behaves like a pre-facet one for the
+    drift reader.
     """
     from ..operators.similarity import assign_cells, embed_admit_batch
     from ..pinning import pin
@@ -454,6 +565,17 @@ def ingest_embedding_batch(
     ).select("vec_id", "v", "cell_id").write.mode("overwrite").parquet(
         os.path.join(asg_dir, f"batch={batch_id}")
     )
+    # the batch's intake drift facet over the CONSIDERED vectors —
+    # before the members marker, so the marker commits it with the
+    # batch (the doc lake's facet convention)
+    if facets:
+        from .doc_signature_lake import ESTATS_TABLE
+
+        batch_embedding_stats_rows(fresh, id_col, vec_col).coalesce(
+            1
+        ).write.mode("overwrite").parquet(
+            os.path.join(index_root, ESTATS_TABLE, f"batch={batch_id}")
+        )
     counts = {
         r["status"]: r["n"]
         for r in decision.groupBy("status").agg(F.count("*").alias("n")).collect()

@@ -63,6 +63,7 @@ _PRIORITY: list[str] = [
     "a7_lake_cms_heavy_hitters",  # NEW r11: lake-served CMS (cms/ facet)
     "a8_lake_heavy_hitters",  # NEW r11: end-to-end stored-row HH serve
     "t27_token_budget_mixture",  # NEW r11: exact-token-budget mixture
+    "a9_lake_embedding_drift",  # NEW r11: embedding-lake drift facet
     "s22_opq_lake_search",  # NEW r11: OPQ perm served from the PQ lake
     "t25_bigram_logprob",
     "a6_lake_sketch",
@@ -85,8 +86,8 @@ _PRIORITY: list[str] = [
     "u3_intersect",
     "x2_salted_join",
     # -- (4) the r8-latest block fills the remaining slots; spilling to
-    # r12: s2_ann_srp_topk, s4_ivf_ann_topk, s5_gemm_ann_topk,
-    # s7_ivf_kmeans_quality,
+    # r12: s1_similarity_topk, s2_ann_srp_topk, s4_ivf_ann_topk,
+    # s5_gemm_ann_topk, s7_ivf_kmeans_quality,
     # t10_repetition_ratio, t11_pack_sequences,
     # t21_domain_mixture, t2_lang_id, t3_token_counts, t4_fingerprint,
     # t6_token_explode, t7_quality_score, t9_decontaminate, u4_except,
@@ -122,9 +123,8 @@ _PRIORITY: list[str] = [
     "s17_ivfpq_topk",
     "s18_compression_recall_audit",
     "s19_pq_train_quality",
-    "s1_similarity_topk",
     # the reserved head slots are all taken (t26, a7, s22 in section
-    # (1)), t25's rotation took a fourth, a8 a fifth and t27 a sixth;
+    # (1)), plus t25's rotation, a8, t27 and a9; s1_similarity_topk,
     # s2_ann_srp_topk, s4_ivf_ann_topk and s5_gemm_ann_topk joined
     # s7/t10/t11 in yielding their slots to r12's spill list above.
     # ---- slot 50 boundary ----

@@ -4056,3 +4056,51 @@ def a3_mg_cms_heavy_hitters(spark, sf_dir):
         )
         .orderBy("rank")
     )
+
+
+@q(
+    "a9_lake_embedding_drift",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), corp AS (
+        SELECT vec_id, v FROM e WHERE vec_id % {S11_BATCH_MOD} != 0
+    ), x AS (
+        SELECT CAST(u.i - 1 AS INT) AS d,
+               CAST(round(corp.v[u.i] * 1000) AS BIGINT) AS m
+        FROM corp CROSS JOIN LATERAL (
+            SELECT unnest(range(1, {PQ_N_SUB * PQ_SUB_DIM} + 1)) AS i
+        ) u
+    )
+    SELECT d, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(m) AS BIGINT) AS s_milli,
+           CAST(sum(m * m) AS BIGINT) AS ss_milli
+    FROM x GROUP BY d
+    """,
+    doc="The embedding lake's STORED drift facet (jobs/"
+    "embedding_index_lake.py::read_index_estats over the demo index — "
+    "corpus ingested as two real batches, then compacted): each ingest "
+    "persists per-dimension additive sufficient statistics (count, "
+    "sum, sum-of-squares of milli-quantized coordinates — dim rows per "
+    "batch), compaction REDUCES them by SUM, and the merged stored "
+    "rows serve corpus-wide per-dimension mean/variance: the signal "
+    "that the IVF quantizer's training-time geometry has gone stale "
+    "and an s12 reindex is due — without ever re-scanning the "
+    "vectors. The oracle re-derives the merged statistics from raw "
+    "parquet (quantize-once then integer sums, so cross-engine float "
+    "summation order cannot flip a bit), proving "
+    "ingest-persist -> compact-merge -> read bit-exact, the a6/a7 "
+    "pattern applied to the embedding lake. Extends the facet "
+    "protocol symmetrically: every incremental lake in the repo now "
+    "carries mergeable intake statistics beside its commit markers.",
+)
+def a9_lake_embedding_drift(spark, sf_dir):
+    from ..jobs.embedding_index_lake import (
+        read_index_estats,
+        sf_estats_index_root,
+    )
+
+    root = sf_estats_index_root(spark, sf_dir)
+    return read_index_estats(spark, root).select(
+        F.col("d").cast("int").alias("d"), "n", "s_milli", "ss_milli"
+    )

@@ -476,3 +476,66 @@ def test_init_repairs_partial_centroids_dir(spark, tmp_path):
     )
     assert not st["already_initialized"]
     assert read_centroids(spark, root).count() == 3
+
+
+def test_estats_facet_merges_reduces_and_serves(spark, tmp_path):
+    """The embedding lake's drift facet (a9): per-batch statistics
+    merged by SUM equal building from scratch on everything ingested,
+    compaction reduces them to one partition without changing the
+    merge, and facets=False batches degrade coverage gracefully."""
+    import os
+
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        ESTATS_TABLE,
+        facet_coverage,
+    )
+    from pokemon_showdown_airflow_etl_spark.jobs.embedding_index_lake import (
+        batch_embedding_stats_rows,
+        compact_embedding_index,
+        ingest_embedding_batch,
+        init_embedding_index,
+        read_index_estats,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    root = str(tmp_path / "idx")
+    init_embedding_index(spark, emb, root, n_cells=4, train=False)
+    ingest_embedding_batch(spark, emb.filter("vec_id < 25"), root, "d1", threshold=2.0)
+    ingest_embedding_batch(spark, emb.filter("vec_id >= 25"), root, "d2", threshold=2.0)
+
+    def srt(df):
+        return sorted(map(tuple, df.collect()))
+
+    merged = read_index_estats(spark, root)
+    assert srt(merged) == srt(batch_embedding_stats_rows(emb))
+    assert merged.count() == 8  # dim rows only
+
+    st = compact_embedding_index(spark, root, min_batches=2)
+    assert st["n_batches_consolidated"] == 2
+    parts = [
+        p for p in os.listdir(os.path.join(root, ESTATS_TABLE))
+        if p.startswith("batch=")
+    ]
+    assert len(parts) == 1 and parts[0].startswith("batch=compact-")
+    assert srt(read_index_estats(spark, root)) == srt(
+        batch_embedding_stats_rows(emb)
+    )
+
+    # a facets=False batch: admission identical, coverage degrades
+    more = spark.createDataFrame(
+        [(100 + i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    st2 = ingest_embedding_batch(
+        spark, more, root, "lean", threshold=2.0, facets=False
+    )
+    assert st2["n_accepted"] == 5
+    assert facet_coverage(root, ESTATS_TABLE, data_table="assignments") == (1, 2)
+    # the merged stats still serve (the faceted subset)
+    assert srt(read_index_estats(spark, root)) == srt(
+        batch_embedding_stats_rows(emb)
+    )

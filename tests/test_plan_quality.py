@@ -799,3 +799,13 @@ def test_token_budget_mixture_cumsum_is_sharded(q):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "_shard" in plan, "sharded cumsum missing from the plan"
+
+
+def test_lake_estats_read_is_bounded_merge(q):
+    """a9: serving the stored drift statistics is a dim-row SUM merge
+    over the committed facet partitions — no Python, no cartesian, no
+    vector column anywhere in the read path."""
+    plan = q("a9_lake_embedding_drift")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
