@@ -133,10 +133,29 @@ def build_parser() -> argparse.ArgumentParser:
         "--lm-root",
         default=None,
         metavar="DIR",
-        help="score --perplexity-band under the STORED bigram LM of "
-        "this signature corpus root's lm/ facet instead of retraining "
-        "(falls back to self-training when the committed batches "
-        "predate the facet)",
+        help="score --perplexity-band AND --ml-in-domain's contrast "
+        "model under the STORED bigram LM of this signature corpus "
+        "root's lm/ facet instead of retraining (falls back to "
+        "self-training when the committed batches predate the facet)",
+    )
+    cur.add_argument(
+        "--ml-in-domain",
+        default=None,
+        metavar="EXPR",
+        help="Moore-Lewis contrastive selection (t28): SQL boolean "
+        "expression naming the in-domain seed rows (e.g. \"lang = "
+        "'en'\"); docs whose in-vs-out cross-entropy difference "
+        "exceeds the --ml-keep-quantile corpus quantile are dropped "
+        "(off when omitted)",
+    )
+    cur.add_argument(
+        "--ml-keep-quantile",
+        type=float,
+        default=0.5,
+        metavar="Q",
+        help="fraction of judged docs kept by --ml-in-domain (KMV-"
+        "sampled quantile threshold on the contrastive score; "
+        "default: 0.5)",
     )
     cur.add_argument(
         "--mixture-alpha",
@@ -465,6 +484,8 @@ def main(argv: list[str] | None = None) -> int:
                 else None
             ),
             lm_root=args.lm_root,
+            ml_in_domain=args.ml_in_domain,
+            ml_keep_quantile=args.ml_keep_quantile,
             mixture_alpha=args.mixture_alpha,
             mixture_domain_col=args.mixture_domain_col,
             mixture_budget=tuple(args.mixture_budget),

@@ -10,7 +10,9 @@ operators into one pipeline:
     boilerplate pass) -> optional scrub (t18: PII redaction + URL
     canonicalization) -> quality filter (t7) -> optional perplexity
     band (t25: CCNet-style bigram-NLL cut of BOTH tails —
-    --perplexity-band) -> deterministic split (t12) -> optional
+    --perplexity-band) -> optional Moore-Lewis contrastive domain
+    selection (t28 — --ml-in-domain) -> deterministic split (t12) ->
+    optional
     temperature-weighted domain mixture of the train split (t21/t22 —
     --mixture-alpha) -> partitioned write + packing stats (t11)
 
@@ -56,6 +58,8 @@ def curate_corpus(
     perplexity_band: tuple[float, float] | None = None,
     perplexity_sample_k: int = 512,
     lm_root: str | None = None,
+    ml_in_domain: str | None = None,
+    ml_keep_quantile: float = 0.5,
     mixture_alpha: float | None = None,
     mixture_domain_col: str = "source",
     mixture_budget: tuple[int, int] = (3, 5),
@@ -118,6 +122,28 @@ def curate_corpus(
     stored model to read). Band thresholds still come from THIS run's
     survivor scores, so the cut adapts to the batch while the model
     stays the corpus's.
+
+    ``ml_in_domain`` (optional) is a SQL boolean expression over the
+    corpus columns (e.g. ``"lang = 'en'"``) naming the in-domain seed
+    for a Moore-Lewis contrastive selection pass (t28, Moore & Lewis
+    ACL 2010): an in-domain bigram LM trains on the surviving seed
+    rows, the full-survivor LM is the contrast, and documents whose
+    cross-entropy difference exceeds the ``ml_keep_quantile`` corpus
+    quantile are dropped — keeping the most in-domain fraction. The
+    threshold comes from the same deterministic KMV sample as the
+    perplexity band (``perplexity_sample_k`` rows), so the stage is a
+    pure function of the input; docs too short to judge (< 2 tokens)
+    pass through. An expression matching NO survivors fails loudly —
+    an empty seed would train a degenerate LM and silently score
+    garbage. Runs after the perplexity band: the band cuts fluency
+    outliers corpus-wide, Moore-Lewis then ranks the fluent remainder
+    by domain affinity. With ``lm_root``, the CONTRAST model is the
+    lake's stored corpus LM (the textbook Moore-Lewis setup — the
+    out-of-domain side is the general corpus, served from the lm/
+    facet instead of re-trained per run); the in-domain LM always
+    trains on this run's seed rows. The stats dict reports which
+    contrast served (``ml_lm``: self/stored/stored_partial, the
+    ``ppl_lm`` convention).
 
     ``mixture_alpha`` (optional) turns on the final t21/t22 stage a
     pretraining-corpus job actually ends with: the TRAIN split is
@@ -334,6 +360,41 @@ def curate_corpus(
     #     through, mirroring the no-embedding-row rule above. Cost at
     #     scale: the t25 aggregations (bigram table shuffles on its
     #     natural key), one bounded sample collect, one anti-join.
+    # shared stored-LM read: the lm/ facet serves BOTH the perplexity
+    # band's model and the Moore-Lewis contrast model, so validate the
+    # root and load the rows once
+    stored_lm = None
+    stored_lm_source = ""
+    if lm_root is not None and (
+        perplexity_band is not None or ml_in_domain is not None
+    ):
+        import os
+
+        from .doc_signature_lake import read_corpus_lm
+
+        if not os.path.isdir(os.path.join(lm_root, "members")):
+            # a typo'd or wrong directory (e.g. the lm/ subdir itself)
+            # silently retraining would report success while scoring
+            # under the wrong model — only a real corpus root (one
+            # that has registered batches) may fall back, and only
+            # when its batches predate the facet
+            raise ValueError(
+                f"lm_root {lm_root!r} is not a signature corpus "
+                "root (no members/ directory) — point at the "
+                "directory holding members/ and lm/"
+            )
+        stored_lm = read_corpus_lm(spark, lm_root)
+        if stored_lm is not None:
+            from .doc_signature_lake import LM_TABLE, facet_coverage
+
+            # a corpus mixing pre-facet and faceted batches serves a
+            # model trained on the faceted subset only — report that
+            # honestly rather than implying the corpus model
+            n_facet, n_committed = facet_coverage(lm_root, LM_TABLE)
+            stored_lm_source = (
+                "stored" if n_facet == n_committed else "stored_partial"
+            )
+
     n_ppl_cut_low = 0
     n_ppl_cut_high = 0
     ppl_band_micro: list[int] = []
@@ -354,37 +415,11 @@ def curate_corpus(
         from ..operators.text import bigram_logprob
 
         lo_q, hi_q = perplexity_band
-        stored_lm = None
-        if lm_root is not None:
-            import os
-
-            from .doc_signature_lake import read_corpus_lm
-
-            if not os.path.isdir(os.path.join(lm_root, "members")):
-                # a typo'd or wrong directory (e.g. the lm/ subdir
-                # itself) silently retraining would report success
-                # while scoring under the wrong model — only a real
-                # corpus root (one that has registered batches) may
-                # fall back, and only when its batches predate the
-                # facet
-                raise ValueError(
-                    f"lm_root {lm_root!r} is not a signature corpus "
-                    "root (no members/ directory) — point at the "
-                    "directory holding members/ and lm/"
-                )
-            stored_lm = read_corpus_lm(spark, lm_root)
         curated = pin(curated)
         if stored_lm is not None:
             from ..operators.text import bigram_nll_with_lm
-            from .doc_signature_lake import LM_TABLE, facet_coverage
 
-            # a corpus mixing pre-facet and faceted batches serves a
-            # model trained on the faceted subset only — report that
-            # honestly rather than implying the corpus model
-            n_facet, n_committed = facet_coverage(lm_root, LM_TABLE)
-            ppl_lm_source = (
-                "stored" if n_facet == n_committed else "stored_partial"
-            )
+            ppl_lm_source = stored_lm_source
             scored = pin(bigram_nll_with_lm(curated, stored_lm, "doc_id", "text"))
         else:
             ppl_lm_source = "self"
@@ -416,6 +451,66 @@ def curate_corpus(
             n_after_perplexity = (
                 n_after_quality - n_ppl_cut_low - n_ppl_cut_high
             )
+
+    # 3c. Moore-Lewis contrastive domain selection (optional, t28):
+    #     rank the band survivors by the cross-entropy DIFFERENCE
+    #     between an in-domain LM (trained on the rows matching the
+    #     predicate) and the full-survivor LM, keep the most in-domain
+    #     ml_keep_quantile fraction. Threshold from the deterministic
+    #     KMV sample (the perplexity-band protocol), so the stage is a
+    #     pure function of the input. Cost at scale: t25's aggregations
+    #     twice over one shared occurrence explode + one bounded sample
+    #     collect + one anti-join.
+    n_ml_cut = 0
+    ml_threshold_micro: list[int] = []
+    ml_lm_source = ""
+    n_after_ml = n_after_perplexity
+    if ml_in_domain is not None:
+        # validate before the survivor-count gate (the band's rule): a
+        # malformed quantile must fail on an empty slice too
+        if not (0.0 < ml_keep_quantile <= 1.0):
+            raise ValueError(
+                f"ml_keep_quantile must be in (0, 1]; got "
+                f"{ml_keep_quantile!r}"
+            )
+    if ml_in_domain is not None and n_after_perplexity > 0:
+        from ..operators.sketches import bottomk_sample
+        from ..operators.text import moore_lewis_score
+
+        curated = pin(curated)
+        flag = F.expr(ml_in_domain)
+        if curated.filter(flag).limit(1).count() == 0:
+            raise ValueError(
+                f"ml_in_domain {ml_in_domain!r} matched no surviving "
+                "documents — an empty in-domain seed would train a "
+                "degenerate LM; fix the expression or widen the seed"
+            )
+        # contrast model: the lake's stored corpus LM when available
+        # (the textbook Moore-Lewis setup — the out-of-domain side IS
+        # the big general corpus, already summarized by the lm/
+        # facet); self-trained on the survivors otherwise
+        ml_lm_source = stored_lm_source if stored_lm is not None else "self"
+        scored = pin(
+            moore_lewis_score(
+                curated, flag, "doc_id", "text", out_lm_rows=stored_lm
+            )
+        )
+        judged = scored.filter(F.col("n_bigrams") > 0)
+        vals = bottomk_sample(
+            judged,
+            F.col("doc_id").cast("string"),
+            "ml_micro",
+            k=perplexity_sample_k,
+        )
+        if vals:
+            thr = vals[int(ml_keep_quantile * (len(vals) - 1))]
+            ml_threshold_micro = [int(thr)]
+            cut = judged.filter(F.col("ml_micro") > F.lit(thr))
+            n_ml_cut = cut.count()
+            curated = curated.join(
+                cut.select("doc_id"), "doc_id", "left_anti"
+            ).transform(pin)
+            n_after_ml = n_after_perplexity - n_ml_cut
 
     # 4. deterministic split assignment (pure map — no shuffle)
     split_docs = hash_split(curated, "doc_id").drop("bucket")
@@ -533,6 +628,10 @@ def curate_corpus(
         "ppl_band_micro": ppl_band_micro,
         "ppl_lm": ppl_lm_source,
         "n_after_perplexity": n_after_perplexity,
+        "n_ml_cut": n_ml_cut,
+        "ml_threshold_micro": ml_threshold_micro,
+        "ml_lm": ml_lm_source,
+        "n_after_ml": n_after_ml,
         "n_train_before_mixture": n_train_before_mixture,
         "mixture_domains": mixture_domains,
         "n_written": 0,
@@ -544,10 +643,10 @@ def curate_corpus(
     # holdout rows plus exactly the per-domain targets — a tiny corpus
     # whose budget floors to 0 can empty the output even when
     # n_after_perplexity > 0
-    n_expected_written = n_after_perplexity
+    n_expected_written = n_after_ml
     if mixture_alpha is not None:
         n_expected_written = (
-            n_after_perplexity
+            n_after_ml
             - n_train_before_mixture
             + sum(v["kept"] for v in mixture_domains.values())
         )

@@ -493,6 +493,55 @@ def embedding_near_dups(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic corpus pruning (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space into cells, and
+    within each cell keep one representative per near-duplicate
+    neighborhood. The deterministic keep rule — a vector is DROPPED iff
+    some SMALLER-id vector in its cell has cosine >= threshold — makes
+    the decision order-free (no greedy scan order to replicate
+    cross-engine) while preserving the method's guarantee that every
+    dropped vector has a kept-or-earlier witness within threshold.
+
+    Cells are SRP sign-projection buckets (``srp_bucket``) rather than
+    the paper's k-means so the partition is closed-form: an oracle (or a
+    second engine) can re-derive membership from the vectors alone. The
+    pair scan is exactly ``embedding_near_dups`` — within-bucket GEMM
+    blocks, an equi-join shuffle on the bucket key, never all-pairs —
+    so at 100 TB the cost is O(sum of squared cell sizes), the same
+    bound the paper's per-cluster pairwise step pays.
+
+    Returns one row per input id: (vec_id, kept, witness_id, witness_cos)
+    where witness_id is the SMALLEST same-cell id within threshold
+    (NULL for kept rows) and witness_cos its round-6 cosine.
+    """
+    pairs = embedding_near_dups(
+        emb, threshold=threshold, n_bits=n_bits, id_col=id_col, vec_col=vec_col
+    )
+    # vec_a < vec_b in the pair stream, so b's witnesses are its vec_a
+    # partners; min() picks the deterministic one to report. struct-min
+    # carries the witness's cosine along without a second join.
+    witnesses = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min(F.struct(F.col("vec_a"), F.col("cos_sim"))).alias("w")
+    )
+    return (
+        emb.select(F.col(id_col).alias("vec_id"))
+        .join(witnesses, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("w").isNull().alias("kept"),
+            F.col("w.vec_a").alias("witness_id"),
+            F.col("w.cos_sim").alias("witness_cos"),
+        )
+    )
+
+
 def centroid_outliers(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -1000,3 +1000,337 @@ def bigram_logprob(
     occ = pin(_bigram_occurrences(staged, id_col))
     lm = bigram_lm_rows(df, id_col, text_col, _staged=staged, _occ=occ)
     return bigram_nll_with_lm(df, lm, id_col, text_col, _occ=occ)
+
+
+def moore_lewis_score(
+    df: DataFrame,
+    in_domain: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_lm_rows: DataFrame | None = None,
+) -> DataFrame:
+    """Moore-Lewis contrastive data selection (Moore & Lewis, ACL
+    2010): score every document by the cross-entropy DIFFERENCE between
+    an IN-DOMAIN bigram LM (trained on the rows where ``in_domain`` is
+    true) and the full-corpus LM — ``ml_micro = avg_nll_in -
+    avg_nll_out`` in integer micro-units, LOWER = more in-domain. The
+    standard pretraining-mixture upgrade over a single-LM perplexity
+    band (t25): one LM alone confuses "fluent" with "on-topic"; the
+    difference cancels generic fluency and leaves domain affinity.
+
+    Both LMs are add-one-smoothed bigram models in the t25/t26
+    convention (per-type micro-quantized ln P, integer per-doc sums,
+    so cross-engine summation order cannot flip a bit). The in-domain
+    model scores OUT-of-domain docs through ``bigram_nll_with_lm``'s
+    unseen-mass path — exactly what the smoothing is for.
+
+    Scale shape: ONE tokenize + bigram explode feeds both models and
+    both scoring passes (the ``_in`` flag rides the occurrence stream,
+    so the in-domain occurrences are a filter, not a join); model rows
+    are O(bigram types); scoring is two equi-joins on the natural
+    bigram key. Nothing new shuffles beyond what t25 already pays
+    twice over.
+
+    ``out_lm_rows`` (optional) supplies the CONTRAST model as stored
+    (kind, w1, w2, n) rows — e.g. the signature lake's lm/ facet
+    (jobs/doc_signature_lake.py::read_corpus_lm) — instead of
+    self-training it on ``df``: the textbook Moore-Lewis setup, where
+    the out-of-domain side is the big general corpus the lake already
+    summarized, so a 100 TB contrast model costs a facet read rather
+    than a corpus re-scan. The in-domain LM always trains on the
+    ``in_domain`` rows of ``df`` (the seed is the caller's batch by
+    definition).
+
+    Returns (id_col, n_bigrams, nll_in_micro, nll_out_micro, ml_micro)
+    anchored on the INPUT ids (docs with < 2 tokens score 0).
+    """
+    staged = pin(
+        df.select(
+            F.col(id_col),
+            tokens(F.col(text_col)).alias("_tk"),
+            in_domain.cast("boolean").alias("_in"),
+        )
+    )
+    # carry _in through the explode instead of re-joining it on: the
+    # occurrence stream is corpus-sized and a join back to the doc
+    # table would shuffle it once per flag
+    tk = F.col("_tk")
+    pairs = F.when(
+        (F.size(tk) >= 2) & (F.element_at(tk, 1) != ""),
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.struct(
+                F.element_at(tk, i).alias("w1"),
+                F.element_at(tk, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    occ = pin(
+        staged.select(F.col(id_col), F.col("_in"), F.explode(pairs).alias("bg"))
+        .select(id_col, "_in", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    occ_plain = occ.drop("_in")
+    lm_in = bigram_lm_rows(
+        df,
+        id_col,
+        text_col,
+        _staged=staged.filter(F.col("_in")),
+        _occ=occ.filter(F.col("_in")),
+    )
+    lm_out = (
+        out_lm_rows
+        if out_lm_rows is not None
+        else bigram_lm_rows(df, id_col, text_col, _staged=staged, _occ=occ_plain)
+    )
+    s_in = bigram_nll_with_lm(df, lm_in, id_col, text_col, _occ=occ_plain)
+    s_out = bigram_nll_with_lm(df, lm_out, id_col, text_col, _occ=occ_plain)
+    return (
+        s_in.select(
+            id_col,
+            "n_bigrams",
+            F.col("nll_micro").alias("nll_in_micro"),
+            F.col("avg_nll_micro").alias("_avg_in"),
+        )
+        .join(
+            s_out.select(
+                id_col,
+                F.col("nll_micro").alias("nll_out_micro"),
+                F.col("avg_nll_micro").alias("_avg_out"),
+            ),
+            id_col,
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "nll_in_micro",
+            "nll_out_micro",
+            (F.col("_avg_in") - F.col("_avg_out")).cast("long").alias("ml_micro"),
+        )
+    )
+
+
+def nb_train_rows(
+    df: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multinomial Naive Bayes sufficient statistics as MERGEABLE
+    (kind, label, tok, n) rows — the trained-classifier analogue of
+    ``bigram_lm_rows``, shaped for the same lake-facet protocol
+    (additive counts, distinct vocab):
+
+    - ``kind='tok'``: token-occurrence counts n(tok, label) — SUM law.
+    - ``kind='prior'``: document counts per label (tok NULL) — SUM law.
+    - ``kind='vocab'``: one row per distinct seed token (label NULL,
+      n=1) — DISTINCT law.
+
+    This is the fastText-style quality/domain classifier slot of an
+    LLM data pipeline (GPT-3's WebText quality filter, LLaMA's
+    Wikipedia-reference classifier) reduced to its closed-form
+    trainable core: Naive Bayes needs one counting pass, no SGD, and
+    is therefore deterministic and oracle-checkable cross-engine.
+    Row set is O(vocab x labels), never O(corpus)."""
+    staged = df.select(
+        F.col(label_col).alias("label"), tokens(F.col(text_col)).alias("_tk")
+    )
+    occ = staged.select(
+        "label", F.explode(F.col("_tk")).alias("tok")
+    ).filter(F.col("tok") != "")
+    null_s = F.lit(None).cast("string")
+    tok = (
+        occ.groupBy("label", "tok")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.lit("tok").alias("kind"), "label", "tok", "n")
+    )
+    prior = (
+        df.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.lit("prior").alias("kind"), "label", null_s.alias("tok"), "n")
+    )
+    voc = (
+        occ.select("tok")
+        .distinct()
+        .select(
+            F.lit("vocab").alias("kind"),
+            null_s.alias("label"),
+            "tok",
+            F.lit(1).cast("long").alias("n"),
+        )
+    )
+    return tok.unionByName(prior).unionByName(voc)
+
+
+def merge_nb_rows(rows: DataFrame) -> DataFrame:
+    """Merge any union of per-batch ``nb_train_rows`` outputs back to
+    ONE model in the same (kind, label, tok, n) shape: SUM per
+    (label, token) and per prior label, DISTINCT vocab — the same
+    additive/distinct laws as ``merge_lm_rows``, so the classifier
+    drops into the signature lake's facet protocol unchanged (train
+    per batch at ingest, reduce at compaction, serve from stored
+    rows). Merging disjoint batches equals training on their union
+    (property-tested); NOT idempotent on the count legs, so each
+    batch's rows must enter exactly once."""
+    null_s = F.lit(None).cast("string")
+    tok = (
+        rows.filter(F.col("kind") == "tok")
+        .groupBy("label", "tok")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .select(F.lit("tok").alias("kind"), "label", "tok", "n")
+    )
+    prior = (
+        rows.filter(F.col("kind") == "prior")
+        .groupBy("label")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .select(F.lit("prior").alias("kind"), "label", null_s.alias("tok"), "n")
+    )
+    voc = (
+        rows.filter(F.col("kind") == "vocab")
+        .select("tok")
+        .distinct()
+        .select(
+            F.lit("vocab").alias("kind"),
+            null_s.alias("label"),
+            "tok",
+            F.lit(1).cast("long").alias("n"),
+        )
+    )
+    return tok.unionByName(prior).unionByName(voc)
+
+
+def nb_classify(
+    df: DataFrame,
+    model_rows: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score + argmax every document under a multinomial Naive Bayes
+    model given as ``nb_train_rows`` output: score(d, c) =
+    ln P(c) + sum_tok ln P(tok|c), with add-one smoothing P(tok|c) =
+    (n(tok,c) + 1) / (total_c + V). Each (label, token) type's ln P
+    quantizes to integer micro-units ONCE (the t14 convention) and
+    documents sum integers; tokens unseen for a class fall to that
+    class's smoothed floor 1 / (total_c + V). Prediction ties break on
+    the lexicographically smallest label.
+
+    Scale shape: the label table (priors, totals, unseen floors) is a
+    <= |labels|-row broadcast; scoring fans each token occurrence out
+    by |labels| (a constant), equi-joins the O(vocab x labels) model
+    table on (label, tok), and reduces with one doc-keyed integer sum.
+    The per-doc argmax is a bounded sort_array over |labels| structs —
+    no window over the corpus.
+
+    Returns (id_col, pred_label, n_tokens, score_micro, margin_micro):
+    margin = best - runner-up (0 when the model has one label).
+    Token-less docs score on priors alone."""
+    tokc = model_rows.filter(F.col("kind") == "tok").select(
+        "label", "tok", F.col("n").alias("c")
+    )
+    totals = tokc.groupBy("label").agg(F.sum("c").cast("long").alias("total"))
+    vsize = (
+        model_rows.filter(F.col("kind") == "vocab")
+        .select("tok")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    priors = model_rows.filter(F.col("kind") == "prior").select(
+        "label", F.col("n").alias("n_docs")
+    )
+    n_seed = priors.agg(F.sum("n_docs").cast("long").alias("n_seed"))
+    micro = lambda col: F.round(col * 1_000_000).cast("long")  # noqa: E731
+    labels = (
+        priors.join(totals, "label", "left")
+        .crossJoin(F.broadcast(vsize))
+        .crossJoin(F.broadcast(n_seed))
+        .select(
+            "label",
+            micro(
+                F.log(F.col("n_docs") / F.col("n_seed"))
+            ).alias("prior_micro"),
+            micro(
+                F.log(
+                    F.lit(1.0)
+                    / (F.coalesce(F.col("total"), F.lit(0)) + F.col("v"))
+                )
+            ).alias("floor_micro"),
+            F.coalesce(F.col("total"), F.lit(0)).alias("total"),
+        )
+    )
+    lp = (
+        tokc.join(totals, "label")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "label",
+            "tok",
+            micro(
+                F.log((F.col("c") + F.lit(1.0)) / (F.col("total") + F.col("v")))
+            ).alias("tok_micro"),
+        )
+    )
+    occ = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+        .select(F.col(id_col), F.explode(F.col("_tk")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    tok_sums = (
+        occ.crossJoin(F.broadcast(labels.select("label", "floor_micro")))
+        .join(lp, ["label", "tok"], "left")
+        .groupBy(id_col, "label")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("tok_micro"), F.col("floor_micro")))
+            .cast("long")
+            .alias("tok_sum"),
+        )
+    )
+    scored = (
+        df.select(id_col)
+        .crossJoin(F.broadcast(labels.select("label", "prior_micro")))
+        .join(tok_sums, [id_col, "label"], "left")
+        .select(
+            F.col(id_col),
+            F.col("label"),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            (F.col("prior_micro") + F.coalesce("tok_sum", F.lit(0)))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    # bounded argmax: |labels| structs per doc; (-score, label) sorts
+    # best-score-first with ties to the smallest label
+    ranked = scored.groupBy(id_col).agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.sort_array(
+            F.collect_list(F.struct((-F.col("score")).alias("neg"), F.col("label")))
+        ).alias("r"),
+    )
+    return ranked.select(
+        id_col,
+        F.col("r")[0]["label"].alias("pred_label"),
+        "n_tokens",
+        (-F.col("r")[0]["neg"]).cast("long").alias("score_micro"),
+        F.when(
+            F.size("r") > 1, (F.col("r")[1]["neg"] - F.col("r")[0]["neg"])
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("margin_micro"),
+    )
+
+
+def nb_domain_classifier(
+    df: DataFrame,
+    seed_filter: Column,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train-on-seed, score-everything composition of ``nb_train_rows``
+    + ``nb_classify``: the one-pass closed-form stand-in for the
+    fastText quality/domain classifier step of a pretraining pipeline
+    — label a small seed (here: rows matching ``seed_filter``), train,
+    then classify the full corpus including the unlabeled remainder."""
+    return nb_classify(
+        df, nb_train_rows(df.filter(seed_filter), label_col, id_col, text_col),
+        id_col, text_col,
+    )

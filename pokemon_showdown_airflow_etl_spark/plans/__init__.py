@@ -30,8 +30,8 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # rule-refinement entries whose code changed after their latest row
 # without rotating in r10 (a4 hll_summary split, s14/s20 perm threading
 # + crash recovery — re-greening them retires the refinement debt),
-# then the eight r7-latest spills, then 33 of the 48-name r8-latest
-# block — 15 spill to r12 (listed at the section (4) comment below; all
+# then the eight r7-latest spills, then 30 of the 48-name r8-latest
+# block — 18 spill to r12 (listed at the section (4) comment below; all
 # were green in r8 and are re-verified by every local parity sweep).
 # After CORRECTNESS_r11 no entry's latest driver row predates r8 and no
 # changed-since-row entry remains.
@@ -59,6 +59,9 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
 
 _PRIORITY: list[str] = [
     # -- (1) every entry in CHANGED_SINCE_LAST_ROW, new first --
+    "t28_moore_lewis_score",  # NEW r11: contrastive in/out-domain LM
+    "t29_nb_domain_classifier",  # NEW r11: trained NB domain classifier
+    "s23_semantic_dedup",  # NEW r11: SemDeDup keep/drop verdicts
     "t26_lake_bigram_nll",  # NEW r11: stored-LM NLL (lm/ facet)
     "a7_lake_cms_heavy_hitters",  # NEW r11: lake-served CMS (cms/ facet)
     "a8_lake_heavy_hitters",  # NEW r11: end-to-end stored-row HH serve
@@ -120,13 +123,13 @@ _PRIORITY: list[str] = [
     "s13_ann_recall_audit",
     "s15_pq_adc_topk",
     "s16_hamming_topk",
-    "s17_ivfpq_topk",
-    "s18_compression_recall_audit",
-    "s19_pq_train_quality",
     # the reserved head slots are all taken (t26, a7, s22 in section
     # (1)), plus t25's rotation, a8, t27 and a9; s1_similarity_topk,
     # s2_ann_srp_topk, s4_ivf_ann_topk and s5_gemm_ann_topk joined
     # s7/t10/t11 in yielding their slots to r12's spill list above.
+    # The three mid-round additions (t28/t29/s23 — new entries must sit
+    # in the window) pushed s17_ivfpq_topk, s18_compression_recall_audit
+    # and s19_pq_train_quality to the r12 spill as well.
     # ---- slot 50 boundary ----
 ]
 

@@ -389,6 +389,52 @@ def s9_embedding_dup_clusters(spark, sf_dir):
     )
 
 
+@q(
+    "s23_semantic_dedup",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), b AS (
+        SELECT vec_id, v,
+               {_srp_bucket_sql("v")} AS bucket
+        FROM e
+    ), pairs AS (
+        SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, ROUND({COS_SQL}, 6) AS cs
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+        WHERE ROUND({COS_SQL}, 6) >= {NEAR_DUP_COS}
+    ), w AS (
+        SELECT vec_b AS vec_id,
+               min(vec_a) AS witness_id,
+               arg_min(cs, vec_a) AS witness_cos
+        FROM pairs GROUP BY 1
+    )
+    SELECT e.vec_id,
+           w.vec_id IS NULL AS kept,
+           w.witness_id,
+           w.witness_cos
+    FROM e LEFT JOIN w USING (vec_id)
+    """,
+    doc="SemDeDup-style semantic corpus pruning (Abbas et al. 2023, "
+    "arXiv:2303.09540; operators/similarity.py::semantic_dedup): "
+    "within each SRP sign-projection cell, keep one representative per "
+    "cosine near-duplicate neighborhood — a vector is DROPPED iff a "
+    "smaller-id same-cell vector sits within the threshold, which "
+    "makes the keep decision order-free (no greedy scan order to "
+    "replicate cross-engine) while every dropped vector keeps a "
+    "witness. The drop DECISION complement to s9's clusters: s9 "
+    "reports the component structure, s23 reports the per-vector "
+    "keep/drop verdict + deterministic witness a curation pass "
+    "consumes directly. Pair scan is s3's within-cell GEMM equi-join "
+    "(O(sum of squared cell sizes), never all-pairs); the witness "
+    "reduce is one struct-min aggregation; the verdict anchors on the "
+    "input ids with a left join.",
+)
+def s23_semantic_dedup(spark, sf_dir):
+    return similarity.semantic_dedup(
+        t(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_COS, n_bits=4
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
@@ -1655,6 +1701,197 @@ def t25_bigram_logprob(spark, sf_dir):
     from ..operators.text import bigram_logprob
 
     return bigram_logprob(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ML_IN_DOMAIN_LANG = "en"
+
+# Shared skeleton of the bigram-LM oracle: ONE tokenize + explode CTE
+# (tagged with the in-domain flag) feeds both t28 models, exactly like
+# the Spark side's single pinned occurrence stream.
+_ML_PRELUDE_SQL = f"""tk AS (
+        SELECT doc_id, lang = '{ML_IN_DOMAIN_LANG}' AS ind,
+               {TOKENS_SQL} AS tk
+        FROM documents
+    ), occ AS (
+        SELECT doc_id, ind, tk[u.i] AS w1, tk[u.i + 1] AS w2
+        FROM tk CROSS JOIN LATERAL (
+            SELECT unnest(range(1, len(tk))) AS i
+        ) u
+        WHERE len(tk) >= 2 AND tk[1] != ''
+    ), flat AS (
+        SELECT ind, unnest(tk) AS tok FROM tk
+    )"""
+
+
+@q(
+    "t28_moore_lewis_score",
+    f"""
+    WITH {_ML_PRELUDE_SQL}, v_out AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        FROM flat WHERE tok != ''
+    ), v_in AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        FROM flat WHERE tok != '' AND ind
+    ), c2o AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM occ GROUP BY 1, 2
+    ), c1o AS (
+        SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM occ GROUP BY 1
+    ), c2i AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        FROM occ WHERE ind GROUP BY 1, 2
+    ), c1i AS (
+        SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM occ WHERE ind GROUP BY 1
+    ), lpo AS (
+        SELECT c2o.w1, c2o.w2,
+               CAST(round(ln((c2o.c2 + 1.0) / (c1o.c1 + v_out.v)) * 1000000)
+                    AS BIGINT) AS micro
+        FROM c2o JOIN c1o USING (w1) CROSS JOIN v_out
+    ), lpi AS (
+        SELECT c2i.w1, c2i.w2,
+               CAST(round(ln((c2i.c2 + 1.0) / (c1i.c1 + v_in.v)) * 1000000)
+                    AS BIGINT) AS micro
+        FROM c2i JOIN c1i USING (w1) CROSS JOIN v_in
+    ), so AS (
+        SELECT o.doc_id, CAST(count(*) AS BIGINT) AS nb,
+               CAST(-sum(l.micro) AS BIGINT) AS nll
+        FROM occ o JOIN lpo l USING (w1, w2) GROUP BY 1
+    ), si AS (
+        SELECT o.doc_id,
+               CAST(-sum(coalesce(l.micro,
+                   CAST(round(ln(1.0 / (coalesce(c.c1, 0) + v_in.v)) * 1000000)
+                        AS BIGINT))) AS BIGINT) AS nll
+        FROM occ o
+             LEFT JOIN lpi l USING (w1, w2)
+             LEFT JOIN c1i c USING (w1)
+             CROSS JOIN v_in
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(so.nb, 0) AS n_bigrams,
+           coalesce(si.nll, 0) AS nll_in_micro,
+           coalesce(so.nll, 0) AS nll_out_micro,
+           CAST(coalesce(si.nll // so.nb, 0) - coalesce(so.nll // so.nb, 0)
+                AS BIGINT) AS ml_micro
+    FROM documents d
+         LEFT JOIN so USING (doc_id)
+         LEFT JOIN si USING (doc_id)
+    """,
+    doc="Moore-Lewis contrastive data selection (Moore & Lewis, ACL "
+    "2010; operators/text.py::moore_lewis_score): per-doc cross-"
+    f"entropy DIFFERENCE between an in-domain bigram LM (lang = "
+    f"'{ML_IN_DOMAIN_LANG}' rows) and the full-corpus LM — LOWER = "
+    "more in-domain. The pretraining-mixture upgrade over t25's "
+    "single-LM band: one LM confuses fluent with on-topic, the "
+    "difference cancels generic fluency. Both LMs share t25's add-one "
+    "smoothing and integer micro-unit quantization (per bigram TYPE, "
+    "once), so cross-engine float order cannot flip a bit; the "
+    "in-domain LM scores out-of-domain docs through the smoothed "
+    "unseen-mass path. Plan: ONE tokenize + explode with the domain "
+    "flag riding the occurrence stream (a filter, not a join), model "
+    "rows O(bigram types), two equi-join scoring passes on the "
+    "natural bigram key.",
+)
+def t28_moore_lewis_score(spark, sf_dir):
+    return text.moore_lewis_score(
+        t(spark, sf_dir, "documents"),
+        F.col("lang") == ML_IN_DOMAIN_LANG,
+        "doc_id",
+        "text",
+    )
+
+
+NB_SEED_MOD = 3
+
+
+@q(
+    "t29_nb_domain_classifier",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, lang, {TOKENS_SQL} AS tk FROM documents
+    ), occ AS (
+        SELECT doc_id, lang, u.tok
+        FROM tk CROSS JOIN LATERAL (SELECT unnest(tk) AS tok) u
+        WHERE u.tok != ''
+    ), seed_occ AS (
+        SELECT lang AS label, tok FROM occ WHERE doc_id % {NB_SEED_MOD} = 0
+    ), tokc AS (
+        SELECT label, tok, CAST(count(*) AS BIGINT) AS c
+        FROM seed_occ GROUP BY 1, 2
+    ), totals AS (
+        SELECT label, CAST(sum(c) AS BIGINT) AS total FROM tokc GROUP BY 1
+    ), vs AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM seed_occ
+    ), priors AS (
+        SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents WHERE doc_id % {NB_SEED_MOD} = 0 GROUP BY 1
+    ), ns AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS n_seed FROM priors
+    ), labels AS (
+        SELECT p.label,
+               CAST(round(ln(CAST(p.n_docs AS DOUBLE) / ns.n_seed) * 1000000)
+                    AS BIGINT) AS prior_micro,
+               CAST(round(ln(1.0 / (coalesce(t.total, 0) + vs.v)) * 1000000)
+                    AS BIGINT) AS floor_micro
+        FROM priors p LEFT JOIN totals t USING (label)
+             CROSS JOIN vs CROSS JOIN ns
+    ), lp AS (
+        SELECT tokc.label, tokc.tok,
+               CAST(round(ln((tokc.c + 1.0) / (t.total + vs.v)) * 1000000)
+                    AS BIGINT) AS tok_micro
+        FROM tokc JOIN totals t USING (label) CROSS JOIN vs
+    ), tok_sums AS (
+        SELECT o.doc_id, l.label, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(coalesce(p.tok_micro, l.floor_micro)) AS BIGINT)
+                   AS tok_sum
+        FROM occ o CROSS JOIN labels l
+             LEFT JOIN lp p ON p.label = l.label AND p.tok = o.tok
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT d.doc_id, l.label,
+               CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(l.prior_micro + coalesce(s.tok_sum, 0) AS BIGINT) AS score
+        FROM documents d CROSS JOIN labels l
+             LEFT JOIN tok_sums s ON s.doc_id = d.doc_id AND s.label = l.label
+    ), ranked AS (
+        SELECT doc_id, label, n_tokens, score,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, label
+               ) AS rn
+        FROM scored
+    )
+    SELECT r1.doc_id,
+           r1.label AS pred_label,
+           r1.n_tokens,
+           r1.score AS score_micro,
+           CAST(coalesce(r1.score - r2.score, 0) AS BIGINT) AS margin_micro
+    FROM ranked r1
+         LEFT JOIN ranked r2 ON r2.doc_id = r1.doc_id AND r2.rn = 2
+    WHERE r1.rn = 1
+    """,
+    doc="Trained domain classifier — multinomial Naive Bayes "
+    "(operators/text.py::nb_domain_classifier): train token/prior "
+    f"counts on a deterministic seed (doc_id % {NB_SEED_MOD} = 0, "
+    "labels = lang), then classify the FULL corpus — the closed-form "
+    "stand-in for the fastText quality/domain classifier step of a "
+    "pretraining pipeline (GPT-3's WebText filter, LLaMA's wiki-ref "
+    "classifier), chosen because one counting pass trains it with no "
+    "SGD, so the whole train->classify chain is oracle-checkable. "
+    "Add-one smoothing, per-(label,token)-type micro quantization "
+    "(the t14 convention), integer per-doc sums, per-class smoothed "
+    "floor for unseen tokens, argmax ties to the smallest label with "
+    "margin = best - runner-up. Plan: model rows O(vocab x labels) "
+    "from the seed, the <= |labels| label table broadcasts, scoring "
+    "is one equi-join on (label, tok) + one doc-keyed integer sum, "
+    "argmax is a bounded sort_array — no corpus-wide window.",
+)
+def t29_nb_domain_classifier(spark, sf_dir):
+    return text.nb_domain_classifier(
+        t(spark, sf_dir, "documents"),
+        F.col("doc_id") % NB_SEED_MOD == 0,
+        "lang",
+        "doc_id",
+        "text",
+    )
 
 
 DOMAIN_CAP = 10

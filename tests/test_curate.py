@@ -932,3 +932,136 @@ def test_curate_mixture_token_budget_keeps_maximal_prefix(spark, tmp_path):
     assert {d: v["kept_tokens"] for d, v in md.items()} == expect_tokens
     assert {d: v["kept"] for d, v in md.items()} == expect_kept
     assert {d: v["tok_target"] for d, v in md.items()} == t0
+
+
+def _ml_corpus(spark):
+    """20 judge-able docs in two disjoint-vocabulary topics plus one
+    too-short-to-judge doc. Texts are offset-rotated so no two docs
+    are near-dups of each other."""
+    rows = [
+        (
+            i,
+            " ".join(
+                f"alpha{(i + j) % 10} beta{(i * 3 + j) % 10}" for j in range(8)
+            ),
+            "en",
+            "phys",
+        )
+        for i in range(10)
+    ] + [
+        (
+            100 + i,
+            " ".join(
+                f"gamma{(i + j) % 10} delta{(i * 3 + j) % 10}" for j in range(8)
+            ),
+            "xx",
+            "food",
+        )
+        for i in range(10)
+    ]
+    rows.append((50, "solo", "en", "phys"))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+
+
+def test_curate_moore_lewis_keeps_the_in_domain_half(spark, tmp_path):
+    """The t28 integration: with the 'en' rows as the in-domain seed
+    and a 0.5 keep quantile, the contrastive cut drops exactly the
+    out-of-domain topic (its bigrams are unseen by the in-domain LM)
+    and the too-short doc passes through unjudged."""
+    src, out = str(tmp_path / "raw"), str(tmp_path / "curated")
+    _ml_corpus(spark).write.parquet(src)
+
+    stats = curate_corpus(
+        spark,
+        src,
+        out,
+        min_quality=0.0,
+        near_dup_threshold=0.99,
+        ml_in_domain="lang = 'en'",
+        ml_keep_quantile=0.5,
+    )
+    assert stats["n_after_quality"] == 21
+    assert stats["n_ml_cut"] == 10
+    assert stats["n_after_ml"] == 11 == stats["n_written"]
+    assert len(stats["ml_threshold_micro"]) == 1
+    ids = {
+        r.doc_id
+        for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert ids == set(range(10)) | {50}
+
+
+def test_curate_moore_lewis_guards(spark, tmp_path):
+    """Malformed quantile and an empty in-domain seed both fail loudly
+    (the perplexity-band validation rule: before and regardless of the
+    survivor gate)."""
+    import pytest as _pytest
+
+    src = str(tmp_path / "raw")
+    _ml_corpus(spark).write.parquet(src)
+
+    with _pytest.raises(ValueError, match="ml_keep_quantile"):
+        curate_corpus(
+            spark,
+            src,
+            str(tmp_path / "o1"),
+            ml_in_domain="lang = 'en'",
+            ml_keep_quantile=1.5,
+        )
+    with _pytest.raises(ValueError, match="matched no surviving"):
+        curate_corpus(
+            spark,
+            src,
+            str(tmp_path / "o2"),
+            min_quality=0.0,
+            ml_in_domain="lang = 'zz'",
+        )
+
+
+def test_curate_moore_lewis_contrast_from_stored_lm(spark, tmp_path):
+    """--lm-root serves the Moore-Lewis CONTRAST model from the lake's
+    lm/ facet. With a lake ingested from exactly this corpus the
+    stored contrast equals the self-trained one, so the cut is
+    bit-identical; a pre-facet lake falls back to self-training."""
+    import shutil
+
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        LM_TABLE,
+        ingest_signature_batch,
+    )
+
+    df = _ml_corpus(spark)
+    src = str(tmp_path / "raw")
+    df.write.parquet(src)
+    root = str(tmp_path / "sig")
+    ingest_signature_batch(spark, df.filter("doc_id % 2 = 0"), root, "even")
+    ingest_signature_batch(spark, df.filter("doc_id % 2 = 1"), root, "odd")
+
+    kw = dict(
+        min_quality=0.0,
+        near_dup_threshold=0.99,
+        ml_in_domain="lang = 'en'",
+        ml_keep_quantile=0.5,
+    )
+    self_stats = curate_corpus(spark, src, str(tmp_path / "self"), **kw)
+    assert self_stats["ml_lm"] == "self"
+    stored_stats = curate_corpus(
+        spark, src, str(tmp_path / "stored"), lm_root=root, **kw
+    )
+    assert stored_stats["ml_lm"] == "stored"
+    assert stored_stats["n_ml_cut"] == 10
+    assert {k: v for k, v in stored_stats.items() if k != "ml_lm"} == {
+        k: v for k, v in self_stats.items() if k != "ml_lm"
+    }
+
+    # pre-facet lake (no lm/ partitions): silent fallback to self-train
+    shutil.rmtree(os.path.join(root, LM_TABLE))
+    fb_stats = curate_corpus(
+        spark, src, str(tmp_path / "fallback"), lm_root=root, **kw
+    )
+    assert fb_stats["ml_lm"] == "self"
+    assert {k: v for k, v in fb_stats.items() if k != "ml_lm"} == {
+        k: v for k, v in self_stats.items() if k != "ml_lm"
+    }
