@@ -155,6 +155,16 @@ def signature_tables(
 #                            hitters ENTIRELY from stored rows: stored
 #                            candidates ranked by stored-cell
 #                            estimates, no corpus scan anywhere
+#   bloom/batch=<id>/        the batch's DECONTAMINATION facet: a Bloom
+#                            filter over the considered docs' word
+#                            4-grams (t9's collision key) as (w, bits)
+#                            rows, <= BLOOM_WORDS rows/batch, merged by
+#                            bitwise OR (idempotent — crash-window
+#                            double reads heal like the HLL max law) —
+#                            "does the corpus possibly contain this
+#                            gram" answered from stored rows, the probe
+#                            an eval-benchmark intake runs without
+#                            re-scanning 100 TB of text
 #   estats/batch=<id>/       (embedding lake roots only) per-dimension
 #                            additive drift statistics — see
 #                            jobs/embedding_index_lake.py; the same
@@ -224,6 +234,8 @@ CMS_DEPTH = 4
 CMS_WIDTH = 256
 HH_TABLE = "hh"
 HH_TOP_M = 64
+BLOOM_TABLE = "bloom"
+BLOOM_GRAM_N = 4  # t9's decontamination key: word 4-grams
 ESTATS_TABLE = "estats"  # embedding-drift facet (embedding lake only —
 #                          jobs/embedding_index_lake.py writes it; the
 #                          merge law and compaction reduction live here
@@ -546,6 +558,86 @@ def read_corpus_cms(spark: SparkSession, sig_root: str) -> DataFrame | None:
     return merge_cms_rows(spark.read.parquet(*paths))
 
 
+def batch_gram4_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = BLOOM_GRAM_N,
+) -> DataFrame:
+    """The batch docs' word n-gram stream as (gram) rows — t9's
+    decontamination key (space-joined token n-grams), the ONE place
+    the bloom facet's key is constructed so the probe side and the
+    build side cannot drift. explode_outer + null filter, not explode:
+    InferFiltersFromGenerate would otherwise push a size() filter
+    below the projections and re-run split() per element
+    (operators/dedup.py::eval_overlap documents the 12x measurement)."""
+    from ..operators.dedup import shingles_from_tokens, tokens
+
+    return (
+        docs.select(tokens(F.col(text_col)).alias("tk"))
+        .select(F.explode_outer(shingles_from_tokens(F.col("tk"), n)).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
+
+
+def batch_bloom_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = BLOOM_GRAM_N,
+) -> DataFrame:
+    """One batch's decontamination facet: Bloom-filter (w, bits) rows
+    over the CONSIDERED docs' word n-grams (same coverage contract as
+    the other intake facets — a pure function of what arrived).
+    <= BLOOM_WORDS rows however large the batch; words merge by
+    bitwise OR, so per-batch partitions reduce at compaction and read
+    time without rescanning any text."""
+    from ..operators.sketches import bloom_rows
+
+    return bloom_rows(batch_gram4_stream(docs, id_col, text_col, n), "gram")
+
+
+def read_corpus_bloom(spark: SparkSession, sig_root: str) -> DataFrame | None:
+    """The corpus-wide MERGED Bloom filter over every committed batch's
+    stored bloom/ partition, or None when no batch carries the facet.
+    OR is idempotent, so like the sketch facet (and unlike the additive
+    lm/cms legs) this read uses the plain committed-batch paths — a
+    compaction crash window's double read merges to the same words."""
+    import os
+
+    from ..operators.sketches import merge_bloom_rows
+
+    committed = _committed_batches(os.path.join(sig_root, "members"))
+    paths = [
+        os.path.join(sig_root, BLOOM_TABLE, f"batch={b}")
+        for b in committed
+    ]
+    paths = [p for p in paths if os.path.exists(os.path.join(p, "_SUCCESS"))]
+    if not paths:
+        return None
+    return merge_bloom_rows(spark.read.parquet(*paths))
+
+
+def corpus_gram_probe(
+    spark: SparkSession,
+    sig_root: str,
+    candidates: DataFrame,
+    gram_col: str = "gram",
+) -> DataFrame | None:
+    """Probe candidate grams against the STORED corpus Bloom filter:
+    adds ``maybe_present``. The serving read an eval-benchmark intake
+    runs — the filter is <= BLOOM_WORDS stored rows (broadcast), the
+    candidate grams never shuffle, and no corpus text is touched.
+    Returns None on a pre-facet corpus (caller falls back to the exact
+    t9 scan)."""
+    from ..operators.sketches import bloom_maybe_contains
+
+    bloom = read_corpus_bloom(spark, sig_root)
+    if bloom is None:
+        return None
+    return bloom_maybe_contains(candidates, bloom, gram_col)
+
+
 def read_corpus_hh(spark: SparkSession, sig_root: str) -> DataFrame | None:
     """The corpus-wide merged heavy-hitter candidate set over every
     committed batch's stored hh/ partition, or None when no batch
@@ -606,7 +698,7 @@ def ingest_signature_batch(
     rule): n_batch, n_already_registered, n_considered, n_accepted,
     n_dup_of_corpus, n_dup_in_batch.
 
-    ``facets=False`` skips the four intake facets (sketches/lm/cms/hh)
+    ``facets=False`` skips the five intake facets (sketches/lm/cms/hh/bloom)
     — the admission protocol is identical, the batch simply behaves
     like a pre-facet one (readers skip it per facet). The facets cost
     a handful of bounded aggregations + small writes per batch: a
@@ -739,6 +831,14 @@ def ingest_signature_batch(
             1
         ).write.mode("overwrite").parquet(
             os.path.join(sig_root, HH_TABLE, f"batch={batch_id}")
+        )
+        # bloom: the decontamination membership facet over the batch's
+        # word 4-grams (a DIFFERENT key than the bigram facets — t9's
+        # collision gram — so it builds its own stream)
+        batch_bloom_rows(fresh_docs, id_col, text_col).coalesce(
+            1
+        ).write.mode("overwrite").parquet(
+            os.path.join(sig_root, BLOOM_TABLE, f"batch={batch_id}")
         )
     counts = {
         r["status"]: r["n"]
@@ -933,6 +1033,22 @@ def compact_signature_corpus(
             ).write.mode("overwrite").parquet(
                 os.path.join(sig_root, HH_TABLE, f"batch={cid}")
             )
+        # bloom reduces by bitwise OR — idempotent like the sketch/hh
+        # merges, so the crash window cannot corrupt it either
+        bl_paths = [
+            os.path.join(sig_root, BLOOM_TABLE, f"batch={b}") for b in old
+        ]
+        bl_paths = [
+            p for p in bl_paths if os.path.exists(os.path.join(p, "_SUCCESS"))
+        ]
+        if bl_paths:
+            from ..operators.sketches import merge_bloom_rows
+
+            merge_bloom_rows(spark.read.parquet(*bl_paths)).coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                os.path.join(sig_root, BLOOM_TABLE, f"batch={cid}")
+            )
         es_paths = [
             os.path.join(sig_root, ESTATS_TABLE, f"batch={b}") for b in old
         ]
@@ -965,7 +1081,8 @@ def compact_signature_corpus(
     for b in old:
         shutil.rmtree(os.path.join(mem_dir, f"batch={b}"), ignore_errors=True)
         shutil.rmtree(os.path.join(sig_dir, f"batch={b}"), ignore_errors=True)
-        for facet in (SKETCH_TABLE, LM_TABLE, CMS_TABLE, HH_TABLE, ESTATS_TABLE):
+        for facet in (SKETCH_TABLE, LM_TABLE, CMS_TABLE, HH_TABLE,
+                      BLOOM_TABLE, ESTATS_TABLE):
             shutil.rmtree(
                 os.path.join(sig_root, facet, f"batch={b}"),
                 ignore_errors=True,
@@ -1030,9 +1147,34 @@ def corpus_sketch_stats(
             for r in hh.orderBy("rank").collect()
         ]
 
+    def _bloom_stats() -> dict:
+        bloom = read_corpus_bloom(spark, sig_root)
+        if bloom is None:
+            return {"has_bloom": False}
+        from ..operators.sketches import BLOOM_K, BLOOM_M_BITS
+
+        row = bloom.agg(
+            F.count("*").cast("long").alias("words"),
+            F.sum(F.bit_count("bits")).cast("long").alias("set_bits"),
+        ).collect()[0]
+        set_bits = int(row["set_bits"] or 0)
+        fill_ppm = (set_bits * 1_000_000) // BLOOM_M_BITS
+        return {
+            "has_bloom": True,
+            "bloom_words": int(row["words"]),
+            "bloom_set_bits": set_bits,
+            # fill ratio and the implied false-positive rate
+            # (~ fill^k), both in integer ppm — the operational
+            # saturation gauge: fp climbing toward 1e6 says the
+            # corpus outgrew m and the facet needs a wider rebuild
+            "bloom_fill_ppm": fill_ppm,
+            "bloom_fp_ppm": (fill_ppm**BLOOM_K)
+            // (1_000_000 ** (BLOOM_K - 1)),
+        }
+
     coverage = {
         t: list(facet_coverage(sig_root, t))
-        for t in (SKETCH_TABLE, LM_TABLE, CMS_TABLE, HH_TABLE)
+        for t in (SKETCH_TABLE, LM_TABLE, CMS_TABLE, HH_TABLE, BLOOM_TABLE)
     }
     sk = read_corpus_sketch(spark, sig_root)
     if sk is None:
@@ -1046,6 +1188,7 @@ def corpus_sketch_stats(
             "gram_est": _gram_estimates(),
             "top_grams": _top_grams(),
             "facet_coverage": coverage,
+            **_bloom_stats(),
         }
     sk = pin(sk)
     regs = sk.filter(F.col("kind") == "hll").select(
@@ -1077,6 +1220,7 @@ def corpus_sketch_stats(
         # above cover the FACETED batches only — partial coverage
         # means the numbers summarize a subset of the corpus
         "facet_coverage": coverage,
+        **_bloom_stats(),
     }
 
 
@@ -1102,7 +1246,12 @@ def _sketch_tag() -> str:
         batch_cms_rows,
         batch_hh_rows,
         merge_hh_rows,
+        batch_bloom_rows,
+        batch_gram4_stream,
         _batch_grams,
+        sketches.bloom_positions,
+        sketches.bloom_rows,
+        sketches.merge_bloom_rows,
         sketches.hll_rank,
         sketches.hll_registers,
         sketches.bottomk_of_rows,
@@ -1195,7 +1344,8 @@ def _sweep_retired(sig_root: str, data_table: str = "signatures") -> None:
             os.path.join(sig_root, data_table, f"batch={b}"),
             ignore_errors=True,
         )
-        for facet in (SKETCH_TABLE, LM_TABLE, CMS_TABLE, HH_TABLE, ESTATS_TABLE):
+        for facet in (SKETCH_TABLE, LM_TABLE, CMS_TABLE, HH_TABLE,
+                      BLOOM_TABLE, ESTATS_TABLE):
             shutil.rmtree(
                 os.path.join(sig_root, facet, f"batch={b}"),
                 ignore_errors=True,

@@ -554,3 +554,112 @@ def sampled_quantile_audit(
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+# --- Bloom filter (decontamination membership) -------------------------------
+#
+# A Bloom filter over a key stream, held as (word, bits) rows: m bits
+# split into 62-bit BIGINT words (bits 0..61 only — both Spark and
+# DuckDB refuse or sign-flip `1::BIGINT << 63`, and staying under the
+# sign bit keeps every stored value positive and engine-portable).
+# Each key sets BLOOM_K bits at double-hashed positions
+# p_i = (h1 + i * (2*h2 + 1)) % m  (Kirsch & Mitzenmacher 2006), with
+# h1/h2 the first/second 60-bit md5 slices — the same engine-portable
+# hash family as the md5-variant CMS, so an ANSI-SQL oracle re-derives
+# every stored word bit-exactly.
+#
+# Words merge by bitwise OR: idempotent, commutative, associative — a
+# per-batch facet merged at compaction heals crash-window double reads
+# by idempotence (like the HLL max law, unlike the additive LM/CMS
+# facets). Membership: a key is MAYBE present iff all BLOOM_K probed
+# bits are set; absent keys read false except at the documented
+# false-positive rate (~ fill^k); present keys NEVER read false — the
+# no-false-negative law the decontamination serve relies on.
+
+BLOOM_WORD_BITS = 62
+BLOOM_WORDS = 32768  # m = 32768 * 62 = 2,031,616 bits (~254 KiB dense)
+BLOOM_M_BITS = BLOOM_WORDS * BLOOM_WORD_BITS
+BLOOM_K = 4
+
+
+def bloom_positions(
+    key: Column, k: int = BLOOM_K, m_bits: int = BLOOM_M_BITS
+) -> Column:
+    """The ``k`` bit positions of ``key`` (array<long>, each < m_bits).
+    Both md5 slices reduce mod m BEFORE the double-hash combine so the
+    arithmetic stays far from BIGINT overflow at any k."""
+    h1 = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % m_bits
+    h2 = F.conv(F.substring(F.md5(key), 17, 15), 16, 10).cast("long") % m_bits
+    step = h2 * F.lit(2) + F.lit(1)
+    return F.array(*[(h1 + F.lit(i) * step) % m_bits for i in range(k)])
+
+
+def bloom_rows(
+    keys: DataFrame,
+    key_col: str,
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_M_BITS,
+) -> DataFrame:
+    """Build the filter from a key stream: (w long, bits long) rows,
+    only the touched words stored (<= BLOOM_WORDS rows however large
+    the stream). One explode + one bounded-key OR aggregation —
+    map-side combine collapses each task to <= BLOOM_WORDS partial
+    rows before the single exchange, the same shuffle shape as the
+    CMS build."""
+    return (
+        keys.select(
+            F.explode(bloom_positions(F.col(key_col), k, m_bits)).alias("p")
+        )
+        .select(
+            (F.col("p") / BLOOM_WORD_BITS).cast("long").alias("w"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("bv"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bv").alias("bits"))
+    )
+
+
+def merge_bloom_rows(rows: DataFrame) -> DataFrame:
+    """Merge any union of per-batch Bloom row sets to ONE filter:
+    bitwise OR per word. Idempotent (OR of a row with itself is the
+    row), so unlike the additive LM/CMS merges a crash-window double
+    read changes nothing — merged-then-stored partitions simply merge
+    again with fresh batches."""
+    return rows.groupBy("w").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_maybe_contains(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_M_BITS,
+) -> DataFrame:
+    """Probe DISTINCT candidate keys against a (w, bits) filter: adds
+    ``maybe_present`` (true iff ALL k probed bits are set). The filter
+    is <= BLOOM_WORDS rows and explicitly broadcast, so the candidate
+    side — the side that grows with the corpus — never shuffles; the
+    only exchange is the k-row-per-key verdict fold, map-side combined.
+    An untouched word is simply absent from the stored rows; its bits
+    coalesce to 0 and the probe correctly reads false."""
+    probes = candidates.select(
+        F.col(key_col),
+        F.explode(bloom_positions(F.col(key_col), k, m_bits)).alias("p"),
+    ).select(
+        key_col,
+        (F.col("p") / BLOOM_WORD_BITS).cast("long").alias("w"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD_BITS} AS INT))"
+        ).alias("bv"),
+    )
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bv")) == F.col("bv")
+    ).cast("int")
+    return (
+        probes.join(F.broadcast(bloom), "w", "left")
+        .select(key_col, hit.alias("hit"))
+        .groupBy(key_col)
+        .agg((F.sum("hit") == F.lit(k)).alias("maybe_present"))
+    )

@@ -1133,3 +1133,146 @@ def t27_token_budget_mixture(spark, sf_dir):
         "cum_tokens",
         "tok_target",
     )
+
+
+from ..operators.sketches import (  # noqa: E402
+    BLOOM_K as _BK,
+    BLOOM_M_BITS as _BM,
+    BLOOM_WORD_BITS as _BW,
+)
+from .llm import _GRAM4_SQL as _A10_GRAM4_SQL  # noqa: E402
+
+_A10_ABSENT_SUFFIX = " zzqxv"
+# the engine-portable double-hash positions of a gram column g
+# (operators/sketches.py::bloom_positions): both md5 slices reduce mod
+# m before the Kirsch-Mitzenmacher combine
+_A10_POS_SQL = (
+    f"SELECT gram, (h1 + i * (2 * h2 + 1)) % {_BM} AS p FROM (\n"
+    f"    SELECT gram,\n"
+    f"           CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % {_BM} AS h1,\n"
+    f"           CAST(('0x' || substr(md5(gram), 17, 15)) AS BIGINT) % {_BM} AS h2\n"
+    f"    FROM {{src}}\n"
+    f") CROSS JOIN (SELECT unnest(range(0, {_BK})) AS i)"
+)
+
+
+@q(
+    "a10_lake_bloom_decontaminate",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents
+    ), gr AS (
+        SELECT unnest({_A10_GRAM4_SQL}) AS gram FROM tk WHERE len(tk) >= 4
+    ), exact AS (
+        SELECT DISTINCT gram FROM gr
+    ), cnts AS (
+        SELECT gram, CAST(count(*) AS BIGINT) AS exact_n FROM gr GROUP BY 1
+    ), top AS (
+        SELECT gram,
+               CAST(row_number() OVER (ORDER BY exact_n DESC, gram) AS INT)
+                   AS rank
+        FROM cnts ORDER BY exact_n DESC, gram LIMIT 10
+    ), panel AS (
+        SELECT gram, rank FROM top
+        UNION ALL
+        SELECT gram || '{_A10_ABSENT_SUFFIX}', rank FROM top
+    ), bloom AS (
+        SELECT p // {_BW} AS w,
+               bit_or(1::BIGINT << CAST(p % {_BW} AS INT)) AS bits
+        FROM ({_A10_POS_SQL.format(src="exact")}) GROUP BY 1
+    ), probe AS (
+        SELECT pp.gram,
+               CAST(sum(CASE WHEN coalesce(b.bits, 0) & pp.bv = pp.bv
+                             THEN 1 ELSE 0 END) AS INT) AS hits
+        FROM (
+            SELECT gram, p // {_BW} AS w,
+                   1::BIGINT << CAST(p % {_BW} AS INT) AS bv
+            FROM ({_A10_POS_SQL.format(src="panel")})
+        ) pp LEFT JOIN bloom b ON pp.w = b.w
+        GROUP BY 1
+    )
+    SELECT pl.gram, pl.rank,
+           coalesce(e.present, FALSE) AS in_corpus,
+           pr.hits = {_BK} AS maybe_in_corpus,
+           (NOT coalesce(e.present, FALSE)) OR pr.hits = {_BK}
+               AS no_false_negative
+    FROM panel pl
+    JOIN probe pr USING (gram)
+    LEFT JOIN (SELECT gram, TRUE AS present FROM exact) e USING (gram)
+    ORDER BY pl.rank, pl.gram
+    """,
+    doc="Decontamination membership served from the STORED Bloom facet "
+    "(jobs/doc_signature_lake.py::read_corpus_bloom over the sf-keyed "
+    "demo lake — documents ingested as two real batches, then "
+    "compacted): ingest persists <= BLOOM_WORDS (w, bits) rows of word-"
+    "4-gram bits per batch (t9's collision key), compaction REDUCES "
+    "them by bitwise OR (idempotent — the merge law that heals crash-"
+    "window double reads, property-tested in tests/test_bloom_lake.py), "
+    "and a 20-gram panel — the exact top-10 corpus 4-grams plus an "
+    "absent variant of each — probes the merged stored words. The "
+    "oracle re-derives every stored word from raw parquet (62-bit "
+    "BIGINT words, bits 0..61, both engines refuse 1<<63), so one "
+    "drifted stored bit mismatches the hash. in_corpus is the exact "
+    "audit; maybe_in_corpus the served verdict; no_false_negative the "
+    "Bloom law (present implies maybe — the guarantee decontamination "
+    "relies on; absent panel grams read false except at the ~fill^k "
+    "false-positive rate, ~0.1% at this SF). At 100 TB the serve "
+    "touches <= 32768 stored rows broadcast against the probe grams — "
+    "an eval-benchmark intake checks contamination without re-scanning "
+    "corpus text; only the top-10 audit leg scans the corpus, and it "
+    "exists for the oracle.",
+)
+def a10_lake_bloom_decontaminate(spark, sf_dir):
+    from ..jobs.doc_signature_lake import (
+        batch_gram4_stream,
+        read_corpus_bloom,
+        sf_sketch_root,
+    )
+    from ..operators.sketches import bloom_maybe_contains
+
+    root = sf_sketch_root(spark, sf_dir)
+    bloom = read_corpus_bloom(spark, root)
+    docs = t(spark, sf_dir, "documents")
+    # the exact-audit leg: pinned because top-10 ranking and the
+    # in_corpus flag both read it (the bloom itself is READ from the
+    # lake, not rebuilt)
+    cnts = (
+        batch_gram4_stream(docs, "doc_id", "text")
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .transform(pin)
+    )
+    top = (
+        cnts.orderBy(F.desc("exact_n"), F.asc("gram"))
+        .limit(10)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("exact_n"), F.asc("gram")))
+            .cast("int"),
+        )
+        .transform(pin)
+    )
+    panel = top.select("gram", "rank").unionByName(
+        top.select(
+            F.concat(F.col("gram"), F.lit(_A10_ABSENT_SUFFIX)).alias("gram"),
+            "rank",
+        )
+    )
+    verdict = bloom_maybe_contains(panel.select("gram"), bloom, "gram")
+    present = cnts.select("gram", F.lit(True).alias("present"))
+    return (
+        panel.join(verdict, "gram")
+        .join(present, "gram", "left")
+        .select(
+            "gram",
+            "rank",
+            F.coalesce(F.col("present"), F.lit(False)).alias("in_corpus"),
+            F.col("maybe_present").alias("maybe_in_corpus"),
+            (
+                ~F.coalesce(F.col("present"), F.lit(False))
+                | F.col("maybe_present")
+            ).alias("no_false_negative"),
+        )
+        .orderBy("rank", "gram")
+    )

@@ -809,3 +809,14 @@ def test_lake_estats_read_is_bounded_merge(q):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_lake_bloom_probe_broadcasts_stored_words(q):
+    """a10: the stored <= BLOOM_WORDS word table BROADCASTS to the
+    probe join — the panel side never shuffles against it; the only
+    corpus-side work is the exact top-10 audit leg. No Python, no
+    cartesian."""
+    plan = q("a10_lake_bloom_decontaminate")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, "stored-word join must broadcast"

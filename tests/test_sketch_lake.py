@@ -472,5 +472,6 @@ def test_facet_coverage_tracks_pre_facet_batches(spark, tmp_path):
     assert facet_coverage(root, "lm") == (1, 2)
     st = corpus_sketch_stats(spark, root)
     assert st["facet_coverage"] == {
-        "sketches": [1, 2], "lm": [1, 2], "cms": [1, 2], "hh": [1, 2]
+        "sketches": [1, 2], "lm": [1, 2], "cms": [1, 2], "hh": [1, 2],
+        "bloom": [1, 2],
     }
