@@ -535,3 +535,154 @@ def audio_pcm_frame_energy(
             )
 
     return pruned.mapInPandas(run, AUDIO_PCM_FRAME_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("ahash_lo", LongType()),
+        StructField("ahash_hi", LongType()),
+    ]
+)
+
+
+def image_ahash(
+    df: DataFrame, id_col: str = "asset_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual average-hash (aHash) per image: the decode+resize
+    stub yields a deterministic 8x8 grayscale thumbnail — 64 bytes of
+    md5 in counter mode, pixel j = byte j%16 of md5(cmd5 || ':' ||
+    j//16) with cmd5 the payload's hex digest — and the HASH
+    COMPUTATION itself is real: bit j is set iff pixel j is strictly
+    above the thumbnail mean (integer-exact as g_j * 64 > sum),
+    packed into two 32-bit words (ahash_lo = bits 0..31, ahash_hi =
+    bits 32..63 — two positive BIGINTs, the same split the Hamming
+    top-k operator uses, because neither engine can carry bit 63 in a
+    signed shift). Counter-mode md5, not the PCM synthesizer's LCG:
+    mod-256 of an LCG stream kills every bit the seed holds above the
+    low byte (2^31 = 0 mod 256), collapsing all thumbnails to 256
+    shifted copies of one pattern — phantom hash collisions that grow
+    QUADRATICALLY with corpus size. Digest pixels are iid uniform per
+    asset, like real thumbnails. At deploy PIL's
+    resize((8,8)).convert('L') replaces the synthesizer and the
+    mean/bit/pack code runs unchanged.
+
+    Kernel shape: one JVM/Python crossing per asset batch; 4 digests
+    per asset then vectorized numpy ((n, 64) pixel matrix, one matmul
+    per word against the power-of-two basis); binary column dropped
+    at the kernel boundary so downstream joins shuffle five narrow
+    columns, never image bytes."""
+    import hashlib
+
+    pruned = df.select(
+        F.col(id_col).alias("asset_id"), F.col(payload_col).alias("payload")
+    ).filter(F.col("payload").isNotNull())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        pow_lo = (1 << np.arange(32, dtype=np.int64)).astype(np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pix, ws, hs = [], [], []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                w, h, _ = _fake_image_decode(b)
+                cmd5 = hashlib.md5(b).hexdigest()
+                pix.append(
+                    np.frombuffer(
+                        b"".join(
+                            hashlib.md5(f"{cmd5}:{k}".encode()).digest()
+                            for k in range(4)
+                        ),
+                        dtype=np.uint8,
+                    )
+                )
+                ws.append(w)
+                hs.append(h)
+            g = np.stack(pix).astype(np.int64)
+            bits = (g * 64 > g.sum(axis=1, keepdims=True)).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": np.asarray(ws, dtype=np.int32),
+                    "height": np.asarray(hs, dtype=np.int32),
+                    "ahash_lo": bits[:, :32] @ pow_lo,
+                    "ahash_hi": bits[:, 32:] @ pow_lo,
+                }
+            )
+
+    return pruned.mapInPandas(run, AHASH_SCHEMA)
+
+
+def ahash_near_dups(
+    hashes: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming blocking over
+    aHash words (Manku, Jain & Das Sarma, WWW 2007): split the 64-bit
+    hash into ``n_bands`` 16-bit bands; two hashes within
+    ``max_hamming`` bit flips differ in at most max_hamming bands, so
+    with max_hamming < n_bands the pigeonhole principle guarantees
+    they AGREE EXACTLY on at least one band — blocking on (band_idx,
+    band_value) equi-keys has COMPLETE recall, not approximate, and
+    candidate volume stays O(collisions per 16-bit key), never
+    all-pairs. Verification is two XOR+popcount words per candidate.
+
+    ``hashes``: (asset_id string, ahash_lo long, ahash_hi long), one
+    row per asset, ids assumed distinct. Returns (asset_a, asset_b,
+    hamming) with asset_a < asset_b, each surviving pair once however
+    many bands it collides in."""
+    assert max_hamming < n_bands, "pigeonhole recall needs max_hamming < n_bands"
+    assert n_bands == 4, "bands are 16-bit slices of the two 32-bit words"
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                (
+                    F.shiftright(F.col(w), s).bitwiseAND(F.lit(0xFFFF))
+                ).alias("key"),
+            )
+            for i, (w, s) in enumerate(
+                [("ahash_lo", 0), ("ahash_lo", 16), ("ahash_hi", 0), ("ahash_hi", 16)]
+            )
+        ]
+    )
+    keyed = hashes.select(
+        "asset_id", "ahash_lo", "ahash_hi", F.explode(bands).alias("b")
+    ).select(
+        "asset_id",
+        "ahash_lo",
+        "ahash_hi",
+        F.col("b.band").alias("band"),
+        F.col("b.key").alias("key"),
+    )
+    left = keyed.select(
+        F.col("asset_id").alias("asset_a"),
+        F.col("ahash_lo").alias("lo_a"),
+        F.col("ahash_hi").alias("hi_a"),
+        "band",
+        "key",
+    )
+    right = keyed.select(
+        F.col("asset_id").alias("asset_b"),
+        F.col("ahash_lo").alias("lo_b"),
+        F.col("ahash_hi").alias("hi_b"),
+        "band",
+        "key",
+    )
+    ham = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("int")
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .select("asset_a", "asset_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        # a pair within the threshold can collide in several bands;
+        # it must come back once
+        .dropDuplicates(["asset_a", "asset_b"])
+    )

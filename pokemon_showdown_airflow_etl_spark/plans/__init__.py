@@ -59,6 +59,8 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
 
 _PRIORITY: list[str] = [
     # -- (1) every entry in CHANGED_SINCE_LAST_ROW, new first --
+    "m6_image_ahash",  # NEW r11: perceptual average-hash kernel
+    "m6b_image_near_dups",  # NEW r11: banded-Hamming image dedup
     "a10_lake_bloom_decontaminate",  # NEW r11: lake-served Bloom decon
     "t28_moore_lewis_score",  # NEW r11: contrastive in/out-domain LM
     "t29_nb_domain_classifier",  # NEW r11: trained NB domain classifier
@@ -121,17 +123,18 @@ _PRIORITY: list[str] = [
     "q9_product_profit",
     "s11_embed_admit_batch",
     "s12_reindexed_admit_batch",
-    "s13_ann_recall_audit",
-    "s15_pq_adc_topk",
     # the reserved head slots are all taken (t26, a7, s22 in section
     # (1)), plus t25's rotation, a8, t27 and a9; s1_similarity_topk,
     # s2_ann_srp_topk, s4_ivf_ann_topk and s5_gemm_ann_topk joined
     # s7/t10/t11 in yielding their slots to r12's spill list above.
-    # The four mid-round additions (t28/t29/s23/a10 — new entries must
-    # sit in the window) pushed s16_hamming_topk, s17_ivfpq_topk,
+    # The six mid-round additions (t28/t29/s23/a10/m6/m6b — new
+    # entries must sit in the window) pushed s13_ann_recall_audit,
+    # s15_pq_adc_topk, s16_hamming_topk, s17_ivfpq_topk,
     # s18_compression_recall_audit and s19_pq_train_quality to the r12
     # spill as well.
     # ---- slot 50 boundary ----
+    "s13_ann_recall_audit",
+    "s15_pq_adc_topk",
     "s16_hamming_topk",
 ]
 

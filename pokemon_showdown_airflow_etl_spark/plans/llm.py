@@ -800,6 +800,149 @@ def m5b_audio_pcm_energy(spark, sf_dir):
     )
 
 
+# the deterministic 8x8-thumbnail pixels of an asset set CTE named
+# {src}(asset_id, text): 64 bytes of md5 in counter mode — pixel j =
+# byte j%16 of md5(cmd5 || ':' || j//16) — iid uniform per asset like
+# a real thumbnail (an LCG stream mod 256 would collapse every
+# thumbnail to one of 256 shifted patterns; see image_ahash's
+# docstring). Shared by the m6 hash oracle and the m6b pair oracle.
+_M6_HASH_SQL = (
+    "SELECT asset_id, width, height, u.j AS j,\n"
+    "       CAST(('0x' || substr(md5(cmd5 || ':' || CAST(u.j // 16 AS VARCHAR)),\n"
+    "                            1 + 2 * (u.j % 16), 2)) AS INT) AS g\n"
+    "FROM (\n"
+    "    SELECT asset_id, md5(text) AS cmd5,\n"
+    "           CAST(64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT)\n"
+    "                % 64 AS INT) AS width,\n"
+    "           CAST(64 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT)\n"
+    "                % 64 AS INT) AS height\n"
+    "    FROM {src}\n"
+    ") CROSS JOIN LATERAL (SELECT unnest(range(0, 64)) AS j) u"
+)
+_M6_PACK_SQL = (
+    "SELECT asset_id, any_value(width) AS width, any_value(height) AS height,\n"
+    "       CAST(coalesce(sum(CASE WHEN j < 32 AND g * 64 > s\n"
+    "            THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END), 0) AS BIGINT)\n"
+    "           AS ahash_lo,\n"
+    "       CAST(coalesce(sum(CASE WHEN j >= 32 AND g * 64 > s\n"
+    "            THEN 1::BIGINT << CAST(j - 32 AS INT) ELSE 0 END), 0) AS BIGINT)\n"
+    "           AS ahash_hi\n"
+    "FROM (SELECT *, sum(g) OVER (PARTITION BY asset_id) AS s FROM px)\n"
+    "GROUP BY asset_id"
+)
+
+
+@q(
+    "m6_image_ahash",
+    f"""
+    WITH src AS (
+        SELECT CAST(doc_id AS VARCHAR) AS asset_id, text
+        FROM documents WHERE text IS NOT NULL
+    ), px AS (
+        {_M6_HASH_SQL.format(mult=PCM_MULT_SQL, src="src")}
+    )
+    {_M6_PACK_SQL}
+    """,
+    doc="Perceptual average-hash per image (operators/multimodal.py::"
+    "image_ahash): the decode+resize stub yields a deterministic 8x8 "
+    "grayscale thumbnail (md5 in counter mode over the payload digest "
+    "— iid uniform pixels per asset, unlike an LCG stream whose "
+    "mod-256 collapses to 256 patterns) and the HASH ITSELF is real "
+    "— bit j set iff "
+    "pixel j strictly exceeds the thumbnail mean (integer-exact as "
+    "g*64 > sum), packed into two positive 32-bit words (neither "
+    "engine can shift into bit 63 of a signed BIGINT). The oracle "
+    "re-derives every pixel, the mean comparison, and both packed "
+    "words from raw parquet, so the whole Arrow kernel — batch shape, "
+    "vectorized (n,64) pixel matrix, basis matmul packing — is "
+    "value-checked cross-engine. One JVM/Python crossing per asset; "
+    "the binary column drops at the kernel boundary, so downstream "
+    "dedup joins shuffle five narrow columns, never image bytes. At "
+    "deploy PIL's resize((8,8)).convert('L') replaces the synthesizer "
+    "and the mean/bit/pack code runs unchanged.",
+)
+def m6_image_ahash(spark, sf_dir):
+    from ..operators.multimodal import image_ahash
+
+    assets = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return image_ahash(assets)
+
+
+M6B_MAX_HAMMING = 3
+M6B_COPY_EVERY = 50
+M6B_COPY_OFFSET = 1_000_000_000
+
+
+@q(
+    "m6b_image_near_dups",
+    f"""
+    WITH src AS (
+        SELECT CAST(doc_id AS VARCHAR) AS asset_id, text
+        FROM documents WHERE text IS NOT NULL
+        UNION ALL
+        SELECT CAST(doc_id + {M6B_COPY_OFFSET} AS VARCHAR), text
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id % {M6B_COPY_EVERY} = 0
+    ), px AS (
+        {_M6_HASH_SQL.format(mult=PCM_MULT_SQL, src="src")}
+    ), hx AS (
+        {_M6_PACK_SQL}
+    ), keyed AS (
+        SELECT asset_id, ahash_lo, ahash_hi, b.b AS band,
+               CASE b.b
+                   WHEN 0 THEN ahash_lo & 65535
+                   WHEN 1 THEN ahash_lo >> 16
+                   WHEN 2 THEN ahash_hi & 65535
+                   ELSE ahash_hi >> 16
+               END AS key
+        FROM hx CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    )
+    SELECT DISTINCT l.asset_id AS asset_a, r.asset_id AS asset_b,
+           CAST(bit_count(xor(l.ahash_lo, r.ahash_lo))
+                + bit_count(xor(l.ahash_hi, r.ahash_hi)) AS INT) AS hamming
+    FROM keyed l JOIN keyed r ON l.band = r.band AND l.key = r.key
+    WHERE l.asset_id < r.asset_id
+      AND bit_count(xor(l.ahash_lo, r.ahash_lo))
+          + bit_count(xor(l.ahash_hi, r.ahash_hi)) <= {M6B_MAX_HAMMING}
+    """,
+    doc="Near-duplicate image pairs by banded Hamming blocking over "
+    "aHash (operators/multimodal.py::ahash_near_dups; Manku, Jain & "
+    "Das Sarma, WWW 2007): the 64-bit hash splits into four 16-bit "
+    "bands, and two hashes within 3 bit flips differ in at most 3 "
+    "bands — by pigeonhole they agree EXACTLY on at least one, so "
+    "equi-join blocking on (band, key) has COMPLETE recall, never "
+    "scans all pairs, and verification is two XOR+popcount words per "
+    "candidate (band collisions beyond the threshold are filtered — "
+    "the candidate != survivor distinction the oracle checks). The "
+    "asset set plants a re-encoded copy of every 50th document (the "
+    "re-uploaded-image case), so the pair output is non-empty at "
+    "every SF and each planted pair reports hamming 0 through the "
+    "full kernel->band->verify path. At 100 TB the join is "
+    "O(collisions per 16-bit key) with narrow int rows; image bytes "
+    "never leave the hash kernel.",
+)
+def m6b_image_near_dups(spark, sf_dir):
+    from ..operators.multimodal import ahash_near_dups, image_ahash
+
+    docs = t(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % M6B_COPY_EVERY == 0).select(
+            (F.col("doc_id") + M6B_COPY_OFFSET).cast("string").alias("asset_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
+    # pinned: the hash frame feeds BOTH sides of the band self-join —
+    # unpinned, the Arrow hash kernel would run twice
+    hashes = pin(image_ahash(assets).select("asset_id", "ahash_lo", "ahash_hi"))
+    return ahash_near_dups(hashes, max_hamming=M6B_MAX_HAMMING)
+
+
 @q(
     "s4_ivf_ann_topk",
     f"""

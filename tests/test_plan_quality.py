@@ -820,3 +820,33 @@ def test_lake_bloom_probe_broadcasts_stored_words(q):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, "stored-word join must broadcast"
+
+
+def test_image_ahash_single_crossing_no_shuffle(q):
+    """m6: one Arrow crossing per asset and NO exchange — the hash is
+    a pure map, image bytes never shuffle."""
+    import re
+
+    plan = q("m6_image_ahash")
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert "Exchange" not in plan
+
+
+def test_image_near_dups_band_join_is_equi(q):
+    """m6b: the pinned hash frame feeds both sides of the band
+    blocking, which must stay an equi-join on (band, key) — no
+    cartesian, no second Arrow crossing, and the only shuffled rows
+    are five narrow hash columns (the binary payload drops inside the
+    kernel)."""
+    import re
+
+    plan = q("m6b_image_near_dups")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) <= 1, (
+        "hash kernel must run once (pinned), not per join side"
+    )
+    assert (
+        "SortMergeJoin" in plan
+        or "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
