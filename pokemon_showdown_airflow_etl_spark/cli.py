@@ -257,6 +257,24 @@ def build_parser() -> argparse.ArgumentParser:
         "ranked by stored-cell estimates; no corpus scan)",
     )
 
+    dchk = sub.add_parser(
+        "decon-check",
+        help="contamination check of an eval benchmark against the "
+        "signature corpus's STORED Bloom facet: per-doc word-4-gram "
+        "membership verdicts served from <= 32768 persisted rows — the "
+        "training corpus is never scanned",
+    )
+    dchk.add_argument("--input", required=True, help="eval docs parquet")
+    dchk.add_argument("--sig-root", required=True, help="signature corpus root dir")
+    dchk.add_argument("--id-col", default="doc_id")
+    dchk.add_argument("--text-col", default="text")
+    dchk.add_argument(
+        "--output",
+        default=None,
+        help="optionally write the per-doc verdict table here (parquet); "
+        "stdout carries counts only either way",
+    )
+
     iei = sub.add_parser(
         "init-embedding-index",
         help="train the IVF quantizer on a seed corpus and commit it as "
@@ -554,6 +572,48 @@ def main(argv: list[str] | None = None) -> int:
                     grams=args.gram,
                     top_grams=args.top_grams,
                 ),
+                sort_keys=True,
+            )
+        )
+        return 0
+
+    if args.cmd == "decon-check":
+        from pyspark.sql import functions as F
+
+        from .jobs.doc_signature_lake import eval_contamination
+        from .session import get_spark
+
+        spark = get_spark(app_name="etl-decon-check", master=args.master)
+        verdicts = eval_contamination(
+            spark,
+            args.sig_root,
+            spark.read.parquet(args.input),
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
+        if verdicts is None:
+            print(json.dumps({"has_bloom": False}))
+            return 0
+        from .pinning import pin
+
+        verdicts = pin(verdicts)  # counts + optional write share one pass
+        if args.output:
+            verdicts.write.mode("overwrite").parquet(args.output)
+        row = verdicts.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("contaminated").cast("long")).alias("n_docs_flagged"),
+            F.sum("n_grams").alias("n_grams"),
+            F.sum("n_maybe_contaminated").alias("n_grams_flagged"),
+        ).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "has_bloom": True,
+                    "n_docs": int(row["n_docs"]),
+                    "n_docs_flagged": int(row["n_docs_flagged"] or 0),
+                    "n_grams": int(row["n_grams"] or 0),
+                    "n_grams_flagged": int(row["n_grams_flagged"] or 0),
+                },
                 sort_keys=True,
             )
         )

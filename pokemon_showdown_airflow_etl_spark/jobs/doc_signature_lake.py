@@ -638,6 +638,76 @@ def corpus_gram_probe(
     return bloom_maybe_contains(candidates, bloom, gram_col)
 
 
+def eval_contamination(
+    spark: SparkSession,
+    sig_root: str,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame | None:
+    """Per-document contamination verdicts for an EVAL benchmark
+    against the STORED corpus Bloom facet: (id, n_grams,
+    n_maybe_contaminated, contaminated) — a doc is flagged when ANY of
+    its word 4-grams possibly appears in the training corpus. The
+    serving read an eval-set intake runs before a training job: the
+    filter is <= BLOOM_WORDS stored rows; the corpus text is never
+    touched (its 100 TB stay cold) and never re-scanned per benchmark.
+    A true overlap ALWAYS flags (no false negatives); a clean doc can
+    flag spuriously at the stored filter's fill^k rate — the gauge
+    sketch-stats reports as bloom_fp_ppm. Returns None on a pre-facet
+    corpus (caller falls back to the exact t9 scan)."""
+    from ..operators.dedup import shingles_from_tokens, tokens
+
+    bloom = read_corpus_bloom(spark, sig_root)
+    if bloom is None:
+        return None
+    from ..operators.sketches import bloom_maybe_contains
+    from ..pinning import pin
+
+    pairs = pin(
+        eval_docs.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("tk")
+        )
+        .select(
+            id_col,
+            F.explode_outer(
+                shingles_from_tokens(F.col("tk"), BLOOM_GRAM_N)
+            ).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+        # shingles are distinct within a doc already; distinct grams
+        # across docs feed ONE probe each
+    )
+    verdict = bloom_maybe_contains(
+        pairs.select("gram").distinct(), bloom, "gram"
+    )
+    per_doc = (
+        pairs.join(verdict, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.col("maybe_present").cast("long"))
+            .cast("long")
+            .alias("n_maybe_contaminated"),
+        )
+    )
+    return (
+        eval_docs.select(id_col)
+        .distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_maybe_contaminated"), F.lit(0)).alias(
+                "n_maybe_contaminated"
+            ),
+            (F.coalesce(F.col("n_maybe_contaminated"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def read_corpus_hh(spark: SparkSession, sig_root: str) -> DataFrame | None:
     """The corpus-wide merged heavy-hitter candidate set over every
     committed batch's stored hh/ partition, or None when no batch

@@ -1218,7 +1218,7 @@ _A10_POS_SQL = (
     "relies on; absent panel grams read false except at the ~fill^k "
     "false-positive rate, ~0.1% at this SF). At 100 TB the serve "
     "touches <= 32768 stored rows broadcast against the probe grams — "
-    "an eval-benchmark intake checks contamination without re-scanning "
+    "an eval-benchmark intake (cli decon-check) checks contamination without re-scanning "
     "corpus text; only the top-10 audit leg scans the corpus, and it "
     "exists for the oracle.",
 )

@@ -178,3 +178,35 @@ def test_sketch_stats_report_bloom_fill(spark, tmp_path):
     assert 0 < st["bloom_fill_ppm"] < 1_000_000
     assert 0 <= st["bloom_fp_ppm"] <= st["bloom_fill_ppm"]
     assert st["facet_coverage"][BLOOM_TABLE] == [1, 1]
+
+
+def test_eval_contamination_per_doc_verdicts(spark, tmp_path):
+    """The job-level serve (cli decon-check): per-eval-doc verdicts
+    from stored rows — planted overlap flags, clean doc doesn't,
+    null-text doc comes back with zero grams instead of crashing."""
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        eval_contamination,
+    )
+
+    root = str(tmp_path / "sig")
+    train = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    assert eval_contamination(spark, root, train) is None  # pre-facet
+    ingest_signature_batch(spark, train, root, "day1")
+    ev = spark.createDataFrame(
+        [
+            (100, "quick brown fox jumps somewhere else"),
+            (101, "totally unrelated evaluation sentence nothing shared"),
+            (102, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_maybe_contaminated"], r["contaminated"])
+        for r in eval_contamination(spark, root, ev).collect()
+    }
+    assert got[100] == (3, 1, True)
+    assert got[101][2] is False and got[101][0] > 0
+    assert got[102] == (0, 0, False)
