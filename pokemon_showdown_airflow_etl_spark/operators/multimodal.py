@@ -160,12 +160,15 @@ def frame_sample_plan(df: DataFrame, every_n_ms: int = 1000) -> DataFrame:
 
     The decode itself is stubbed (no pyav here); the row explosion —
     which is the part that matters for partitioning/scale — is a real
-    JVM-side sequence+explode on the duration metadata.
-    """
+    JVM-side sequence+explode on the duration metadata. Input columns
+    other than the consumed ``duration_ms`` pass through (m3 projects
+    them away; the scene-segmentation twin rides its digest column
+    through the same fan-out), so the explode stays the single shared
+    frame-enumeration point."""
     return df.withColumn(
         "frame_ms",
         F.explode(F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_n_ms))),
-    ).select("asset_id", "frame_ms")
+    ).drop("duration_ms")
 
 
 try:  # pragma: no cover - exercised only where pyav is installed
@@ -685,4 +688,58 @@ def ahash_near_dups(
         # a pair within the threshold can collide in several bands;
         # it must come back once
         .dropDuplicates(["asset_a", "asset_b"])
+    )
+
+
+def synthetic_frame_luma(cmd5: Column, frame_ms: Column) -> Column:
+    """Deterministic stand-in for a decoded frame's mean luma (0..255):
+    the first md5 byte of (content digest || ':' || offset) — the same
+    digest-derived stub family as the audio energy and thumbnail
+    pixels, so the oracle re-derives it in SQL. At deploy the decoded
+    frame's actual mean brightness replaces this column and everything
+    downstream (the scene math) runs unchanged."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(cmd5, F.lit(":"), frame_ms.cast("string"))), 1, 2
+        ),
+        16,
+        10,
+    ).cast("int")
+
+
+def scene_segments(
+    frames: DataFrame,
+    threshold: int = 128,
+    id_col: str = "asset_id",
+    order_col: str = "frame_ms",
+    luma_col: str = "luma",
+) -> DataFrame:
+    """Scene-cut detection + scene segmentation over a per-frame luma
+    series — the shot-boundary pass a video-training pipeline runs to
+    sample one clip per scene instead of N near-identical frames: a
+    CUT is a frame whose luma jumps more than ``threshold`` from its
+    predecessor (lag over the per-asset frame order; the first frame
+    of an asset is never a cut), and the scene id is the running count
+    of cuts (a windowed cumulative sum — the same sessionization shape
+    as w5's session windows, keyed by change points instead of gaps).
+    Pure JVM window expressions, no Python; ONE shuffle on the asset
+    key, windows stay bounded by frames-per-asset. Works on any frame
+    source: sample_video_frames' real decode at deploy,
+    synthetic_frame_luma's twin here."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(order_col)
+    run = Window.partitionBy(id_col).orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.lag(F.col(luma_col)).over(w)
+    is_cut = F.coalesce(
+        F.abs(F.col(luma_col) - prev) > F.lit(threshold), F.lit(False)
+    )
+    return (
+        frames.withColumn("is_cut", is_cut)
+        .withColumn(
+            "scene_id",
+            F.sum(F.col("is_cut").cast("long")).over(run).cast("long"),
+        )
     )

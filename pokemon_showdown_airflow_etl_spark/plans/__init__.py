@@ -55,10 +55,17 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
     "m5b_audio_pcm_energy",  # r11: null-payload guard at the pruned
     #   select + text IS NOT NULL in the oracle (ADVICE r10)
     "m5_audio_frame_energy",  # r11: same null-payload guard as m5b
+    "m3_frame_sample_plan",  # r11: frame_sample_plan now passes input
+    #   columns through the explode (m7 rides its digest column through
+    #   the shared fan-out) — m3 projects after, provably identical,
+    #   re-verified by the raw sweep; rotated because the operator
+    #   expression changed (already held a window slot in section (4),
+    #   listed here so the changed-entry gate tracks it)
 ]
 
 _PRIORITY: list[str] = [
     # -- (1) every entry in CHANGED_SINCE_LAST_ROW, new first --
+    "m7_scene_segments",  # NEW r11: shot-boundary scene segmentation
     "m6_image_ahash",  # NEW r11: perceptual average-hash kernel
     "m6b_image_near_dups",  # NEW r11: banded-Hamming image dedup
     "a10_lake_bloom_decontaminate",  # NEW r11: lake-served Bloom decon
@@ -127,11 +134,11 @@ _PRIORITY: list[str] = [
     # (1)), plus t25's rotation, a8, t27 and a9; s1_similarity_topk,
     # s2_ann_srp_topk, s4_ivf_ann_topk and s5_gemm_ann_topk joined
     # s7/t10/t11 in yielding their slots to r12's spill list above.
-    # The six mid-round additions (t28/t29/s23/a10/m6/m6b — new
-    # entries must sit in the window) pushed s13_ann_recall_audit,
-    # s15_pq_adc_topk, s16_hamming_topk, s17_ivfpq_topk,
-    # s18_compression_recall_audit and s19_pq_train_quality to the r12
-    # spill as well.
+    # The seven mid-round additions (t28/t29/s23/a10/m6/m6b/m7 — new
+    # entries must sit in the window) pushed s12_reindexed_admit_batch,
+    # s13_ann_recall_audit, s15_pq_adc_topk, s16_hamming_topk,
+    # s17_ivfpq_topk, s18_compression_recall_audit and
+    # s19_pq_train_quality to the r12 spill as well.
     # ---- slot 50 boundary ----
     "s13_ann_recall_audit",
     "s15_pq_adc_topk",

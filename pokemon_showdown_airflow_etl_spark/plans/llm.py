@@ -943,6 +943,70 @@ def m6b_image_near_dups(spark, sf_dir):
     return ahash_near_dups(hashes, max_hamming=M6B_MAX_HAMMING)
 
 
+M7_CUT_THRESHOLD = 128
+
+
+@q(
+    "m7_scene_segments",
+    f"""
+    WITH f AS (
+        SELECT CAST(doc_id AS VARCHAR) AS asset_id, md5(text) AS cmd5,
+               unnest(generate_series(0, greatest(n_chars * 40 - 1, 0), 1000))
+                   AS frame_ms
+        FROM documents
+    ), l AS (
+        SELECT asset_id, CAST(frame_ms AS BIGINT) AS frame_ms,
+               CAST(('0x' || substr(md5(cmd5 || ':' ||
+                    CAST(frame_ms AS VARCHAR)), 1, 2)) AS INT) AS luma
+        FROM f
+    ), c AS (
+        SELECT asset_id, frame_ms, luma,
+               coalesce(abs(luma - lag(luma) OVER (PARTITION BY asset_id
+                        ORDER BY frame_ms)) > {M7_CUT_THRESHOLD}, FALSE)
+                   AS is_cut
+        FROM l
+    )
+    SELECT asset_id, frame_ms, luma, is_cut,
+           CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END)
+                OVER (PARTITION BY asset_id ORDER BY frame_ms) AS BIGINT)
+               AS scene_id
+    FROM c
+    """,
+    doc="Shot-boundary detection + scene segmentation (operators/"
+    "multimodal.py::scene_segments) — the pass a video-training "
+    "pipeline runs to sample one clip per scene instead of N "
+    "near-identical frames: m3's frame fan-out (the shared JVM "
+    "sequence+explode) carries the content digest, each frame gets a "
+    "mean-luma column (digest-derived stub; a real decoder's frame "
+    "statistic swaps in with the plan unchanged), a CUT is a luma "
+    "jump above the threshold vs the lag-1 predecessor (first frame "
+    "never cuts), and scene_id is the running count of cuts — the "
+    "same windowed-cumsum sessionization as w5's session windows, "
+    "keyed by change points instead of gaps. Pure JVM window "
+    "expressions, zero Python, ONE shuffle on the asset key with "
+    "windows bounded by frames-per-asset; the oracle re-derives the "
+    "luma series and both window legs from raw parquet.",
+)
+def m7_scene_segments(spark, sf_dir):
+    from ..operators.multimodal import (
+        frame_sample_plan,
+        scene_segments,
+        synthetic_frame_luma,
+    )
+
+    assets = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        (F.col("n_chars") * 40).cast("long").alias("duration_ms"),
+        F.md5("text").alias("cmd5"),
+    )
+    frames = frame_sample_plan(assets).select(
+        "asset_id",
+        F.col("frame_ms").cast("long").alias("frame_ms"),
+        synthetic_frame_luma(F.col("cmd5"), F.col("frame_ms")).alias("luma"),
+    )
+    return scene_segments(frames, threshold=M7_CUT_THRESHOLD)
+
+
 @q(
     "s4_ivf_ann_topk",
     f"""

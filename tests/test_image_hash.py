@@ -126,3 +126,31 @@ def test_banded_blocking_rejects_unprovable_threshold():
 
     with pytest.raises(AssertionError, match="pigeonhole"):
         ahash_near_dups(None, max_hamming=4, n_bands=4)
+
+
+def test_scene_segments_edges(spark):
+    """First frame never cuts; scene ids start at 0 and increment at
+    each cut; a single-frame asset is one scene."""
+    from pokemon_showdown_airflow_etl_spark.operators.multimodal import (
+        scene_segments,
+    )
+
+    frames = spark.createDataFrame(
+        [
+            ("a", 0, 10),
+            ("a", 1000, 200),  # jump 190 > 128 -> cut
+            ("a", 2000, 210),  # jump 10 -> same scene
+            ("a", 3000, 40),   # jump 170 -> cut
+            ("b", 0, 255),     # single frame, no cut
+        ],
+        "asset_id string, frame_ms long, luma int",
+    )
+    got = {
+        (r["asset_id"], r["frame_ms"]): (r["is_cut"], r["scene_id"])
+        for r in scene_segments(frames, threshold=128).collect()
+    }
+    assert got[("a", 0)] == (False, 0)
+    assert got[("a", 1000)] == (True, 1)
+    assert got[("a", 2000)] == (False, 1)
+    assert got[("a", 3000)] == (True, 2)
+    assert got[("b", 0)] == (False, 0)

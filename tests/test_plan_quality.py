@@ -850,3 +850,17 @@ def test_image_near_dups_band_join_is_equi(q):
         or "BroadcastHashJoin" in plan
         or "ShuffledHashJoin" in plan
     )
+
+
+def test_scene_segments_is_jvm_windows_single_exchange(q):
+    """m7: pure JVM window math — no Python anywhere, and the lag +
+    running-sum windows share ONE shuffle on the asset key (same
+    partition key, same order — a second exchange would mean the
+    two windows didn't align)."""
+    import re
+
+    plan = q("m7_scene_segments")
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
