@@ -621,6 +621,36 @@ def image_ahash(
     return pruned.mapInPandas(run, AHASH_SCHEMA)
 
 
+def _ahash_band_rows(hashes: DataFrame, n_bands: int = 4) -> DataFrame:
+    """Explode (asset_id, ahash_lo, ahash_hi) into the blocking keys:
+    one row per (band, 16-bit band value) — the ONE place the band
+    geometry is defined, shared by the pair scan and the incremental
+    admission so probe and corpus sides cannot drift."""
+    assert n_bands == 4, "bands are 16-bit slices of the two 32-bit words"
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                (
+                    F.shiftright(F.col(w), s).bitwiseAND(F.lit(0xFFFF))
+                ).alias("key"),
+            )
+            for i, (w, s) in enumerate(
+                [("ahash_lo", 0), ("ahash_lo", 16), ("ahash_hi", 0), ("ahash_hi", 16)]
+            )
+        ]
+    )
+    return hashes.select(
+        "asset_id", "ahash_lo", "ahash_hi", F.explode(bands).alias("b")
+    ).select(
+        "asset_id",
+        "ahash_lo",
+        "ahash_hi",
+        F.col("b.band").alias("band"),
+        F.col("b.key").alias("key"),
+    )
+
+
 def ahash_near_dups(
     hashes: DataFrame, max_hamming: int = 3, n_bands: int = 4
 ) -> DataFrame:
@@ -639,29 +669,7 @@ def ahash_near_dups(
     hamming) with asset_a < asset_b, each surviving pair once however
     many bands it collides in."""
     assert max_hamming < n_bands, "pigeonhole recall needs max_hamming < n_bands"
-    assert n_bands == 4, "bands are 16-bit slices of the two 32-bit words"
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                (
-                    F.shiftright(F.col(w), s).bitwiseAND(F.lit(0xFFFF))
-                ).alias("key"),
-            )
-            for i, (w, s) in enumerate(
-                [("ahash_lo", 0), ("ahash_lo", 16), ("ahash_hi", 0), ("ahash_hi", 16)]
-            )
-        ]
-    )
-    keyed = hashes.select(
-        "asset_id", "ahash_lo", "ahash_hi", F.explode(bands).alias("b")
-    ).select(
-        "asset_id",
-        "ahash_lo",
-        "ahash_hi",
-        F.col("b.band").alias("band"),
-        F.col("b.key").alias("key"),
-    )
+    keyed = _ahash_band_rows(hashes, n_bands)
     left = keyed.select(
         F.col("asset_id").alias("asset_a"),
         F.col("ahash_lo").alias("lo_a"),
@@ -688,6 +696,82 @@ def ahash_near_dups(
         # a pair within the threshold can collide in several bands;
         # it must come back once
         .dropDuplicates(["asset_a", "asset_b"])
+    )
+
+
+def ahash_admission(
+    new_hashes: DataFrame,
+    corpus_hashes: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Incremental image admission: decide a NEW asset batch against an
+    EXISTING corpus's materialized aHash rows — d9's cross-snapshot
+    protocol (operators/dedup.py::dedup_against_corpus) applied to the
+    image modality, so a growing 100 TB image corpus dedups tomorrow's
+    drop without re-hashing or re-scanning today's pixels. The batch's
+    band rows equi-join the corpus band table (never a corpus
+    self-join; a deployment buckets the stored band rows by (band, key)
+    to make the probe exchange-free), verification is two XOR+popcount
+    words, and within-batch dups use the same band join restricted to
+    the batch with the min-id-keeper rule (a batch dup of a corpus dup
+    reports dup_of_corpus — corpus identity wins, d9's precedence).
+
+    Returns one row per new asset: (asset, n_corpus_dups,
+    first_corpus_dup, status in {'dup_of_corpus', 'dup_in_batch',
+    'accepted'}). Complete recall within ``max_hamming`` by the same
+    pigeonhole argument as ahash_near_dups."""
+    assert max_hamming < n_bands, "pigeonhole recall needs max_hamming < n_bands"
+    nb = _ahash_band_rows(new_hashes, n_bands)
+    cb = _ahash_band_rows(corpus_hashes, n_bands)
+    ham = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("int")
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col("asset_id").alias(f"asset_{tag}"),
+            F.col("ahash_lo").alias(f"lo_{tag}"),
+            F.col("ahash_hi").alias(f"hi_{tag}"),
+            "band",
+            "key",
+        )
+
+    cdup = (
+        side(nb, "a")
+        .join(side(cb, "b"), ["band", "key"])
+        .filter(ham <= max_hamming)
+        .select(F.col("asset_a").alias("asset"), F.col("asset_b").alias("corpus_asset"))
+        .dropDuplicates(["asset", "corpus_asset"])
+        .groupBy("asset")
+        .agg(
+            F.count("*").cast("long").alias("n_corpus_dups"),
+            F.min("corpus_asset").alias("first_corpus_dup"),
+        )
+    )
+    bdup = (
+        side(nb, "a")
+        .join(side(nb, "b"), ["band", "key"])
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .filter(ham <= max_hamming)
+        .select(F.col("asset_b").alias("asset"))
+        .distinct()
+    )
+    return (
+        new_hashes.select(F.col("asset_id").alias("asset"))
+        .distinct()
+        .join(cdup, "asset", "left")
+        .join(bdup.withColumn("_in_batch_dup", F.lit(True)), "asset", "left")
+        .select(
+            "asset",
+            F.coalesce(F.col("n_corpus_dups"), F.lit(0)).alias("n_corpus_dups"),
+            "first_corpus_dup",
+            F.when(F.col("n_corpus_dups").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("_in_batch_dup"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("accepted"))
+            .alias("status"),
+        )
     )
 
 

@@ -65,6 +65,7 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
 
 _PRIORITY: list[str] = [
     # -- (1) every entry in CHANGED_SINCE_LAST_ROW, new first --
+    "m8_image_admission",  # NEW r11: incremental image-drop admission
     "m7_scene_segments",  # NEW r11: shot-boundary scene segmentation
     "m6_image_ahash",  # NEW r11: perceptual average-hash kernel
     "m6b_image_near_dups",  # NEW r11: banded-Hamming image dedup
@@ -134,8 +135,9 @@ _PRIORITY: list[str] = [
     # (1)), plus t25's rotation, a8, t27 and a9; s1_similarity_topk,
     # s2_ann_srp_topk, s4_ivf_ann_topk and s5_gemm_ann_topk joined
     # s7/t10/t11 in yielding their slots to r12's spill list above.
-    # The seven mid-round additions (t28/t29/s23/a10/m6/m6b/m7 — new
-    # entries must sit in the window) pushed s12_reindexed_admit_batch,
+    # The eight mid-round additions (t28/t29/s23/a10/m6/m6b/m7/m8 —
+    # new entries must sit in the window) pushed
+    # s11_embed_admit_batch, s12_reindexed_admit_batch,
     # s13_ann_recall_audit, s15_pq_adc_topk, s16_hamming_topk,
     # s17_ivfpq_topk, s18_compression_recall_audit and
     # s19_pq_train_quality to the r12 spill as well.

@@ -943,6 +943,120 @@ def m6b_image_near_dups(spark, sf_dir):
     return ahash_near_dups(hashes, max_hamming=M6B_MAX_HAMMING)
 
 
+M8_BATCH_MOD = 20  # doc_id % 20 == 7 plays the incoming image drop
+M8_COPY_CORPUS = 1_000_000_000  # re-encodes of corpus images (%50==0)
+M8_COPY_BATCH = 3_000_000_000  # second copies of batch images (%140==7)
+
+
+@q(
+    "m8_image_admission",
+    f"""
+    WITH src AS (
+        SELECT CAST(doc_id AS VARCHAR) AS asset_id, text
+        FROM documents WHERE text IS NOT NULL
+        UNION ALL
+        SELECT CAST(doc_id + {M8_COPY_CORPUS} AS VARCHAR), text
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id % {M6B_COPY_EVERY} = 0
+        UNION ALL
+        SELECT CAST(doc_id + {M8_COPY_BATCH} AS VARCHAR), text
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id % 140 = 7
+    ), px AS (
+        {{px}}
+    ), hx AS (
+        {{pack}}
+    ), flagged AS (
+        SELECT asset_id, ahash_lo, ahash_hi,
+               CAST(asset_id AS BIGINT) % {M8_BATCH_MOD} = 7
+                   OR CAST(asset_id AS BIGINT) >= {M8_COPY_CORPUS} AS is_new
+        FROM hx
+    ), keyed AS (
+        SELECT asset_id, ahash_lo, ahash_hi, is_new, b.b AS band,
+               CASE b.b
+                   WHEN 0 THEN ahash_lo & 65535
+                   WHEN 1 THEN ahash_lo >> 16
+                   WHEN 2 THEN ahash_hi & 65535
+                   ELSE ahash_hi >> 16
+               END AS key
+        FROM flagged CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ), nb AS (SELECT * FROM keyed WHERE is_new),
+    cb AS (SELECT * FROM keyed WHERE NOT is_new),
+    cdup AS (
+        SELECT asset, CAST(count(*) AS BIGINT) AS n_corpus_dups,
+               min(corpus_asset) AS first_corpus_dup
+        FROM (
+            SELECT DISTINCT n.asset_id AS asset, c.asset_id AS corpus_asset
+            FROM nb n JOIN cb c ON n.band = c.band AND n.key = c.key
+            WHERE bit_count(xor(n.ahash_lo, c.ahash_lo))
+                  + bit_count(xor(n.ahash_hi, c.ahash_hi))
+                  <= {M6B_MAX_HAMMING}
+        ) GROUP BY asset
+    ), bdup AS (
+        SELECT DISTINCT b.asset_id AS asset
+        FROM nb a JOIN nb b ON a.band = b.band AND a.key = b.key
+                           AND a.asset_id < b.asset_id
+        WHERE bit_count(xor(a.ahash_lo, b.ahash_lo))
+              + bit_count(xor(a.ahash_hi, b.ahash_hi))
+              <= {M6B_MAX_HAMMING}
+    )
+    SELECT f.asset_id AS asset,
+           coalesce(c.n_corpus_dups, 0) AS n_corpus_dups,
+           c.first_corpus_dup,
+           CASE WHEN c.asset IS NOT NULL THEN 'dup_of_corpus'
+                WHEN bd.asset IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'accepted' END AS status
+    FROM (SELECT DISTINCT asset_id FROM flagged WHERE is_new) f
+    LEFT JOIN cdup c ON f.asset_id = c.asset
+    LEFT JOIN bdup bd ON f.asset_id = bd.asset
+    """.format(
+        px=_M6_HASH_SQL.format(src="src"),
+        pack=_M6_PACK_SQL,
+    ),
+    doc="Incremental image admission (operators/multimodal.py::"
+    "ahash_admission): d9's cross-snapshot dedup protocol applied to "
+    "the image modality — an incoming drop (the doc_id % 20 == 7 "
+    "slice plus planted re-encodes: copies of corpus images that must "
+    "report dup_of_corpus, and second copies of batch images that "
+    "must report dup_in_batch under the min-id-keeper rule) decides "
+    "against the corpus's materialized aHash rows. The batch's band "
+    "rows equi-join the corpus band table (no corpus self-join, no "
+    "re-hash of corpus pixels; a deployment buckets the stored band "
+    "rows so the probe is exchange-free), verification is two "
+    "XOR+popcount words, recall within hamming 3 is COMPLETE by the "
+    "m6b pigeonhole argument, and corpus identity takes precedence "
+    "over batch identity exactly like d9. The oracle replays hash, "
+    "bands, both joins, and the precedence from raw parquet — one "
+    "drifted verdict mismatches the hash.",
+)
+def m8_image_admission(spark, sf_dir):
+    from ..operators.multimodal import ahash_admission, image_ahash
+
+    docs = t(spark, sf_dir, "documents")
+
+    def payload(df, offset=0):
+        aid = (F.col("doc_id") + F.lit(offset)).cast("string")
+        return df.select(
+            aid.alias("asset_id"), F.encode("text", "UTF-8").alias("payload")
+        )
+
+    assets = (
+        payload(docs)
+        .unionByName(
+            payload(docs.filter(F.col("doc_id") % M6B_COPY_EVERY == 0), M8_COPY_CORPUS)
+        )
+        .unionByName(payload(docs.filter(F.col("doc_id") % 140 == 7), M8_COPY_BATCH))
+    )
+    # one Arrow hash pass for all assets, pinned: the batch/corpus
+    # split and both admission joins read it
+    hashes = pin(image_ahash(assets).select("asset_id", "ahash_lo", "ahash_hi"))
+    aid = F.col("asset_id").cast("long")
+    is_new = (aid % M8_BATCH_MOD == 7) | (aid >= M8_COPY_CORPUS)
+    return ahash_admission(
+        hashes.filter(is_new), hashes.filter(~is_new), max_hamming=M6B_MAX_HAMMING
+    )
+
+
 M7_CUT_THRESHOLD = 128
 
 

@@ -154,3 +154,33 @@ def test_scene_segments_edges(spark):
     assert got[("a", 2000)] == (False, 1)
     assert got[("a", 3000)] == (True, 2)
     assert got[("b", 0)] == (False, 0)
+
+
+def test_ahash_admission_statuses_and_precedence(spark):
+    """dup_of_corpus wins over dup_in_batch (d9's precedence); the
+    min-id batch keeper stays accepted; first_corpus_dup is the
+    smallest matching corpus id."""
+    from pokemon_showdown_airflow_etl_spark.operators.multimodal import (
+        ahash_admission,
+    )
+
+    corpus = _hash_df(spark, [("c1", 100, 200), ("c2", 100, 200), ("c9", 7, 7)])
+    batch = _hash_df(
+        spark,
+        [
+            ("n1", 100, 200),   # near c1 AND c2 -> dup_of_corpus (first=c1)
+            ("n2", 100, 201),   # hamming 1 from n1 AND corpus -> corpus wins
+            ("n3", 555, 777),   # unique -> accepted (keeper)
+            ("n4", 555, 777),   # exact copy of n3 -> dup_in_batch
+            ("n5", 999, 111),   # unique -> accepted
+        ],
+    )
+    got = {
+        r["asset"]: (r["n_corpus_dups"], r["first_corpus_dup"], r["status"])
+        for r in ahash_admission(batch, corpus, max_hamming=3).collect()
+    }
+    assert got["n1"] == (2, "c1", "dup_of_corpus")
+    assert got["n2"] == (2, "c1", "dup_of_corpus")
+    assert got["n3"] == (0, None, "accepted")
+    assert got["n4"] == (0, None, "dup_in_batch")
+    assert got["n5"] == (0, None, "accepted")

@@ -864,3 +864,15 @@ def test_scene_segments_is_jvm_windows_single_exchange(q):
     assert "MapInPandas" not in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+
+
+def test_image_admission_probes_corpus_by_equi_join(q):
+    """m8: one Arrow hash pass (pinned) feeding the corpus probe and
+    the within-batch check — both equi-joins on (band, key), never a
+    cartesian, never a second kernel crossing."""
+    import re
+
+    plan = q("m8_image_admission")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) <= 1
