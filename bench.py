@@ -363,16 +363,20 @@ def main() -> None:
         # the admission protocol alone (facets=False) — comparable to
         # pre-r10 rounds; the headline number keeps the facets because
         # that is what a production ingest runs. The gap is the fixed
-        # per-batch facet cost (4 intake facets after r11: sketches +
-        # lm + cms + hh — bounded aggregations + small writes) that
-        # looms at 2.5k-doc bench batches and amortizes at production
-        # drop sizes — VERDICT r10 item 8 made explicit.
+        # per-batch facet cost (5 intake facets after r11: sketches +
+        # lm + cms + hh + bloom — bounded aggregations + small writes)
+        # that looms at 2.5k-doc bench batches and amortizes at
+        # production drop sizes — VERDICT r10 item 8 made explicit.
         "nofacets_sec": round(best[False], 3),
         "nofacets_docs_per_sec": round(n_drop / best[False], 1),
         "n_accepted": stats_ing["n_accepted"],
         "n_dup_of_corpus": stats_ing["n_dup_of_corpus"],
         "includes_sketch_facet": True,
         "includes_lm_cms_hh_facets": True,
+        # r11: the bloom decontamination facet joined the faceted leg,
+        # so facets-on docs/s is not comparable to r10's number — the
+        # nofacets leg is the stable cross-round baseline
+        "includes_bloom_facet": True,
     }
 
     # Incremental SEMANTIC admission throughput (s11's production

@@ -192,3 +192,109 @@ def start_trending_terms(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Scene segmentation: per-asset change-point state over a frame stream
+# ---------------------------------------------------------------------------
+
+SCENE_OUTPUT_SCHEMA = (
+    "asset_id string, frame_ms long, luma int, is_cut boolean, scene_id long"
+)
+# last_ms/last_luma use -1 as "no previous frame" (luma is 0..255, ms
+# is >= 0, so the sentinels are unambiguous)
+SCENE_STATE_SCHEMA = "last_ms long, last_luma long, scenes long"
+
+
+def _update_scenes(threshold: int):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        last_ms, last_luma, scenes = (
+            state.get if state.exists else (-1, -1, 0)
+        )
+        frames = pd.concat(list(pdfs), ignore_index=True)
+        # replays of already-processed offsets (an at-least-once
+        # source re-delivering a file) are dropped, so the append sink
+        # stays exactly-once per frame; genuinely late NEW frames are
+        # a source-ordering violation this operator cannot repair —
+        # the batch twin (operators/multimodal.py::scene_segments)
+        # re-derives truth over the landed corpus
+        frames = frames[frames["frame_ms"] > last_ms].sort_values("frame_ms")
+        if len(frames):
+            luma = frames["luma"].to_numpy(dtype=np.int64)
+            prev = np.empty(len(luma), dtype=np.float64)
+            prev[0] = last_luma if last_luma >= 0 else np.nan
+            prev[1:] = luma[:-1]
+            is_cut = ~np.isnan(prev) & (np.abs(luma - prev) > threshold)
+            scene_ids = scenes + np.cumsum(is_cut.astype(np.int64))
+            out = pd.DataFrame(
+                {
+                    "asset_id": key[0],
+                    "frame_ms": frames["frame_ms"].to_numpy(dtype=np.int64),
+                    "luma": luma.astype(np.int32),
+                    "is_cut": is_cut,
+                    "scene_id": scene_ids,
+                }
+            )
+            last_ms = int(frames["frame_ms"].iloc[-1])
+            last_luma = int(luma[-1])
+            scenes = int(scene_ids[-1])
+        else:
+            out = pd.DataFrame(
+                columns=[
+                    "asset_id",
+                    "frame_ms",
+                    "luma",
+                    "is_cut",
+                    "scene_id",
+                ]
+            )
+        state.update((last_ms, last_luma, scenes))
+        yield out
+
+    return update
+
+
+def track_scene_segments(frames: DataFrame, threshold: int = 128) -> DataFrame:
+    """Streaming twin of the batch scene segmentation (m7,
+    operators/multimodal.py::scene_segments): per-asset keyed state
+    carries (last offset, last luma, scene counter) across
+    micro-batches, so a cut is detected even when the jump straddles a
+    batch boundary and scene ids keep counting instead of resetting.
+    State is THREE scalars per asset — bounded by live assets, never
+    by stream length — and already-processed offsets are dropped for
+    per-frame exactly-once emission under an at-least-once source.
+    Assumes per-asset frames arrive in offset order across batches
+    (the landing layout's contract, same as the cursor twin's
+    uploadtime assumption); the batch operator re-derives truth over
+    the landed corpus if a source ever violates it."""
+    return frames.groupBy("asset_id").applyInPandasWithState(
+        _update_scenes(threshold),
+        outputStructType=SCENE_OUTPUT_SCHEMA,
+        stateStructType=SCENE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_scene_segmentation(
+    frames: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    threshold: int = 128,
+    available_now: bool = True,
+):
+    """Append-mode parquet sink for the per-frame scene verdicts."""
+    writer = (
+        track_scene_segments(frames, threshold)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

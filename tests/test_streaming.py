@@ -511,3 +511,76 @@ def test_streaming_trending_terms_bounded_state_and_mg_floor(spark, tmp_path):
         assert k in by_tok, (k, sorted(by_tok))
         assert by_tok[k] <= n  # lb never exceeds the true count
         assert by_tok[k] > n * 0.5  # and spans both halves of the stream
+
+
+def test_streaming_scene_segments_match_batch(spark, tmp_path):
+    """The streaming scene twin: frames drained in three time-ordered
+    micro-batches (state straddles batch boundaries, including cuts
+    whose jump crosses a boundary) must equal the batch
+    scene_segments windows on the same frames; a re-delivered chunk
+    must not re-emit (per-frame exactly-once)."""
+    import json
+    import os
+    import random
+    import time
+
+    from pokemon_showdown_airflow_etl_spark.operators.multimodal import (
+        scene_segments,
+    )
+    from pokemon_showdown_airflow_etl_spark.streaming.stateful import (
+        start_scene_segmentation,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for asset in ("va", "vb", "vc"):
+        for k in range(30):
+            rows.append(
+                {
+                    "asset_id": asset,
+                    "frame_ms": k * 1000,
+                    "luma": rng.randrange(256),
+                }
+            )
+    rows.sort(key=lambda r: r["frame_ms"])  # time-ordered landing
+    land = tmp_path / "frames_landing"
+    land.mkdir()
+    base = time.time() - 600
+    for c in range(3):
+        path = land / f"chunk{c}.json"
+        with open(path, "w") as f:
+            for r in rows[c * 30 : (c + 1) * 30]:
+                f.write(json.dumps(r) + "\n")
+        os.utime(path, (base + c, base + c))
+
+    schema = "asset_id string, frame_ms long, luma int"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(land))
+    )
+    out, ck = str(tmp_path / "scenes"), str(tmp_path / "scene_ck")
+    q = start_scene_segmentation(stream, out, ck)
+    q.awaitTermination()
+
+    batch = scene_segments(
+        spark.createDataFrame(
+            [(r["asset_id"], r["frame_ms"], r["luma"]) for r in rows], schema
+        )
+    )
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(
+        map(tuple, batch.select(*spark.read.parquet(out).columns).collect())
+    )
+    assert got == want and len(got) == 90
+
+    # re-deliver chunk0 under a new name: a restarted / at-least-once
+    # source must not re-emit already-processed offsets
+    dup = land / "chunk0_replay.json"
+    with open(dup, "w") as f:
+        for r in rows[:30]:
+            f.write(json.dumps(r) + "\n")
+    os.utime(dup, (base + 10, base + 10))
+    q = start_scene_segmentation(stream, out, ck)
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 90
