@@ -58,13 +58,39 @@ def _run(name: str) -> None:
     ALL_QUERIES[name].spark(_SPARK, SF_DIR).write.format("noop").mode("overwrite").save()
 
 
+def _start_scene_drain(spark, land: str, out: str, ck: str):
+    from pyspark.sql import functions as F
+
+    from pokemon_showdown_airflow_etl_spark.operators.multimodal import (
+        frame_sample_plan,
+        synthetic_frame_luma,
+    )
+    from pokemon_showdown_airflow_etl_spark.streaming import stream_replay_docs
+    from pokemon_showdown_airflow_etl_spark.streaming.stateful import (
+        start_scene_segmentation,
+    )
+
+    assets = stream_replay_docs(spark, land).select(
+        F.col("id").alias("asset_id"),
+        (F.length("log") * 60).cast("long").alias("duration_ms"),
+        F.md5("log").alias("cmd5"),
+    )
+    frames = frame_sample_plan(assets).select(
+        "asset_id",
+        F.col("frame_ms").cast("long").alias("frame_ms"),
+        synthetic_frame_luma(F.col("cmd5"), F.col("frame_ms")).alias("luma"),
+    )
+    return start_scene_segmentation(frames, out, ck)
+
+
 def _drain_streaming(spark, n_stream: int = 4000, repeats: int = 3) -> dict:
     """Streaming soak (VERDICT r3 item 6, isolation per r7 item 1):
-    drain a landed replay corpus through the four streaming twins with
+    drain a landed replay corpus through the five streaming twins with
     availableNow — the b4-twin rollup (stateless explode + watermarked
     day window), the session rollup, the stateful per-format cursor
-    (applyInPandasWithState), and the Misra-Gries trending-terms state
-    stream. Each drain runs ``repeats`` times against fresh checkpoint/
+    (applyInPandasWithState), the Misra-Gries trending-terms state
+    stream, and the per-asset scene-segmentation state stream (m7's
+    twin over a frame fan-out of the same corpus). Each drain runs ``repeats`` times against fresh checkpoint/
     output dirs and reports the MEDIAN wall time (replays/s) plus the
     final output/state footprint proxy (rows, recorded once — repeats
     are byte-identical by exactly-once design and that is separately
@@ -109,12 +135,19 @@ def _drain_streaming(spark, n_stream: int = 4000, repeats: int = 3) -> dict:
             o,
             ck,
         ),
+        # replays play videos: ~log-length-proportional duration fans
+        # out to a few frames each (JVM explode), digest luma, then the
+        # per-asset scene state stream (m7's streaming twin) — the
+        # fifth twin, measured over the same corpus so replays/s stays
+        # comparable
+        "scenes": lambda land, o, ck: _start_scene_drain(spark, land, o, ck),
     }
     rows_key = {
         "move_usage": "move_usage_out_rows",
         "sessions": "sessions_out_rows",
         "cursor": "cursor_state_rows",
         "trending": "trending_state_rows",
+        "scenes": "scenes_out_rows",
     }
     with tempfile.TemporaryDirectory() as d:
         land = d + "/landing"
