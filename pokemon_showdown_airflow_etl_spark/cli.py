@@ -257,6 +257,26 @@ def build_parser() -> argparse.ArgumentParser:
         "ranked by stored-cell estimates; no corpus scan)",
     )
 
+    iimg = sub.add_parser(
+        "ingest-images",
+        help="admit an image drop (asset_id + binary payload parquet) "
+        "against the incremental aHash registry — banded-Hamming dedup "
+        "vs stored hash rows, commit-marker protocol (m8's production "
+        "path)",
+    )
+    iimg.add_argument("--input", required=True, help="assets parquet")
+    iimg.add_argument("--root", required=True, help="image registry root dir")
+    iimg.add_argument("--batch-id", required=True)
+    iimg.add_argument("--max-hamming", type=int, default=3)
+
+    cimg = sub.add_parser(
+        "compact-images",
+        help="consolidate per-batch image-hash partitions (O12 "
+        "maintenance; the signature lake's table-agnostic compaction)",
+    )
+    cimg.add_argument("--root", required=True, help="image registry root dir")
+    cimg.add_argument("--min-batches", type=int, default=8)
+
     dchk = sub.add_parser(
         "decon-check",
         help="contamination check of an eval benchmark against the "
@@ -571,6 +591,40 @@ def main(argv: list[str] | None = None) -> int:
                     args.sig_root,
                     grams=args.gram,
                     top_grams=args.top_grams,
+                ),
+                sort_keys=True,
+            )
+        )
+        return 0
+
+    if args.cmd == "ingest-images":
+        from .jobs.image_hash_lake import ingest_image_batch
+        from .session import get_spark
+
+        spark = get_spark(app_name="etl-ingest-images", master=args.master)
+        print(
+            json.dumps(
+                ingest_image_batch(
+                    spark,
+                    spark.read.parquet(args.input),
+                    args.root,
+                    args.batch_id,
+                    max_hamming=args.max_hamming,
+                ),
+                sort_keys=True,
+            )
+        )
+        return 0
+
+    if args.cmd == "compact-images":
+        from .jobs.image_hash_lake import compact_image_corpus
+        from .session import get_spark
+
+        spark = get_spark(app_name="etl-compact-images", master=args.master)
+        print(
+            json.dumps(
+                compact_image_corpus(
+                    spark, args.root, min_batches=args.min_batches
                 ),
                 sort_keys=True,
             )

@@ -1,0 +1,126 @@
+"""The incremental image-hash registry (jobs/image_hash_lake.py): m8's
+admission protocol over a live lake — commit markers, idempotent
+re-runs, batch immutability, crash invisibility, and table-agnostic
+compaction, all inherited from the signature-lake machinery."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pokemon_showdown_airflow_etl_spark.jobs.image_hash_lake import (
+    compact_image_corpus,
+    ingest_image_batch,
+)
+
+
+def _assets(spark, ids, salt=""):
+    rows = [(str(i), f"{salt}image payload {i}".encode()) for i in ids]
+    return spark.createDataFrame(rows, "asset_id string, payload binary")
+
+
+def _statuses(spark, root, batch):
+    return {
+        r["asset"]: r["status"]
+        for r in spark.read.parquet(
+            os.path.join(root, "admissions", f"batch={batch}")
+        ).collect()
+    }
+
+
+def test_ingest_registers_and_dedups_against_corpus(spark, tmp_path):
+    root = str(tmp_path / "img")
+    st = ingest_image_batch(spark, _assets(spark, range(10)), root, "day1")
+    assert st["n_accepted"] == 10 and st["n_dup_of_corpus"] == 0
+
+    # day2: 5 fresh + 3 re-encodes of day1 content under NEW ids + one
+    # asset carried twice in the drop (same id — must decide once)
+    day2 = (
+        _assets(spark, range(10, 15))
+        .unionByName(_assets(spark, range(3), salt="").withColumn(
+            "asset_id", F.concat(F.lit("re-"), F.col("asset_id"))
+        ))
+        .unionByName(_assets(spark, [10]))
+    )
+    st = ingest_image_batch(spark, day2, root, "day2")
+    assert st["n_considered"] == 8
+    assert st["n_accepted"] == 5
+    assert st["n_dup_of_corpus"] == 3
+    s = _statuses(spark, root, "day2")
+    assert s["re-0"] == "dup_of_corpus" and s["12"] == "accepted"
+
+    # only survivors define identity: a day3 copy of a REJECTED day2
+    # asset still reports dup (its content matches the day1 original
+    # that was accepted)
+    st = ingest_image_batch(
+        spark,
+        _assets(spark, [1]).withColumn("asset_id", F.lit("re2-1")),
+        root,
+        "day3",
+    )
+    assert st["n_dup_of_corpus"] == 1
+
+
+def test_rerun_is_idempotent_and_committed_batches_are_immutable(
+    spark, tmp_path
+):
+    root = str(tmp_path / "img")
+    ingest_image_batch(spark, _assets(spark, range(5)), root, "day1")
+    again = ingest_image_batch(spark, _assets(spark, range(5)), root, "day1")
+    assert again["n_already_registered"] == 5 and again["n_considered"] == 0
+    with pytest.raises(ValueError, match="immutable"):
+        ingest_image_batch(spark, _assets(spark, range(5, 9)), root, "day1")
+
+
+def test_crashed_batch_is_invisible_until_repaired(spark, tmp_path):
+    import shutil
+
+    root = str(tmp_path / "img")
+    ingest_image_batch(spark, _assets(spark, range(5)), root, "day1")
+    ingest_image_batch(spark, _assets(spark, range(5, 9)), root, "day2")
+    # simulate a crash BEFORE day2's members marker landed
+    shutil.rmtree(os.path.join(root, "members", "batch=day2"))
+    # a day3 copy of a day2 asset must be ACCEPTED: day2's partial
+    # hashes are phantoms (not committed), so they reject nothing
+    st = ingest_image_batch(
+        spark,
+        _assets(spark, [5]).withColumn("asset_id", F.lit("re-5")),
+        root,
+        "day3",
+    )
+    assert st["n_accepted"] == 1 and st["n_dup_of_corpus"] == 0
+    # the re-run repairs day2 in place; its copy now rejects
+    ingest_image_batch(spark, _assets(spark, range(5, 9)), root, "day2")
+    st = ingest_image_batch(
+        spark,
+        _assets(spark, [6]).withColumn("asset_id", F.lit("re-6")),
+        root,
+        "day4",
+    )
+    assert st["n_dup_of_corpus"] == 1
+
+
+def test_compaction_consolidates_without_changing_admission(spark, tmp_path):
+    root = str(tmp_path / "img")
+    for i in range(3):
+        ingest_image_batch(
+            spark, _assets(spark, range(i * 5, (i + 1) * 5)), root, f"day{i}"
+        )
+    st = compact_image_corpus(spark, root, min_batches=2)
+    assert st["n_batches_consolidated"] == 3
+    parts = sorted(os.listdir(os.path.join(root, "hashes")))
+    assert len(parts) == 1 and parts[0].startswith("batch=compact-")
+
+    # admission against the consolidated corpus behaves identically
+    probe = (
+        _assets(spark, [7])
+        .withColumn("asset_id", F.lit("re-7"))
+        .unionByName(_assets(spark, [100]))
+    )
+    st = ingest_image_batch(spark, probe, root, "day9")
+    assert st["n_dup_of_corpus"] == 1 and st["n_accepted"] == 1
+    # a retired id can never be reused
+    with pytest.raises(ValueError, match="retired"):
+        ingest_image_batch(spark, _assets(spark, [200]), root, "day0")

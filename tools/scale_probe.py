@@ -448,6 +448,77 @@ def main() -> None:
     out["cms_facet_merge"] = _merge_probe(batch_cms_rows, merge_cms_rows)
     out["hh_facet_merge"] = _merge_probe(batch_hh_rows, merge_hh_rows)
 
+    # Bloom facet probe (round 11): (1) the OR merge is bounded like
+    # the other facets — k batches' word rows reduce in ~k bounded row
+    # sets; (2) the SATURATION law the sketch-stats fp gauge reports:
+    # fill grows as 1 - exp(-k_hash*n/m) with corpus grams, so the
+    # measured fill at 1x and kx must bracket the implied FP rate and
+    # a deployment resizes m when fp_ppm climbs (the documented lever
+    # — the 62-bit word layout makes m a one-constant change).
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        batch_bloom_rows,
+    )
+    from pokemon_showdown_airflow_etl_spark.operators.sketches import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        merge_bloom_rows,
+    )
+
+    out["bloom_facet_merge"] = _merge_probe(batch_bloom_rows, merge_bloom_rows)
+
+    def _fill_ppm(docs):
+        row = (
+            merge_bloom_rows(batch_bloom_rows(docs))
+            .agg(F.sum(F.bit_count("bits")).alias("s"))
+            .first()
+        )
+        return int(row["s"] or 0) * 1_000_000 // BLOOM_M_BITS
+
+    f1, fk = _fill_ppm(docs1), _fill_ppm(docsk)
+    out["bloom_saturation"] = {
+        "fill_ppm_1x": f1,
+        f"fill_ppm_{k}x": fk,
+        "fp_ppm_1x": f1**BLOOM_K // 1_000_000 ** (BLOOM_K - 1),
+        f"fp_ppm_{k}x": fk**BLOOM_K // 1_000_000 ** (BLOOM_K - 1),
+        "m_bits": BLOOM_M_BITS,
+    }
+
+    # aHash band-blocking probe (round 11, m6b/m8): with iid 64-bit
+    # hashes the candidate volume is ~4 * C(n,2) / 2^16 pairs — BAND
+    # collisions grow quadratically in n but with a 1/65536 constant,
+    # and verification (two XOR+popcounts) filters them to the true
+    # near-dups. The probe measures the pair scan at 1x and kx: the
+    # growth ratio should sit near k^2/65536-quadratic-with-tiny-
+    # constant territory, i.e. wall time stays join-dominated (~linear)
+    # until n approaches ~2^16 per band value.
+    from pokemon_showdown_airflow_etl_spark.operators.multimodal import (
+        ahash_near_dups,
+        image_ahash,
+    )
+
+    def _hashes(docs):
+        return image_ahash(
+            docs.select(
+                F.col("doc_id").cast("string").alias("asset_id"),
+                F.encode("text", "UTF-8").alias("payload"),
+            )
+        ).select("asset_id", "ahash_lo", "ahash_hi").localCheckpoint(eager=True)
+
+    h1, hk = _hashes(docs1), _hashes(docsk)
+    t1 = best_of(
+        lambda: ahash_near_dups(h1).write.format("noop").mode("overwrite").save()
+    )
+    tk = best_of(
+        lambda: ahash_near_dups(hk).write.format("noop").mode("overwrite").save()
+    )
+    out["m6b_band_blocking"] = {
+        "t_1x": t1,
+        f"t_{k}x": tk,
+        "growth": round(tk / t1, 2),
+        "n_1x": h1.count(),
+        f"n_{k}x": hk.count(),
+    }
+
     print(json.dumps({"sf_dir": sf_dir, "k": k, "probes": out}))
     spark.stop()
 
