@@ -839,7 +839,7 @@ _M6_PACK_SQL = (
         SELECT CAST(doc_id AS VARCHAR) AS asset_id, text
         FROM documents WHERE text IS NOT NULL
     ), px AS (
-        {_M6_HASH_SQL.format(mult=PCM_MULT_SQL, src="src")}
+        {_M6_HASH_SQL.format(src="src")}
     )
     {_M6_PACK_SQL}
     """,
@@ -887,7 +887,7 @@ M6B_COPY_OFFSET = 1_000_000_000
         FROM documents
         WHERE text IS NOT NULL AND doc_id % {M6B_COPY_EVERY} = 0
     ), px AS (
-        {_M6_HASH_SQL.format(mult=PCM_MULT_SQL, src="src")}
+        {_M6_HASH_SQL.format(src="src")}
     ), hx AS (
         {_M6_PACK_SQL}
     ), keyed AS (
