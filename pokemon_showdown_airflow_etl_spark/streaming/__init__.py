@@ -21,11 +21,16 @@ from .stateful import (
     track_trending_terms,
 )
 
-from .admission import start_document_admission, start_embedding_admission
+from .admission import (
+    start_document_admission,
+    start_embedding_admission,
+    start_image_admission,
+)
 
 __all__ = [
     "start_document_admission",
     "start_embedding_admission",
+    "start_image_admission",
     "stream_replay_docs",
     "with_late_data_bounds",
     "dedup_within_watermark",

@@ -114,3 +114,48 @@ def start_embedding_admission(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_image_admission(
+    assets: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    available_now: bool = True,
+):
+    """Admit a streaming frame of (id, binary payload) image assets
+    against the incremental aHash registry
+    (jobs/image_hash_lake.py::ingest_image_batch) — the m8 decision
+    per micro-batch, with the SAME exactly-once composition as the
+    document and embedding admissions: checkpoint replay is harmless
+    because the registry's members/ marker either no-ops a completed
+    epoch or repairs its partials in place, and batch ids are
+    namespaced by the checkpoint digest so two streams feeding one
+    root can never collide on epoch numbers. The registry on disk is
+    the only state — no stream-side hash table, so a duplicate image
+    arriving weeks after its original is still rejected."""
+    import hashlib
+
+    from ..jobs.image_hash_lake import ingest_image_batch
+
+    ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+
+    def admit(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_image_batch(
+            batch_df.sparkSession,
+            batch_df,
+            root,
+            batch_id=f"{ns}-epoch-{epoch_id}",
+            id_col=id_col,
+            payload_col=payload_col,
+            max_hamming=max_hamming,
+        )
+
+    writer = assets.writeStream.foreachBatch(admit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -124,3 +124,63 @@ def test_compaction_consolidates_without_changing_admission(spark, tmp_path):
     # a retired id can never be reused
     with pytest.raises(ValueError, match="retired"):
         ingest_image_batch(spark, _assets(spark, [200]), root, "day0")
+
+
+def test_streaming_image_admission_matches_batch_ingest(spark, tmp_path):
+    """The m8 streaming twin (streaming/admission.py): draining an
+    asset stream through foreachBatch admission registers exactly the
+    survivors sequential batch ingests register, and a second drain
+    resumes from the checkpoint (duplicates of registered content
+    rejected, completed epochs not re-decided)."""
+    from pokemon_showdown_airflow_etl_spark.streaming import (
+        start_image_admission,
+    )
+
+    land = str(tmp_path / "in")
+    root = str(tmp_path / "img")
+    ck = str(tmp_path / "ck")
+
+    c1 = [
+        ("a0", b"image payload zero"),
+        ("a1", b"image payload zero"),  # within-chunk dup of a0
+        ("a2", b"image payload two"),
+    ]
+    c2 = [
+        ("b0", b"image payload zero"),  # dup of registered a0
+        ("b1", b"image payload fresh"),
+    ]
+
+    def land_chunk(rows):
+        spark.createDataFrame(
+            rows, "asset_id string, payload binary"
+        ).coalesce(1).write.mode("append").parquet(land)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("asset_id string, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        q = start_image_admission(stream, root, ck)
+        q.awaitTermination()
+
+    land_chunk(c1)
+    drain()
+    land_chunk(c2)
+    drain()  # restart from checkpoint
+
+    adm = spark.read.parquet(root + "/admissions")
+    got = {r["asset"]: r["status"] for r in adm.collect()}
+    assert got == {
+        "a0": "accepted",
+        "a1": "dup_in_batch",
+        "a2": "accepted",
+        "b0": "dup_of_corpus",
+        "b1": "accepted",
+    }
+    assert adm.count() == 5
+    kept = {
+        r["asset_id"]
+        for r in spark.read.parquet(root + "/hashes").select("asset_id").collect()
+    }
+    assert kept == {"a0", "a2", "b1"}
