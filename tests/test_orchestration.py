@@ -193,3 +193,54 @@ def test_cli_catalog_surface(spark, sf_dir, capsys):
         main(["query", "no_such_query", "--sf-dir", sf_dir])
     with pytest.raises(SystemExit):
         main(["audit"])  # lake-less maintenance command must refuse
+
+
+def test_corpus_curation_dag_imports_and_runs_stages(spark, tmp_path, monkeypatch):
+    """The corpus-curation DAG (dags/corpus_curation_dag.py): imports
+    cleanly without airflow, and its stage callables drive the real
+    jobs end-to-end over a tmp lake — admit (d9 + facets), decon-check
+    (a10 serve, counts-only return), curate (stored-LM band), compact
+    (O12 under ALL_DONE). A re-run of admit on the decided drop skips
+    (O3: zero considered)."""
+    import os as _os
+
+    path = _os.path.join(
+        _os.path.dirname(__file__), "..", "dags", "corpus_curation_dag.py"
+    )
+    spec = importlib.util.spec_from_file_location("corpus_curation_dag", path)
+    m = importlib.util.module_from_spec(spec)
+    sys.modules["corpus_curation_dag"] = m
+    spec.loader.exec_module(m)
+    assert m.dag is None  # no airflow in this container
+
+    drop_dir = tmp_path / "drops"
+    (drop_dir / "2026-08-16").parent.mkdir(parents=True, exist_ok=True)
+    monkeypatch.setattr(m, "SIG_ROOT", str(tmp_path / "sig"))
+    monkeypatch.setattr(m, "DROP_DIR", str(drop_dir))
+    monkeypatch.setattr(m, "OUT_DIR", str(tmp_path / "curated"))
+    rows = [
+        (
+            i,
+            f"document number {i} with several unique words w{i}a w{i}b w{i}c",
+            f"src{i % 3}",
+        )
+        for i in range(30)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(str(drop_dir / "2026-08-16"))
+
+    ctx = {"ds": "2026-08-16", "params": {"min_batches_compact": 1}}
+    st = m.run_admit(**ctx)
+    assert st["n_accepted"] > 0
+    again = m.run_admit(**ctx)  # no airflow -> returns stats instead of skip
+    assert again["n_considered"] == 0
+
+    dc = m.run_decon_check(**ctx)
+    # the drop IS the corpus, so every doc with >= 4 tokens flags
+    assert dc["has_bloom"] is True and dc["n_docs_flagged"] == dc["n_docs"]
+
+    cu = m.run_curate(**ctx)
+    assert cu["n_written"] > 0
+    cp = m.run_compact(**ctx)
+    assert cp["n_batches_consolidated"] in (0, 1)
