@@ -663,3 +663,59 @@ def bloom_maybe_contains(
         .groupBy(key_col)
         .agg((F.sum("hit") == F.lit(k)).alias("maybe_present"))
     )
+
+
+def hll_registers_by(df: DataFrame, group_col: str, key: Column) -> DataFrame:
+    """Per-group HLL register tables — :func:`hll_registers` with a
+    grouping key, the standard OLAP sketch shape ("distinct users per
+    segment"): (group, reg, max_rank) rows, <= HLL_M per group, one
+    map-side-combinable max aggregation over (group, reg). Mergeable
+    per group by max, exactly like the global sketch."""
+    h = F.md5(key.cast("string"))
+    return (
+        df.select(F.col(group_col).alias("grp"), h.alias("h"))
+        .filter(F.col("h").isNotNull())
+        .select(
+            "grp",
+            (F.conv(F.substring("h", 1, 2), 16, 10).cast("int") % HLL_M).alias(
+                "reg"
+            ),
+            F.least(hll_rank(F.col("h")), F.lit(HLL_RANK_CAP)).alias("rank"),
+        )
+        .groupBy("grp", "reg")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_summary_by(regs: DataFrame) -> DataFrame:
+    """Per-group :func:`hll_summary_of_registers` over a (grp, reg,
+    max_rank) frame: one row per group with the int64-exact register
+    sum S, zero-register count V, and the estimate (raw + linear-
+    counting branches) in milli-units. Same math as the global
+    summary; a group absent from the frame simply has no row (its
+    sketch is empty — the caller decides whether absent means 0)."""
+    m = HLL_M
+    cap = HLL_RANK_CAP
+    summ = regs.groupBy("grp").agg(
+        (
+            F.coalesce(
+                F.sum(
+                    F.pow(F.lit(2.0), F.lit(cap) - F.col("max_rank")).cast("long")
+                ),
+                F.lit(0).cast("long"),
+            )
+            + (F.lit(m) - F.count("*")) * F.lit(2**cap)
+        ).cast("long").alias("s_sum"),
+        (F.lit(m) - F.count("*")).cast("long").alias("v_zero"),
+    )
+    raw = F.lit(HLL_ALPHA * m * m * float(2**cap)) / F.col("s_sum")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(raw)
+    return summ.select(
+        "grp",
+        "s_sum",
+        "v_zero",
+        F.round(est * 1000).cast("long").alias("est_milli"),
+    )

@@ -1276,3 +1276,82 @@ def a10_lake_bloom_decontaminate(spark, sf_dir):
         )
         .orderBy("rank", "gram")
     )
+
+
+# a4's alpha numerator verbatim (_hll_leg_sql) — exact powers of two
+_A4_NUM_SQL = "(0.7213 / (1 + 1.079 / 64)) * 64 * 64 * pow(2.0, 40)"
+
+
+@q(
+    "a11_grouped_hll_distinct",
+    f"""
+    WITH regs AS (
+        SELECT grp, reg, max(least(rank, 40)) AS mr
+        FROM (
+            SELECT grp,
+                   CAST(CAST('0x' || substr(h, 1, 2) AS INT) % 64 AS INT)
+                       AS reg,
+                   {_HLL_RANK_SQL} AS rank
+            FROM (
+                SELECT grp, h, regexp_replace(substr(h, 3, 15), '^0*', '') AS nz
+                FROM (
+                    SELECT event_type AS grp,
+                           md5(CAST(user_id AS VARCHAR)) AS h
+                    FROM events WHERE user_id IS NOT NULL
+                )
+            )
+        ) GROUP BY grp, reg
+    ), summ AS (
+        SELECT grp,
+               CAST(sum(CAST(pow(2.0, 40 - mr) AS BIGINT))
+                    + (64 - count(*)) * CAST(pow(2.0, 40) AS BIGINT) AS BIGINT)
+                   AS s_sum,
+               CAST(64 - count(*) AS BIGINT) AS v_zero
+        FROM regs GROUP BY grp
+    ), ex AS (
+        SELECT event_type AS grp,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    )
+    SELECT s.grp AS event_type, ex.n_exact, s.s_sum, s.v_zero,
+           CAST(round((CASE WHEN {_A4_NUM_SQL} / s.s_sum <= 160.0
+                                 AND s.v_zero > 0
+                            THEN 64.0 * ln(64.0 / s.v_zero)
+                            ELSE {_A4_NUM_SQL} / s.s_sum END) * 1000)
+                AS BIGINT) AS est_milli
+    FROM summ s JOIN ex USING (grp)
+    ORDER BY event_type
+    """,
+    doc="GROUPED deterministic HyperLogLog — a4's novel sketch in the "
+    "standard OLAP shape ('distinct users per segment'): one register "
+    "table per event_type, built in ONE map-side-combinable max "
+    "aggregation over (group, register) — <= 64 partial rows per group "
+    "per task however many events — then a per-group summary with the "
+    "int64-exact register sum, zero-register count, and the estimate "
+    "(both branches). Exact per-group distincts ride along as the "
+    "accuracy audit, and every number — registers, S, V, estimate — "
+    "hash-checks cross-engine. At 100 TB this replaces a "
+    "count(DISTINCT) per segment (a full shuffle of user ids per "
+    "group) with constant-size per-group state that also merges "
+    "across days by register max — the same law the lake's sketch "
+    "facet compacts under.",
+)
+def a11_grouped_hll_distinct(spark, sf_dir):
+    from ..operators.sketches import hll_registers_by, hll_summary_by
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    summ = hll_summary_by(hll_registers_by(ev, "event_type", F.col("user_id")))
+    exact = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        summ.join(exact, "grp")
+        .select(
+            F.col("grp").alias("event_type"),
+            "n_exact",
+            "s_sum",
+            "v_zero",
+            "est_milli",
+        )
+        .orderBy("event_type")
+    )

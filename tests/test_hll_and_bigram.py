@@ -231,3 +231,45 @@ def test_hll_summary_of_empty_registers_is_a_zero_sketch(spark):
     assert row["s_sum"] == HLL_M * 2**HLL_RANK_CAP
     assert row["v_zero"] == HLL_M
     assert row["est_milli"] == 0
+
+
+def test_grouped_hll_matches_per_group_global_sketch(spark):
+    """a11's grouped sketch is DEFINITIONALLY the global sketch run per
+    group: for every group, (s_sum, v_zero, est_milli) must equal
+    hll_summary over that group's rows alone; and the grouped registers
+    merge across day-splits by max exactly like the global ones."""
+    from pokemon_showdown_airflow_etl_spark.operators.sketches import (
+        hll_registers_by,
+        hll_summary,
+        hll_summary_by,
+    )
+
+    rows = [(f"g{i % 3}", f"user{i % 57}") for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    got = {
+        r["grp"]: (r["s_sum"], r["v_zero"], r["est_milli"])
+        for r in hll_summary_by(hll_registers_by(df, "grp", F.col("uid"))).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        want = hll_summary(
+            df.filter(F.col("grp") == g), F.col("uid")
+        ).collect()[0]
+        assert got[g] == (want["s_sum"], want["v_zero"], want["est_milli"]), g
+
+    # day-split merge law: max per (grp, reg) over the two halves'
+    # register frames == registers of the union
+    a = hll_registers_by(df.limit(200), "grp", F.col("uid"))
+    b = hll_registers_by(
+        spark.createDataFrame(rows[200:], "grp string, uid string"),
+        "grp",
+        F.col("uid"),
+    )
+    merged = (
+        a.unionByName(b)
+        .groupBy("grp", "reg")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    whole = hll_registers_by(df, "grp", F.col("uid"))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
