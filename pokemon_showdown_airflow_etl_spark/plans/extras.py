@@ -1216,7 +1216,8 @@ _A10_POS_SQL = (
     "audit; maybe_in_corpus the served verdict; no_false_negative the "
     "Bloom law (present implies maybe — the guarantee decontamination "
     "relies on; absent panel grams read false except at the ~fill^k "
-    "false-positive rate, ~0.1% at this SF). At 100 TB the serve "
+    "false-positive rate — single-digit ppm at this SF, the "
+    "sketch-stats bloom_fp_ppm gauge). At 100 TB the serve "
     "touches <= 32768 stored rows broadcast against the probe grams — "
     "an eval-benchmark intake (cli decon-check) checks contamination without re-scanning "
     "corpus text; only the top-10 audit leg scans the corpus, and it "
