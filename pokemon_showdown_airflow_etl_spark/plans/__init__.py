@@ -65,6 +65,7 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
 
 _PRIORITY: list[str] = [
     # -- (1) every entry in CHANGED_SINCE_LAST_ROW, new first --
+    "a12_hll_set_ops",  # NEW r11: sketch-only audience overlap
     "a11_grouped_hll_distinct",  # NEW r11: per-group HLL distinct
     "m8_image_admission",  # NEW r11: incremental image-drop admission
     "m7_scene_segments",  # NEW r11: shot-boundary scene segmentation
@@ -128,19 +129,20 @@ _PRIORITY: list[str] = [
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
-    "q8_market_share",
     # the reserved head slots are all taken (t26, a7, s22 in section
     # (1)), plus t25's rotation, a8, t27 and a9; s1_similarity_topk,
     # s2_ann_srp_topk, s4_ivf_ann_topk and s5_gemm_ann_topk joined
     # s7/t10/t11 in yielding their slots to r12's spill list above.
-    # The nine mid-round additions (t28/t29/s23/a10/a11/m6/m6b/m7/m8
-    # — new entries must sit in the window) pushed q9_product_profit,
+    # The ten mid-round additions (t28/t29/s23/a10/a11/a12/m6/m6b/
+    # m7/m8 — new entries must sit in the window) pushed
+    # q8_market_share, q9_product_profit,
     # s11_embed_admit_batch, s12_reindexed_admit_batch,
     # s13_ann_recall_audit, s15_pq_adc_topk, s16_hamming_topk,
     # s17_ivfpq_topk, s18_compression_recall_audit and
     # s19_pq_train_quality to the r12 spill as well (all r8-green,
     # re-verified by every local parity sweep).
     # ---- slot 50 boundary ----
+    "q8_market_share",
     "q9_product_profit",
     "s11_embed_admit_batch",
     "s12_reindexed_admit_batch",

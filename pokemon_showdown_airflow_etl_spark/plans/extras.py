@@ -1356,3 +1356,178 @@ def a11_grouped_hll_distinct(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+A12_PAIRS_SQL = "l.grp < r.grp"
+
+
+@q(
+    "a12_hll_set_ops",
+    f"""
+    WITH regs AS (
+        SELECT grp, reg, max(least(rank, 40)) AS mr
+        FROM (
+            SELECT grp,
+                   CAST(CAST('0x' || substr(h, 1, 2) AS INT) % 64 AS INT)
+                       AS reg,
+                   {_HLL_RANK_SQL} AS rank
+            FROM (
+                SELECT grp, h, regexp_replace(substr(h, 3, 15), '^0*', '') AS nz
+                FROM (
+                    SELECT event_type AS grp,
+                           md5(CAST(user_id AS VARCHAR)) AS h
+                    FROM events WHERE user_id IS NOT NULL
+                )
+            )
+        ) GROUP BY grp, reg
+    ), pairs AS (
+        SELECT l.grp AS grp_a, r.grp AS grp_b FROM
+            (SELECT DISTINCT grp FROM regs) l JOIN
+            (SELECT DISTINCT grp FROM regs) r ON {A12_PAIRS_SQL}
+    ), uregs AS (
+        SELECT p.grp_a, p.grp_b, g.reg, max(g.mr) AS mr
+        FROM pairs p JOIN regs g ON g.grp IN (p.grp_a, p.grp_b)
+        GROUP BY 1, 2, 3
+    ), est AS (
+        SELECT grp, CAST(round((CASE WHEN {_A4_NUM_SQL} / s_sum <= 160.0
+                                          AND v_zero > 0
+                                     THEN 64.0 * ln(64.0 / v_zero)
+                                     ELSE {_A4_NUM_SQL} / s_sum END) * 1000)
+                         AS BIGINT) AS est_milli
+        FROM (
+            SELECT grp,
+                   CAST(sum(CAST(pow(2.0, 40 - mr) AS BIGINT))
+                        + (64 - count(*)) * CAST(pow(2.0, 40) AS BIGINT)
+                        AS BIGINT) AS s_sum,
+                   CAST(64 - count(*) AS BIGINT) AS v_zero
+            FROM regs GROUP BY grp
+        )
+    ), uest AS (
+        SELECT grp_a, grp_b,
+               CAST(round((CASE WHEN {_A4_NUM_SQL} / s_sum <= 160.0
+                                     AND v_zero > 0
+                                THEN 64.0 * ln(64.0 / v_zero)
+                                ELSE {_A4_NUM_SQL} / s_sum END) * 1000)
+                    AS BIGINT) AS union_est_milli
+        FROM (
+            SELECT grp_a, grp_b,
+                   CAST(sum(CAST(pow(2.0, 40 - mr) AS BIGINT))
+                        + (64 - count(*)) * CAST(pow(2.0, 40) AS BIGINT)
+                        AS BIGINT) AS s_sum,
+                   CAST(64 - count(*) AS BIGINT) AS v_zero
+            FROM uregs GROUP BY 1, 2
+        )
+    ), ex AS (
+        SELECT p.grp_a, p.grp_b,
+               CAST(count(DISTINCT CASE WHEN e1.grp = p.grp_a
+                                        THEN e1.uid END) AS BIGINT) AS n_a,
+               CAST(count(DISTINCT CASE WHEN e1.grp = p.grp_b
+                                        THEN e1.uid END) AS BIGINT) AS n_b,
+               CAST(count(DISTINCT e1.uid) AS BIGINT) AS n_union
+        FROM pairs p JOIN (
+            SELECT event_type AS grp, user_id AS uid FROM events
+            WHERE user_id IS NOT NULL
+        ) e1 ON e1.grp IN (p.grp_a, p.grp_b)
+        GROUP BY 1, 2
+    )
+    SELECT p.grp_a, p.grp_b,
+           ea.est_milli AS est_a_milli,
+           eb.est_milli AS est_b_milli,
+           u.union_est_milli,
+           ea.est_milli + eb.est_milli - u.union_est_milli
+               AS overlap_est_milli,
+           ex.n_a, ex.n_b, ex.n_union,
+           ex.n_a + ex.n_b - ex.n_union AS n_overlap
+    FROM pairs p
+    JOIN est ea ON ea.grp = p.grp_a
+    JOIN est eb ON eb.grp = p.grp_b
+    JOIN uest u USING (grp_a, grp_b)
+    JOIN ex USING (grp_a, grp_b)
+    ORDER BY grp_a, grp_b
+    """,
+    doc="HLL set operations — audience overlap between segments from "
+    "STORED-SHAPE sketches alone: per-segment register tables (a11's "
+    "build), pairwise UNION sketches by the register-max merge law "
+    "(the union estimate needs no data revisit — max over two 64-row "
+    "frames), and the intersection by inclusion-exclusion "
+    "est(A)+est(B)-est(A|B) — the standard sketch answer to 'how many "
+    "users do segments A and B share'. Exact per-pair distincts ride "
+    "along as the audit. Every register, union register, and estimate "
+    "is deterministic, so the whole derivation hash-checks "
+    "cross-engine. At 100 TB: segment sketches are 64 rows each, so "
+    "all O(k^2) pair overlaps cost k^2 x 64-row merges — no re-scan, "
+    "no distinct shuffle; the same stored registers the lake's sketch "
+    "facet compacts under answer every pairwise question after the "
+    "fact.",
+)
+def a12_hll_set_ops(spark, sf_dir):
+    from ..operators.sketches import hll_registers_by, hll_summary_by
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    regs = hll_registers_by(ev, "event_type", F.col("user_id")).transform(pin)
+    groups = regs.select("grp").distinct()
+    pairs = (
+        groups.select(F.col("grp").alias("grp_a"))
+        .join(groups.select(F.col("grp").alias("grp_b")))
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .transform(pin)
+    )
+    # union registers: max per (pair, reg) over BOTH sides' stored
+    # rows — the merge law, never the data
+    uregs = (
+        pairs.join(
+            regs,
+            (F.col("grp") == F.col("grp_a")) | (F.col("grp") == F.col("grp_b")),
+        )
+        .groupBy("grp_a", "grp_b", "reg")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    est = hll_summary_by(regs).select("grp", "est_milli")
+    uest = hll_summary_by(
+        uregs.select(
+            F.concat_ws("|", "grp_a", "grp_b").alias("grp"), "reg", "max_rank"
+        )
+    ).select(
+        F.split(F.col("grp"), "\\|").getItem(0).alias("grp_a"),
+        F.split(F.col("grp"), "\\|").getItem(1).alias("grp_b"),
+        F.col("est_milli").alias("union_est_milli"),
+    )
+    pe = ev.select(F.col("event_type").alias("grp"), F.col("user_id").alias("uid"))
+    ex = (
+        pairs.join(
+            pe, (F.col("grp") == F.col("grp_a")) | (F.col("grp") == F.col("grp_b"))
+        )
+        .groupBy("grp_a", "grp_b")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("grp") == F.col("grp_a"), F.col("uid"))
+            ).cast("long").alias("n_a"),
+            F.countDistinct(
+                F.when(F.col("grp") == F.col("grp_b"), F.col("uid"))
+            ).cast("long").alias("n_b"),
+            F.countDistinct("uid").cast("long").alias("n_union"),
+        )
+    )
+    ea = est.select(F.col("grp").alias("grp_a"), F.col("est_milli").alias("est_a_milli"))
+    eb = est.select(F.col("grp").alias("grp_b"), F.col("est_milli").alias("est_b_milli"))
+    return (
+        pairs.join(ea, "grp_a")
+        .join(eb, "grp_b")
+        .join(uest, ["grp_a", "grp_b"])
+        .join(ex, ["grp_a", "grp_b"])
+        .select(
+            "grp_a",
+            "grp_b",
+            "est_a_milli",
+            "est_b_milli",
+            "union_est_milli",
+            (
+                F.col("est_a_milli") + F.col("est_b_milli") - F.col("union_est_milli")
+            ).alias("overlap_est_milli"),
+            "n_a",
+            "n_b",
+            "n_union",
+            (F.col("n_a") + F.col("n_b") - F.col("n_union")).alias("n_overlap"),
+        )
+        .orderBy("grp_a", "grp_b")
+    )

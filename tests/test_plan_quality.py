@@ -876,3 +876,17 @@ def test_image_admission_probes_corpus_by_equi_join(q):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) <= 1
+
+
+def test_hll_set_ops_union_reads_registers_not_data(q):
+    """a12: the pairwise union sketch must come from the two segments'
+    64-row register frames (register-max merge), never from a revisit
+    of the events data — the plan may scan events only for the sketch
+    build and the exact audit (both pinned), and no Python appears."""
+    import re
+
+    plan = q("a12_hll_set_ops")
+    assert "BatchEvalPython" not in plan
+    # pin materializes the register/pair frames, so the only parquet
+    # scans left belong to the single exact-audit leg
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 1
