@@ -10,7 +10,10 @@ the drop is empty, maintenance under ALL_DONE.
                              the drop directory has no undecided docs
     >> decontaminate_check   probe the drop against the STORED Bloom
                              facet per-doc (a10 serve; counts to XCom,
-                             verdicts parquet beside the drop)
+                             verdicts parquet beside the drop) — the
+                             drop's OWN batch is excluded from the
+                             merged filter, so verdicts measure overlap
+                             with the prior corpus, not self-overlap
     >> curate_corpus         the 10-stage curate pipeline over the
                              accepted drop, perplexity band served from
                              the stored lm/ facet (--lm-root) so no
@@ -87,8 +90,15 @@ def run_decon_check(**context) -> dict:
     p = _resolve(context)
     bid = _batch_id(p, context)
     spark = get_spark(app_name="corpus-decon-check")
+    # the probe must see only batches that PRECEDED this drop —
+    # admit_document_drop has already committed the drop's own bloom
+    # partition, and probing a doc against its own grams flags
+    # everything (ADVICE r11), so the drop's batch id is excluded
     verdicts = eval_contamination(
-        spark, SIG_ROOT, spark.read.parquet(os.path.join(DROP_DIR, bid))
+        spark,
+        SIG_ROOT,
+        spark.read.parquet(os.path.join(DROP_DIR, bid)),
+        exclude=(bid,),
     )
     if verdicts is None:  # pre-facet corpus: nothing to probe against
         return {"has_bloom": False}

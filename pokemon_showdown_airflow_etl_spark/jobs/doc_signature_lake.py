@@ -597,12 +597,18 @@ def batch_bloom_rows(
     return bloom_rows(batch_gram4_stream(docs, id_col, text_col, n), "gram")
 
 
-def read_corpus_bloom(spark: SparkSession, sig_root: str) -> DataFrame | None:
+def read_corpus_bloom(
+    spark: SparkSession, sig_root: str, exclude: tuple = ()
+) -> DataFrame | None:
     """The corpus-wide MERGED Bloom filter over every committed batch's
     stored bloom/ partition, or None when no batch carries the facet.
     OR is idempotent, so like the sketch facet (and unlike the additive
     lm/cms legs) this read uses the plain committed-batch paths — a
-    compaction crash window's double read merges to the same words."""
+    compaction crash window's double read merges to the same words.
+    ``exclude`` drops named batch ids from the merge — a decon check
+    that runs AFTER its own drop was admitted passes the drop's
+    batch_id here so the probe sees only PRIOR batches (ADVICE r11:
+    otherwise every drop doc trivially flags against itself)."""
     import os
 
     from ..operators.sketches import merge_bloom_rows
@@ -611,6 +617,7 @@ def read_corpus_bloom(spark: SparkSession, sig_root: str) -> DataFrame | None:
     paths = [
         os.path.join(sig_root, BLOOM_TABLE, f"batch={b}")
         for b in committed
+        if b not in exclude
     ]
     paths = [p for p in paths if os.path.exists(os.path.join(p, "_SUCCESS"))]
     if not paths:
@@ -644,6 +651,7 @@ def eval_contamination(
     eval_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    exclude: tuple = (),
 ) -> DataFrame | None:
     """Per-document contamination verdicts for an EVAL benchmark
     against the STORED corpus Bloom facet: (id, n_grams,
@@ -655,10 +663,12 @@ def eval_contamination(
     A true overlap ALWAYS flags (no false negatives); a clean doc can
     flag spuriously at the stored filter's fill^k rate — the gauge
     sketch-stats reports as bloom_fp_ppm. Returns None on a pre-facet
-    corpus (caller falls back to the exact t9 scan)."""
+    corpus (caller falls back to the exact t9 scan). ``exclude``
+    forwards to :func:`read_corpus_bloom` so a post-admit check can
+    probe only the batches that PRECEDED its own drop."""
     from ..operators.dedup import shingles_from_tokens, tokens
 
-    bloom = read_corpus_bloom(spark, sig_root)
+    bloom = read_corpus_bloom(spark, sig_root, exclude=exclude)
     if bloom is None:
         return None
     from ..operators.sketches import bloom_maybe_contains

@@ -53,7 +53,8 @@ def ingest_image_batch(
     """Admit ``new_assets`` (id + binary payload) against the hash
     corpus under ``root`` and register the accepted assets. Returns
     counts only (the O5 stats rule): n_batch, n_already_registered,
-    n_considered, n_accepted, n_dup_of_corpus, n_dup_in_batch.
+    n_considered, n_accepted, n_dup_of_corpus, n_dup_in_batch,
+    n_undecodable — the last four always sum to n_considered.
 
     Same protocol as ingest_signature_batch: members/ is the commit
     marker and lands LAST; a committed batch is immutable (re-running
@@ -88,13 +89,37 @@ def ingest_image_batch(
             "n_accepted": 0,
             "n_dup_of_corpus": 0,
             "n_dup_in_batch": 0,
+            "n_undecodable": 0,
         }
     if batch_id in committed:
-        raise ValueError(
-            f"batch_id {batch_id!r} already committed but this run carries "
-            f"{n_fresh} undecided assets — a committed batch is immutable; "
-            "submit the amended assets under a NEW batch_id"
+        # a committed batch may legitimately re-present its OWN
+        # undecodable assets (checkpoint replay with the same null
+        # payloads — they are deliberately absent from members/ so a
+        # future batch can re-consider them); only ids the batch's
+        # audit never saw make the re-run an illegal mutation
+        own_adm = os.path.join(adm_dir, f"batch={batch_id}")
+        own_undecodable = (
+            spark.read.parquet(own_adm)
+            .filter(F.col("status") == "undecodable")
+            .select("asset")
         )
+        n_foreign = fresh_ids.join(own_undecodable, "asset", "left_anti").count()
+        if n_foreign > 0:
+            raise ValueError(
+                f"batch_id {batch_id!r} already committed but this run "
+                f"carries {n_foreign} undecided assets its audit never saw "
+                "— a committed batch is immutable; submit the amended "
+                "assets under a NEW batch_id"
+            )
+        return {
+            "n_batch": n_batch,
+            "n_already_registered": n_batch - n_fresh,
+            "n_considered": 0,
+            "n_accepted": 0,
+            "n_dup_of_corpus": 0,
+            "n_dup_in_batch": 0,
+            "n_undecodable": n_fresh,
+        }
     if batch_id in retired_batches(root):
         raise ValueError(
             f"batch_id {batch_id!r} was retired by compaction — its "
@@ -115,9 +140,23 @@ def ingest_image_batch(
     if corpus_hashes is None:
         corpus_hashes = batch_hashes.limit(0)
 
+    # null/undecodable payloads produce no hash row; they get an
+    # explicit 'undecodable' audit row and are EXCLUDED from members/
+    # (left undecided), so a corrected re-upload of the same asset_id
+    # is re-considered instead of permanently skipped, and the returned
+    # counts always sum to n_considered (ADVICE r11)
+    hashed_ids = batch_hashes.select(
+        F.col("asset_id").alias("asset")
+    ).distinct()
+    undecodable = fresh_ids.join(hashed_ids, "asset", "left_anti").select(
+        "asset",
+        F.lit(0).cast("long").alias("n_corpus_dups"),
+        F.lit(None).cast("string").alias("first_corpus_dup"),
+        F.lit("undecodable").alias("status"),
+    )
     decision = ahash_admission(
         batch_hashes, corpus_hashes, max_hamming=max_hamming
-    )
+    ).unionByName(undecodable)
     decision.write.mode("overwrite").parquet(
         os.path.join(adm_dir, f"batch={batch_id}")
     )
@@ -134,8 +173,9 @@ def ingest_image_batch(
         for r in decision.groupBy("status").agg(F.count("*").alias("n")).collect()
     }
     # members LAST: the batch's commit marker, recording every DECIDED
-    # id so a re-run skips rejected assets too
-    fresh_ids.write.mode("overwrite").parquet(
+    # id (rejected dups included, undecodable excluded) so a re-run
+    # skips decided assets but re-opens undecodable ones
+    hashed_ids.write.mode("overwrite").parquet(
         os.path.join(mem_dir, f"batch={batch_id}")
     )
     return {
@@ -145,6 +185,7 @@ def ingest_image_batch(
         "n_accepted": counts.get("accepted", 0),
         "n_dup_of_corpus": counts.get("dup_of_corpus", 0),
         "n_dup_in_batch": counts.get("dup_in_batch", 0),
+        "n_undecodable": counts.get("undecodable", 0),
     }
 
 

@@ -637,13 +637,18 @@ def bloom_maybe_contains(
     k: int = BLOOM_K,
     m_bits: int = BLOOM_M_BITS,
 ) -> DataFrame:
-    """Probe DISTINCT candidate keys against a (w, bits) filter: adds
-    ``maybe_present`` (true iff ALL k probed bits are set). The filter
+    """Probe candidate keys against a (w, bits) filter: adds
+    ``maybe_present`` (true iff ALL probed bits are set). The filter
     is <= BLOOM_WORDS rows and explicitly broadcast, so the candidate
     side — the side that grows with the corpus — never shuffles; the
     only exchange is the k-row-per-key verdict fold, map-side combined.
     An untouched word is simply absent from the stored rows; its bits
-    coalesce to 0 and the probe correctly reads false."""
+    coalesce to 0 and the probe correctly reads false. The verdict
+    compares sum(hit) to count(*) rather than the constant k, so a
+    caller that passes duplicate candidate keys (each dup contributes
+    its own k probe rows, all hits for a present key) still reads
+    maybe_present=true — duplicates can never manufacture the false
+    negative ADVICE r11 flagged for the sum(hit)==k form."""
     probes = candidates.select(
         F.col(key_col),
         F.explode(bloom_positions(F.col(key_col), k, m_bits)).alias("p"),
@@ -661,7 +666,7 @@ def bloom_maybe_contains(
         probes.join(F.broadcast(bloom), "w", "left")
         .select(key_col, hit.alias("hit"))
         .groupBy(key_col)
-        .agg((F.sum("hit") == F.lit(k)).alias("maybe_present"))
+        .agg((F.sum("hit") == F.count(F.lit(1))).alias("maybe_present"))
     )
 
 

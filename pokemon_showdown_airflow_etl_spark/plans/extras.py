@@ -1483,13 +1483,16 @@ def a12_hll_set_ops(spark, sf_dir):
         .agg(F.max("max_rank").alias("max_rank"))
     )
     est = hll_summary_by(regs).select("grp", "est_milli")
+    # the pair key stays a STRUCT through the summary (ADVICE r11: a
+    # string-encoded composite key would mis-split on group values that
+    # contain the separator) — groupBy on a struct column is exact
     uest = hll_summary_by(
         uregs.select(
-            F.concat_ws("|", "grp_a", "grp_b").alias("grp"), "reg", "max_rank"
+            F.struct("grp_a", "grp_b").alias("grp"), "reg", "max_rank"
         )
     ).select(
-        F.split(F.col("grp"), "\\|").getItem(0).alias("grp_a"),
-        F.split(F.col("grp"), "\\|").getItem(1).alias("grp_b"),
+        F.col("grp.grp_a").alias("grp_a"),
+        F.col("grp.grp_b").alias("grp_b"),
         F.col("est_milli").alias("union_est_milli"),
     )
     pe = ev.select(F.col("event_type").alias("grp"), F.col("user_id").alias("uid"))

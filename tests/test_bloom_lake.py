@@ -210,3 +210,54 @@ def test_eval_contamination_per_doc_verdicts(spark, tmp_path):
     assert got[100] == (3, 1, True)
     assert got[101][2] is False and got[101][0] > 0
     assert got[102] == (0, 0, False)
+
+
+def test_duplicate_candidates_cannot_fake_a_false_negative(spark, tmp_path):
+    """ADVICE r11: bloom_maybe_contains decides sum(hit) == count(*),
+    not == k, so a caller passing the SAME present key twice (2k probe
+    rows, all hits) still reads true — duplicates can never manufacture
+    a false negative, which would silently break the no-false-negative
+    law the decontamination serve advertises."""
+    root = str(tmp_path / "sig")
+    train = _docs(spark, 0, 5)
+    ingest_signature_batch(spark, train, root, "day1")
+    bloom = read_corpus_bloom(spark, root)
+
+    one = batch_gram4_stream(train).select("gram").distinct().limit(1)
+    dup = one.unionAll(one).unionAll(one)  # the same key, three times
+    got = bloom_maybe_contains(dup, bloom, "gram").collect()
+    assert len(got) == 1 and got[0]["maybe_present"] is True
+
+    # absent keys stay false under duplication too
+    miss = spark.createDataFrame(
+        [("zz never ingested gram",)] * 3, "gram string"
+    )
+    got = bloom_maybe_contains(miss, bloom, "gram").collect()
+    assert len(got) == 1 and got[0]["maybe_present"] is False
+
+
+def test_eval_contamination_excludes_named_batches(spark, tmp_path):
+    """ADVICE r11 (DAG ordering): with exclude=(own batch,), a drop
+    admitted BEFORE its decon check measures overlap with the PRIOR
+    corpus only — day 1 alone yields no filter at all (None), and a
+    day-2 doc flags iff it overlaps day 1, never merely itself."""
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        eval_contamination,
+    )
+
+    root = str(tmp_path / "sig")
+    day1 = _docs(spark, 0, 10)
+    ingest_signature_batch(spark, day1, root, "day1")
+    # the sole batch excluded -> pre-facet view -> None
+    assert eval_contamination(spark, root, day1, exclude=("day1",)) is None
+
+    day2 = day1.limit(1).unionAll(_docs(spark, 50, 54, salt="fresh"))
+    ingest_signature_batch(spark, day2, root, "day2")
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in eval_contamination(
+            spark, root, day2, exclude=("day2",)
+        ).collect()
+    }
+    assert got[0] is True  # the day-1 copy
+    assert all(not got[i] for i in range(50, 54))  # the fresh docs

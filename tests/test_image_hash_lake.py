@@ -184,3 +184,55 @@ def test_streaming_image_admission_matches_batch_ingest(spark, tmp_path):
         for r in spark.read.parquet(root + "/hashes").select("asset_id").collect()
     }
     assert kept == {"a0", "a2", "b1"}
+
+
+def test_undecodable_assets_stay_undecided_and_reopen(spark, tmp_path):
+    """ADVICE r11: a null-payload asset gets an explicit 'undecodable'
+    admissions row, the counts sum to n_considered, and its id is
+    EXCLUDED from members/ — so a corrected re-upload under a new
+    batch_id is re-considered instead of permanently skipped. A
+    checkpoint-style replay of the committed batch (same null payload)
+    stays a harmless no-op rather than tripping the immutability
+    guard."""
+    root = str(tmp_path / "img")
+    day1 = _assets(spark, range(3)).unionByName(
+        spark.createDataFrame(
+            [("broken", None)], "asset_id string, payload binary"
+        )
+    )
+    st = ingest_image_batch(spark, day1, root, "day1")
+    assert st["n_considered"] == 4
+    assert st["n_accepted"] == 3 and st["n_undecodable"] == 1
+    assert (
+        st["n_accepted"]
+        + st["n_dup_of_corpus"]
+        + st["n_dup_in_batch"]
+        + st["n_undecodable"]
+        == st["n_considered"]
+    )
+    assert _statuses(spark, root, "day1")["broken"] == "undecodable"
+    members = {
+        r["asset"]
+        for r in spark.read.parquet(
+            os.path.join(root, "members", "batch=day1")
+        ).collect()
+    }
+    assert "broken" not in members and members == {"0", "1", "2"}
+
+    # replay of the committed batch with the same null payload: no-op
+    again = ingest_image_batch(spark, day1, root, "day1")
+    assert again["n_considered"] == 0 and again["n_undecodable"] == 1
+
+    # a genuinely NEW id on a committed batch still trips immutability
+    with pytest.raises(ValueError, match="immutable"):
+        ingest_image_batch(
+            spark, day1.unionByName(_assets(spark, [99])), root, "day1"
+        )
+
+    # the corrected re-upload arrives as a new batch and is decided
+    fixed = spark.createDataFrame(
+        [("broken", b"now a real unique payload")],
+        "asset_id string, payload binary",
+    )
+    st = ingest_image_batch(spark, fixed, root, "day2")
+    assert st["n_considered"] == 1 and st["n_accepted"] == 1

@@ -237,10 +237,33 @@ def test_corpus_curation_dag_imports_and_runs_stages(spark, tmp_path, monkeypatc
     assert again["n_considered"] == 0
 
     dc = m.run_decon_check(**ctx)
-    # the drop IS the corpus, so every doc with >= 4 tokens flags
-    assert dc["has_bloom"] is True and dc["n_docs_flagged"] == dc["n_docs"]
+    # the probe excludes the drop's own batch (ADVICE r11), and day 1
+    # has no prior batches — nothing to probe against
+    assert dc["has_bloom"] is False
+
+    # day 2: one doc copied verbatim from day 1 (true contamination
+    # against the prior corpus) plus fresh docs — only the copy flags
+    day2 = [rows[0]] + [
+        (
+            100 + i,
+            f"fresh day-two text z{i}q z{i}r z{i}s z{i}t never seen",
+            "src9",
+        )
+        for i in range(4)
+    ]
+    spark.createDataFrame(
+        day2, "doc_id long, text string, source string"
+    ).write.parquet(str(drop_dir / "2026-08-17"))
+    ctx2 = {"ds": "2026-08-17", "params": {"min_batches_compact": 1}}
+    st2 = m.run_admit(**ctx2)
+    # doc_id 0 is already registered from day 1, so only the 4 fresh
+    # ids are considered; the decon probe still sees the whole drop
+    assert st2["n_considered"] == 4
+    dc2 = m.run_decon_check(**ctx2)
+    assert dc2["has_bloom"] is True
+    assert dc2["n_docs"] == 5 and dc2["n_docs_flagged"] == 1
 
     cu = m.run_curate(**ctx)
     assert cu["n_written"] > 0
     cp = m.run_compact(**ctx)
-    assert cp["n_batches_consolidated"] in (0, 1)
+    assert cp["n_batches_consolidated"] == 2  # day1 + day2
