@@ -436,13 +436,15 @@ def main() -> None:
     # divided by the difference of two independently-min'd ~2.5 s wall
     # times with only a 4x size spread and a 0.05 s guard, so the
     # reported rate swung 4x between rounds on an untouched path.
-    # Now: 16x size spread, the two drops timed as a PAIR inside the
-    # same iteration (shared JVM/host state cancels in the delta), the
+    # Now: 64x size spread (VERDICT r11 item 8 — the 16x spread left
+    # the summed denominator at ~0.97 s, just under the gate, for two
+    # rounds running), the two drops timed as a PAIR inside the same
+    # iteration (shared JVM/host state cancels in the delta), the
     # deltas summed across iterations, and the rate reported only when
     # that summed denominator clears 1 s — otherwise null, meaning
     # "the per-vector cost is below this host's measurement floor at
     # this SF", which is a finding, not a failure.
-    drop_small = drop_emb.filter(SF.col("vec_id") % 32 == 0)
+    drop_small = drop_emb.filter(SF.col("vec_id") % 128 == 0)
     n_edrop = drop_emb.count()
     n_esmall = drop_small.count()
     best = None
@@ -498,19 +500,51 @@ def main() -> None:
     # (exact dedup -> near-dup clusters -> quality floor -> split ->
     # partitioned write) over the sf documents table. One number a
     # training-data user plans by: curated docs/sec end-to-end.
+    # Two legs (VERDICT r11 item 7 — the default leg conflates "engine
+    # got slower" with "the job's default stage set grew"): the default
+    # run, plus a FROZEN-stage-set leg whose kwargs are pinned here and
+    # must never change (the ingest_nofacets rule) — core_docs_per_sec
+    # is the stable cross-round engine baseline, docs_per_sec tracks
+    # what a default run actually costs today. Each leg best-of-2: the
+    # first run in a given JVM state pays codegen compilation.
     from pokemon_showdown_airflow_etl_spark.jobs.curate import curate_corpus
 
-    with tempfile.TemporaryDirectory() as d:
-        t0 = time.perf_counter()
-        cstats = curate_corpus(
-            spark, os.path.join(SF_DIR, "documents.parquet"), d + "/curated"
-        )
-        dt = time.perf_counter() - t0
+    cstats = None
+    best_cur = {"core": None, "default": None}
+    for _ in range(2):
+        with tempfile.TemporaryDirectory() as d:
+            t0 = time.perf_counter()
+            # FROZEN ARGS — do not add/remove stages on this leg
+            curate_corpus(
+                spark,
+                os.path.join(SF_DIR, "documents.parquet"),
+                d + "/curated_core",
+                min_quality=0.5,
+                near_dup_threshold=0.8,
+                pack_budget=512,
+                scrub=False,
+            )
+            dtc = time.perf_counter() - t0
+            best_cur["core"] = (
+                dtc if best_cur["core"] is None else min(best_cur["core"], dtc)
+            )
+            t0 = time.perf_counter()
+            cstats = curate_corpus(
+                spark, os.path.join(SF_DIR, "documents.parquet"), d + "/curated"
+            )
+            dt = time.perf_counter() - t0
+            best_cur["default"] = (
+                dt
+                if best_cur["default"] is None
+                else min(best_cur["default"], dt)
+            )
     curate = {
         "docs_in": cstats["n_input"],
         "docs_out": cstats["n_written"],
-        "sec": round(dt, 3),
-        "docs_per_sec": round(cstats["n_input"] / dt, 1),
+        "sec": round(best_cur["default"], 3),
+        "docs_per_sec": round(cstats["n_input"] / best_cur["default"], 1),
+        "core_sec": round(best_cur["core"], 3),
+        "core_docs_per_sec": round(cstats["n_input"] / best_cur["core"], 1),
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -576,6 +610,7 @@ def main() -> None:
         "queries_full": "BENCH_local.json",
         "pipeline_replays_per_sec": pipe["replays_per_sec"],
         "curate_docs_per_sec": curate["docs_per_sec"],
+        "curate_core_docs_per_sec": curate["core_docs_per_sec"],
         "ingest_docs_per_sec": ingest["docs_per_sec"],
         "ingest_nofacets_docs_per_sec": ingest["nofacets_docs_per_sec"],
         "embed_ingest_vecs_per_sec": embed_ingest["vecs_per_sec"],

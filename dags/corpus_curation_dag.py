@@ -23,6 +23,13 @@ the drop is empty, maintenance under ALL_DONE.
                              if curation failed, so small files never
                              accumulate)
 
+    admit_image_drop         parallel leg (O6): admit today's image
+                             drop into the aHash registry (the m8
+                             decision; skipped when there is no drop
+                             or it is already decided)
+    >> compact_images        ALL_DONE consolidation of the image
+                             registry's per-batch partitions
+
 Airflow is not installed in the test container, so the module degrades
 to an importable no-op; the callables are plain functions tested via
 the jobs package (tests/test_orchestration.py pins the topology).
@@ -36,6 +43,8 @@ from datetime import datetime, timedelta
 SIG_ROOT = os.environ.get("CORPUS_SIG_ROOT", "/data/corpus_sig")
 DROP_DIR = os.environ.get("CORPUS_DROP_DIR", "/data/corpus_drops")
 OUT_DIR = os.environ.get("CORPUS_CURATED_DIR", "/data/corpus_curated")
+IMG_ROOT = os.environ.get("CORPUS_IMG_ROOT", "/data/corpus_img")
+IMG_DROP_DIR = os.environ.get("CORPUS_IMG_DROP_DIR", "/data/image_drops")
 
 DAG_PARAMS = {
     "batch_id": None,  # defaults to the run's ds (execution date)
@@ -121,6 +130,39 @@ def run_decon_check(**context) -> dict:
     }
 
 
+def run_admit_images(**context) -> dict:
+    from pokemon_showdown_airflow_etl_spark.jobs.image_hash_lake import (
+        ingest_image_batch,
+    )
+    from pokemon_showdown_airflow_etl_spark.session import get_spark
+
+    p = _resolve(context)
+    bid = _batch_id(p, context)
+    drop = os.path.join(IMG_DROP_DIR, bid)
+    if not os.path.isdir(drop):
+        return _skip("no image drop today", {"n_batch": 0})  # O3
+    spark = get_spark(app_name="corpus-admit-images")
+    stats = ingest_image_batch(
+        spark, spark.read.parquet(drop), IMG_ROOT, batch_id=bid
+    )
+    if stats["n_considered"] == 0:
+        return _skip("image drop already decided", stats)  # O3
+    return stats
+
+
+def run_compact_images(**context) -> dict:
+    from pokemon_showdown_airflow_etl_spark.jobs.image_hash_lake import (
+        compact_image_corpus,
+    )
+    from pokemon_showdown_airflow_etl_spark.session import get_spark
+
+    p = _resolve(context)
+    spark = get_spark(app_name="corpus-compact-images")
+    return compact_image_corpus(
+        spark, IMG_ROOT, min_batches=int(p["min_batches_compact"])
+    )
+
+
 def run_curate(**context) -> dict:
     from pokemon_showdown_airflow_etl_spark.jobs.curate import curate_corpus
     from pokemon_showdown_airflow_etl_spark.session import get_spark
@@ -185,6 +227,19 @@ try:  # pragma: no cover - airflow not installed in the test container
             python_callable=run_compact,
             trigger_rule=TriggerRule.ALL_DONE,  # O4
         )
+        admit_image_drop = PythonOperator(
+            task_id="admit_image_drop",
+            python_callable=run_admit_images,
+            execution_timeout=timedelta(hours=6),
+        )
+        compact_images = PythonOperator(
+            task_id="compact_images",
+            python_callable=run_compact_images,
+            trigger_rule=TriggerRule.ALL_DONE,  # O4
+        )
         admit_document_drop >> decontaminate_check >> curate >> compact_corpus
+        # the image leg runs parallel to the document leg (O6): the
+        # registries are independent lakes with independent drops
+        admit_image_drop >> compact_images
 except ImportError:
     dag = None

@@ -111,6 +111,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="cosine threshold for the semantic-admission leg",
     )
     cur.add_argument(
+        "--semantic-prune",
+        type=float,
+        default=None,
+        metavar="THRESH",
+        help="WITHIN-corpus semantic pruning (s23 SemDeDup): keep one "
+        "representative per same-cell cosine>=THRESH neighborhood "
+        "among the survivors themselves (requires --embeddings; off "
+        "when omitted)",
+    )
+    cur.add_argument(
         "--span-dedup-tokens",
         type=int,
         default=None,
@@ -191,6 +201,21 @@ def build_parser() -> argparse.ArgumentParser:
         "and each domain keeps the maximal hash-ordered doc prefix "
         "fitting its target (overrides --mixture-budget)",
     )
+    cur.add_argument(
+        "--nb-seed",
+        default=None,
+        metavar="PATH",
+        help="labeled seed parquet (text + label column) for the t29 "
+        "NB domain classifier: when the corpus has no domain column, "
+        "the TRAIN split is classified under the seed-trained model "
+        "and --mixture-alpha groups by the PREDICTED label",
+    )
+    cur.add_argument(
+        "--nb-label-col",
+        default="label",
+        metavar="COL",
+        help="label column name in --nb-seed (default: label)",
+    )
 
     tok = sub.add_parser(
         "tokenize-docs",
@@ -246,6 +271,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="also report the STORED count-min estimate for this token "
         "bigram (repeatable) — corpus-wide heavy-hitter point lookups "
         "from <= 1024 persisted cells, no corpus scan",
+    )
+    skst.add_argument(
+        "--segment-overlap",
+        action="store_true",
+        help="also serve every pairwise segment-overlap estimate from "
+        "the STORED grouped-HLL facet (hllg/): per-segment distinct-"
+        "content estimates, union by register max, intersection by "
+        "inclusion-exclusion — no corpus scan",
     )
     skst.add_argument(
         "--top-grams",
@@ -515,6 +548,7 @@ def main(argv: list[str] | None = None) -> int:
             embed_admit_root=args.embed_admit_root,
             embeddings_path=args.embeddings,
             embed_admit_threshold=args.embed_admit_threshold,
+            semantic_prune_threshold=args.semantic_prune,
             span_dedup_tokens=args.span_dedup_tokens,
             perplexity_band=(
                 tuple(args.perplexity_band)
@@ -528,6 +562,8 @@ def main(argv: list[str] | None = None) -> int:
             mixture_domain_col=args.mixture_domain_col,
             mixture_budget=tuple(args.mixture_budget),
             mixture_budget_tokens=args.mixture_budget_tokens,
+            nb_seed_path=args.nb_seed,
+            nb_label_col=args.nb_label_col,
         )
         print(json.dumps(result, sort_keys=True))
         return 0
@@ -591,6 +627,7 @@ def main(argv: list[str] | None = None) -> int:
                     args.sig_root,
                     grams=args.gram,
                     top_grams=args.top_grams,
+                    segment_overlap=args.segment_overlap,
                 ),
                 sort_keys=True,
             )

@@ -6,7 +6,9 @@ operators into one pipeline:
     cluster) -> optional decontamination (t9) -> optional lexical
     corpus dedup (d9 read-only, --dedup-against-corpus) -> optional
     SEMANTIC corpus dedup (s11 read-only, --embed-admit-root +
-    --embeddings) -> optional repeated-span removal (t20: the C4-style
+    --embeddings) -> optional WITHIN-corpus semantic pruning (s23
+    SemDeDup, --semantic-prune + --embeddings) -> optional
+    repeated-span removal (t20: the C4-style
     boilerplate pass) -> optional scrub (t18: PII redaction + URL
     canonicalization) -> quality filter (t7) -> optional perplexity
     band (t25: CCNet-style bigram-NLL cut of BOTH tails —
@@ -14,7 +16,8 @@ operators into one pipeline:
     selection (t28 — --ml-in-domain) -> deterministic split (t12) ->
     optional
     temperature-weighted domain mixture of the train split (t21/t22 —
-    --mixture-alpha) -> partitioned write + packing stats (t11)
+    --mixture-alpha; grouped by a t29 NB-predicted label when
+    --nb-seed is given) -> partitioned write + packing stats (t11)
 
 Plan economics: each stage's survivor frame is pinned (lazy
 localCheckpoint) so the per-stage audit counts and the next stage reuse
@@ -53,6 +56,7 @@ def curate_corpus(
     embeddings_path: str | None = None,
     embed_admit_threshold: float = 0.9,
     embed_n_probe: int | None = None,
+    semantic_prune_threshold: float | None = None,
     span_dedup_tokens: int | None = None,
     span_max_occurrences: int = 1,
     perplexity_band: tuple[float, float] | None = None,
@@ -64,6 +68,8 @@ def curate_corpus(
     mixture_domain_col: str = "source",
     mixture_budget: tuple[int, int] = (3, 5),
     mixture_budget_tokens: int | None = None,
+    nb_seed_path: str | None = None,
+    nb_label_col: str = "label",
 ) -> dict:
     """Run the curation pipeline and write the curated corpus
     partitioned by split. Deterministic: same input -> same survivors,
@@ -101,6 +107,16 @@ def curate_corpus(
     dropped by this leg (its contract is corpus membership, mirroring
     the lexical leg's check_batch=False); the same
     don't-run-concurrently-with-compaction rule applies.
+
+    ``semantic_prune_threshold`` (optional) turns on WITHIN-corpus
+    semantic pruning (s23, SemDeDup — Abbas et al. 2023): among the
+    surviving docs themselves, one representative is kept per SRP-cell
+    cosine neighborhood at the given threshold, dropping the rest.
+    Requires ``embeddings_path`` (the 2b4 frame is reused); docs
+    without an embedding row pass through. Complements — and composes
+    with — the cross-corpus ``embed_admit_root`` leg: that one asks
+    "is this doc already IN the corpus", this one asks "does the batch
+    repeat ITSELF semantically".
 
     ``perplexity_band`` (optional) is the (low_q, high_q) quantile pair
     for the t25 CCNet-style cut: an add-one-smoothed bigram model
@@ -163,7 +179,23 @@ def curate_corpus(
     maximal hash-ordered prefix of its docs whose running whitespace
     token total fits (operators/sampling.py::token_budget_mixture —
     undershoot < one doc, never overshoot); the per-domain audit then
-    carries tok_target/kept_tokens."""
+    carries tok_target/kept_tokens.
+
+    ``nb_seed_path`` (optional, with ``mixture_alpha``) handles the
+    raw-crawl case where the corpus has NO domain column: a labeled
+    seed parquet of (text, ``nb_label_col``) rows trains the
+    closed-form multinomial NB classifier (t29,
+    operators/text.py::nb_train_rows — the fastText-classifier step a
+    real pretraining mixture pipeline runs), the TRAIN split is
+    classified under it, and the mixture stage groups by the PREDICTED
+    label instead of ``mixture_domain_col``. Deterministic end to end
+    (counting-pass training, integer micro-unit scoring, smallest-
+    label tie-break), so the kept set stays a pure function of
+    (corpus, seed). When given, predictions take precedence even if
+    ``mixture_domain_col`` exists — the explicit seed is the stronger
+    statement of intent. The stats dict reports
+    ``mixture_label_source`` ('nb_seed' / 'column') and the audit keys
+    become predicted labels."""
     docs = spark.read.parquet(input_path)
     n_input = docs.count()
 
@@ -283,6 +315,50 @@ def curate_corpus(
             near = near.join(sem_dups, "doc_id", "left_anti").transform(pin)
             n_after_semantic = near.count()
             n_semantic_dups = n_after_corpus - n_after_semantic
+
+    # 2b5. WITHIN-corpus semantic pruning (optional, s23 SemDeDup):
+    #      among the survivors themselves, keep one representative per
+    #      same-cell cosine neighborhood — the Abbas et al. 2023 pass
+    #      the cross-corpus 2b4 leg cannot make (its contract is
+    #      membership against an EXISTING index; this one prunes the
+    #      batch's own semantic redundancy). Drop rule is the
+    #      order-free smaller-id-witness verdict, so the stage is a
+    #      pure function of (survivors, embeddings). Docs without an
+    #      embedding row cannot be judged and pass through (the 2b4
+    #      rule). Cost at scale: SRP-cell equi-join GEMM pairs,
+    #      O(sum of squared cell sizes) — never all-pairs.
+    n_semantic_pruned = 0
+    n_after_semantic_prune = n_after_semantic
+    if semantic_prune_threshold is not None:
+        if not (0.0 < semantic_prune_threshold <= 1.0):
+            raise ValueError(
+                f"semantic_prune_threshold must be in (0, 1]; got "
+                f"{semantic_prune_threshold!r}"
+            )
+        if embeddings_path is None:
+            raise ValueError(
+                "semantic_prune_threshold requires embeddings_path — "
+                "SemDeDup judges vectors, and the docs frame carries "
+                "none"
+            )
+        from ..operators.similarity import semantic_dedup
+
+        emb = spark.read.parquet(embeddings_path)
+        if "doc_id" not in emb.columns and "vec_id" in emb.columns:
+            emb = emb.withColumnRenamed("vec_id", "doc_id")
+        surv = near.select("doc_id").join(emb, "doc_id")
+        verdicts = semantic_dedup(
+            surv,
+            threshold=semantic_prune_threshold,
+            id_col="doc_id",
+            vec_col="embedding",
+        )
+        pruned = verdicts.filter(~F.col("kept")).select(
+            F.col("vec_id").alias("doc_id")
+        )
+        near = near.join(pruned, "doc_id", "left_anti").transform(pin)
+        n_after_semantic_prune = near.count()
+        n_semantic_pruned = n_after_semantic - n_after_semantic_prune
 
     # 2b3. repeated-span removal (optional, t20): drop every
     #      span_dedup_tokens-token window whose hash occurs more than
@@ -523,6 +599,7 @@ def curate_corpus(
     #     table. Only the bounded per-domain audit reaches the driver.
     mixture_domains: dict[str, dict[str, int]] = {}
     n_train_before_mixture = 0
+    mixture_label_source = ""
     if mixture_alpha is not None:
         from ..operators.sampling import temperature_mixture
 
@@ -537,59 +614,84 @@ def curate_corpus(
                 f"mixture_budget_tokens must be >= 0; got "
                 f"{mixture_budget_tokens!r}"
             )
-        if mixture_domain_col not in split_docs.columns:
+        if nb_seed_path is None and mixture_domain_col not in split_docs.columns:
             raise ValueError(
                 f"mixture_domain_col {mixture_domain_col!r} not in the "
                 f"corpus columns {split_docs.columns} — domain mixture "
-                "needs a domain label per document"
+                "needs a domain label per document (or a labeled seed "
+                "via nb_seed_path to predict one)"
             )
         # pinned: feeds the target/selection aggregations, the
         # per-domain audit AND the final semi-join
         train_rows = split_docs.filter(F.col("split") == "train").transform(pin)
+        if nb_seed_path is not None:
+            # t29: no trusted domain column — train the closed-form NB
+            # classifier on the labeled seed and group the mixture by
+            # its predictions. mix_rows is a JOINED view (train_rows'
+            # schema stays untouched for the final unionByName).
+            from ..operators.text import nb_classify, nb_train_rows
+
+            seed = spark.read.parquet(nb_seed_path)
+            if nb_label_col not in seed.columns or "text" not in seed.columns:
+                raise ValueError(
+                    f"nb_seed_path {nb_seed_path!r} must carry (text, "
+                    f"{nb_label_col!r}) columns; got {seed.columns}"
+                )
+            model = nb_train_rows(seed, label_col=nb_label_col)
+            preds = nb_classify(train_rows, model, "doc_id", "text").select(
+                "doc_id", "pred_label"
+            )
+            mix_rows = train_rows.join(preds, "doc_id").transform(pin)
+            dcol = "pred_label"
+            mixture_label_source = "nb_seed"
+        else:
+            mix_rows = train_rows
+            dcol = mixture_domain_col
+            mixture_label_source = "column"
         if mixture_budget_tokens is not None:
             from ..operators.sampling import token_budget_mixture
             from ..operators.text import tokens as _tokens
 
             sel = token_budget_mixture(
-                train_rows.withColumn(
+                mix_rows.withColumn(
                     "_ntok",
                     F.coalesce(
                         F.size(_tokens(F.col("text"))), F.lit(0)
                     ).cast("long"),
                 ),
                 "doc_id",
-                mixture_domain_col,
+                dcol,
                 "_ntok",
                 mixture_budget_tokens,
                 alpha=mixture_alpha,
             ).transform(pin)
-            kept = sel.groupBy(mixture_domain_col).agg(
+            kept = sel.groupBy(dcol).agg(
                 F.count("*").cast("long").alias("_kept"),
                 F.max("tok_target").cast("long").alias("_target"),
                 F.sum("n_tokens").cast("long").alias("_kept_tok"),
             )
         else:
             sel = temperature_mixture(
-                train_rows,
+                mix_rows,
                 "doc_id",
-                mixture_domain_col,
+                dcol,
                 alpha=mixture_alpha,
                 budget_num=num,
                 budget_den=den,
                 exact_budget=True,
             ).transform(pin)
-            kept = sel.groupBy(mixture_domain_col).agg(
+            kept = sel.groupBy(dcol).agg(
                 F.count("*").cast("long").alias("_kept"),
                 F.max("mix_target").cast("long").alias("_target"),
             )
-        pre = train_rows.groupBy(mixture_domain_col).agg(
+        pre = mix_rows.groupBy(dcol).agg(
             F.count("*").cast("long").alias("_n")
         )
         # bounded collect: one row per domain (a zero-target domain has
         # no selection row — it still lands in the audit with kept 0)
-        audit = pre.join(kept, mixture_domain_col, "left").collect()
+        audit = pre.join(kept, dcol, "left").collect()
         mixture_domains = {
-            str(r[mixture_domain_col]): {
+            str(r[dcol]): {
                 "n_train": int(r["_n"]),
                 (
                     "tok_target" if mixture_budget_tokens is not None else "target"
@@ -620,6 +722,8 @@ def curate_corpus(
         "n_after_corpus_dedup": n_after_corpus,
         "n_semantic_dups": n_semantic_dups,
         "n_after_semantic_dedup": n_after_semantic,
+        "n_semantic_pruned": n_semantic_pruned,
+        "n_after_semantic_prune": n_after_semantic_prune,
         "n_paragraphs_dropped": n_paragraphs_dropped,
         "n_redacted": n_redacted,
         "n_after_quality": n_after_quality,
@@ -634,6 +738,7 @@ def curate_corpus(
         "n_after_ml": n_after_ml,
         "n_train_before_mixture": n_train_before_mixture,
         "mixture_domains": mixture_domains,
+        "mixture_label_source": mixture_label_source,
         "n_written": 0,
         "splits": {},
         "train_bins": 0,

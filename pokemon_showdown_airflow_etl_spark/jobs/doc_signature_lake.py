@@ -236,6 +236,12 @@ HH_TABLE = "hh"
 HH_TOP_M = 64
 BLOOM_TABLE = "bloom"
 BLOOM_GRAM_N = 4  # t9's decontamination key: word 4-grams
+HLLG_TABLE = "hllg"
+HLLG_GROUP_COL = "lang"  # the segment key for the grouped-HLL facet;
+#                          a lake should group every batch by ONE
+#                          column — rows store group VALUES only, so
+#                          mixing keys across batches would merge
+#                          apples with oranges silently
 ESTATS_TABLE = "estats"  # embedding-drift facet (embedding lake only —
 #                          jobs/embedding_index_lake.py writes it; the
 #                          merge law and compaction reduction live here
@@ -253,6 +259,69 @@ def merge_estats_rows(rows: DataFrame) -> DataFrame:
         F.sum("s_milli").cast("long").alias("s_milli"),
         F.sum("ss_milli").cast("long").alias("ss_milli"),
     )
+
+
+def batch_hllg_rows(
+    docs: DataFrame,
+    group_col: str = HLLG_GROUP_COL,
+    text_col: str = "text",
+) -> DataFrame:
+    """One batch's GROUPED-HLL facet rows: (grp, reg, max_rank) — a11's
+    per-segment registers over the batch docs' normalized content,
+    <= HLL_M rows per group value. Merged across batches by
+    max-per-(group, register) this serves 'distinct contents per
+    segment' and — through the a12 union/inclusion-exclusion math —
+    every pairwise segment overlap, without re-scanning a byte of
+    corpus text. Covers the CONSIDERED docs (the batch_sketch_rows
+    rule: intake statistics are a pure function of what arrived)."""
+    from ..operators.dedup import normalize_text
+    from ..operators.sketches import hll_registers_by
+
+    return hll_registers_by(docs, group_col, normalize_text(F.col(text_col)))
+
+
+def merge_hllg_rows(rows: DataFrame) -> DataFrame:
+    """Merge per-batch grouped-HLL rows: max per (group, register) —
+    the a11 day-split merge law (property-tested). Idempotent like the
+    global HLL/bloom legs, so the compaction crash window's double
+    read cannot corrupt the merge and readers use the plain
+    committed-batch paths."""
+    return rows.groupBy("grp", "reg").agg(F.max("max_rank").alias("max_rank"))
+
+
+def read_corpus_grouped_hll(
+    spark: SparkSession, sig_root: str
+) -> DataFrame | None:
+    """The corpus-wide merged grouped-HLL registers over every
+    committed batch's stored hllg/ partition, or None when no batch
+    carries the facet (batches whose docs lacked the group column, or
+    that predate it, simply have no partition and drop out)."""
+    import os
+
+    committed = _committed_batches(os.path.join(sig_root, "members"))
+    paths = [
+        os.path.join(sig_root, HLLG_TABLE, f"batch={b}") for b in committed
+    ]
+    paths = [p for p in paths if os.path.exists(os.path.join(p, "_SUCCESS"))]
+    if not paths:
+        return None
+    return merge_hllg_rows(spark.read.parquet(*paths))
+
+
+def corpus_segment_overlap(
+    spark: SparkSession, sig_root: str
+) -> DataFrame | None:
+    """Every pairwise segment overlap served from the STORED grouped-
+    HLL facet alone (cli sketch-stats --segment-overlap): per-segment
+    distinct-content estimates, union by register max, intersection by
+    inclusion-exclusion — k segments cost k^2 x 64-row merges, the
+    corpus text stays cold. Returns None on a pre-facet corpus."""
+    from ..operators.sketches import hll_pairwise_overlap
+
+    regs = read_corpus_grouped_hll(spark, sig_root)
+    if regs is None:
+        return None
+    return hll_pairwise_overlap(regs)
 
 
 def _crash_window_replaced(
@@ -920,6 +989,14 @@ def ingest_signature_batch(
         ).write.mode("overwrite").parquet(
             os.path.join(sig_root, BLOOM_TABLE, f"batch={batch_id}")
         )
+        # hllg: per-segment distinct-content registers (a11/a12 served
+        # from storage) — only when the batch carries the segment key
+        if HLLG_GROUP_COL in fresh_docs.columns:
+            batch_hllg_rows(fresh_docs, HLLG_GROUP_COL, text_col).coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                os.path.join(sig_root, HLLG_TABLE, f"batch={batch_id}")
+            )
     counts = {
         r["status"]: r["n"]
         for r in decision.groupBy("status")
@@ -1129,6 +1206,20 @@ def compact_signature_corpus(
             ).write.mode("overwrite").parquet(
                 os.path.join(sig_root, BLOOM_TABLE, f"batch={cid}")
             )
+        # hllg reduces by max per (group, register) — idempotent, so
+        # the crash window cannot corrupt it either
+        hg_paths = [
+            os.path.join(sig_root, HLLG_TABLE, f"batch={b}") for b in old
+        ]
+        hg_paths = [
+            p for p in hg_paths if os.path.exists(os.path.join(p, "_SUCCESS"))
+        ]
+        if hg_paths:
+            merge_hllg_rows(spark.read.parquet(*hg_paths)).coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                os.path.join(sig_root, HLLG_TABLE, f"batch={cid}")
+            )
         es_paths = [
             os.path.join(sig_root, ESTATS_TABLE, f"batch={b}") for b in old
         ]
@@ -1162,7 +1253,7 @@ def compact_signature_corpus(
         shutil.rmtree(os.path.join(mem_dir, f"batch={b}"), ignore_errors=True)
         shutil.rmtree(os.path.join(sig_dir, f"batch={b}"), ignore_errors=True)
         for facet in (SKETCH_TABLE, LM_TABLE, CMS_TABLE, HH_TABLE,
-                      BLOOM_TABLE, ESTATS_TABLE):
+                      BLOOM_TABLE, HLLG_TABLE, ESTATS_TABLE):
             shutil.rmtree(
                 os.path.join(sig_root, facet, f"batch={b}"),
                 ignore_errors=True,
@@ -1181,6 +1272,7 @@ def corpus_sketch_stats(
     quantiles_bp: tuple[int, ...] = (2500, 5000, 9000, 9900),
     grams: list[str] | None = None,
     top_grams: int | None = None,
+    segment_overlap: bool = False,
 ) -> dict:
     """The number a corpus operator actually asks the sketch facet for
     (counts only, the O5 rule): the HLL distinct-content estimate and
@@ -1193,7 +1285,11 @@ def corpus_sketch_stats(
     a corpus predating the cms facet, estimates 0). ``top_grams``
     serves the corpus-wide top-K heavy hitters entirely from the
     stored hh/ + cms/ facets (lake_heavy_hitters; empty list on a
-    pre-facet corpus)."""
+    pre-facet corpus). ``segment_overlap`` additionally serves every
+    pairwise segment-overlap estimate from the stored hllg/ registers
+    (a13's serve — k^2 pairs of milli-unit estimates, k = segment
+    count, so the collect is bounded by segments squared; empty list
+    on a pre-facet corpus)."""
     from ..operators.sketches import hll_summary_of_registers
     from ..pinning import pin
 
@@ -1227,6 +1323,24 @@ def corpus_sketch_stats(
             for r in hh.orderBy("rank").collect()
         ]
 
+    def _segment_overlap() -> list:
+        if not segment_overlap:
+            return []
+        ov = corpus_segment_overlap(spark, sig_root)
+        if ov is None:
+            return []
+        return [
+            [
+                r["grp_a"],
+                r["grp_b"],
+                int(r["est_a_milli"]),
+                int(r["est_b_milli"]),
+                int(r["union_est_milli"]),
+                int(r["overlap_est_milli"]),
+            ]
+            for r in ov.orderBy("grp_a", "grp_b").collect()
+        ]
+
     def _bloom_stats() -> dict:
         bloom = read_corpus_bloom(spark, sig_root)
         if bloom is None:
@@ -1254,7 +1368,8 @@ def corpus_sketch_stats(
 
     coverage = {
         t: list(facet_coverage(sig_root, t))
-        for t in (SKETCH_TABLE, LM_TABLE, CMS_TABLE, HH_TABLE, BLOOM_TABLE)
+        for t in (SKETCH_TABLE, LM_TABLE, CMS_TABLE, HH_TABLE, BLOOM_TABLE,
+                  HLLG_TABLE)
     }
     sk = read_corpus_sketch(spark, sig_root)
     if sk is None:
@@ -1267,6 +1382,7 @@ def corpus_sketch_stats(
             "len_quantiles_bp": {},
             "gram_est": _gram_estimates(),
             "top_grams": _top_grams(),
+            "segment_overlap": _segment_overlap(),
             "facet_coverage": coverage,
             **_bloom_stats(),
         }
@@ -1296,6 +1412,7 @@ def corpus_sketch_stats(
         ),
         "gram_est": _gram_estimates(),
         "top_grams": _top_grams(),
+        "segment_overlap": _segment_overlap(),
         # [n_batches_with_facet, n_committed] per facet: estimates
         # above cover the FACETED batches only — partial coverage
         # means the numbers summarize a subset of the corpus
@@ -1323,6 +1440,9 @@ def _sketch_tag() -> str:
     return formula_tag(
         batch_sketch_rows,
         merge_sketch_rows,
+        batch_hllg_rows,
+        merge_hllg_rows,
+        sketches.hll_registers_by,
         batch_cms_rows,
         batch_hh_rows,
         merge_hh_rows,
@@ -1425,7 +1545,7 @@ def _sweep_retired(sig_root: str, data_table: str = "signatures") -> None:
             ignore_errors=True,
         )
         for facet in (SKETCH_TABLE, LM_TABLE, CMS_TABLE, HH_TABLE,
-                      BLOOM_TABLE, ESTATS_TABLE):
+                      BLOOM_TABLE, HLLG_TABLE, ESTATS_TABLE):
             shutil.rmtree(
                 os.path.join(sig_root, facet, f"batch={b}"),
                 ignore_errors=True,

@@ -552,7 +552,10 @@ AHASH_SCHEMA = StructType(
 
 
 def image_ahash(
-    df: DataFrame, id_col: str = "asset_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Perceptual average-hash (aHash) per image: the decode+resize
     stub yields a deterministic 8x8 grayscale thumbnail — 64 bytes of
@@ -576,12 +579,23 @@ def image_ahash(
     per asset then vectorized numpy ((n, 64) pixel matrix, one matmul
     per word against the power-of-two basis); binary column dropped
     at the kernel boundary so downstream joins shuffle five narrow
-    columns, never image bytes."""
+    columns, never image bytes.
+
+    ``passthrough`` names extra input columns carried verbatim through
+    the kernel (appended to the output schema) — the m9 composition
+    hashes per-FRAME payloads and needs (scene_id, frame_ms) beside
+    each hash without a join back across an exchange."""
     import hashlib
 
     pruned = df.select(
-        F.col(id_col).alias("asset_id"), F.col(payload_col).alias("payload")
+        F.col(id_col).alias("asset_id"),
+        F.col(payload_col).alias("payload"),
+        *[F.col(c) for c in passthrough],
     ).filter(F.col("payload").isNotNull())
+    out_schema = StructType(
+        AHASH_SCHEMA.fields
+        + [pruned.schema[c] for c in passthrough]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -615,10 +629,11 @@ def image_ahash(
                     "height": np.asarray(hs, dtype=np.int32),
                     "ahash_lo": bits[:, :32] @ pow_lo,
                     "ahash_hi": bits[:, 32:] @ pow_lo,
+                    **{c: pdf[c] for c in passthrough},
                 }
             )
 
-    return pruned.mapInPandas(run, AHASH_SCHEMA)
+    return pruned.mapInPandas(run, out_schema)
 
 
 def _ahash_band_rows(hashes: DataFrame, n_bands: int = 4) -> DataFrame:
@@ -826,4 +841,62 @@ def scene_segments(
             "scene_id",
             F.sum(F.col("is_cut").cast("long")).over(run).cast("long"),
         )
+    )
+
+
+def scene_frame_hashes(
+    frames: DataFrame,
+    threshold: int = 128,
+    id_col: str = "asset_id",
+    order_col: str = "frame_ms",
+    luma_col: str = "luma",
+    digest_col: str = "cmd5",
+) -> DataFrame:
+    """Scene-representative frame sampling + perceptual hashing — the
+    "sample one clip per scene" pipeline scene_segments exists for,
+    composed end to end: segment the luma series into scenes (m7),
+    keep each scene's FIRST frame as its deterministic representative
+    (a scene starts at its cut — or at the asset's first frame for
+    scene 0 — so the representative is simply the cut frame itself:
+    a pure FILTER over the segmentation output, no argmin aggregation
+    and no extra exchange), then aHash each sampled frame (the m6
+    kernel) so scenes dedup across assets by perceptual identity.
+
+    The frame's payload is the deterministic stand-in
+    bytes(``digest_col`` ':' ``order_col``) — the same digest-derived
+    stub family as synthetic_frame_luma, so an oracle re-derives every
+    hash in SQL; at deploy the decoded frame's actual bytes replace it
+    and the sampling + hash plumbing runs unchanged.
+
+    Scale shape: ONE exchange (m7's shuffle on the asset key — the
+    first-frame flag rides the same window), then a pure filter that
+    drops ~all frames, then one Arrow crossing over the SURVIVORS only
+    (scenes, not frames). Returns (asset_id, scene_id, frame_ms, luma,
+    width, height, ahash_lo, ahash_hi)."""
+    from pyspark.sql.window import Window
+
+    segs = scene_segments(frames, threshold, id_col, order_col, luma_col)
+    w = Window.partitionBy(id_col).orderBy(order_col)
+    reps = segs.withColumn(
+        "_first", F.lag(F.col(order_col)).over(w).isNull()
+    ).filter(F.col("is_cut") | F.col("_first"))
+    payload = F.encode(
+        F.concat(
+            F.col(digest_col), F.lit(":"), F.col(order_col).cast("string")
+        ),
+        "UTF-8",
+    )
+    return image_ahash(
+        reps.withColumn("payload", payload),
+        id_col=id_col,
+        passthrough=("scene_id", order_col, luma_col),
+    ).select(
+        "asset_id",
+        "scene_id",
+        order_col,
+        luma_col,
+        "width",
+        "height",
+        "ahash_lo",
+        "ahash_hi",
     )

@@ -724,3 +724,75 @@ def hll_summary_by(regs: DataFrame) -> DataFrame:
         "v_zero",
         F.round(est * 1000).cast("long").alias("est_milli"),
     )
+
+
+def hll_pairwise_overlap(regs: DataFrame) -> DataFrame:
+    """All pairwise segment overlaps from STORED-SHAPE grouped HLL
+    registers alone (the a12 derivation, shared by the catalog entry
+    and the signature lake's hllg facet serve): per-group estimates,
+    pairwise UNION sketches by the register-max merge law (max over
+    two <= HLL_M-row frames — the union needs no data revisit), and
+    the intersection by inclusion-exclusion est(A)+est(B)-est(A|B).
+
+    ``regs``: (grp, reg, max_rank). Returns one row per unordered pair
+    (grp_a < grp_b): est_a_milli, est_b_milli, union_est_milli,
+    overlap_est_milli. Every input and output is deterministic, so the
+    whole derivation hash-checks cross-engine. At 100 TB: k segments
+    cost k^2 x HLL_M-row merges — no re-scan of whatever raw data
+    built the registers."""
+    from ..pinning import pin
+
+    regs = pin(regs)
+    groups = regs.select("grp").distinct()
+    pairs = (
+        groups.select(F.col("grp").alias("grp_a"))
+        .join(groups.select(F.col("grp").alias("grp_b")))
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .transform(pin)
+    )
+    # union registers: max per (pair, reg) over BOTH sides' stored
+    # rows — the merge law, never the data
+    uregs = (
+        pairs.join(
+            regs,
+            (F.col("grp") == F.col("grp_a")) | (F.col("grp") == F.col("grp_b")),
+        )
+        .groupBy("grp_a", "grp_b", "reg")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    est = hll_summary_by(regs).select("grp", "est_milli")
+    # the pair key stays a STRUCT through the summary (ADVICE r11: a
+    # string-encoded composite key would mis-split on group values
+    # containing the separator)
+    uest = hll_summary_by(
+        uregs.select(
+            F.struct("grp_a", "grp_b").alias("grp"), "reg", "max_rank"
+        )
+    ).select(
+        F.col("grp.grp_a").alias("grp_a"),
+        F.col("grp.grp_b").alias("grp_b"),
+        F.col("est_milli").alias("union_est_milli"),
+    )
+    ea = est.select(
+        F.col("grp").alias("grp_a"), F.col("est_milli").alias("est_a_milli")
+    )
+    eb = est.select(
+        F.col("grp").alias("grp_b"), F.col("est_milli").alias("est_b_milli")
+    )
+    return (
+        pairs.join(ea, "grp_a")
+        .join(eb, "grp_b")
+        .join(uest, ["grp_a", "grp_b"])
+        .select(
+            "grp_a",
+            "grp_b",
+            "est_a_milli",
+            "est_b_milli",
+            "union_est_milli",
+            (
+                F.col("est_a_milli")
+                + F.col("est_b_milli")
+                - F.col("union_est_milli")
+            ).alias("overlap_est_milli"),
+        )
+    )

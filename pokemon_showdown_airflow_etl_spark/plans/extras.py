@@ -1361,9 +1361,15 @@ def a11_grouped_hll_distinct(spark, sf_dir):
 A12_PAIRS_SQL = "l.grp < r.grp"
 
 
-@q(
-    "a12_hll_set_ops",
-    f"""
+def _hll_overlap_sql(regs_src: str, ex_src: str) -> str:
+    """The a12 overlap-oracle skeleton parameterized by its two inner
+    sources: ``regs_src`` yields (grp, h) rows (h = the md5 the HLL
+    hashes), ``ex_src`` yields (grp, uid) rows for the exact audit.
+    a12 fills it with events/user_id, a13 with documents/normalized
+    content — ONE SQL derivation for the register build, pairwise
+    union merge, inclusion-exclusion, and audit, so the two oracles
+    cannot drift."""
+    return f"""
     WITH regs AS (
         SELECT grp, reg, max(least(rank, 40)) AS mr
         FROM (
@@ -1373,11 +1379,7 @@ A12_PAIRS_SQL = "l.grp < r.grp"
                    {_HLL_RANK_SQL} AS rank
             FROM (
                 SELECT grp, h, regexp_replace(substr(h, 3, 15), '^0*', '') AS nz
-                FROM (
-                    SELECT event_type AS grp,
-                           md5(CAST(user_id AS VARCHAR)) AS h
-                    FROM events WHERE user_id IS NOT NULL
-                )
+                FROM ({regs_src})
             )
         ) GROUP BY grp, reg
     ), pairs AS (
@@ -1424,10 +1426,7 @@ A12_PAIRS_SQL = "l.grp < r.grp"
                CAST(count(DISTINCT CASE WHEN e1.grp = p.grp_b
                                         THEN e1.uid END) AS BIGINT) AS n_b,
                CAST(count(DISTINCT e1.uid) AS BIGINT) AS n_union
-        FROM pairs p JOIN (
-            SELECT event_type AS grp, user_id AS uid FROM events
-            WHERE user_id IS NOT NULL
-        ) e1 ON e1.grp IN (p.grp_a, p.grp_b)
+        FROM pairs p JOIN ({ex_src}) e1 ON e1.grp IN (p.grp_a, p.grp_b)
         GROUP BY 1, 2
     )
     SELECT p.grp_a, p.grp_b,
@@ -1444,7 +1443,18 @@ A12_PAIRS_SQL = "l.grp < r.grp"
     JOIN uest u USING (grp_a, grp_b)
     JOIN ex USING (grp_a, grp_b)
     ORDER BY grp_a, grp_b
-    """,
+    """
+
+
+
+@q(
+    "a12_hll_set_ops",
+    _hll_overlap_sql(
+        "SELECT event_type AS grp, md5(CAST(user_id AS VARCHAR)) AS h "
+        "FROM events WHERE user_id IS NOT NULL",
+        "SELECT event_type AS grp, user_id AS uid FROM events "
+        "WHERE user_id IS NOT NULL",
+    ),
     doc="HLL set operations — audience overlap between segments from "
     "STORED-SHAPE sketches alone: per-segment register tables (a11's "
     "build), pairwise UNION sketches by the register-max merge law "
@@ -1461,41 +1471,23 @@ A12_PAIRS_SQL = "l.grp < r.grp"
     "fact.",
 )
 def a12_hll_set_ops(spark, sf_dir):
-    from ..operators.sketches import hll_registers_by, hll_summary_by
+    from ..operators.sketches import hll_pairwise_overlap, hll_registers_by
 
     ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    regs = hll_registers_by(ev, "event_type", F.col("user_id")).transform(pin)
-    groups = regs.select("grp").distinct()
-    pairs = (
-        groups.select(F.col("grp").alias("grp_a"))
-        .join(groups.select(F.col("grp").alias("grp_b")))
-        .filter(F.col("grp_a") < F.col("grp_b"))
-        .transform(pin)
-    )
-    # union registers: max per (pair, reg) over BOTH sides' stored
-    # rows — the merge law, never the data
-    uregs = (
-        pairs.join(
-            regs,
-            (F.col("grp") == F.col("grp_a")) | (F.col("grp") == F.col("grp_b")),
-        )
-        .groupBy("grp_a", "grp_b", "reg")
-        .agg(F.max("max_rank").alias("max_rank"))
-    )
-    est = hll_summary_by(regs).select("grp", "est_milli")
-    # the pair key stays a STRUCT through the summary (ADVICE r11: a
-    # string-encoded composite key would mis-split on group values that
-    # contain the separator) — groupBy on a struct column is exact
-    uest = hll_summary_by(
-        uregs.select(
-            F.struct("grp_a", "grp_b").alias("grp"), "reg", "max_rank"
-        )
-    ).select(
-        F.col("grp.grp_a").alias("grp_a"),
-        F.col("grp.grp_b").alias("grp_b"),
-        F.col("est_milli").alias("union_est_milli"),
-    )
+    regs = hll_registers_by(ev, "event_type", F.col("user_id"))
+    # estimates + unions from registers alone (the shared derivation —
+    # operators/sketches.py::hll_pairwise_overlap, also serving the
+    # lake's stored hllg facet in a13)
+    ov = hll_pairwise_overlap(regs).transform(pin)
     pe = ev.select(F.col("event_type").alias("grp"), F.col("user_id").alias("uid"))
+    return _with_exact_overlap_audit(ov, pe)
+
+
+def _with_exact_overlap_audit(ov: DataFrame, pe: DataFrame) -> DataFrame:
+    """Join the exact per-pair distinct audit (n_a, n_b, n_union,
+    n_overlap) onto a pairwise-overlap estimate frame — the a12/a13
+    verification legs share this so the audit math cannot drift."""
+    pairs = ov.select("grp_a", "grp_b")
     ex = (
         pairs.join(
             pe, (F.col("grp") == F.col("grp_a")) | (F.col("grp") == F.col("grp_b"))
@@ -1511,22 +1503,15 @@ def a12_hll_set_ops(spark, sf_dir):
             F.countDistinct("uid").cast("long").alias("n_union"),
         )
     )
-    ea = est.select(F.col("grp").alias("grp_a"), F.col("est_milli").alias("est_a_milli"))
-    eb = est.select(F.col("grp").alias("grp_b"), F.col("est_milli").alias("est_b_milli"))
     return (
-        pairs.join(ea, "grp_a")
-        .join(eb, "grp_b")
-        .join(uest, ["grp_a", "grp_b"])
-        .join(ex, ["grp_a", "grp_b"])
+        ov.join(ex, ["grp_a", "grp_b"])
         .select(
             "grp_a",
             "grp_b",
             "est_a_milli",
             "est_b_milli",
             "union_est_milli",
-            (
-                F.col("est_a_milli") + F.col("est_b_milli") - F.col("union_est_milli")
-            ).alias("overlap_est_milli"),
+            "overlap_est_milli",
             "n_a",
             "n_b",
             "n_union",
@@ -1534,3 +1519,55 @@ def a12_hll_set_ops(spark, sf_dir):
         )
         .orderBy("grp_a", "grp_b")
     )
+
+
+@q(
+    "a13_lake_segment_overlap",
+    _hll_overlap_sql(
+        f"SELECT lang AS grp, md5({_A6_NORM_SQL}) AS h "
+        "FROM documents WHERE text IS NOT NULL",
+        f"SELECT lang AS grp, {_A6_NORM_SQL} AS uid "
+        "FROM documents WHERE text IS NOT NULL",
+    ),
+    doc="Lake-served segment overlap — a11/a12 as a STORED facet of "
+    "the signature lake (VERDICT r11 item 6): ingest persists "
+    "per-batch grouped-HLL registers over the considered docs' "
+    "normalized content keyed by segment "
+    "(jobs/doc_signature_lake.py::batch_hllg_rows, hllg/), compaction "
+    "REDUCES them by max-per-(group, register) — idempotent, so the "
+    "crash window cannot corrupt the merge — and every pairwise "
+    "'how much content do segments A and B share' answer comes from "
+    "the stored <= 64-row-per-group registers alone "
+    "(corpus_segment_overlap; cli sketch-stats --segment-overlap), "
+    "the corpus text staying cold. The estimate/union/inclusion-"
+    "exclusion math is the SHARED a12 derivation (operators/"
+    "sketches.py::hll_pairwise_overlap) and the oracle is the shared "
+    "a12 SQL skeleton with the documents/normalized-content sources, "
+    "re-deriving the merged registers from raw parquet — the hash "
+    "check proves ingest-persist -> compaction-merge -> stored-row "
+    "serve equals from-scratch. Exact per-pair distinct-content "
+    "audits ride along (the a12 rule). At 100 TB: k segments cost "
+    "k^2 x 64-row merges off stored rows, and tomorrow's batch folds "
+    "in with one register max.",
+)
+def a13_lake_segment_overlap(spark, sf_dir):
+    from ..jobs.doc_signature_lake import (
+        corpus_segment_overlap,
+        sf_sketch_root,
+    )
+    from ..operators.dedup import normalize_text
+
+    root = sf_sketch_root(spark, sf_dir)
+    ov = corpus_segment_overlap(spark, root).transform(pin)
+    # exact audit from raw parquet (the a12 rule: estimates are
+    # verified against exact distincts — here, distinct normalized
+    # contents per language segment)
+    pe = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.col("lang").alias("grp"),
+            normalize_text(F.col("text")).alias("uid"),
+        )
+        .filter(F.col("uid").isNotNull())
+    )
+    return _with_exact_overlap_audit(ov, pe)

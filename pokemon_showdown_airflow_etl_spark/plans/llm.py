@@ -1122,6 +1122,94 @@ def m7_scene_segments(spark, sf_dir):
 
 
 @q(
+    "m9_scene_frame_hashes",
+    f"""
+    WITH f AS (
+        SELECT CAST(doc_id AS VARCHAR) AS asset_id, md5(text) AS cmd5,
+               unnest(generate_series(0, greatest(n_chars * 40 - 1, 0), 1000))
+                   AS frame_ms
+        FROM documents
+    ), l AS (
+        SELECT asset_id, cmd5, CAST(frame_ms AS BIGINT) AS frame_ms,
+               CAST(('0x' || substr(md5(cmd5 || ':' ||
+                    CAST(frame_ms AS VARCHAR)), 1, 2)) AS INT) AS luma
+        FROM f
+    ), c AS (
+        SELECT asset_id, cmd5, frame_ms, luma,
+               coalesce(abs(luma - lag(luma) OVER w) > {M7_CUT_THRESHOLD},
+                        FALSE) AS is_cut,
+               lag(frame_ms) OVER w IS NULL AS first_frame
+        FROM l WINDOW w AS (PARTITION BY asset_id ORDER BY frame_ms)
+    ), rep AS (
+        SELECT asset_id,
+               CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY asset_id ORDER BY frame_ms) AS BIGINT)
+                   AS scene_id,
+               frame_ms, luma,
+               md5(cmd5 || ':' || CAST(frame_ms AS VARCHAR)) AS fmd5
+        FROM c
+        QUALIFY (is_cut OR first_frame) AND cmd5 IS NOT NULL
+    ), px AS (
+        SELECT asset_id, scene_id, frame_ms, luma, fmd5, u.j AS j,
+               CAST(('0x' || substr(md5(fmd5 || ':' ||
+                    CAST(u.j // 16 AS VARCHAR)), 1 + 2 * (u.j % 16), 2))
+                   AS INT) AS g
+        FROM rep CROSS JOIN LATERAL (SELECT unnest(range(0, 64)) AS j) u
+    )
+    SELECT asset_id, scene_id, frame_ms, any_value(luma) AS luma,
+           CAST(64 + CAST(('0x' || substr(any_value(fmd5), 1, 2)) AS INT)
+                % 64 AS INT) AS width,
+           CAST(64 + CAST(('0x' || substr(any_value(fmd5), 3, 2)) AS INT)
+                % 64 AS INT) AS height,
+           CAST(coalesce(sum(CASE WHEN j < 32 AND g * 64 > s2
+                THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END), 0) AS BIGINT)
+               AS ahash_lo,
+           CAST(coalesce(sum(CASE WHEN j >= 32 AND g * 64 > s2
+                THEN 1::BIGINT << CAST(j - 32 AS INT) ELSE 0 END), 0) AS BIGINT)
+               AS ahash_hi
+    FROM (SELECT *, sum(g) OVER (PARTITION BY asset_id, scene_id, frame_ms)
+               AS s2 FROM px)
+    GROUP BY asset_id, scene_id, frame_ms
+    """,
+    doc="Scene-representative frame sampling + perceptual hashing "
+    "(operators/multimodal.py::scene_frame_hashes) — the 'sample one "
+    "clip per scene' pipeline m7's docstring promises, composed end "
+    "to end: m7's segmentation, then each scene's FIRST frame as its "
+    "deterministic representative (a scene STARTS at its cut, so the "
+    "representative is the cut frame itself — a pure filter riding "
+    "m7's window, no argmin aggregation), then the m6 aHash kernel "
+    "over the sampled frames' digest-derived payloads so scenes dedup "
+    "across assets by perceptual identity. Scale shape: m7's ONE "
+    "exchange on the asset key (the first-frame flag shares the same "
+    "window), a filter that collapses frames to scenes, and one Arrow "
+    "crossing over the SURVIVORS only — frame payloads materialize "
+    "per scene, never per frame, and the (scene_id, frame_ms) context "
+    "rides THROUGH the kernel (no join back across an exchange). The "
+    "oracle re-derives the luma series, both window legs, the "
+    "representative rule, and every hash bit from raw parquet.",
+)
+def m9_scene_frame_hashes(spark, sf_dir):
+    from ..operators.multimodal import (
+        frame_sample_plan,
+        scene_frame_hashes,
+        synthetic_frame_luma,
+    )
+
+    assets = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        (F.col("n_chars") * 40).cast("long").alias("duration_ms"),
+        F.md5("text").alias("cmd5"),
+    )
+    frames = frame_sample_plan(assets).select(
+        "asset_id",
+        "cmd5",
+        F.col("frame_ms").cast("long").alias("frame_ms"),
+        synthetic_frame_luma(F.col("cmd5"), F.col("frame_ms")).alias("luma"),
+    )
+    return scene_frame_hashes(frames, threshold=M7_CUT_THRESHOLD)
+
+
+@q(
     "s4_ivf_ann_topk",
     f"""
     WITH e AS (

@@ -890,3 +890,31 @@ def test_hll_set_ops_union_reads_registers_not_data(q):
     # pin materializes the register/pair frames, so the only parquet
     # scans left belong to the single exact-audit leg
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 1
+
+
+def test_scene_frame_hashes_filters_before_one_kernel_crossing(q):
+    """m9: no exchange beyond m7's one — the first-frame flag rides
+    the same asset-key window, the representative rule is a pure
+    filter, and the m6 hash kernel crosses ONCE over the scene
+    survivors (frame payloads never materialize per frame, and no
+    join carries the hashes back)."""
+    import re
+
+    plan = q("m9_scene_frame_hashes")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_lake_segment_overlap_reads_stored_registers_not_text(q):
+    """a13: the overlap estimates must come from the STORED hllg facet
+    (pinned registers + pinned pair math), never a re-scan of corpus
+    text — the only parquet scan left in the final plan belongs to the
+    exact-audit leg, and no Python appears."""
+    import re
+
+    plan = q("a13_lake_segment_overlap")
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 1

@@ -475,3 +475,75 @@ def test_facet_coverage_tracks_pre_facet_batches(spark, tmp_path):
         "sketches": [1, 2], "lm": [1, 2], "cms": [1, 2], "hh": [1, 2],
         "bloom": [1, 2],
     }
+
+
+def _gdocs(spark, lo, hi, salt=""):
+    rows = [
+        (
+            i,
+            f"{salt}gtok{i}a gtok{i}b gtok{i}c grouped words {i}",
+            ["en", "fr", "es"][i % 3],
+        )
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_hllg_facet_merged_equals_from_scratch_and_serves_overlap(
+    spark, tmp_path
+):
+    """The grouped-HLL facet (VERDICT r11 item 6): per-batch per-segment
+    registers persist at ingest, merge by max-per-(group, register) to
+    the from-scratch grouped sketch, compaction reduces without
+    changing the merge, and the pairwise-overlap serve reads STORED
+    rows only. Docs without the group column simply write no hllg
+    partition (pre-facet tolerance)."""
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        HLLG_TABLE,
+        batch_hllg_rows,
+        corpus_segment_overlap,
+        corpus_sketch_stats,
+        merge_hllg_rows,
+        read_corpus_grouped_hll,
+    )
+    from pokemon_showdown_airflow_etl_spark.operators.sketches import (
+        hll_pairwise_overlap,
+    )
+
+    root = str(tmp_path / "sig")
+    a, b = _gdocs(spark, 0, 30), _gdocs(spark, 30, 60, salt="x")
+    ingest_signature_batch(spark, a, root, "day1")
+    ingest_signature_batch(spark, b, root, "day2")
+    assert os.path.exists(
+        os.path.join(root, HLLG_TABLE, "batch=day1", "_SUCCESS")
+    )
+    merged = read_corpus_grouped_hll(spark, root)
+    scratch = batch_hllg_rows(a.unionAll(b))
+    assert _rows(merged) == _rows(scratch)
+    # idempotent: re-merging the merged rows is a no-op
+    assert _rows(merge_hllg_rows(merged)) == _rows(merged)
+
+    # compaction reduces to one bounded partition, merge unchanged
+    st = compact_signature_corpus(spark, root, min_batches=2)
+    assert st["n_batches_consolidated"] == 2
+    parts = sorted(os.listdir(os.path.join(root, HLLG_TABLE)))
+    assert len(parts) == 1 and parts[0].startswith("batch=compact-")
+    assert _rows(read_corpus_grouped_hll(spark, root)) == _rows(scratch)
+
+    # the serve: pairwise overlaps from stored rows == the operator
+    # over the from-scratch registers
+    served = corpus_segment_overlap(spark, root)
+    assert _rows(served) == _rows(hll_pairwise_overlap(scratch))
+    stats = corpus_sketch_stats(spark, root, segment_overlap=True)
+    assert len(stats["segment_overlap"]) == 3  # C(3 langs, 2)
+    assert stats["facet_coverage"][HLLG_TABLE] == [1, 1]
+
+    # a batch WITHOUT the group column commits fine and writes no
+    # hllg partition; the merge then covers the faceted batches only
+    plain = spark.createDataFrame(
+        [(100 + i, f"nolang doc {i} some words") for i in range(5)],
+        "doc_id long, text string",
+    )
+    ingest_signature_batch(spark, plain, root, "day3")
+    assert not os.path.exists(os.path.join(root, HLLG_TABLE, "batch=day3"))
+    assert _rows(read_corpus_grouped_hll(spark, root)) == _rows(scratch)
