@@ -247,6 +247,14 @@ def build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--sig-root", required=True, help="signature corpus root dir")
     ing.add_argument("--batch-id", required=True, help="idempotency key for this drop")
     ing.add_argument("--threshold", type=float, default=0.8)
+    ing.add_argument(
+        "--hllg-group-col",
+        default="lang",
+        metavar="COL",
+        help="segment column for the grouped-HLL facet (hllg/; a batch "
+        "without the column writes no partition) — use ONE column per "
+        "lake across batches",
+    )
 
     csig = sub.add_parser(
         "compact-signatures",
@@ -596,6 +604,7 @@ def main(argv: list[str] | None = None) -> int:
             args.sig_root,
             args.batch_id,
             threshold=args.threshold,
+            hllg_group_col=args.hllg_group_col,
         )
         print(json.dumps(result, sort_keys=True))
         return 0

@@ -841,18 +841,25 @@ def ingest_signature_batch(
     text_col: str = "text",
     threshold: float = 0.8,
     facets: bool = True,
+    hllg_group_col: str = HLLG_GROUP_COL,
 ) -> dict:
     """Admit ``new_docs`` against the signatures under ``sig_root`` and
     register the accepted docs. Returns counts only (the O5 stats
     rule): n_batch, n_already_registered, n_considered, n_accepted,
     n_dup_of_corpus, n_dup_in_batch.
 
-    ``facets=False`` skips the five intake facets (sketches/lm/cms/hh/bloom)
-    — the admission protocol is identical, the batch simply behaves
-    like a pre-facet one (readers skip it per facet). The facets cost
-    a handful of bounded aggregations + small writes per batch: a
-    fixed overhead that looms at small batch sizes and amortizes at
-    production drops (bench.py records both legs).
+    ``facets=False`` skips the intake facets (sketches/lm/cms/hh/bloom/
+    hllg) — the admission protocol is identical, the batch simply
+    behaves like a pre-facet one (readers skip it per facet). The
+    facets cost a handful of bounded aggregations + small writes per
+    batch: a fixed overhead that looms at small batch sizes and
+    amortizes at production drops (bench.py records both legs).
+
+    ``hllg_group_col`` names the segment column for the grouped-HLL
+    facet (default lang); a batch without the column writes no hllg
+    partition. One lake must use ONE column across batches — the
+    stored rows carry group values only, so mixing keys would merge
+    unrelated segments silently.
     """
     import os
 
@@ -990,9 +997,11 @@ def ingest_signature_batch(
             os.path.join(sig_root, BLOOM_TABLE, f"batch={batch_id}")
         )
         # hllg: per-segment distinct-content registers (a11/a12 served
-        # from storage) — only when the batch carries the segment key
-        if HLLG_GROUP_COL in fresh_docs.columns:
-            batch_hllg_rows(fresh_docs, HLLG_GROUP_COL, text_col).coalesce(
+        # from storage) — only when the batch carries the segment key.
+        # One lake must group every batch by ONE column (the
+        # HLLG_GROUP_COL contract) — rows store group VALUES only
+        if hllg_group_col in fresh_docs.columns:
+            batch_hllg_rows(fresh_docs, hllg_group_col, text_col).coalesce(
                 1
             ).write.mode("overwrite").parquet(
                 os.path.join(sig_root, HLLG_TABLE, f"batch={batch_id}")

@@ -26,8 +26,8 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # (2) the entries with the OLDEST standing rows, oldest first. After
 # CORRECTNESS_r11 (50/50 green) the cumulative freshness is 50
 # r11-latest, 47 r10-latest, 43 r9-latest, 29 r8-latest. The r12
-# window (VERDICT r11 item 1): the two new entries (m9, a13), the nine
-# changed entries, then ALL 29 r8-latest names, then the 10
+# window (VERDICT r11 item 1): the three new entries (m9, m9b, a13),
+# the nine changed entries, then ALL 29 r8-latest names, then the 9
 # alphabetically-first r9-latest names — after CORRECTNESS_r12 no
 # entry's latest driver row predates r9.
 # Entries whose implementation changed since their latest driver row —
@@ -66,6 +66,8 @@ _PRIORITY: list[str] = [
     # -- (1) new entries, then every entry in CHANGED_SINCE_LAST_ROW --
     "m9_scene_frame_hashes",  # NEW r12: scene-representative frame
     #   sampling + perceptual hashing (m7 -> first-frame rule -> m6)
+    "m9b_scene_clip_dups",  # NEW r12: cross-asset scene/clip dedup
+    #   (m9 hashes -> m6b banded pair scan)
     "a13_lake_segment_overlap",  # NEW r12: grouped-HLL lake facet +
     #   stored-row pairwise segment overlap serve
     "a12_hll_set_ops",
@@ -109,8 +111,8 @@ _PRIORITY: list[str] = [
     "w3_sorted_dates",
     "w5_session_windows",
     "x1_salted_agg",
-    # -- (3) the oldest r9-latest entries fill the remaining 10 slots
-    # (alphabetical within the tie; the other 33 r9-latest names spill
+    # -- (3) the oldest r9-latest entries fill the remaining 9 slots
+    # (alphabetical within the tie; the other 34 r9-latest names spill
     # to r13 — all green in r9 and re-verified by every local parity
     # sweep) --
     "c10_json_extract",
@@ -122,8 +124,8 @@ _PRIORITY: list[str] = [
     "c8_prefix_predicate",
     "f1_watermark_filter",
     "f2_undownloaded_filter",
-    "f3_conjunctive_flags",
     # ---- slot 50 boundary ----
+    "f3_conjunctive_flags",
     "f4_failed_retry_predicate",
     "f6_point_lookup",
     "f7_partition_filter",

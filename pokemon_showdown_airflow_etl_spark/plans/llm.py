@@ -1209,6 +1209,139 @@ def m9_scene_frame_hashes(spark, sf_dir):
     return scene_frame_hashes(frames, threshold=M7_CUT_THRESHOLD)
 
 
+# the m9 representative-frame + hash CTE chain over a planted asset set
+# CTE named {src}(asset_id, cmd5, frame_ms) — shared by the m9b oracle
+_M9_HASH_SQL = f"""
+    l AS (
+        SELECT asset_id, cmd5, CAST(frame_ms AS BIGINT) AS frame_ms,
+               CAST(('0x' || substr(md5(cmd5 || ':' ||
+                    CAST(frame_ms AS VARCHAR)), 1, 2)) AS INT) AS luma
+        FROM f
+    ), c AS (
+        SELECT asset_id, cmd5, frame_ms, luma,
+               coalesce(abs(luma - lag(luma) OVER w) > {M7_CUT_THRESHOLD},
+                        FALSE) AS is_cut,
+               lag(frame_ms) OVER w IS NULL AS first_frame
+        FROM l WINDOW w AS (PARTITION BY asset_id ORDER BY frame_ms)
+    ), rep AS (
+        SELECT asset_id,
+               CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY asset_id ORDER BY frame_ms) AS BIGINT)
+                   AS scene_id,
+               frame_ms,
+               md5(cmd5 || ':' || CAST(frame_ms AS VARCHAR)) AS fmd5
+        FROM c
+        QUALIFY (is_cut OR first_frame) AND cmd5 IS NOT NULL
+    ), px AS (
+        SELECT asset_id, scene_id, frame_ms, u.j AS j,
+               CAST(('0x' || substr(md5(fmd5 || ':' ||
+                    CAST(u.j // 16 AS VARCHAR)), 1 + 2 * (u.j % 16), 2))
+                   AS INT) AS g
+        FROM rep CROSS JOIN LATERAL (SELECT unnest(range(0, 64)) AS j) u
+    ), hx AS (
+        SELECT asset_id || ':' || CAST(scene_id AS VARCHAR) AS unit,
+               CAST(coalesce(sum(CASE WHEN j < 32 AND g * 64 > s2
+                    THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END), 0)
+                    AS BIGINT) AS ahash_lo,
+               CAST(coalesce(sum(CASE WHEN j >= 32 AND g * 64 > s2
+                    THEN 1::BIGINT << CAST(j - 32 AS INT) ELSE 0 END), 0)
+                    AS BIGINT) AS ahash_hi
+        FROM (SELECT *, sum(g) OVER (PARTITION BY asset_id, scene_id,
+                   frame_ms) AS s2 FROM px)
+        GROUP BY asset_id, scene_id, frame_ms
+    )"""
+
+
+@q(
+    "m9b_scene_clip_dups",
+    f"""
+    WITH f AS (
+        SELECT CAST(doc_id AS VARCHAR) AS asset_id, md5(text) AS cmd5,
+               unnest(generate_series(0, greatest(n_chars * 40 - 1, 0), 1000))
+                   AS frame_ms
+        FROM documents
+        UNION ALL
+        SELECT CAST(doc_id + {M6B_COPY_OFFSET} AS VARCHAR), md5(text),
+               unnest(generate_series(0, greatest(n_chars * 40 - 1, 0), 1000))
+        FROM documents WHERE doc_id % {M6B_COPY_EVERY} = 0
+    ), {_M9_HASH_SQL}, keyed AS (
+        SELECT unit, ahash_lo, ahash_hi, b.b AS band,
+               CASE b.b
+                   WHEN 0 THEN ahash_lo & 65535
+                   WHEN 1 THEN ahash_lo >> 16
+                   WHEN 2 THEN ahash_hi & 65535
+                   ELSE ahash_hi >> 16
+               END AS key
+        FROM hx CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    )
+    SELECT DISTINCT l.unit AS clip_a, r.unit AS clip_b,
+           CAST(bit_count(xor(l.ahash_lo, r.ahash_lo))
+                + bit_count(xor(l.ahash_hi, r.ahash_hi)) AS INT) AS hamming
+    FROM keyed l JOIN keyed r ON l.band = r.band AND l.key = r.key
+    WHERE l.unit < r.unit
+      AND bit_count(xor(l.ahash_lo, r.ahash_lo))
+          + bit_count(xor(l.ahash_hi, r.ahash_hi)) <= {M6B_MAX_HAMMING}
+    """,
+    doc="Cross-asset scene/clip deduplication — the downstream consumer "
+    "m9 exists for: every asset's scene-representative frame hashes "
+    "(the m9 chain) feed the m6b banded-Hamming pair scan, so a clip "
+    "re-used across videos (the re-uploaded-footage case — planted "
+    "here as full re-encodes of every 50th asset, whose every scene "
+    "must pair with the original's at hamming 0) is found by "
+    "perceptual identity without decoding a frame twice. The clip key "
+    "is asset_id ':' scene_id — synthesized for OUTPUT identity only, "
+    "never split back (the a12 composite-key lesson), and ':' cannot "
+    "occur in the numeric asset ids. Same scale shape as m6b: "
+    "equi-join blocking on (band, 16-bit key) with pigeonhole-"
+    "complete recall at hamming <= 3, XOR+popcount verify, candidate "
+    "volume O(collisions per key) — at 100 TB scene hashes are "
+    "narrow int rows, and the pair scan never touches frame bytes.",
+)
+def m9b_scene_clip_dups(spark, sf_dir):
+    from ..operators.multimodal import (
+        ahash_near_dups,
+        frame_sample_plan,
+        scene_frame_hashes,
+        synthetic_frame_luma,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+
+    def assets(df, offset=0):
+        return df.select(
+            (F.col("doc_id") + F.lit(offset)).cast("string").alias("asset_id"),
+            (F.col("n_chars") * 40).cast("long").alias("duration_ms"),
+            F.md5("text").alias("cmd5"),
+        )
+
+    planted = assets(docs).unionByName(
+        assets(docs.filter(F.col("doc_id") % M6B_COPY_EVERY == 0), M6B_COPY_OFFSET)
+    )
+    frames = frame_sample_plan(planted).select(
+        "asset_id",
+        "cmd5",
+        F.col("frame_ms").cast("long").alias("frame_ms"),
+        synthetic_frame_luma(F.col("cmd5"), F.col("frame_ms")).alias("luma"),
+    )
+    # pinned: ahash_near_dups self-joins the clip-hash frame — unpinned,
+    # the whole m9 chain (frame fan-out + windows + Arrow kernel) would
+    # run once per join side
+    clips = pin(
+        scene_frame_hashes(frames, threshold=M7_CUT_THRESHOLD).select(
+            F.concat(
+                "asset_id", F.lit(":"), F.col("scene_id").cast("string")
+            ).alias("asset_id"),
+            "ahash_lo",
+            "ahash_hi",
+        )
+    )
+    return ahash_near_dups(clips, max_hamming=M6B_MAX_HAMMING).select(
+        F.col("asset_a").alias("clip_a"),
+        F.col("asset_b").alias("clip_b"),
+        "hamming",
+    )
+
+
 @q(
     "s4_ivf_ann_topk",
     f"""

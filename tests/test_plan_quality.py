@@ -918,3 +918,20 @@ def test_lake_segment_overlap_reads_stored_registers_not_text(q):
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 1
+
+
+def test_scene_clip_dedup_hashes_once_then_equi_joins(q):
+    """m9b: the m9 chain (frame fan-out + windows + hash kernel) runs
+    ONCE (pinned) — the banded pair scan equi-joins the materialized
+    clip hashes, never re-deriving a side and never going cartesian."""
+    import re
+
+    plan = q("m9b_scene_clip_dups")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) <= 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0  # pinned
+    assert (
+        "SortMergeJoin" in plan
+        or "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )

@@ -474,6 +474,8 @@ def test_facet_coverage_tracks_pre_facet_batches(spark, tmp_path):
     assert st["facet_coverage"] == {
         "sketches": [1, 2], "lm": [1, 2], "cms": [1, 2], "hh": [1, 2],
         "bloom": [1, 2],
+        # these docs carry no lang column, so no batch wrote hllg/
+        "hllg": [0, 2],
     }
 
 
