@@ -436,15 +436,29 @@ def main() -> None:
     # divided by the difference of two independently-min'd ~2.5 s wall
     # times with only a 4x size spread and a 0.05 s guard, so the
     # reported rate swung 4x between rounds on an untouched path.
-    # Now: 64x size spread (VERDICT r11 item 8 — the 16x spread left
-    # the summed denominator at ~0.97 s, just under the gate, for two
-    # rounds running), the two drops timed as a PAIR inside the same
-    # iteration (shared JVM/host state cancels in the delta), the
-    # deltas summed across iterations, and the rate reported only when
-    # that summed denominator clears 1 s — otherwise null, meaning
-    # "the per-vector cost is below this host's measurement floor at
-    # this SF", which is a finding, not a failure.
+    # Now (VERDICT r11 item 8, after two rounds of ~0.97 s near-misses):
+    # the big drop is the sf drop REPLICATED 16x under distinct ids —
+    # the sf embeddings table itself tops out at ~1k drop vectors,
+    # whose true marginal cost (~0.1 s on an idle host) can never
+    # clear the gate however the spread is arranged; replication is a
+    # pure load synthesis (identical scoring path per vector, dedup
+    # verdicts differ but the measured kernel work is the per-vector
+    # assign+score), deterministic, and keeps the pairing honest. The
+    # two drops are timed as a PAIR inside the same iteration (shared
+    # JVM/host state cancels in the delta), the deltas summed across
+    # iterations, and the rate reported only when that summed
+    # denominator clears 1 s — otherwise null, meaning "the
+    # per-vector cost is below this host's measurement floor at this
+    # SF", which is a finding, not a failure.
     drop_small = drop_emb.filter(SF.col("vec_id") % 128 == 0)
+    drop_big = drop_emb
+    for i in range(1, 16):
+        drop_big = drop_big.unionByName(
+            drop_emb.withColumn(
+                "vec_id", SF.col("vec_id") + SF.lit(i * 1_000_000_000)
+            )
+        )
+    drop_emb = drop_big
     n_edrop = drop_emb.count()
     n_esmall = drop_small.count()
     best = None
@@ -485,6 +499,7 @@ def main() -> None:
     )
     embed_ingest = {
         "drop_vecs": n_edrop,
+        "drop_replication": 16,
         "sec": round(best, 3),
         "vecs_per_sec": round(n_edrop / best, 1),
         "small_drop_vecs": n_esmall,
