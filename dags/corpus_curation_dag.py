@@ -51,6 +51,14 @@ DAG_PARAMS = {
     "perplexity_band": [0.05, 0.95],
     "mixture_alpha": 0.7,
     "min_batches_compact": 8,
+    # optional r12 stages, off by default: within-corpus SemDeDup
+    # (s23 — needs an embeddings parquet covering the drop) and NB
+    # auto-labeling of the mixture domains (t29 — needs a labeled
+    # seed parquet; used when the drop has no trusted domain column)
+    "semantic_prune": None,  # cosine threshold, e.g. 0.9
+    "embeddings_path": None,
+    "nb_seed_path": None,
+    "nb_label_col": "label",
 }
 
 
@@ -178,6 +186,14 @@ def run_curate(**context) -> dict:
         perplexity_band=(float(lo), float(hi)),
         lm_root=SIG_ROOT,  # t26: score under the STORED corpus LM
         mixture_alpha=float(p["mixture_alpha"]),
+        semantic_prune_threshold=(
+            float(p["semantic_prune"])
+            if p.get("semantic_prune") is not None
+            else None
+        ),
+        embeddings_path=p.get("embeddings_path"),
+        nb_seed_path=p.get("nb_seed_path"),
+        nb_label_col=p.get("nb_label_col") or "label",
     )
 
 

@@ -363,3 +363,56 @@ def token_budget_mixture(
         .filter(F.col("cum_tokens") <= F.col("tok_target"))
         .select(id_col, domain_col, "n_tokens", "cum_tokens", "tok_target")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006, the exponential-race formulation): row i gets the
+    race key ln(u_i) / w_i with u_i a deterministic md5-uniform of its
+    id, and the k LARGEST keys win — exactly the distribution of
+    drawing k items one by one with probability proportional to the
+    remaining weights. The "sample documents proportional to quality /
+    length" primitive a mixture-building pipeline runs, with the
+    engine's no-RNG discipline: same input -> same sample, and a SQL
+    oracle re-derives every key.
+
+    Keys quantize to integer micro-units (the t14/t25 convention) with
+    the id as the total-order tie-break, so selection and ranks are
+    engine-exact. Rows with NULL or non-positive weight cannot race
+    and are excluded (ln(u)/w flips sign at w<0 and divides by zero at
+    w=0 — silently keeping them would corrupt the distribution).
+
+    Scale shape: one map pass for the keys, then a global top-k via
+    orderBy().limit(k) — Spark's TakeOrderedAndProject (per-partition
+    heaps + a k-row driver merge), NEVER a single-partition sort of
+    the corpus; the rank window runs over the k survivors only.
+    Returns (id, weight, key_micro, rank) ordered by rank."""
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float((1 << 60) + 1))  # (0, 1]
+    w = F.col(weight_col).cast("double")
+    keyed = (
+        df.filter(F.col(weight_col).isNotNull() & (w > 0))
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            F.round(F.log(u) / w * 1_000_000).cast("long").alias("key_micro"),
+        )
+        .orderBy(F.desc("key_micro"), F.asc(id_col))
+        .limit(k)
+    )
+    # bounded window: k rows, not the corpus
+    return keyed.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("key_micro"), F.asc(id_col)))
+        .cast("int"),
+    ).orderBy("rank")

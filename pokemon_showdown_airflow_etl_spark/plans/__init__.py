@@ -26,8 +26,8 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # (2) the entries with the OLDEST standing rows, oldest first. After
 # CORRECTNESS_r11 (50/50 green) the cumulative freshness is 50
 # r11-latest, 47 r10-latest, 43 r9-latest, 29 r8-latest. The r12
-# window (VERDICT r11 item 1): the three new entries (m9, m9b, a13),
-# the nine changed entries, then ALL 29 r8-latest names, then the 9
+# window (VERDICT r11 item 1): the four new entries (m9, m9b, a13,
+# t30), the nine changed entries, then ALL 29 r8-latest names, then the 8
 # alphabetically-first r9-latest names — after CORRECTNESS_r12 no
 # entry's latest driver row predates r9.
 # Entries whose implementation changed since their latest driver row —
@@ -70,6 +70,8 @@ _PRIORITY: list[str] = [
     #   (m9 hashes -> m6b banded pair scan)
     "a13_lake_segment_overlap",  # NEW r12: grouped-HLL lake facet +
     #   stored-row pairwise segment overlap serve
+    "t30_weighted_sample",  # NEW r12: deterministic weighted sampling
+    #   without replacement (Efraimidis-Spirakis exponential race)
     "a12_hll_set_ops",
     "a10_lake_bloom_decontaminate",
     "m8_image_admission",
@@ -111,8 +113,8 @@ _PRIORITY: list[str] = [
     "w3_sorted_dates",
     "w5_session_windows",
     "x1_salted_agg",
-    # -- (3) the oldest r9-latest entries fill the remaining 9 slots
-    # (alphabetical within the tie; the other 34 r9-latest names spill
+    # -- (3) the oldest r9-latest entries fill the remaining 8 slots
+    # (alphabetical within the tie; the other 35 r9-latest names spill
     # to r13 — all green in r9 and re-verified by every local parity
     # sweep) --
     "c10_json_extract",
@@ -123,8 +125,8 @@ _PRIORITY: list[str] = [
     "c7_batch_from_details",
     "c8_prefix_predicate",
     "f1_watermark_filter",
-    "f2_undownloaded_filter",
     # ---- slot 50 boundary ----
+    "f2_undownloaded_filter",
     "f3_conjunctive_flags",
     "f4_failed_retry_predicate",
     "f6_point_lookup",

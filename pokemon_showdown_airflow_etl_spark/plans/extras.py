@@ -1571,3 +1571,47 @@ def a13_lake_segment_overlap(spark, sf_dir):
         .filter(F.col("uid").isNotNull())
     )
     return _with_exact_overlap_audit(ov, pe)
+
+
+@q(
+    "t30_weighted_sample",
+    """
+    WITH keyed AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+               CAST(round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS
+                        VARCHAR)), 1, 15)) AS BIGINT) + 1.0)
+                        / 1152921504606846977.0)
+                    / CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT)
+                   AS key_micro
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, weight, key_micro, rank FROM (
+        SELECT doc_id, weight, key_micro,
+               CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id)
+                    AS INT) AS rank
+        FROM keyed
+    ) WHERE rank <= 50
+    ORDER BY rank
+    """,
+    doc="Deterministic weighted sampling without replacement "
+    "(operators/sampling.py::weighted_sample; Efraimidis & Spirakis "
+    "2006): each doc races with key ln(u)/w — u a deterministic "
+    "md5-uniform of its id, w its length weight — and the k largest "
+    "keys win, which IS the sequential draw-proportional-to-remaining-"
+    "weights distribution. The 'sample docs proportional to quality' "
+    "primitive of mixture building, under the engine's no-RNG "
+    "discipline: keys quantize to integer micro-units with the id "
+    "tie-break, so the selected set and ranks hash-check cross-engine. "
+    "At 100 TB: one map pass for keys, then a global top-k as "
+    "per-partition heaps + a k-row merge (TakeOrderedAndProject — "
+    "plan-gated: no single-partition sort of the corpus; the rank "
+    "window sees k rows only). Null/non-positive weights are excluded "
+    "— they cannot race.",
+)
+def t30_weighted_sample(spark, sf_dir):
+    from ..operators.sampling import weighted_sample
+
+    return weighted_sample(
+        t(spark, sf_dir, "documents"), "doc_id", "n_chars", k=50
+    )

@@ -265,6 +265,16 @@ def test_corpus_curation_dag_imports_and_runs_stages(spark, tmp_path, monkeypatc
 
     cu = m.run_curate(**ctx)
     assert cu["n_written"] > 0
+    assert cu["n_semantic_pruned"] == 0  # stage off by default
+
+    # the optional r12 stage params thread through: semantic_prune
+    # without an embeddings path must hit curate's loud guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires embeddings_path"):
+        m.run_curate(
+            **{**ctx, "params": {**ctx["params"], "semantic_prune": 0.9}}
+        )
     cp = m.run_compact(**ctx)
     assert cp["n_batches_consolidated"] == 2  # day1 + day2
 

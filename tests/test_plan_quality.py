@@ -935,3 +935,12 @@ def test_scene_clip_dedup_hashes_once_then_equi_joins(q):
         or "BroadcastHashJoin" in plan
         or "ShuffledHashJoin" in plan
     )
+
+
+def test_weighted_sample_is_top_k_not_global_sort(q):
+    """t30: the weighted race must resolve as per-partition heaps + a
+    k-row merge (TakeOrderedAndProject), never a single-partition sort
+    of the corpus; the rank window runs over the k survivors only."""
+    plan = q("t30_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

@@ -249,3 +249,51 @@ def test_mixture_exact_budget_largest_remainder(spark):
         ).collect()
     }
     assert base_ids <= {r["doc_id"] for r in got2}
+
+
+def test_weighted_sample_matches_python_model_and_guards(spark):
+    """t30 (Efraimidis-Spirakis): the Spark selection equals a pure-
+    Python replica of the exponential race (md5-uniform, ln(u)/w in
+    micro-units, id tie-break); deterministic under re-run; rows with
+    null/zero/negative weight are excluded; heavier rows win more."""
+    import hashlib as _h
+    import math as _m
+
+    from pokemon_showdown_airflow_etl_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, (i % 7) + 1) for i in range(200)] + [
+        (900, None),
+        (901, 0),
+        (902, -5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    def key_micro(i, w):
+        h = int(_h.md5(str(i).encode()).hexdigest()[:15], 16)
+        u = (float(h) + 1.0) / float((1 << 60) + 1)
+        return round(_m.log(u) / float(w) * 1_000_000)
+
+    model = sorted(
+        ((key_micro(i, w), i, w) for i, w in rows if w and w > 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    expect = [
+        (i, w, k, r + 1) for r, (k, i, w) in enumerate(model)
+    ]
+    got = [
+        (r["doc_id"], r["weight"], r["key_micro"], r["rank"])
+        for r in weighted_sample(df, "doc_id", "w", k=20).collect()
+    ]
+    assert got == expect
+    assert all(i < 900 for i, *_ in got)  # unweighable rows excluded
+    # rerun -> identical (no RNG anywhere)
+    got2 = [
+        (r["doc_id"], r["weight"], r["key_micro"], r["rank"])
+        for r in weighted_sample(df, "doc_id", "w", k=20).collect()
+    ]
+    assert got2 == got
+    # weight monotonicity in aggregate: the top-20 of a 1..7-weighted
+    # population should lean heavy (mean weight above the uniform 4)
+    assert sum(w for _, w, *_ in got) / len(got) > 4.0
