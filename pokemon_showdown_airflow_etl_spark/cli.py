@@ -202,6 +202,16 @@ def build_parser() -> argparse.ArgumentParser:
         "fitting its target (overrides --mixture-budget)",
     )
     cur.add_argument(
+        "--sample-k",
+        type=int,
+        default=None,
+        metavar="N",
+        help="cap the corpus BEFORE the split by quality-weighted "
+        "sampling without replacement (t30 Efraimidis-Spirakis race, "
+        "weight = the t7 quality score; deterministic; off when "
+        "omitted)",
+    )
+    cur.add_argument(
         "--nb-seed",
         default=None,
         metavar="PATH",
@@ -572,6 +582,7 @@ def main(argv: list[str] | None = None) -> int:
             mixture_budget_tokens=args.mixture_budget_tokens,
             nb_seed_path=args.nb_seed,
             nb_label_col=args.nb_label_col,
+            sample_k=args.sample_k,
         )
         print(json.dumps(result, sort_keys=True))
         return 0

@@ -13,7 +13,9 @@ operators into one pipeline:
     canonicalization) -> quality filter (t7) -> optional perplexity
     band (t25: CCNet-style bigram-NLL cut of BOTH tails —
     --perplexity-band) -> optional Moore-Lewis contrastive domain
-    selection (t28 — --ml-in-domain) -> deterministic split (t12) ->
+    selection (t28 — --ml-in-domain) -> optional quality-weighted
+    downsample (t30 Efraimidis-Spirakis — --sample-k) ->
+    deterministic split (t12) ->
     optional
     temperature-weighted domain mixture of the train split (t21/t22 —
     --mixture-alpha; grouped by a t29 NB-predicted label when
@@ -70,6 +72,7 @@ def curate_corpus(
     mixture_budget_tokens: int | None = None,
     nb_seed_path: str | None = None,
     nb_label_col: str = "label",
+    sample_k: int | None = None,
 ) -> dict:
     """Run the curation pipeline and write the curated corpus
     partitioned by split. Deterministic: same input -> same survivors,
@@ -195,7 +198,13 @@ def curate_corpus(
     ``mixture_domain_col`` exists — the explicit seed is the stronger
     statement of intent. The stats dict reports
     ``mixture_label_source`` ('nb_seed' / 'column') and the audit keys
-    become predicted labels."""
+    become predicted labels.
+
+    ``sample_k`` (optional) caps the corpus BEFORE the split by
+    quality-weighted sampling without replacement (t30, Efraimidis &
+    Spirakis): keep sample_k docs drawn proportional to the t7 quality
+    score — deterministic (md5-uniform race keys), so re-runs keep the
+    same docs. Docs with quality <= 0 cannot race and are dropped."""
     docs = spark.read.parquet(input_path)
     n_input = docs.count()
 
@@ -588,6 +597,30 @@ def curate_corpus(
             ).transform(pin)
             n_after_ml = n_after_perplexity - n_ml_cut
 
+    # 3d. quality-weighted downsample (optional, t30): when the
+    #     surviving corpus is still larger than the training budget,
+    #     keep sample_k docs drawn WITHOUT replacement proportional to
+    #     the t7 quality score — the Efraimidis-Spirakis exponential
+    #     race (operators/sampling.py::weighted_sample), deterministic
+    #     like every other stage. Runs after all the content filters
+    #     (they decide WHAT is usable; this decides HOW MUCH survives)
+    #     and before the split (shrinking after the split would skew
+    #     the holdout ratios). Docs whose quality is <= 0 cannot race
+    #     and are dropped. Cost at scale: one map pass + a top-k
+    #     (per-partition heaps, never a global sort).
+    n_after_sample = n_after_ml
+    if sample_k is not None:
+        if sample_k < 0:
+            raise ValueError(f"sample_k must be >= 0; got {sample_k!r}")
+        from ..operators.sampling import weighted_sample
+
+        curated = pin(curated)
+        sel = weighted_sample(curated, "doc_id", "quality", k=sample_k).select(
+            "doc_id"
+        )
+        curated = curated.join(sel, "doc_id", "left_semi").transform(pin)
+        n_after_sample = curated.count()
+
     # 4. deterministic split assignment (pure map — no shuffle)
     split_docs = hash_split(curated, "doc_id").drop("bucket")
 
@@ -736,6 +769,7 @@ def curate_corpus(
         "ml_threshold_micro": ml_threshold_micro,
         "ml_lm": ml_lm_source,
         "n_after_ml": n_after_ml,
+        "n_after_sample": n_after_sample,
         "n_train_before_mixture": n_train_before_mixture,
         "mixture_domains": mixture_domains,
         "mixture_label_source": mixture_label_source,
@@ -748,10 +782,10 @@ def curate_corpus(
     # holdout rows plus exactly the per-domain targets — a tiny corpus
     # whose budget floors to 0 can empty the output even when
     # n_after_perplexity > 0
-    n_expected_written = n_after_ml
+    n_expected_written = n_after_sample
     if mixture_alpha is not None:
         n_expected_written = (
-            n_after_ml
+            n_after_sample
             - n_train_before_mixture
             + sum(v["kept"] for v in mixture_domains.values())
         )

@@ -403,7 +403,10 @@ def weighted_sample(
         df.filter(F.col(weight_col).isNotNull() & (w > 0))
         .select(
             F.col(id_col),
-            F.col(weight_col).cast("long").alias("weight"),
+            # the weight rides out in its OWN type: a long cast would
+            # truncate fractional weights (a quality score in [0,1])
+            # to 0/1 in the audit column
+            F.col(weight_col).alias("weight"),
             F.round(F.log(u) / w * 1_000_000).cast("long").alias("key_micro"),
         )
         .orderBy(F.desc("key_micro"), F.asc(id_col))

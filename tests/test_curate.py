@@ -1259,3 +1259,58 @@ def test_curate_nb_autolabel_feeds_mixture(spark, tmp_path):
             mixture_alpha=0.5,
             mixture_domain_col="no_such_col",
         )
+
+
+def test_curate_quality_weighted_downsample(spark, tmp_path):
+    """curate --sample-k (t30): the surviving corpus caps at k docs
+    drawn proportional to the quality score BEFORE the split —
+    deterministic under re-run, off by default, guard on negative k."""
+    rows = [
+        (
+            i,
+            " ".join(f"sw{i}x{j} the a of to in" for j in range(8)),
+            "en",
+            "crawl",
+        )
+        for i in range(80)
+    ]
+    src = str(tmp_path / "raw")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("long")).write.parquet(src)
+
+    stats = curate_corpus(
+        spark, src, str(tmp_path / "out"), min_quality=0.0, sample_k=25
+    )
+    assert stats["n_after_ml"] == 80
+    assert stats["n_after_sample"] == 25
+    assert stats["n_written"] == 25
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert len(kept) == 25
+
+    # deterministic: the same 25 docs survive a re-run
+    stats2 = curate_corpus(
+        spark, src, str(tmp_path / "out2"), min_quality=0.0, sample_k=25
+    )
+    assert stats2 == stats
+    kept2 = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out2")).collect()
+    }
+    assert kept2 == kept
+
+    # off by default; a k above the corpus passes everything through
+    base = curate_corpus(spark, src, str(tmp_path / "out3"), min_quality=0.0)
+    assert base["n_after_sample"] == base["n_after_ml"] == 80
+    big = curate_corpus(
+        spark, src, str(tmp_path / "out4"), min_quality=0.0, sample_k=500
+    )
+    assert big["n_after_sample"] == 80
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sample_k"):
+        curate_corpus(spark, src, str(tmp_path / "o5"), sample_k=-1)
