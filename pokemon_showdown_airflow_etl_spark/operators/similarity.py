@@ -1692,3 +1692,153 @@ def pq_train_codebook(
             C = newC
         out.append([list(c) for c in C])
     return out
+
+
+def residual_ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    shortlist: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """RESIDUAL-encoded IVF-PQ — the refinement that makes IVF-PQ the
+    FAISS default (Jegou et al., TPAMI 2011 §III.C): instead of
+    PQ-coding raw vectors (s17), each member is coded as its residual
+    r = v - centroid(assigned cell). Residuals concentrate around the
+    origin (the coarse quantizer has already explained the
+    between-cell variance), so the same code budget spends its
+    codewords on a much tighter distribution and ADC approximates the
+    TRUE L2 ||q - x|| = ||(q-c) - (x-c)|| inside each probed cell.
+    The price is query-side: the lookup table is built per
+    (query, probed cell) — the query's OWN residual against that
+    cell — instead of once per query; with n_probe a small constant
+    that is n_probe bounded kernels per query, not a corpus cost.
+
+    Composition (every piece already oracle-checked alone): s4's
+    first-N coarse quantizer and rank-1 assignment, JVM zip_with
+    residuals (one broadcast-centroid map, no shuffle), the s14 encode
+    kernel pointed at the residual frame, per-(query, cell) integer
+    LUTs, ONE equi-join on cell_id, bounded exact-cosine rescore.
+    Deterministic end to end — first-N quantizers, integer ADC,
+    id tie-breaks — so the full residual path hash-checks
+    cross-engine. Returns (query_id, nn_id, rank, cos_sim, adc_micro).
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = emb.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    cents = (
+        v.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("centroid"))
+    )
+    cvt = cents.select("cell_id", F.col("centroid").alias("cv"))
+    # rank-1 members with JVM residuals; pinned — the codebook seed
+    # collect, the encode kernel, and the candidate join all read it
+    members = pin(
+        assign_cells(emb, cents, 1, id_col, vec_col)
+        .join(F.broadcast(cvt), "cell_id")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.zip_with("v", "cv", lambda a, b: a - b).alias("r"),
+        )
+    )
+    cb = pq_codebook(members, n_sub=n_sub, n_codes=n_codes, id_col="vec_id", vec_col="r")
+    sd = len(cb[0][0])
+    cbs = [np.asarray(words, dtype=np.float64) for words in cb]
+    cns = [(c * c).sum(axis=1) for c in cbs]
+    codes = pq_encode(members, cb, id_col="vec_id", vec_col="r").select(
+        F.col("vec_id").alias("nn_id"), "codes"
+    )
+    mem = members.select(F.col("vec_id").alias("nn_id"), "cell_id")
+
+    # per-(query, probed cell) residual LUTs — n_queries x n_probe
+    # bounded rows, never the corpus
+    probes = (
+        assign_cells(queries, cents, n_probe, id_col, vec_col)
+        .join(F.broadcast(cvt), "cell_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cell_id",
+            "v",
+            F.zip_with("v", "cv", lambda a, b: a - b).alias("qr"),
+        )
+    )
+
+    def qkernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["qr"].tolist(), dtype=np.float64)
+            tabs = []
+            for row in mat:
+                t = np.empty((n_sub, len(cbs[0])), dtype=np.int64)
+                for m in range(n_sub):
+                    qsv = row[m * sd:(m + 1) * sd]
+                    dd = (qsv * qsv).sum() + (-2.0 * (cbs[m] @ qsv) + cns[m])
+                    t[m] = np.floor(dd * 1_000_000.0 + 0.5).astype(np.int64)
+                tabs.append(list(t))
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "cell_id": pdf["cell_id"].to_numpy(),
+                    "qv": pdf["v"],
+                    "qtab": tabs,
+                }
+            )
+
+    qtab = probes.mapInPandas(
+        qkernel,
+        "query_id long, cell_id long, qv array<double>, qtab array<array<long>>",
+    )
+
+    cand = (
+        mem.join(F.broadcast(qtab), "cell_id")
+        .filter(F.col("query_id") != F.col("nn_id"))
+        .join(codes, "nn_id")
+    )
+    adc = F.get(F.element_at("qtab", 1), F.element_at("codes", 1))
+    for m in range(1, n_sub):
+        adc = adc + F.get(F.element_at("qtab", m + 1), F.element_at("codes", m + 1))
+    scored = cand.select("query_id", "nn_id", "qv", adc.alias("adc_micro"))
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_micro"), F.asc("nn_id")
+    )
+    short = (
+        scored.withColumn("_srnk", F.row_number().over(w_short))
+        .filter(F.col("_srnk") <= shortlist)
+        .drop("_srnk")
+    )
+    rescored = (
+        emb.select(
+            F.col(id_col).alias("nn_id"), as_double(F.col(vec_col)).alias("nv")
+        )
+        .join(F.broadcast(short), "nn_id")
+        .withColumn(
+            "cos_sim",
+            dot(F.col("qv"), F.col("nv"))
+            / (l2_norm(F.col("qv")) * l2_norm(F.col("nv"))),
+        )
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("nn_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "nn_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "adc_micro",
+        )
+    )

@@ -26,8 +26,9 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # (2) the entries with the OLDEST standing rows, oldest first. After
 # CORRECTNESS_r11 (50/50 green) the cumulative freshness is 50
 # r11-latest, 47 r10-latest, 43 r9-latest, 29 r8-latest. The r12
-# window (VERDICT r11 item 1): the four new entries (m9, m9b, a13,
-# t30), the nine changed entries, then ALL 29 r8-latest names, then the 8
+# window (VERDICT r11 item 1): the five new entries (m9, m9b, a13,
+# t30, s24), the nine changed entries, then ALL 29 r8-latest names,
+# then the 7
 # alphabetically-first r9-latest names — after CORRECTNESS_r12 no
 # entry's latest driver row predates r9.
 # Entries whose implementation changed since their latest driver row —
@@ -72,6 +73,8 @@ _PRIORITY: list[str] = [
     #   stored-row pairwise segment overlap serve
     "t30_weighted_sample",  # NEW r12: deterministic weighted sampling
     #   without replacement (Efraimidis-Spirakis exponential race)
+    "s24_residual_ivfpq",  # NEW r12: residual-encoded IVF-PQ (the
+    #   FAISS-default refinement; per-(query, cell) LUTs)
     "a12_hll_set_ops",
     "a10_lake_bloom_decontaminate",
     "m8_image_admission",
@@ -113,8 +116,8 @@ _PRIORITY: list[str] = [
     "w3_sorted_dates",
     "w5_session_windows",
     "x1_salted_agg",
-    # -- (3) the oldest r9-latest entries fill the remaining 8 slots
-    # (alphabetical within the tie; the other 35 r9-latest names spill
+    # -- (3) the oldest r9-latest entries fill the remaining 7 slots
+    # (alphabetical within the tie; the other 36 r9-latest names spill
     # to r13 — all green in r9 and re-verified by every local parity
     # sweep) --
     "c10_json_extract",
@@ -124,8 +127,8 @@ _PRIORITY: list[str] = [
     "c6_players_concat",
     "c7_batch_from_details",
     "c8_prefix_predicate",
-    "f1_watermark_filter",
     # ---- slot 50 boundary ----
+    "f1_watermark_filter",
     "f2_undownloaded_filter",
     "f3_conjunctive_flags",
     "f4_failed_retry_predicate",

@@ -4883,3 +4883,136 @@ def a9_lake_embedding_drift(spark, sf_dir):
     return read_index_estats(spark, root).select(
         F.col("d").cast("int").alias("d"), "n", "s_milli", "ss_milli"
     )
+
+
+@q(
+    "s24_residual_ivfpq",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cents AS (
+        SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 8
+    ), ranked_cells AS (
+        SELECT vid, cell_id,
+               row_number() OVER (PARTITION BY vid ORDER BY cell_sim DESC, cell_id ASC)
+                   AS cell_rank
+        FROM (
+            SELECT e.vec_id AS vid, cents.cell_id,
+                   list_dot_product(e.v, cents.cv) /
+                       (sqrt(list_dot_product(e.v, e.v)) *
+                        sqrt(list_dot_product(cents.cv, cents.cv))) AS cell_sim
+            FROM e CROSS JOIN cents
+        )
+    ), members AS (
+        SELECT vid AS nn_id, cell_id FROM ranked_cells WHERE cell_rank = 1
+    ), res AS (
+        SELECT m.nn_id AS vec_id, m.cell_id,
+               list_transform(range(1, {PQ_N_SUB * PQ_SUB_DIM + 1}),
+                              i -> e.v[i] - c.cv[i]) AS r
+        FROM members m JOIN e ON e.vec_id = m.nn_id
+        JOIN cents c USING (cell_id)
+    ), cb AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, r AS cw
+        FROM (SELECT vec_id, r FROM res ORDER BY vec_id LIMIT {PQ_N_CODES})
+    ), ms AS (
+        SELECT unnest(range(0, {PQ_N_SUB})) AS m
+    ), sub AS (
+        SELECT res.vec_id, ms.m,
+               res.r[ms.m * {PQ_SUB_DIM} + 1 : ms.m * {PQ_SUB_DIM} + {PQ_SUB_DIM}] AS sv
+        FROM res CROSS JOIN ms
+    ), cbsub AS (
+        SELECT cb.j, ms.m,
+               cb.cw[ms.m * {PQ_SUB_DIM} + 1 : ms.m * {PQ_SUB_DIM} + {PQ_SUB_DIM}] AS cw
+        FROM cb CROSS JOIN ms
+    ), best AS (
+        SELECT vec_id, m, j FROM (
+            SELECT s.vec_id, s.m, c.j,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY -2 * list_dot_product(s.sv, c.cw)
+                                  + list_dot_product(c.cw, c.cw) ASC, c.j ASC
+                   ) AS rnk
+            FROM sub s JOIN cbsub c USING (m)
+        ) WHERE rnk = 1
+    ), probes AS (
+        SELECT vid AS qid, cell_id FROM ranked_cells
+        WHERE cell_rank <= 2 AND vid < 5
+    ), qres AS (
+        SELECT p.qid, p.cell_id,
+               list_transform(range(1, {PQ_N_SUB * PQ_SUB_DIM + 1}),
+                              i -> e.v[i] - c.cv[i]) AS qr
+        FROM probes p JOIN e ON e.vec_id = p.qid
+        JOIN cents c USING (cell_id)
+    ), qsub AS (
+        SELECT qres.qid, qres.cell_id, ms.m,
+               qres.qr[ms.m * {PQ_SUB_DIM} + 1 : ms.m * {PQ_SUB_DIM} + {PQ_SUB_DIM}]
+                   AS qsv
+        FROM qres CROSS JOIN ms
+    ), adc AS (
+        SELECT p.qid, mem.nn_id,
+               CAST(sum(CAST(round((list_dot_product(q.qsv, q.qsv)
+                   + (-2 * list_dot_product(q.qsv, c.cw)
+                      + list_dot_product(c.cw, c.cw))) * 1000000) AS BIGINT))
+                    AS BIGINT) AS adc_micro
+        FROM probes p
+        JOIN members mem USING (cell_id)
+        JOIN best b ON b.vec_id = mem.nn_id
+        JOIN qsub q ON q.qid = p.qid AND q.cell_id = p.cell_id AND q.m = b.m
+        JOIN cbsub c ON c.m = b.m AND c.j = b.j
+        WHERE mem.nn_id != p.qid
+        GROUP BY 1, 2
+    ), short AS (
+        SELECT qid, nn_id, adc_micro FROM (
+            SELECT qid, nn_id, adc_micro,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY adc_micro ASC, nn_id ASC) AS srnk
+            FROM adc
+        ) WHERE srnk <= {PQ_SHORTLIST}
+    ), rescored AS (
+        SELECT s.qid AS query_id, s.nn_id, s.adc_micro,
+               list_dot_product(eq.v, ec.v) /
+                   (sqrt(list_dot_product(eq.v, eq.v)) *
+                    sqrt(list_dot_product(ec.v, ec.v))) AS cs
+        FROM short s
+        JOIN e eq ON eq.vec_id = s.qid
+        JOIN e ec ON ec.vec_id = s.nn_id
+    )
+    SELECT query_id, nn_id, CAST(rnk AS INT) AS rank,
+           ROUND(cs, 6) AS cos_sim, adc_micro
+    FROM (
+        SELECT query_id, nn_id, adc_micro, cs,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, nn_id ASC) AS rnk
+        FROM rescored
+    ) WHERE rnk <= 3
+    """,
+    doc="RESIDUAL-encoded IVF-PQ (operators/similarity.py::"
+    "residual_ivfpq_topk) — the refinement that makes IVF-PQ the "
+    "FAISS default (Jegou et al., TPAMI 2011 section III.C): members "
+    "are PQ-coded as r = v - centroid(assigned cell) instead of raw "
+    "vectors (s17), so the code budget quantizes the residual "
+    "distribution the coarse quantizer left over and ADC approximates "
+    "the true within-cell L2 ||(q-c)-(x-c)||. The query-side price is "
+    "explicit: one integer lookup table per (query, PROBED cell) — "
+    "the query's own residual against that cell — instead of one per "
+    "query; with n_probe constant that is a bounded kernel, not a "
+    "corpus cost. Everything else keeps s17's shape: one broadcast-"
+    "centroid residual map (JVM zip_with, no shuffle), the s14 encode "
+    "kernel pointed at residuals, ONE equi-join on cell_id, bounded "
+    "exact-cosine rescore. The oracle re-derives assignment, every "
+    "residual, the residual codebook, every code, every per-cell "
+    "table entry, and both rankings from raw parquet — a single "
+    "drifted residual flips the hash.",
+)
+def s24_residual_ivfpq(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.residual_ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=3,
+        shortlist=PQ_SHORTLIST,
+        n_cells=8,
+        n_probe=2,
+        n_sub=PQ_N_SUB,
+        n_codes=PQ_N_CODES,
+    )

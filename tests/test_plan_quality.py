@@ -944,3 +944,17 @@ def test_weighted_sample_is_top_k_not_global_sort(q):
     plan = q("t30_weighted_sample")
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_residual_ivfpq_two_kernels_equi_join_no_cartesian(q):
+    """s24: exactly TWO Arrow kernels — the corpus residual-encode
+    pass (pinned, runs once) and the bounded per-(query, cell) LUT
+    pass — with candidates meeting members through equi-joins only;
+    no cartesian, no row-Python, no single-partition exchange."""
+    import re
+
+    plan = q("s24_residual_ivfpq")
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
