@@ -438,6 +438,14 @@ def build_parser() -> argparse.ArgumentParser:
         "first-N rule",
     )
     bpq.add_argument(
+        "--residual",
+        action="store_true",
+        help="store RESIDUAL codes (s24/s25): every member encoded as "
+        "v - centroid(its stored cell); pq-search then requires "
+        "--n-probe and builds per-(query, cell) tables from the "
+        "query's own residual (not composable with --opq)",
+    )
+    bpq.add_argument(
         "--opq",
         action="store_true",
         help="train + store the OPQ-lite variance-balancing coordinate "
@@ -772,7 +780,8 @@ def main(argv: list[str] | None = None) -> int:
             kw["train_max_rows"] = args.train_max_rows
         result = build_pq_layer(
             spark, args.index_root, n_sub=args.n_sub, n_codes=args.n_codes,
-            refresh=args.refresh, train=args.train, opq=args.opq, **kw,
+            refresh=args.refresh, train=args.train, opq=args.opq,
+            residual=args.residual, **kw,
         )
         print(json.dumps(result, sort_keys=True))
         return 0

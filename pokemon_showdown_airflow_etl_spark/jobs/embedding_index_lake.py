@@ -284,6 +284,42 @@ def sf_opq_index_root(spark: SparkSession, sf_dir: str) -> str:
     return str(out / "root")
 
 
+SF_RESID_VERSION = 1
+
+
+def sf_residual_index_dir(sf_dir: str) -> Path:
+    return keyed_dir(
+        "embedding_index_residual", SF_RESID_VERSION, sf_dir,
+        _sf_tag() + "-resid8x16",
+    )
+
+
+def build_sf_residual_index(
+    spark: SparkSession, sf_dir: str, out_dir: Path
+) -> None:
+    """s20's recipe with the RESIDUAL leg on (catalog s25): init + bulk
+    ingest, then ``build_pq_layer(residual=True)`` — the committed
+    codes encode each member's residual against its stored cell."""
+    from ..io import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    corp = emb.filter(F.col("vec_id") % DEMO_BATCH_MOD != 0)
+    root = str(out_dir / "root")
+    init_embedding_index(spark, corp, root, n_cells=DEFAULT_N_CELLS, train=False)
+    ingest_embedding_batch(spark, corp, root, "bulk", threshold=2.0)
+    build_pq_layer(spark, root, residual=True)
+
+
+def sf_residual_index_root(spark: SparkSession, sf_dir: str) -> str:
+    """Root of the materialized residual-PQ demo index, building on
+    first use (atomic, race-benign — jobs/_lake.py)."""
+    out = ensure_lake(
+        sf_residual_index_dir(sf_dir),
+        lambda tmp: build_sf_residual_index(spark, sf_dir, tmp),
+    )
+    return str(out / "root")
+
+
 SF_ESTATS_VERSION = 1
 
 
@@ -882,6 +918,7 @@ def build_pq_layer(
     train_max_rows: int = PQ_TRAIN_MAX_ROWS,
     opq: bool = False,
     opq_sample_mod: int | None = OPQ_SAMPLE_MOD,
+    residual: bool = False,
 ) -> dict:
     """Materialize the PQ facet of an embedding index: a deterministic
     codebook (first-``n_codes``-by-id registered vectors, the s14 rule;
@@ -914,6 +951,16 @@ def build_pq_layer(
     orchestrator (jobs/tokenize.py::tokenize_corpus shares this
     convention and its caveat).
 
+    ``residual=True`` stores RESIDUAL codes (s24, the FAISS-default
+    refinement): every committed vector is encoded as r = v -
+    centroid(its stored cell assignment), the codebook is derived from
+    the residual frame under the same first-N/trained rule, and
+    codebook.json records residual=true so ``pq_layer_search`` builds
+    its lookup tables from each query's per-probed-cell residual
+    (n_probe becomes REQUIRED at search — without the cell structure a
+    residual has no meaning). Not composable with ``opq`` in one
+    layer (rejected loudly; train composes fine).
+
     ``opq=True`` additionally trains the OPQ-lite variance-balancing
     coordinate permutation (operators/similarity.py::
     opq_snake_permutation, s21) on the ``vec_id % opq_sample_mod == 0``
@@ -929,6 +976,12 @@ def build_pq_layer(
 
     from ..operators.similarity import pq_codebook, pq_encode
 
+    if residual and opq:
+        raise ValueError(
+            "residual and opq cannot combine in one PQ layer — the "
+            "permutation is trained on raw coordinates and the codes "
+            "would silently encode a third, untested geometry"
+        )
     d = _pq_dir(index_root)
     codes_dir = os.path.join(d, "codes")
     marker = os.path.join(codes_dir, "_SUCCESS")
@@ -946,6 +999,14 @@ def build_pq_layer(
     if os.path.exists(marker) and not refresh:
         with open(os.path.join(d, "codebook.json")) as f:
             meta = _json.load(f)
+        if residual and not meta.get("residual"):
+            # same rule as the opq conflict below: the no-op contract
+            # must not swallow an explicit conflicting request
+            raise ValueError(
+                f"{index_root!r} has a committed PQ layer built WITHOUT "
+                "residual encoding — pass refresh=True (CLI --refresh) "
+                "to rebuild it with residual"
+            )
         if opq and meta.get("perm") is None:
             # silently returning the un-permuted snapshot would leave
             # the operator believing OPQ is on while searches run
@@ -961,6 +1022,7 @@ def build_pq_layer(
             "n_vectors": n, "n_sub": n_sub, "n_codes": n_codes,
             "refreshed": False, "already_built": True,
             "opq": meta.get("perm") is not None,
+            "residual": bool(meta.get("residual")),
         }
     asg = read_committed(spark, index_root, "assignments")
     if asg is None:
@@ -993,16 +1055,29 @@ def build_pq_layer(
         perm = opq_snake_permutation(
             asg, n_sub=n_sub, vec_col="v", sample_mod=opq_sample_mod
         )
+    # residual leg (s24): the encode source becomes r = v - centroid
+    # of the STORED rank-1 assignment — one broadcast-centroid zip_with
+    # map over the committed rows, no shuffle; codebook rule unchanged,
+    # applied to the residual frame
+    src, src_col = asg, "v"
+    if residual:
+        cents_r = read_centroids(spark, index_root).select(
+            "cell_id", F.col("centroid").alias("_cv")
+        )
+        src = asg.join(F.broadcast(cents_r), "cell_id").withColumn(
+            "r", F.zip_with("v", "_cv", lambda a, b: a - b)
+        )
+        src_col = "r"
     if train:
         from ..operators.similarity import pq_train_codebook
 
         cb = pq_train_codebook(
-            asg.orderBy("vec_id").limit(train_max_rows),
-            n_sub=n_sub, n_codes=n_codes, vec_col="v", sample_mod=None,
+            src.orderBy("vec_id").limit(train_max_rows),
+            n_sub=n_sub, n_codes=n_codes, vec_col=src_col, sample_mod=None,
             perm=perm,
         )
     else:
-        cb = pq_codebook(asg, n_sub=n_sub, n_codes=n_codes, vec_col="v", perm=perm)
+        cb = pq_codebook(src, n_sub=n_sub, n_codes=n_codes, vec_col=src_col, perm=perm)
     # codebook JSON BEFORE the codes write: codes/_SUCCESS is the
     # layer's commit marker, so everything the marker promises (the
     # codebook the codes were encoded with) must exist first — a crash
@@ -1010,10 +1085,13 @@ def build_pq_layer(
     # committed layer (if any) never stops serving
     with open(os.path.join(staging, "codebook.json"), "w") as f:
         _json.dump(
-            {"n_sub": n_sub, "n_codes": n_codes, "codebook": cb, "perm": perm},
+            {
+                "n_sub": n_sub, "n_codes": n_codes, "codebook": cb,
+                "perm": perm, "residual": residual,
+            },
             f,
         )
-    encoded = pq_encode(asg, cb, vec_col="v", perm=perm)
+    encoded = pq_encode(src, cb, vec_col=src_col, perm=perm)
     encoded.write.parquet(os.path.join(staging, "codes"))
     if os.path.isdir(d):
         os.rename(d, old)
@@ -1024,6 +1102,7 @@ def build_pq_layer(
     return {
         "n_vectors": n, "n_sub": n_sub, "n_codes": n_codes,
         "refreshed": True, "already_built": False, "opq": bool(opq),
+        "residual": bool(residual),
     }
 
 
@@ -1049,7 +1128,10 @@ def pq_layer_search(
     dials: n_probe per s13, shortlist per s18). Read-only; requires
     ``build_pq_layer`` to have committed. The layer is a snapshot of
     the corpus at build time — rebuild after ingest/compaction to make
-    new vectors searchable."""
+    new vectors searchable. On a RESIDUAL layer (build_pq_layer
+    residual=True) n_probe is required and the tables are built per
+    (query, probed cell) from the query's own residual — the s24
+    shape served from storage."""
     import json as _json
 
     import numpy as np
@@ -1079,10 +1161,112 @@ def pq_layer_search(
     # permutation cancels). Pre-OPQ layers have no "perm" key.
     perm = meta.get("perm")
     parr = None if perm is None else np.asarray(perm, dtype=np.int64)
+    # a residual layer's stored codes encode r = v - centroid(cell):
+    # its ADC tables must come from the query's OWN residual against
+    # each probed cell (one table per (query, cell) — the s24 shape),
+    # which only exists under the cell structure, so n_probe is
+    # REQUIRED
+    residual = bool(meta.get("residual"))
+    if residual and n_probe is None:
+        raise ValueError(
+            f"{index_root!r} holds a RESIDUAL PQ layer — its codes are "
+            "relative to cell centroids, so pq_layer_search needs "
+            "n_probe (the per-cell query residual defines the lookup "
+            "table)"
+        )
 
     codes = spark.read.parquet(codes_dir).select(
         F.col("vec_id").alias("nn_id"), "codes"
     )
+    if residual:
+        from ..operators.similarity import assign_cells
+
+        cents = read_centroids(spark, index_root)
+        cvt = cents.select("cell_id", F.col("centroid").alias("_cv"))
+        members = read_committed(spark, index_root, "assignments").select(
+            F.col("vec_id").alias("nn_id"), "cell_id"
+        )
+        probes = (
+            assign_cells(queries, cents, n_probe, id_col, vec_col)
+            .join(F.broadcast(cvt), "cell_id")
+            .select(
+                F.col("vec_id").alias("query_id"),
+                "cell_id",
+                "v",
+                F.zip_with("v", "_cv", lambda a, b: a - b).alias("qr"),
+            )
+        )
+
+        def rkernel(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.array(pdf["qr"].tolist(), dtype=np.float64)
+                tabs = []
+                for row in mat:
+                    t = np.empty((n_sub, len(cbs[0])), dtype=np.int64)
+                    for m in range(n_sub):
+                        qsv = row[m * sd:(m + 1) * sd]
+                        dd = (qsv * qsv).sum() + (-2.0 * (cbs[m] @ qsv) + cns[m])
+                        t[m] = np.floor(dd * 1_000_000.0 + 0.5).astype(np.int64)
+                    tabs.append(list(t))
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"].to_numpy(),
+                        "cell_id": pdf["cell_id"].to_numpy(),
+                        "qv": pdf["v"],
+                        "qtab": tabs,
+                    }
+                )
+
+        qtab_r = probes.mapInPandas(
+            rkernel,
+            "query_id long, cell_id long, qv array<double>, "
+            "qtab array<array<long>>",
+        )
+        # candidates = stored members of a probed cell, scored under
+        # THAT cell's (query, cell) table — equi-join on both keys
+        pairs = (
+            members.join(F.broadcast(qtab_r), "cell_id")
+            .filter(F.col("query_id") != F.col("nn_id"))
+            .join(codes, "nn_id")
+        )
+        adc = F.get(F.element_at("qtab", 1), F.element_at("codes", 1))
+        for m in range(1, n_sub):
+            adc = adc + F.get(
+                F.element_at("qtab", m + 1), F.element_at("codes", m + 1)
+            )
+        w_short = Window.partitionBy("query_id").orderBy(
+            F.asc("adc_micro"), F.asc("nn_id")
+        )
+        short = (
+            pairs.select("query_id", "nn_id", "qv", adc.alias("adc_micro"))
+            .withColumn("_srnk", F.row_number().over(w_short))
+            .filter(F.col("_srnk") <= shortlist)
+            .drop("_srnk")
+        )
+        vecs = read_committed(spark, index_root, "assignments").select(
+            F.col("vec_id").alias("nn_id"), F.col("v").alias("cv")
+        )
+        cand = vecs.join(F.broadcast(short), "nn_id").withColumn(
+            "cos_sim",
+            dot(F.col("qv"), F.col("cv"))
+            / (l2_norm(F.col("qv")) * l2_norm(F.col("cv"))),
+        )
+        w_final = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("nn_id")
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w_final))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "nn_id",
+                F.col("rank").cast("int").alias("rank"),
+                F.round("cos_sim", 6).alias("cos_sim"),
+                "adc_micro",
+            )
+        )
     if n_probe is not None:
         from ..operators.similarity import assign_cells
 

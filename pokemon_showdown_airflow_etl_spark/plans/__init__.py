@@ -26,8 +26,8 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # (2) the entries with the OLDEST standing rows, oldest first. After
 # CORRECTNESS_r11 (50/50 green) the cumulative freshness is 50
 # r11-latest, 47 r10-latest, 43 r9-latest, 29 r8-latest. The r12
-# window (VERDICT r11 item 1): the five new entries (m9, m9b, a13,
-# t30, s24), the nine changed entries, then ALL 29 r8-latest names,
+# window (VERDICT r11 item 1): the six new entries (m9, m9b, a13,
+# t30, s24, s25), the nine changed entries, then ALL 29 r8-latest names,
 # then the 7
 # alphabetically-first r9-latest names — after CORRECTNESS_r12 no
 # entry's latest driver row predates r9.
@@ -75,6 +75,8 @@ _PRIORITY: list[str] = [
     #   without replacement (Efraimidis-Spirakis exponential race)
     "s24_residual_ivfpq",  # NEW r12: residual-encoded IVF-PQ (the
     #   FAISS-default refinement; per-(query, cell) LUTs)
+    "s25_residual_lake_search",  # NEW r12: s24 served from the lake's
+    #   stored residual codes (the s14->s20 promotion)
     "a12_hll_set_ops",
     "a10_lake_bloom_decontaminate",
     "m8_image_admission",
@@ -116,8 +118,8 @@ _PRIORITY: list[str] = [
     "w3_sorted_dates",
     "w5_session_windows",
     "x1_salted_agg",
-    # -- (3) the oldest r9-latest entries fill the remaining 7 slots
-    # (alphabetical within the tie; the other 36 r9-latest names spill
+    # -- (3) the oldest r9-latest entries fill the remaining 6 slots
+    # (alphabetical within the tie; the other 37 r9-latest names spill
     # to r13 — all green in r9 and re-verified by every local parity
     # sweep) --
     "c10_json_extract",
@@ -126,8 +128,8 @@ _PRIORITY: list[str] = [
     "c5_regex_extract",
     "c6_players_concat",
     "c7_batch_from_details",
-    "c8_prefix_predicate",
     # ---- slot 50 boundary ----
+    "c8_prefix_predicate",
     "f1_watermark_filter",
     "f2_undownloaded_filter",
     "f3_conjunctive_flags",

@@ -644,3 +644,89 @@ def test_build_pq_opq_conflicting_with_committed_layer_raises(spark, tmp_path):
     st = build_pq_layer(spark, root, n_sub=4, n_codes=8, opq=True, refresh=True,
                         opq_sample_mod=1)
     assert st["opq"] and st["refreshed"]
+
+
+def test_residual_pq_layer_serves_stored_residual_codes(spark, tmp_path):
+    """build_pq_layer(residual=True): stored codes encode each member's
+    residual against its STORED cell (verified against a hand
+    composition of assign + zip_with + encode), codebook.json records
+    residual=true, search requires n_probe and returns the planted
+    duplicate at rank 1; the conflicting-request, opq-composition and
+    no-probe guards all fail loudly."""
+    import json
+    import os
+
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        read_committed,
+    )
+    from pokemon_showdown_airflow_etl_spark.jobs.embedding_index_lake import (
+        build_pq_layer,
+        ingest_embedding_batch,
+        init_embedding_index,
+        pq_layer_search,
+        read_centroids,
+    )
+    from pokemon_showdown_airflow_etl_spark.operators.similarity import (
+        assign_cells,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = _planted_anisotropic(spark, n=60, dim=16, n_sub=4)
+    root = str(tmp_path / "idx")
+    init_embedding_index(spark, emb, root, n_cells=4, train=False)
+    ingest_embedding_batch(spark, emb, root, "bulk", threshold=2.0)
+
+    with pytest.raises(ValueError, match="residual and opq"):
+        build_pq_layer(spark, root, n_sub=4, n_codes=8, residual=True, opq=True)
+
+    st = build_pq_layer(spark, root, n_sub=4, n_codes=8, residual=True)
+    assert st["residual"] is True and st["n_vectors"] == 60
+    with open(os.path.join(root, "pq", "codebook.json")) as f:
+        assert json.load(f)["residual"] is True
+
+    # stored codes == hand-derived residual encoding of the committed
+    # corpus (assignment from the lake's own centroids)
+    cents = read_centroids(spark, root)
+    cvt = cents.select("cell_id", F.col("centroid").alias("_cv"))
+    asg = read_committed(spark, root, "assignments")
+    resid = (
+        assign_cells(asg.select("vec_id", F.col("v").alias("embedding")), cents, 1)
+        .join(F.broadcast(cvt), "cell_id")
+        .select(
+            "vec_id", F.zip_with("v", "_cv", lambda a, b: a - b).alias("r")
+        )
+    )
+    cb = pq_codebook(resid, n_sub=4, n_codes=8, vec_col="r")
+    want = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(resid, cb, vec_col="r").collect()
+    }
+    got = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(os.path.join(root, "pq", "codes")).collect()
+    }
+    assert got == want
+
+    # search: n_probe required; a planted duplicate of member 7 comes
+    # back rank-1 with cosine 1.0 through the residual tables
+    member7 = asg.filter(F.col("vec_id") == 7).select(
+        F.lit(1007).alias("vec_id"), F.col("v").alias("embedding")
+    )
+    with pytest.raises(ValueError, match="n_probe"):
+        pq_layer_search(spark, root, member7, k=1)
+    top = pq_layer_search(spark, root, member7, k=1, n_probe=2).collect()
+    assert len(top) == 1
+    assert top[0]["nn_id"] == 7 and float(top[0]["cos_sim"]) == 1.0
+
+    # explicit residual=True against a committed raw layer raises
+    root2 = str(tmp_path / "idx2")
+    init_embedding_index(spark, emb, root2, n_cells=4, train=False)
+    ingest_embedding_batch(spark, emb, root2, "bulk", threshold=2.0)
+    build_pq_layer(spark, root2, n_sub=4, n_codes=8)
+    with pytest.raises(ValueError, match="WITHOUT residual"):
+        build_pq_layer(spark, root2, n_sub=4, n_codes=8, residual=True)
+    st2 = build_pq_layer(
+        spark, root2, n_sub=4, n_codes=8, residual=True, refresh=True
+    )
+    assert st2["residual"] and st2["refreshed"]
