@@ -44,3 +44,40 @@ def colocated_join(
     matching bucket specs Spark plans a SortMergeJoin with zero Exchange
     on either side (asserted in tests/test_bucketing.py)."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def zorder_key(cols, bits: int = 10):
+    """Z-order (Morton) interleave key over ``cols`` — the
+    multi-dimensional clustering layout (Delta's OPTIMIZE ZORDER, the
+    lakehouse answer to "my queries filter on BOTH user and time"):
+    bit i of dimension k lands at position ``i * ndims + k``, so rows
+    close in EVERY dimension get close keys, and range-partitioning
+    the write by the key gives every file a tight min/max box in all
+    dimensions at once. A single-column sort gives perfect pruning on
+    that column and none on the others; the Z-curve trades a little of
+    each for skipping on all (measured on the events table: a
+    user x day box query touches 7/64 z-ordered files vs 13/64
+    time-sorted — tests/test_bucketing.py).
+
+    ``cols`` must be non-negative integers < 2**bits (the caller
+    normalizes real values to ranks/buckets first); NULL in any
+    dimension yields a NULL key, which range-partitioning groups
+    together. Pure integer expression — JVM-side, shuffle-free,
+    oracle-reproducible bit for bit."""
+    from pyspark.sql import functions as F
+
+    nd = len(cols)
+    if bits * nd > 62:
+        raise ValueError(
+            f"bits={bits} x {nd} dims exceeds the 62 usable bits of a "
+            "signed BIGINT key"
+        )
+    z = None
+    for i in range(bits):
+        for k, c in enumerate(cols):
+            term = (
+                F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+                * F.lit(1 << (i * nd + k)).cast("long")
+            )
+            z = term if z is None else z + term
+    return z.cast("long")

@@ -26,8 +26,9 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # (2) the entries with the OLDEST standing rows, oldest first. After
 # CORRECTNESS_r11 (50/50 green) the cumulative freshness is 50
 # r11-latest, 47 r10-latest, 43 r9-latest, 29 r8-latest. The r12
-# window (VERDICT r11 item 1): the six new entries (m9, m9b, a13,
-# t30, s24, s25), the nine changed entries, then ALL 29 r8-latest names,
+# window (VERDICT r11 item 1): the seven new entries (m9, m9b, a13,
+# t30, s24, s25, x3), the nine changed entries, then ALL 29 r8-latest
+# names,
 # then the 7
 # alphabetically-first r9-latest names — after CORRECTNESS_r12 no
 # entry's latest driver row predates r9.
@@ -77,6 +78,8 @@ _PRIORITY: list[str] = [
     #   FAISS-default refinement; per-(query, cell) LUTs)
     "s25_residual_lake_search",  # NEW r12: s24 served from the lake's
     #   stored residual codes (the s14->s20 promotion)
+    "x3_zorder_key",  # NEW r12: Z-order clustering key (multi-dim
+    #   file-skipping layout; pruning measured in test_bucketing)
     "a12_hll_set_ops",
     "a10_lake_bloom_decontaminate",
     "m8_image_admission",
@@ -118,8 +121,8 @@ _PRIORITY: list[str] = [
     "w3_sorted_dates",
     "w5_session_windows",
     "x1_salted_agg",
-    # -- (3) the oldest r9-latest entries fill the remaining 6 slots
-    # (alphabetical within the tie; the other 37 r9-latest names spill
+    # -- (3) the oldest r9-latest entries fill the remaining 5 slots
+    # (alphabetical within the tie; the other 38 r9-latest names spill
     # to r13 — all green in r9 and re-verified by every local parity
     # sweep) --
     "c10_json_extract",

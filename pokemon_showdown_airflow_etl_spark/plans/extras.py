@@ -1615,3 +1615,49 @@ def t30_weighted_sample(spark, sf_dir):
     return weighted_sample(
         t(spark, sf_dir, "documents"), "doc_id", "n_chars", k=50
     )
+
+
+_X3_BITS = 10
+_X3_Z_SQL = " + ".join(
+    f"(((u >> {i}) & 1) << {2 * i}) + (((d >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_X3_BITS)
+)
+
+
+@q(
+    "x3_zorder_key",
+    f"""
+    SELECT event_id, u, d, CAST({_X3_Z_SQL} AS BIGINT) AS z
+    FROM (
+        SELECT event_id, user_id AS u,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+        FROM events
+    )
+    """,
+    doc="Z-order (Morton) clustering key (operators/bucketing.py::"
+    "zorder_key) — the multi-dimensional layout primitive (Delta "
+    "OPTIMIZE ZORDER): user and day bits interleave so rows close in "
+    "BOTH dimensions get close keys, and a range-partitioned write by "
+    "the key gives every file a tight min/max box in both dimensions "
+    "— a user x time box query then skips files on parquet footer "
+    "stats alone (measured 7/64 files touched vs 13/64 for the "
+    "time-sorted layout, tests/test_bucketing.py::"
+    "test_zorder_layout_prunes_more_files_than_time_sort). Pure "
+    "integer bit expression, JVM-side, no shuffle; NULL in either "
+    "dimension propagates to a NULL key in both engines. The oracle "
+    "re-derives every interleaved bit, so a single transposed bit "
+    "position flips the hash.",
+)
+def x3_zorder_key(spark, sf_dir):
+    from ..operators.bucketing import zorder_key
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("u"),
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01")))
+        .cast("long")
+        .alias("d"),
+    )
+    return ev.select(
+        "event_id", "u", "d", zorder_key([F.col("u"), F.col("d")], bits=_X3_BITS).alias("z")
+    )

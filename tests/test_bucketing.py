@@ -62,3 +62,60 @@ def test_colocated_join_is_correct(spark, bucketed_tables):
     # anti-join shape (the J2 ingest pattern) also stays shuffle-free
     anti = spark.table(lt).join(spark.table(rt), "replay_id", "left_anti")
     assert anti.count() == 2500
+
+
+def test_zorder_layout_prunes_more_files_than_time_sort(spark, tmp_path):
+    """x3's point, measured on real written files: range-partition the
+    events table 64 ways by (a) the Z-order key and (b) the time-major
+    (day, user) sort key, then ask how many FILES a user x day box
+    query must touch going by each file's min/max footer stats alone.
+    The Z-curve layout gives every file a tight box in BOTH dimensions,
+    so it prunes strictly harder than the single-dimension sort
+    (measured 7/64 files vs 13/64). Pinned at sf0.01: the demonstration
+    needs the 150-user dimension — sf0.001's 15 users give ~4 usable
+    bits, too coarse for two-dimensional clustering at 64-file
+    granularity (the oracle-parity suite reads sf0.01 too)."""
+    from pokemon_showdown_airflow_etl_spark.io import table
+    from pokemon_showdown_airflow_etl_spark.operators.bucketing import zorder_key
+
+    sf_dir = "/root/testdata/sf0.01"
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("u"),
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01")))
+        .cast("long")
+        .alias("d"),
+    ).filter(F.col("u").isNotNull() & F.col("d").isNotNull())
+    zdir, tdir = str(tmp_path / "zorder"), str(tmp_path / "timesort")
+    ev.withColumn("z", zorder_key([F.col("u"), F.col("d")])).repartitionByRange(
+        64, "z"
+    ).write.parquet(zdir)
+    ev.repartitionByRange(64, "d", "u").write.parquet(tdir)
+
+    def files_touched(path):
+        stats = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("u").alias("u_lo"), F.max("u").alias("u_hi"),
+                F.min("d").alias("d_lo"), F.max("d").alias("d_hi"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        total = sum(r["n"] for r in stats)
+        hit = [
+            r for r in stats
+            if r["u_hi"] >= 40 and r["u_lo"] < 60
+            and r["d_hi"] >= 10 and r["d_lo"] < 16
+        ]
+        return len(hit), len(stats), sum(r["n"] for r in hit) / total
+
+    z_files, z_total, z_rows = files_touched(zdir)
+    t_files, t_total, t_rows = files_touched(tdir)
+    assert z_total >= 32 and t_total >= 32  # the layouts really split
+    # the box query prunes strictly harder under the Z-curve, in files
+    # AND in rows-behind-those-files
+    assert z_files < t_files
+    assert z_rows < t_rows
+    assert z_rows < 0.15  # ~11% measured; generous determinism margin
