@@ -119,3 +119,40 @@ def test_zorder_layout_prunes_more_files_than_time_sort(spark, tmp_path):
     assert z_files < t_files
     assert z_rows < t_rows
     assert z_rows < 0.15  # ~11% measured; generous determinism margin
+
+
+def test_zorder_key_matches_python_model_in_three_dims(spark):
+    """zorder_key generalizes past two dims: bit i of dim k lands at
+    position i*ndims+k (checked against a pure-Python interleave over
+    a 3-dim grid), NULL in any dim yields a NULL key, and the 62-bit
+    signed-BIGINT guard rejects an overflowing geometry."""
+    from pokemon_showdown_airflow_etl_spark.operators.bucketing import zorder_key
+
+    rows = [(a, b, c) for a in range(5) for b in range(5) for c in range(5)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got = {
+        (r["a"], r["b"], r["c"]): r["z"]
+        for r in df.withColumn(
+            "z", zorder_key([F.col("a"), F.col("b"), F.col("c")], bits=4)
+        ).collect()
+    }
+
+    def model(a, b, c, bits=4, nd=3):
+        z = 0
+        for i in range(bits):
+            for k, v in enumerate((a, b, c)):
+                z |= ((v >> i) & 1) << (i * nd + k)
+        return z
+
+    assert got == {(a, b, c): model(a, b, c) for a, b, c in rows}
+
+    nulled = spark.createDataFrame([(1, None, 2)], "a long, b long, c long")
+    assert (
+        nulled.withColumn(
+            "z", zorder_key([F.col("a"), F.col("b"), F.col("c")], bits=4)
+        ).first()["z"]
+        is None
+    )
+
+    with pytest.raises(ValueError, match="62"):
+        zorder_key([F.col("a"), F.col("b"), F.col("c")], bits=21)
