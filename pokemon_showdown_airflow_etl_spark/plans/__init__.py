@@ -130,8 +130,8 @@ _PRIORITY: list[str] = [
     "c4_batch_id",
     "c5_regex_extract",
     "c6_players_concat",
-    "c7_batch_from_details",
     # ---- slot 50 boundary ----
+    "c7_batch_from_details",
     "c8_prefix_predicate",
     "f1_watermark_filter",
     "f2_undownloaded_filter",
