@@ -242,6 +242,9 @@ HLLG_GROUP_COL = "lang"  # the segment key for the grouped-HLL facet;
 #                          column — rows store group VALUES only, so
 #                          mixing keys across batches would merge
 #                          apples with oranges silently
+HIST_TABLE = "hist"  # additive token-length histogram facet (decimal
+#                      buckets, operators/sketches.py::hist_rows) —
+#                      a14's quantile serve
 ESTATS_TABLE = "estats"  # embedding-drift facet (embedding lake only —
 #                          jobs/embedding_index_lake.py writes it; the
 #                          merge law and compaction reduction live here
@@ -787,6 +790,70 @@ def eval_contamination(
     )
 
 
+def batch_hist_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    _staged: DataFrame | None = None,
+) -> DataFrame:
+    """One batch's token-length HISTOGRAM facet: deterministic decimal
+    buckets (operators/sketches.py::hist_rows) over each considered
+    doc's whitespace token count (the t3 counting convention — the
+    size of the pinned tokenize, so ingest shares its ONE staged token
+    array via ``_staged`` instead of re-tokenizing the batch).
+    Additive like the lm/cms facets: compaction merges by plain SUM
+    and readers exclude crash-window partitions. Null-text docs have
+    no length and contribute no row."""
+    from ..operators.dedup import tokens
+    from ..operators.sketches import hist_rows
+
+    staged = (
+        _staged
+        if _staged is not None
+        else docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    )
+    counts = staged.filter(F.col("_tk").isNotNull()).select(
+        F.size("_tk").cast("long").alias("n_tokens")
+    )
+    return hist_rows(counts, "n_tokens")
+
+
+def read_corpus_hist(spark: SparkSession, sig_root: str) -> DataFrame | None:
+    """The corpus-wide merged token-length histogram over every
+    committed batch's stored hist/ partition, or None when no batch
+    carries the facet. Additive counts cannot heal crash-window
+    double-merges, so replaced-but-unremoved partitions are excluded
+    (_committed_facet_paths) — the lm/cms rule. Partial coverage
+    caveat applies: only faceted batches contribute."""
+    paths = _committed_facet_paths(sig_root, HIST_TABLE)
+    if not paths:
+        return None
+    from ..operators.sketches import merge_hist_rows
+
+    return merge_hist_rows(spark.read.parquet(*paths))
+
+
+def corpus_token_quantiles(
+    spark: SparkSession,
+    sig_root: str,
+    qs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+) -> DataFrame | None:
+    """Corpus token-length quantiles served from the stored hist/
+    facet alone (a14; cli sketch-stats --token-quantiles): the corpus
+    text stays cold, the answer comes from the few-thousand-row merged
+    bucket table, and est_lo <= exact quantile <= est_hi is guaranteed
+    by the bucketing (exact below 10^3 where buckets are singletons,
+    < 1% relative width above). The per-doc planning number every
+    packing / budget decision starts from — "how long are my
+    documents" — without a corpus scan. None on a pre-facet corpus."""
+    rows = read_corpus_hist(spark, sig_root)
+    if rows is None:
+        return None
+    from ..operators.sketches import hist_quantiles
+
+    return hist_quantiles(rows, qs_ppm)
+
+
 def read_corpus_hh(spark: SparkSession, sig_root: str) -> DataFrame | None:
     """The corpus-wide merged heavy-hitter candidate set over every
     committed batch's stored hh/ partition, or None when no batch
@@ -996,6 +1063,14 @@ def ingest_signature_batch(
         ).write.mode("overwrite").parquet(
             os.path.join(sig_root, BLOOM_TABLE, f"batch={batch_id}")
         )
+        # hist: the additive token-length histogram facet (decimal
+        # buckets — a14's quantile serve), riding the same staged
+        # token array as the bigram facets
+        batch_hist_rows(fresh_docs, id_col, text_col, _staged=staged).coalesce(
+            1
+        ).write.mode("overwrite").parquet(
+            os.path.join(sig_root, HIST_TABLE, f"batch={batch_id}")
+        )
         # hllg: per-segment distinct-content registers (a11/a12 served
         # from storage) — only when the batch carries the segment key.
         # One lake must group every batch by ONE column (the
@@ -1187,6 +1262,20 @@ def compact_signature_corpus(
             ).write.mode("overwrite").parquet(
                 os.path.join(sig_root, CMS_TABLE, f"batch={cid}")
             )
+        hist_paths = [
+            os.path.join(sig_root, HIST_TABLE, f"batch={b}") for b in old
+        ]
+        hist_paths = [
+            p for p in hist_paths if os.path.exists(os.path.join(p, "_SUCCESS"))
+        ]
+        if hist_paths:
+            from ..operators.sketches import merge_hist_rows
+
+            merge_hist_rows(spark.read.parquet(*hist_paths)).coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                os.path.join(sig_root, HIST_TABLE, f"batch={cid}")
+            )
         hh_paths = [
             os.path.join(sig_root, HH_TABLE, f"batch={b}") for b in old
         ]
@@ -1262,7 +1351,7 @@ def compact_signature_corpus(
         shutil.rmtree(os.path.join(mem_dir, f"batch={b}"), ignore_errors=True)
         shutil.rmtree(os.path.join(sig_dir, f"batch={b}"), ignore_errors=True)
         for facet in (SKETCH_TABLE, LM_TABLE, CMS_TABLE, HH_TABLE,
-                      BLOOM_TABLE, HLLG_TABLE, ESTATS_TABLE):
+                      BLOOM_TABLE, HLLG_TABLE, ESTATS_TABLE, HIST_TABLE):
             shutil.rmtree(
                 os.path.join(sig_root, facet, f"batch={b}"),
                 ignore_errors=True,
@@ -1282,6 +1371,7 @@ def corpus_sketch_stats(
     grams: list[str] | None = None,
     top_grams: int | None = None,
     segment_overlap: bool = False,
+    token_quantiles: bool = False,
 ) -> dict:
     """The number a corpus operator actually asks the sketch facet for
     (counts only, the O5 rule): the HLL distinct-content estimate and
@@ -1298,6 +1388,9 @@ def corpus_sketch_stats(
     pairwise segment-overlap estimate from the stored hllg/ registers
     (a13's serve — k^2 pairs of milli-unit estimates, k = segment
     count, so the collect is bounded by segments squared; empty list
+    on a pre-facet corpus). ``token_quantiles`` serves corpus
+    token-length quantiles from the stored hist/ facet
+    (corpus_token_quantiles — a bounded bucket-table read; empty list
     on a pre-facet corpus)."""
     from ..operators.sketches import hll_summary_of_registers
     from ..pinning import pin
@@ -1350,6 +1443,23 @@ def corpus_sketch_stats(
             for r in ov.orderBy("grp_a", "grp_b").collect()
         ]
 
+    def _token_quantiles() -> list:
+        if not token_quantiles:
+            return []
+        qt = corpus_token_quantiles(spark, sig_root)
+        if qt is None:
+            return []
+        return [
+            [
+                int(r["q_ppm"]),
+                int(r["est_lo"]),
+                int(r["est_hi"]),
+                int(r["n_le"]),
+                int(r["n_total"]),
+            ]
+            for r in qt.collect()
+        ]
+
     def _bloom_stats() -> dict:
         bloom = read_corpus_bloom(spark, sig_root)
         if bloom is None:
@@ -1378,7 +1488,7 @@ def corpus_sketch_stats(
     coverage = {
         t: list(facet_coverage(sig_root, t))
         for t in (SKETCH_TABLE, LM_TABLE, CMS_TABLE, HH_TABLE, BLOOM_TABLE,
-                  HLLG_TABLE)
+                  HLLG_TABLE, HIST_TABLE)
     }
     sk = read_corpus_sketch(spark, sig_root)
     if sk is None:
@@ -1392,6 +1502,7 @@ def corpus_sketch_stats(
             "gram_est": _gram_estimates(),
             "top_grams": _top_grams(),
             "segment_overlap": _segment_overlap(),
+            "token_quantiles": _token_quantiles(),
             "facet_coverage": coverage,
             **_bloom_stats(),
         }
@@ -1422,6 +1533,7 @@ def corpus_sketch_stats(
         "gram_est": _gram_estimates(),
         "top_grams": _top_grams(),
         "segment_overlap": _segment_overlap(),
+        "token_quantiles": _token_quantiles(),
         # [n_batches_with_facet, n_committed] per facet: estimates
         # above cover the FACETED batches only — partial coverage
         # means the numbers summarize a subset of the corpus
@@ -1457,6 +1569,7 @@ def _sketch_tag() -> str:
         merge_hh_rows,
         batch_bloom_rows,
         batch_gram4_stream,
+        batch_hist_rows,
         _batch_grams,
         sketches.bloom_positions,
         sketches.bloom_rows,
@@ -1468,6 +1581,10 @@ def _sketch_tag() -> str:
         sketches.cms_cells_md5,
         sketches.cms_rows_md5,
         sketches.merge_cms_rows,
+        sketches.hist_bucket_lo,
+        sketches.hist_bucket_hi,
+        sketches.hist_rows,
+        sketches.merge_hist_rows,
         text.bigram_lm_rows,
         text.merge_lm_rows,
         text._bigram_staged,
@@ -1554,7 +1671,7 @@ def _sweep_retired(sig_root: str, data_table: str = "signatures") -> None:
             ignore_errors=True,
         )
         for facet in (SKETCH_TABLE, LM_TABLE, CMS_TABLE, HH_TABLE,
-                      BLOOM_TABLE, HLLG_TABLE, ESTATS_TABLE):
+                      BLOOM_TABLE, HLLG_TABLE, ESTATS_TABLE, HIST_TABLE):
             shutil.rmtree(
                 os.path.join(sig_root, facet, f"batch={b}"),
                 ignore_errors=True,

@@ -796,3 +796,126 @@ def hll_pairwise_overlap(regs: DataFrame) -> DataFrame:
             ).alias("overlap_est_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic decimal histogram — the engine's mergeable QUANTILE
+# sketch (SURVEY.md §2.11 sketch path, the a5 built-in's lake-ready
+# sibling). Spark's approx_percentile / KLL state is opaque and
+# engine-specific; a facet that must (a) merge by plain SUM across
+# batches and compactions and (b) hash-check against an ANSI-SQL oracle
+# needs a bucketing that is a pure integer/string formula. This is the
+# HDR-histogram idea with DECIMAL significant digits: a non-negative
+# value keeps its exact value while it has <= HIST_SIG_DIGITS digits
+# (singleton buckets — exact quantiles for the small range) and above
+# that rounds down to its first HIST_SIG_DIGITS digits (bucket width
+# 10^(d-3), relative error < 1% since the lead is >= 100). Buckets per
+# decade are bounded (900), decades by the value magnitude (~9 for
+# anything countable), so the whole histogram is a few-thousand-row
+# table whatever the corpus size — broadcastable, SUM-mergeable,
+# crash-window-excludable like every additive facet.
+# ---------------------------------------------------------------------------
+
+HIST_SIG_DIGITS = 3
+
+
+def hist_bucket_lo(x: Column) -> Column:
+    """Inclusive lower bound of ``x``'s histogram bucket — ``x`` itself
+    below 10^HIST_SIG_DIGITS, else the first HIST_SIG_DIGITS digits
+    with the rest zeroed. Pure string math (substr + repeat + cast), so
+    the exact same expression runs in DuckDB — no float pow whose
+    rounding could flip a boundary value into the neighbor bucket."""
+    s = x.cast("string")
+    d = F.length(s)
+    pad = F.repeat(F.lit("0"), d - F.lit(HIST_SIG_DIGITS))
+    return (
+        F.when(d <= HIST_SIG_DIGITS, x.cast("long"))
+        .otherwise(
+            F.concat(F.substring(s, 1, HIST_SIG_DIGITS), pad).cast("long")
+        )
+    )
+
+
+def hist_bucket_hi(x: Column) -> Column:
+    """Inclusive upper bound: lo + 10^(d - HIST_SIG_DIGITS) - 1 for
+    bucketed values (the scale rebuilt as the string '1' + zeros — same
+    no-float rule as the lower bound), ``x`` itself for singletons."""
+    s = x.cast("string")
+    d = F.length(s)
+    pad = F.repeat(F.lit("0"), d - F.lit(HIST_SIG_DIGITS))
+    scale = F.concat(F.lit("1"), pad).cast("long")
+    return (
+        F.when(d <= HIST_SIG_DIGITS, x.cast("long"))
+        .otherwise(hist_bucket_lo(x) + scale - 1)
+    )
+
+
+def hist_rows(df: DataFrame, value_col: str) -> DataFrame:
+    """The histogram-sketch rows (lo, hi, cnt) of a non-negative long
+    column: one narrow aggregation with map-side partial combine — the
+    stream collapses to <= a-few-thousand partial rows per task before
+    the single exchange, the same shuffle shape as the CMS build. NULL
+    and negative values are excluded (they have no decimal bucket; a
+    count can't be negative)."""
+    v = F.col(value_col).cast("long")
+    return (
+        df.filter(v.isNotNull() & (v >= 0))
+        .select(hist_bucket_lo(v).alias("lo"), hist_bucket_hi(v).alias("hi"))
+        .groupBy("lo", "hi")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def merge_hist_rows(rows: DataFrame) -> DataFrame:
+    """Merge histogram rows from many batches: plain SUM per bucket.
+    Counts are ADDITIVE — merged == from-scratch exactly (the property
+    tests pin it), which is what lets compaction fold N per-batch
+    partitions into one without touching the corpus. Like the LM/CMS
+    facets (and unlike the idempotent max-merge sketches) additive
+    counts cannot heal a crash-window double-merge, so readers exclude
+    replaced-but-unremoved partitions (_committed_facet_paths)."""
+    return rows.groupBy("lo", "hi").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def hist_quantiles(
+    rows: DataFrame,
+    qs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+) -> DataFrame:
+    """Quantiles served from histogram rows alone: for each requested
+    q (parts-per-million — integer, so targets are exact cross-engine)
+    the answer is the first bucket whose cumulative count reaches
+    ceil(q * n_total / 1e6) — the discrete quantile's bucket, with
+    est_lo <= exact_quantile <= est_hi guaranteed by construction.
+
+    Scale shape: the cumulative window and the target join run over
+    the MERGED bucket table (a few thousand rows however big the
+    corpus — the a12 registers-not-data rule), never the value stream;
+    the join is a broadcast of that bounded table. Integer ceiling
+    division (`div`) keeps the target exact where q * n overflows
+    float precision. Returns (q_ppm, est_lo, est_hi, n_le, n_total)
+    ordered by q_ppm; empty when ``rows`` is empty."""
+    merged = pin(merge_hist_rows(rows))
+    w = Window.orderBy("lo").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.withColumn("n_le", F.sum("cnt").over(w))
+    tot = merged.agg(F.sum("cnt").cast("long").alias("n_total"))
+    spark = rows.sparkSession
+    qs = spark.createDataFrame(
+        [(int(q),) for q in qs_ppm], "q_ppm int"
+    )
+    targets = qs.crossJoin(F.broadcast(tot)).withColumn(
+        "target",
+        F.expr("(cast(q_ppm as bigint) * n_total + 999999) div 1000000"),
+    )
+    return (
+        targets.join(F.broadcast(cum), F.col("n_le") >= F.col("target"))
+        .groupBy("q_ppm", "n_total")
+        .agg(F.min_by(F.struct("lo", "hi", "n_le"), "lo").alias("b"))
+        .select(
+            "q_ppm",
+            F.col("b.lo").alias("est_lo"),
+            F.col("b.hi").alias("est_hi"),
+            F.col("b.n_le").alias("n_le"),
+            "n_total",
+        )
+        .orderBy("q_ppm")
+    )

@@ -1573,6 +1573,87 @@ def a13_lake_segment_overlap(spark, sf_dir):
     return _with_exact_overlap_audit(ov, pe)
 
 
+_A14_V_SQL = f"CAST(len({_TOKENS_SQL}) AS BIGINT)"
+_A14_LO_SQL = (
+    "CASE WHEN length(CAST(v AS VARCHAR)) <= 3 THEN v "
+    "ELSE CAST(substr(CAST(v AS VARCHAR), 1, 3) "
+    "|| repeat('0', length(CAST(v AS VARCHAR)) - 3) AS BIGINT) END"
+)
+_A14_SCALE_SQL = (
+    "CASE WHEN length(CAST(v AS VARCHAR)) <= 3 THEN 1 "
+    "ELSE CAST('1' || repeat('0', length(CAST(v AS VARCHAR)) - 3) AS BIGINT) "
+    "END"
+)
+
+
+@q(
+    "a14_lake_token_quantiles",
+    f"""
+    WITH vals AS (
+        SELECT {_A14_V_SQL} AS v
+        FROM documents WHERE text IS NOT NULL
+    ), b AS (
+        SELECT {_A14_LO_SQL} AS lo,
+               {_A14_LO_SQL} + {_A14_SCALE_SQL} - 1 AS hi
+        FROM vals
+    ), g AS (
+        SELECT lo, hi, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2
+    ), c AS (
+        SELECT lo, hi,
+               CAST(sum(cnt) OVER (ORDER BY lo) AS BIGINT) AS n_le
+        FROM g
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM g
+    ), qs(q_ppm) AS (
+        VALUES (250000), (500000), (750000), (900000), (990000)
+    ), t2 AS (
+        SELECT q_ppm,
+               (CAST(q_ppm AS BIGINT) * n_total + 999999) // 1000000
+                   AS target,
+               n_total
+        FROM qs CROSS JOIN tot
+    )
+    SELECT CAST(t2.q_ppm AS INTEGER) AS q_ppm,
+           min(c.lo) AS est_lo,
+           min_by(c.hi, c.lo) AS est_hi,
+           min_by(c.n_le, c.lo) AS n_le,
+           t2.n_total
+    FROM t2 JOIN c ON c.n_le >= t2.target
+    GROUP BY t2.q_ppm, t2.n_total
+    ORDER BY q_ppm
+    """,
+    doc="Lake-served token-length quantiles — the engine's mergeable "
+    "QUANTILE sketch as a stored facet (operators/sketches.py::"
+    "hist_rows; jobs/doc_signature_lake.py::batch_hist_rows, hist/): "
+    "ingest persists per-batch deterministic decimal-bucket histograms "
+    "of each considered doc's whitespace token count (exact singleton "
+    "buckets below 10^3, first-3-significant-digits buckets above — "
+    "< 1% relative width — all pure string/integer math so the SAME "
+    "formula runs in the oracle), compaction merges them by plain SUM "
+    "(the additive lm/cms law, crash-window partitions excluded), and "
+    "every quantile answer comes from the few-thousand-row stored "
+    "bucket table alone (corpus_token_quantiles; cli sketch-stats "
+    "--token-quantiles) with est_lo <= exact <= est_hi guaranteed. "
+    "The 'how long are my documents' number every packing/budget "
+    "decision starts from, without a corpus scan. Unlike Spark's "
+    "approx_percentile, whose KLL state is opaque and engine-bound, "
+    "this sketch is plain rows: any engine can merge or audit it. "
+    "Plan shape: the histogram build is one narrow aggregation with "
+    "map-side combine riding ingest's ONE staged token array; the "
+    "quantile serve's cumulative window and target join run over the "
+    "MERGED bucket table (registers-not-data rule, plan-gated), never "
+    "a value stream.",
+)
+def a14_lake_token_quantiles(spark, sf_dir):
+    from ..jobs.doc_signature_lake import (
+        corpus_token_quantiles,
+        sf_sketch_root,
+    )
+
+    root = sf_sketch_root(spark, sf_dir)
+    return corpus_token_quantiles(spark, root)
+
+
 @q(
     "t30_weighted_sample",
     """

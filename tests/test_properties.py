@@ -648,3 +648,66 @@ def test_facet_merges_equal_from_scratch_for_any_batch_split(
         (g, max(ca.get(g, 0), cb.get(g, 0))) for g in set(ca) | set(cb)
     )
     assert srt(merged) == expect
+
+
+# ---------------------------------------------------------------------------
+# histogram sketch: decimal bucketing matches the Python model, merge
+# is SUM-exact for any batch split, and the quantile serve brackets the
+# exact discrete quantile
+# ---------------------------------------------------------------------------
+
+hist_vals_st = st.lists(
+    st.integers(min_value=0, max_value=10**12), min_size=1, max_size=40
+)
+
+
+def _hist_py(vals):
+    from collections import Counter
+
+    def lohi(x):
+        s = str(x)
+        d = len(s)
+        if d <= 3:
+            return (x, x)
+        lo = int(s[:3] + "0" * (d - 3))
+        return (lo, lo + 10 ** (d - 3) - 1)
+
+    return sorted(
+        (lo, hi, n) for (lo, hi), n in Counter(map(lohi, vals)).items()
+    )
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=hist_vals_st, cut=st.integers(min_value=0, max_value=40))
+def test_hist_sketch_matches_model_merges_and_brackets_quantiles(
+    spark_prop, vals, cut
+):
+    from pokemon_showdown_airflow_etl_spark.operators.sketches import (
+        hist_quantiles,
+        hist_rows,
+        merge_hist_rows,
+    )
+
+    spark = spark_prop
+    cut = min(cut, len(vals))
+
+    def df(vs):
+        return spark.createDataFrame([(v,) for v in vs] or [], "v long")
+
+    def srt(frame):
+        return sorted(map(tuple, frame.collect()))
+
+    whole = hist_rows(df(vals), "v")
+    assert srt(whole) == _hist_py(vals)
+    # merge law: any 2-way split re-merges to the from-scratch rows
+    split = merge_hist_rows(
+        hist_rows(df(vals[:cut]), "v").unionAll(hist_rows(df(vals[cut:]), "v"))
+    )
+    assert srt(split) == _hist_py(vals)
+    # quantile serve brackets the exact nearest-rank quantile
+    svals = sorted(vals)
+    for r in hist_quantiles(whole, qs_ppm=(1, 500_000, 1_000_000)).collect():
+        target = max(1, -(-r["q_ppm"] * len(svals) // 1_000_000))
+        exact = svals[target - 1]
+        assert r["est_lo"] <= exact <= r["est_hi"]
+        assert r["n_total"] == len(svals)

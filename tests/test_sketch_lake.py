@@ -549,3 +549,111 @@ def test_hllg_facet_merged_equals_from_scratch_and_serves_overlap(
     ingest_signature_batch(spark, plain, root, "day3")
     assert not os.path.exists(os.path.join(root, HLLG_TABLE, "batch=day3"))
     assert _rows(read_corpus_grouped_hll(spark, root)) == _rows(scratch)
+
+
+def _hist_docs(spark, lo, hi, tokens_fn):
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(tokens_fn(i))))
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _hist_model(counts):
+    from collections import Counter
+
+    def lohi(x):
+        s = str(x)
+        d = len(s)
+        if d <= 3:
+            return (x, x)
+        lo = int(s[:3] + "0" * (d - 3))
+        return (lo, lo + 10 ** (d - 3) - 1)
+
+    return sorted(
+        (lo, hi, n) for (lo, hi), n in Counter(lohi(c) for c in counts).items()
+    )
+
+
+def test_hist_facet_merged_equals_from_scratch_and_serves_quantiles(
+    spark, tmp_path
+):
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        HIST_TABLE,
+        corpus_token_quantiles,
+        read_corpus_hist,
+    )
+
+    root = str(tmp_path / "sig")
+    # day1: short docs (singleton buckets); day2: token counts beyond
+    # 10^3 so 3-significant-digit bucketing actually engages
+    f1 = lambda i: i % 5 + 3  # noqa: E731
+    f2 = lambda i: (i % 7) * 300 + 2  # noqa: E731
+    ingest_signature_batch(spark, _hist_docs(spark, 0, 40, f1), root, "day1")
+    ingest_signature_batch(spark, _hist_docs(spark, 40, 75, f2), root, "day2")
+    assert os.path.exists(
+        os.path.join(root, HIST_TABLE, "batch=day1", "_SUCCESS")
+    )
+    counts = [f1(i) for i in range(40)] + [f2(i) for i in range(40, 75)]
+    assert _rows(read_corpus_hist(spark, root)) == _hist_model(counts)
+
+    # the quantile serve brackets the exact discrete quantile
+    qt = corpus_token_quantiles(spark, root).collect()
+    svals = sorted(counts)
+    assert [r["q_ppm"] for r in qt] == [250000, 500000, 750000, 900000, 990000]
+    for r in qt:
+        target = -(-r["q_ppm"] * len(svals) // 1_000_000)
+        exact = svals[target - 1]
+        assert r["est_lo"] <= exact <= r["est_hi"]
+        assert r["n_total"] == len(svals)
+
+
+def test_hist_facet_survives_compaction_and_crash_window(spark, tmp_path):
+    import shutil
+
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        HIST_TABLE,
+        read_corpus_hist,
+    )
+
+    root = str(tmp_path / "sig")
+    ingest_signature_batch(spark, _docs(spark, 0, 40), root, "day1")
+    ingest_signature_batch(spark, _docs(spark, 40, 75, salt="x"), root, "day2")
+    clean = _rows(read_corpus_hist(spark, root))
+    assert clean  # the facet exists before compaction
+    snap = str(tmp_path / "snap")
+    shutil.copytree(root, snap)
+    compact_signature_corpus(spark, root, min_batches=2)
+    parts = [
+        d
+        for d in os.listdir(os.path.join(root, HIST_TABLE))
+        if d.startswith("batch=")
+    ]
+    assert len(parts) == 1 and parts[0].startswith("batch=compact-")
+    assert _rows(read_corpus_hist(spark, root)) == clean
+    # crash window: consolidated batch committed, old partitions not
+    # yet removed — additive counts must not double
+    for b in ("day1", "day2"):
+        for table in ("members", HIST_TABLE):
+            shutil.copytree(
+                os.path.join(snap, table, f"batch={b}"),
+                os.path.join(root, table, f"batch={b}"),
+            )
+    assert _rows(read_corpus_hist(spark, root)) == clean
+
+
+def test_sketch_stats_serves_token_quantiles_from_stored_rows(spark, tmp_path):
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        corpus_sketch_stats,
+    )
+
+    root = str(tmp_path / "sig")
+    ingest_signature_batch(spark, _docs(spark, 0, 30), root, "day1")
+    st = corpus_sketch_stats(spark, root, token_quantiles=True)
+    # every _docs text is exactly 7 whitespace tokens
+    assert st["token_quantiles"] == [
+        [q, 7, 7, 30, 30]
+        for q in (250000, 500000, 750000, 900000, 990000)
+    ]
+    # off by default (it is an extra facet read)
+    assert corpus_sketch_stats(spark, root)["token_quantiles"] == []
