@@ -59,6 +59,11 @@ DAG_PARAMS = {
     "embeddings_path": None,
     "nb_seed_path": None,
     "nb_label_col": "label",
+    # optional DSIR importance resampling (t31, off by default): a
+    # target parquet whose text distribution the kept docs should
+    # match, and the exact number that survive the Gumbel-top-k race
+    "dsir_target_path": None,
+    "dsir_k": None,
 }
 
 
@@ -194,6 +199,10 @@ def run_curate(**context) -> dict:
         embeddings_path=p.get("embeddings_path"),
         nb_seed_path=p.get("nb_seed_path"),
         nb_label_col=p.get("nb_label_col") or "label",
+        dsir_target_path=p.get("dsir_target_path"),
+        dsir_k=(
+            int(p["dsir_k"]) if p.get("dsir_k") is not None else None
+        ),
     )
 
 

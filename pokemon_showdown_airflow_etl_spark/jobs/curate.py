@@ -13,7 +13,9 @@ operators into one pipeline:
     canonicalization) -> quality filter (t7) -> optional perplexity
     band (t25: CCNet-style bigram-NLL cut of BOTH tails —
     --perplexity-band) -> optional Moore-Lewis contrastive domain
-    selection (t28 — --ml-in-domain) -> optional quality-weighted
+    selection (t28 — --ml-in-domain) -> optional DSIR importance
+    resampling to a budget (t31 Xie et al. — --dsir-target +
+    --dsir-k) -> optional quality-weighted
     downsample (t30 Efraimidis-Spirakis — --sample-k) ->
     deterministic split (t12) ->
     optional
@@ -66,6 +68,8 @@ def curate_corpus(
     lm_root: str | None = None,
     ml_in_domain: str | None = None,
     ml_keep_quantile: float = 0.5,
+    dsir_target_path: str | None = None,
+    dsir_k: int | None = None,
     mixture_alpha: float | None = None,
     mixture_domain_col: str = "source",
     mixture_budget: tuple[int, int] = (3, 5),
@@ -163,6 +167,25 @@ def curate_corpus(
     trains on this run's seed rows. The stats dict reports which
     contrast served (``ml_lm``: self/stored/stored_partial, the
     ``ppl_lm`` convention).
+
+    ``dsir_target_path`` (optional, with ``dsir_k``) turns on DSIR
+    importance resampling (t31, Xie et al. NeurIPS 2023): the parquet
+    at the path (any table with a ``text`` column) defines the TARGET
+    distribution, every survivor scores log p_target - log p_raw under
+    hashed-bigram multinomial models (operators/text.py::dsir_weights
+    — the raw side is the survivors themselves, the paper's
+    estimator), and exactly ``dsir_k`` docs are kept by the
+    Gumbel-top-k race (operators/sampling.py::gumbel_topk_sample) —
+    sampling WITHOUT replacement proportional to the importance
+    weight, which matches the target feature distribution in
+    expectation, not a hard threshold. Deterministic like every stage
+    (md5-uniform race keys, integer micro-unit weights). Runs after
+    Moore-Lewis — both are target-affinity passes, but ML cuts a
+    score quantile while DSIR resamples to a BUDGET — and before the
+    quality downsample. An empty target parquet fails loudly (it
+    would degenerate to uniform sampling while claiming to match a
+    target); docs too short to judge carry weight exp(0) = 1 and race
+    uniformly.
 
     ``mixture_alpha`` (optional) turns on the final t21/t22 stage a
     pretraining-corpus job actually ends with: the TRAIN split is
@@ -597,6 +620,49 @@ def curate_corpus(
             ).transform(pin)
             n_after_ml = n_after_perplexity - n_ml_cut
 
+    # 3c2. DSIR importance resampling (optional, t31 — Xie et al.
+    #      2023): score survivors by log p_target - log p_raw over
+    #      hashed bigram features and keep dsir_k docs by the
+    #      Gumbel-top-k race — resampling proportional to the weight,
+    #      not thresholding. After Moore-Lewis (ML cuts a quantile,
+    #      DSIR resamples to a budget), before the quality downsample.
+    #      Cost at scale: one tokenize + explode each side, a <= 10k
+    #      row broadcast model join, one top-k.
+    if (dsir_target_path is None) != (dsir_k is None):
+        raise ValueError(
+            "dsir_target_path and dsir_k go together: the target "
+            "defines WHAT to match, dsir_k how much survives"
+        )
+    if dsir_k is not None and dsir_k < 0:
+        raise ValueError(f"dsir_k must be >= 0; got {dsir_k!r}")
+    n_after_dsir = n_after_ml
+    if dsir_target_path is not None and n_after_ml > 0:
+        from ..operators.sampling import gumbel_topk_sample
+        from ..operators.text import dsir_weights
+
+        tgt = spark.read.parquet(dsir_target_path)
+        if "text" not in tgt.columns:
+            raise ValueError(
+                f"dsir target {dsir_target_path!r} has no text column"
+            )
+        if tgt.filter(F.col("text").isNotNull()).limit(1).count() == 0:
+            raise ValueError(
+                f"dsir target {dsir_target_path!r} is empty — an empty "
+                "target degenerates to uniform sampling while claiming "
+                "to match a distribution"
+            )
+        # target ids are never consumed (only its bucket counts are) —
+        # a text-only seed parquet gets a constant stand-in id
+        if "doc_id" not in tgt.columns:
+            tgt = tgt.withColumn("doc_id", F.lit(0))
+        curated = pin(curated)
+        weights = dsir_weights(curated, tgt, "doc_id", "text")
+        sel = gumbel_topk_sample(
+            weights, "doc_id", "logw_micro", k=dsir_k
+        ).select("doc_id")
+        curated = curated.join(sel, "doc_id", "left_semi").transform(pin)
+        n_after_dsir = curated.count()
+
     # 3d. quality-weighted downsample (optional, t30): when the
     #     surviving corpus is still larger than the training budget,
     #     keep sample_k docs drawn WITHOUT replacement proportional to
@@ -608,7 +674,7 @@ def curate_corpus(
     #     the holdout ratios). Docs whose quality is <= 0 cannot race
     #     and are dropped. Cost at scale: one map pass + a top-k
     #     (per-partition heaps, never a global sort).
-    n_after_sample = n_after_ml
+    n_after_sample = n_after_dsir
     if sample_k is not None:
         if sample_k < 0:
             raise ValueError(f"sample_k must be >= 0; got {sample_k!r}")
@@ -769,6 +835,7 @@ def curate_corpus(
         "ml_threshold_micro": ml_threshold_micro,
         "ml_lm": ml_lm_source,
         "n_after_ml": n_after_ml,
+        "n_after_dsir": n_after_dsir,
         "n_after_sample": n_after_sample,
         "n_train_before_mixture": n_train_before_mixture,
         "mixture_domains": mixture_domains,

@@ -419,3 +419,59 @@ def weighted_sample(
         .over(Window.orderBy(F.desc("key_micro"), F.asc(id_col)))
         .cast("int"),
     ).orderBy("rank")
+
+
+def gumbel_topk_sample(
+    df: DataFrame,
+    id_col: str,
+    logw_micro_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement when weights
+    arrive in LOG space (integer micro-units) — the Gumbel-top-k trick:
+    the k largest values of logw + Gumbel(u) are distributed exactly as
+    k successive draws proportional to exp(logw), the same distribution
+    ``weighted_sample`` realizes for linear weights (the two races are
+    the same theorem in different parameterizations: ln(u)/w ~
+    -Exp/w and logw + Gumbel are both argmax-equivalent). Needed
+    where exp(logw) would overflow or underflow a double — DSIR's
+    importance weights span thousands of nats, so the linear-space
+    race is not an option.
+
+    Same no-RNG discipline as weighted_sample: u is the md5-uniform of
+    the id (strictly inside (0, 1), so -ln(-ln u) is finite), the
+    Gumbel quantizes to integer micro-units, the id breaks ties
+    totally, and a SQL oracle re-derives every key. NULL log-weights
+    cannot race and are excluded (a doc the scorer never saw must not
+    win by accident); logw = 0 is a legitimate weight (exp(0) = 1)
+    and races normally.
+
+    Scale shape: one map pass for keys, then a global top-k via
+    orderBy().limit(k) — TakeOrderedAndProject (per-partition heaps +
+    a k-row merge), never a full sort; the rank window sees k rows.
+    Returns (id, logw_micro, key_micro, rank) ordered by rank."""
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float((1 << 60) + 1))  # (0, 1)
+    lw = F.col(logw_micro_col).cast("long")
+    keyed = (
+        df.filter(lw.isNotNull())
+        .select(
+            F.col(id_col),
+            lw.alias("logw_micro"),
+            (lw + F.round(-F.log(-F.log(u)) * 1_000_000).cast("long")).alias(
+                "key_micro"
+            ),
+        )
+        .orderBy(F.desc("key_micro"), F.asc(id_col))
+        .limit(k)
+    )
+    return keyed.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("key_micro"), F.asc(id_col)))
+        .cast("int"),
+    ).orderBy("rank")

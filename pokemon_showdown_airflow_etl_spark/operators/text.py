@@ -1334,3 +1334,128 @@ def nb_domain_classifier(
         df, nb_train_rows(df.filter(seed_filter), label_col, id_col, text_col),
         id_col, text_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+# 2023). Moore-Lewis (t28) with the two LMs replaced by HASHED n-gram
+# bag-of-features models: every bigram maps to one of a FIXED number of
+# buckets, so the model is O(n_buckets) rows whatever the vocabulary —
+# the property that lets the target/raw ratio table broadcast at 100 TB
+# where an open-vocab type table could not. Selection then RESAMPLES
+# without replacement proportional to the importance weight
+# (gumbel_topk_sample) instead of thresholding, which provably matches
+# the target feature distribution in expectation — the paper's point.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 10_000
+
+
+def hashed_bigram_bucket(
+    w1: Column, w2: Column, n_buckets: int = DSIR_BUCKETS
+) -> Column:
+    """Engine-portable hashed feature id of a token bigram: the first
+    15 hex chars of md5('w1 w2') (60 bits, non-negative) mod
+    ``n_buckets`` — the cms md5 convention, so ANSI SQL reproduces
+    every bucket id bit-for-bit."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(w1, F.lit(" "), w2)), 1, 15), 16, 10
+    ).cast("long")
+    return h % F.lit(n_buckets)
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_id_col: str | None = None,
+    target_text_col: str | None = None,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-document DSIR log importance weight: log p_target(x) -
+    log p_raw(x) under add-one-smoothed multinomial models over HASHED
+    bigram features (``n_buckets`` buckets). ``target`` is the corpus
+    whose distribution selection should match (Wikipedia-shaped text in
+    the paper); the RAW distribution is ``df`` itself — the corpus
+    being selected from, exactly the paper's estimator.
+
+    Determinism: the per-BUCKET log ratio quantizes to integer
+    micro-units once (the t28 per-type rule), per-doc weights are
+    integer sums of those, so cross-engine float summation order
+    cannot flip a bit and a SQL oracle reproduces every weight.
+
+    Scale shape: one tokenize + bigram explode per corpus; counts
+    collapse map-side to <= n_buckets partial rows per task; the ratio
+    model is a <= n_buckets-row table that BROADCASTS to the scoring
+    join (no shuffle of the occurrence stream); scoring is one
+    per-doc sum. Docs with < 2 tokens have no features and score 0 —
+    anchored on the input ids. An empty ``target`` degenerates to the
+    uniform model (every bucket count 0); callers that consider that a
+    bug (curate does) must validate before calling.
+
+    Returns (id_col, n_bigrams, logw_micro) — HIGHER = more
+    target-like. Feed to gumbel_topk_sample for the resampling step.
+    """
+    tid = target_id_col or id_col
+    ttext = target_text_col or text_col
+    occ = pin(
+        _bigram_occurrences(_bigram_staged(df, id_col, text_col), id_col)
+        .withColumn(
+            "b", hashed_bigram_bucket(F.col("w1"), F.col("w2"), n_buckets)
+        )
+        .select(id_col, "b")
+    )
+    occ_t = (
+        _bigram_occurrences(_bigram_staged(target, tid, ttext), tid)
+        .select(
+            hashed_bigram_bucket(F.col("w1"), F.col("w2"), n_buckets).alias(
+                "b"
+            )
+        )
+    )
+    cnt_r = occ.groupBy("b").agg(F.count("*").cast("long").alias("cr"))
+    cnt_t = occ_t.groupBy("b").agg(F.count("*").cast("long").alias("ct"))
+    tot_r = occ.agg(F.count("*").cast("long").alias("tr"))
+    tot_t = occ_t.agg(F.count("*").cast("long").alias("tt"))
+    model = (
+        cnt_r.join(cnt_t, "b", "full_outer")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("tt") + F.lit(float(n_buckets)))
+                    )
+                    - F.log(
+                        (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("tr") + F.lit(float(n_buckets)))
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lam_micro"),
+        )
+    )
+    per_doc = (
+        occ.join(F.broadcast(model), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("lam_micro").cast("long").alias("logw_micro"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("logw_micro"), F.lit(0)).alias("logw_micro"),
+        )
+    )

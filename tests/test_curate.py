@@ -1314,3 +1314,100 @@ def test_curate_quality_weighted_downsample(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="sample_k"):
         curate_corpus(spark, src, str(tmp_path / "o5"), sample_k=-1)
+
+
+_PHY_TOPIC = (
+    "the electron and the photon carry the quantum of energy in the nucleus"
+)
+_REC_TOPIC = "the butter and the flour fold in the dough to a golden bake"
+
+
+def _dsir_corpus(spark):
+    """10 physics-flavored + 10 recipe-flavored docs, each with a
+    doc-unique prefix (so near-dedup keeps them all) and a shared
+    topical sentence (so DSIR has a distribution to match)."""
+    rows = [
+        (i, " ".join(f"p{i}x{j}" for j in range(6)) + " " + _PHY_TOPIC, "phy")
+        for i in range(10)
+    ] + [
+        (10 + i, " ".join(f"r{i}x{j}" for j in range(6)) + " " + _REC_TOPIC, "rec")
+        for i in range(10)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def test_curate_dsir_stage_resamples_to_budget(spark, tmp_path):
+    src = str(tmp_path / "raw")
+    tgt = str(tmp_path / "target")
+    out = str(tmp_path / "curated")
+    _dsir_corpus(spark).write.parquet(src)
+    # a text-only target parquet (no doc_id — the stage synthesizes one)
+    spark.createDataFrame(
+        [(_PHY_TOPIC,)] * 4, "text string"
+    ).write.parquet(tgt)
+
+    stats = curate_corpus(
+        spark,
+        src,
+        out,
+        min_quality=0.0,
+        dsir_target_path=tgt,
+        dsir_k=6,
+    )
+    assert stats["n_after_ml"] == 20
+    assert stats["n_after_dsir"] == 6
+    assert stats["n_written"] == 6
+    written = spark.read.parquet(out)
+    kept = {r["doc_id"] for r in written.select("doc_id").collect()}
+    # the importance race overwhelmingly favors target-like docs: the
+    # logw gap between flavors is tens of nats, Gumbel noise is ~1
+    assert len(kept) == 6 and all(i < 10 for i in kept)
+
+    # deterministic: the same inputs keep the same docs
+    out2 = str(tmp_path / "curated2")
+    curate_corpus(
+        spark, src, out2, min_quality=0.0, dsir_target_path=tgt, dsir_k=6
+    )
+    kept2 = {
+        r["doc_id"]
+        for r in spark.read.parquet(out2).select("doc_id").collect()
+    }
+    assert kept2 == kept
+
+
+def test_curate_dsir_guards(spark, tmp_path):
+    import pytest
+
+    src = str(tmp_path / "raw")
+    _dsir_corpus(spark).write.parquet(src)
+
+    with pytest.raises(ValueError, match="go together"):
+        curate_corpus(
+            spark, src, str(tmp_path / "o1"), dsir_target_path="/nope"
+        )
+    with pytest.raises(ValueError, match="go together"):
+        curate_corpus(spark, src, str(tmp_path / "o2"), dsir_k=5)
+    empty_tgt = str(tmp_path / "empty_target")
+    spark.createDataFrame([], "text string").write.parquet(empty_tgt)
+    with pytest.raises(ValueError, match="empty"):
+        curate_corpus(
+            spark,
+            src,
+            str(tmp_path / "o3"),
+            min_quality=0.0,
+            dsir_target_path=empty_tgt,
+            dsir_k=5,
+        )
+    no_text = str(tmp_path / "no_text_target")
+    spark.createDataFrame([(1,)], "x long").write.parquet(no_text)
+    with pytest.raises(ValueError, match="no text column"):
+        curate_corpus(
+            spark,
+            src,
+            str(tmp_path / "o4"),
+            min_quality=0.0,
+            dsir_target_path=no_text,
+            dsir_k=5,
+        )

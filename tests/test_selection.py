@@ -190,3 +190,69 @@ def test_semantic_dedup_verdicts_are_internally_consistent(spark, sf_dir):
         else:
             assert r.witness_id is not None and r.witness_id < r.vec_id
             assert r.witness_cos >= 0.3
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    from pokemon_showdown_airflow_etl_spark.operators.text import dsir_weights
+
+    docs = _docs(spark, {"phy": PHYSICS, "rec": RECIPES})
+    target = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(PHYSICS)],
+        "doc_id long, text string",
+    )
+    w = dsir_weights(docs, target).join(docs.select("doc_id", "lang"), "doc_id")
+    rows = {r["doc_id"]: r for r in w.collect()}
+    phy = [r["logw_micro"] for r in rows.values() if r["lang"] == "phy"]
+    rec = [r["logw_micro"] for r in rows.values() if r["lang"] == "rec"]
+    # every physics doc is more target-like than every recipe doc
+    assert min(phy) > max(rec)
+    # deterministic: a second run reproduces every weight
+    again = {
+        r["doc_id"]: r["logw_micro"]
+        for r in dsir_weights(docs, target).collect()
+    }
+    assert again == {k: r["logw_micro"] for k, r in rows.items()}
+
+
+def test_dsir_anchors_short_docs_at_zero(spark):
+    from pokemon_showdown_airflow_etl_spark.operators.text import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(0, "word"), (1, None), (2, "the electron carries energy")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame([(9, PHYSICS[0])], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in dsir_weights(docs, target).collect()}
+    assert set(rows) == {0, 1, 2}
+    for i in (0, 1):
+        assert rows[i]["n_bigrams"] == 0 and rows[i]["logw_micro"] == 0
+    assert rows[2]["n_bigrams"] == 3
+
+
+def test_gumbel_topk_matches_python_race(spark):
+    import hashlib
+    import math
+
+    from pokemon_showdown_airflow_etl_spark.operators.sampling import (
+        gumbel_topk_sample,
+    )
+
+    rows = [(i, (i % 7) * 2_000_000 - 5_000_000) for i in range(50)] + [
+        (99, None)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, logw_micro long")
+
+    def key(i, lw):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        u = (h + 1.0) / float((1 << 60) + 1)
+        return lw + round(-math.log(-math.log(u)) * 1_000_000)
+
+    expect = sorted(
+        ((key(i, lw), i) for i, lw in rows if lw is not None),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    got = gumbel_topk_sample(df, "doc_id", "logw_micro", k=10).collect()
+    assert [(r["key_micro"], r["doc_id"]) for r in got] == expect
+    assert [r["rank"] for r in got] == list(range(1, 11))
+    # the null-weight row can never race
+    assert 99 not in {r["doc_id"] for r in got}
