@@ -288,6 +288,81 @@ def lsh_verified_dups(
     )
 
 
+def edit_verified_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_rel_edit_ppm: int = 200_000,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    signature_df: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs verified by normalized EDIT distance — the
+    Ed-Join-family composition (Xiao et al. VLDB'08): the same
+    MinHash-LSH band join bounds the candidate volume, then survivors
+    verify with character-level Levenshtein over the normalized text,
+    keeping pairs whose distance is at most ``max_rel_edit_ppm``
+    parts-per-million of the longer side (default 20%). Jaccard
+    verification (d7) is blind to ORDER — 'a b c d' vs 'd c b a'
+    shares every unigram-shingle set at n=1 and much of it at n=3 —
+    while edit distance charges every transposition; this is the
+    verifier for boilerplate-edit dups (same doc, a few lines patched)
+    where token-set similarity over- or under-shoots.
+
+    Determinism/oracle: the relative distance is pure integer math
+    (ed * 1e6 div max(len, 1)), so the kept set and the reported
+    rel_edit_ppm hash-check cross-engine; ANSI SQL has levenshtein.
+
+    Scale shape: band-join candidates only (never all-pairs); a
+    LENGTH prefilter (|len_a - len_b| is a lower bound on the edit
+    distance) drops hopeless pairs before the quadratic Levenshtein
+    kernel runs; the verify cost is O(candidates * len^2) — at long
+    doc lengths a deployment tightens the band geometry or verifies
+    on a capped prefix, both knobs this function exposes upstream.
+    Returns (doc_a, doc_b, edit_distance, rel_edit_ppm)."""
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, n, num_hashes, rows_per_band,
+        signature_df=signature_df,
+    )
+    norm = pin(
+        df.select(
+            F.col(id_col).alias("doc"),
+            normalize_text(F.col(text_col)).alias("nt"),
+        ).withColumn("ln", F.length("nt").cast("long"))
+    )
+    na = norm.select(
+        F.col("doc").alias("doc_a"),
+        F.col("nt").alias("nt_a"),
+        F.col("ln").alias("ln_a"),
+    )
+    nb = norm.select(
+        F.col("doc").alias("doc_b"),
+        F.col("nt").alias("nt_b"),
+        F.col("ln").alias("ln_b"),
+    )
+    den = F.greatest(F.greatest("ln_a", "ln_b"), F.lit(1).cast("long"))
+    joined = (
+        cands.join(na, "doc_a")
+        .join(nb, "doc_b")
+        # length prefilter: |la - lb| <= ed, so a pair failing it can
+        # never pass the verify — skip the quadratic kernel for it
+        .filter(
+            F.abs(F.col("ln_a") - F.col("ln_b")) * 1_000_000
+            <= F.lit(max_rel_edit_ppm) * den
+        )
+        .withColumn("_ed", F.levenshtein("nt_a", "nt_b").cast("long"))
+        .filter(F.col("_ed") * 1_000_000 <= F.lit(max_rel_edit_ppm) * den)
+        .withColumn("_den", den)
+    )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        F.col("_ed").alias("edit_distance"),
+        F.expr("(_ed * 1000000) div _den").alias("rel_edit_ppm"),
+    )
+
+
 def dedup_against_corpus(
     new_ids: DataFrame,
     new_sig: DataFrame,

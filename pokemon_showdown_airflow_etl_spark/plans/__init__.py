@@ -26,12 +26,11 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # (2) the entries with the OLDEST standing rows, oldest first. After
 # CORRECTNESS_r11 (50/50 green) the cumulative freshness is 50
 # r11-latest, 47 r10-latest, 43 r9-latest, 29 r8-latest. The r12
-# window (VERDICT r11 item 1): the seven new entries (m9, m9b, a13,
-# t30, s24, s25, x3), the nine changed entries, then ALL 29 r8-latest
-# names,
-# then the 7
-# alphabetically-first r9-latest names — after CORRECTNESS_r12 no
-# entry's latest driver row predates r9.
+# window (VERDICT r11 item 1): the ten new entries (m9, m9b, a13,
+# t30, s24, s25, x3, a14, t31, d10), the nine changed entries, then ALL 29
+# r8-latest names, then the alphabetically-first r9-latest names
+# filling the remaining slots — after CORRECTNESS_r12 no entry's
+# latest driver row predates r9.
 # Entries whose implementation changed since their latest driver row —
 # maintained by hand when editing query code, cleared when the next
 # CORRECTNESS file greens them. tests/test_driver_window.py asserts
@@ -80,6 +79,13 @@ _PRIORITY: list[str] = [
     #   stored residual codes (the s14->s20 promotion)
     "x3_zorder_key",  # NEW r12: Z-order clustering key (multi-dim
     #   file-skipping layout; pruning measured in test_bucketing)
+    "a14_lake_token_quantiles",  # NEW r12: mergeable quantile-histogram
+    #   lake facet (hist/) — token-length quantiles served from stored
+    #   decimal buckets
+    "t31_dsir_weights",  # NEW r12: DSIR hashed-ngram importance
+    #   weights (Xie et al. 2023) + Gumbel-top-k resampling in curate
+    "d10_edit_verified_dups",  # NEW r12: LSH candidates verified by
+    #   normalized Levenshtein (Ed-Join family) — order-sensitive dups
     "a12_hll_set_ops",
     "a10_lake_bloom_decontaminate",
     "m8_image_admission",
@@ -127,10 +133,10 @@ _PRIORITY: list[str] = [
     # sweep) --
     "c10_json_extract",
     "c1_epoch_to_date",
+    # ---- slot 50 boundary ----
     "c4_batch_id",
     "c5_regex_extract",
     "c6_players_concat",
-    # ---- slot 50 boundary ----
     "c7_batch_from_details",
     "c8_prefix_predicate",
     "f1_watermark_filter",

@@ -1688,6 +1688,47 @@ def d8_dup_clusters(spark, sf_dir):
     )
 
 
+@q(
+    "d10_edit_verified_dups",
+    f"""
+    WITH cand AS ({_minhash_sql()}),
+    nt AS (
+        SELECT doc_id, {NORM_SQL} AS nt,
+               CAST(length({NORM_SQL}) AS BIGINT) AS ln
+        FROM documents
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS edit_distance,
+           (CAST(levenshtein(a.nt, b.nt) AS BIGINT) * 1000000)
+               // greatest(greatest(a.ln, b.ln), 1) AS rel_edit_ppm
+    FROM cand c
+    JOIN nt a ON c.doc_a = a.doc_id
+    JOIN nt b ON c.doc_b = b.doc_id
+    WHERE CAST(levenshtein(a.nt, b.nt) AS BIGINT) * 1000000
+          <= 200000 * greatest(greatest(a.ln, b.ln), 1)
+    """,
+    doc="Near-dup pairs verified by normalized EDIT distance (the "
+    "Ed-Join-family composition, Xiao et al. VLDB'08; operators/"
+    "dedup.py::edit_verified_dups): d3's MinHash-LSH band join bounds "
+    "the candidate volume, survivors verify with character-level "
+    "Levenshtein over normalized text, kept iff distance <= 20% of "
+    "the longer side. The verifier for boilerplate-edit dups where "
+    "token-SET similarity is blind to order (d7's Jaccard scores "
+    "'a b c d' vs 'd c b a' as near-identical; edit distance charges "
+    "every transposition). Pure integer accept math (ed * 1e6 div "
+    "max(len,1)), so the kept set hash-checks cross-engine; a length "
+    "prefilter (|la-lb| <= ed) skips the quadratic kernel for "
+    "hopeless pairs. Bounded pair volume at any scale — the band "
+    "geometry, not the corpus, sets the verify cost.",
+)
+def d10_edit_verified_dups(spark, sf_dir):
+    sig, _ = _sig_lake(spark, sf_dir)
+    return dedup.edit_verified_dups(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=SIG_SHINGLE_N, signature_df=sig,
+    )
+
+
 D9_NEW_BATCH = "doc_id % 20 = 0"  # the incoming 5% slice plays the daily batch
 
 
@@ -2339,6 +2380,63 @@ def t28_moore_lewis_score(spark, sf_dir):
         F.col("lang") == ML_IN_DOMAIN_LANG,
         "doc_id",
         "text",
+    )
+
+
+@q(
+    "t31_dsir_weights",
+    f"""
+    WITH {_ML_PRELUDE_SQL}, bo AS (
+        SELECT doc_id, ind,
+               CAST(('0x' || substr(md5(w1 || ' ' || w2), 1, 15)) AS BIGINT)
+                   % 10000 AS b
+        FROM occ
+    ), cr AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS c FROM bo GROUP BY b
+    ), ct AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS c FROM bo WHERE ind GROUP BY b
+    ), tr AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM bo
+    ), tt AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM bo WHERE ind
+    ), model AS (
+        SELECT coalesce(cr.b, ct.b) AS b,
+               CAST(round((ln((coalesce(ct.c, 0) + 1.0) / (tt.n + 10000.0))
+                         - ln((coalesce(cr.c, 0) + 1.0) / (tr.n + 10000.0)))
+                    * 1000000) AS BIGINT) AS lam_micro
+        FROM cr FULL OUTER JOIN ct ON cr.b = ct.b
+             CROSS JOIN tr CROSS JOIN tt
+    ), sc AS (
+        SELECT bo.doc_id, CAST(count(*) AS BIGINT) AS nb,
+               CAST(sum(m.lam_micro) AS BIGINT) AS lw
+        FROM bo JOIN model m USING (b) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(sc.nb, 0) AS n_bigrams,
+           coalesce(sc.lw, 0) AS logw_micro
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    """,
+    doc="DSIR importance weights (Xie et al., NeurIPS 2023; operators/"
+    "text.py::dsir_weights): per-doc log p_target - log p_raw under "
+    "add-one-smoothed multinomial models over HASHED bigram features "
+    f"(10k md5 buckets; target = lang = '{ML_IN_DOMAIN_LANG}' rows, "
+    "raw = the whole corpus) — HIGHER = more target-like. The "
+    "fastText-era upgrade over Moore-Lewis (t28): hashing fixes the "
+    "model at O(n_buckets) rows whatever the vocabulary, so the "
+    "target/raw ratio table BROADCASTS to the scoring join at any "
+    "corpus size where an open-vocab type table could not; selection "
+    "then resamples proportional to the weight (gumbel_topk_sample, "
+    "curate --dsir-target) rather than thresholding, matching the "
+    "target feature distribution in expectation. Per-bucket log "
+    "ratios quantize to integer micro-units once (the t28 rule), so "
+    "per-doc sums are integer-exact cross-engine. Plan: one tokenize "
+    "+ explode per corpus, map-side count collapse to <= 10k rows, "
+    "broadcast model join, one per-doc aggregation.",
+)
+def t31_dsir_weights(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return text.dsir_weights(
+        docs, docs.filter(F.col("lang") == ML_IN_DOMAIN_LANG)
     )
 
 

@@ -777,3 +777,49 @@ def test_streaming_admission_keeps_facets_current(spark, tmp_path):
     assert n_f == n_c >= 2  # one facet partition per non-empty epoch
     hh = {r["gram"] for r in lake_heavy_hitters(spark, root, topk=2).collect()}
     assert hh == {"shared words", "words here"}
+
+
+def test_edit_verified_dups_charges_order_not_just_sets(spark):
+    """d10's reason to exist: a token-scramble shares d7's shingle SETS
+    poorly but a small boilerplate PATCH shares almost everything —
+    edit distance accepts the patch pair and rejects a heavy rewrite,
+    with integer rel_edit_ppm reported."""
+    from pokemon_showdown_airflow_etl_spark.operators import dedup as dd
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (0, base),
+        (1, base.replace("tok7", "patched") ),     # tiny edit -> dup
+        (2, " ".join(f"tok{i}" for i in range(39, -1, -1))),  # full reversal
+        (3, "completely different content here about other things"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["edit_distance"], r["rel_edit_ppm"])
+        for r in dd.edit_verified_dups(df, "doc_id", "text").collect()
+    }
+    assert (0, 1) in got
+    ed, rel = got[(0, 1)]
+
+    def lev(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            m[i][0] = i
+        for j in range(len(b) + 1):
+            m[0][j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(
+                    m[i - 1][j] + 1,
+                    m[i][j - 1] + 1,
+                    m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return m[len(a)][len(b)]
+
+    e = lev(rows[0][1], rows[1][1])
+    assert ed == e
+    assert rel == (e * 1_000_000) // max(len(rows[0][1]), len(rows[1][1]))
+    # the reversal is a candidate by token-set identity but FAILS the
+    # edit verify (every token moved)
+    assert (0, 2) not in got and (1, 2) not in got
+    assert not any(3 in p for p in got)

@@ -958,3 +958,45 @@ def test_residual_ivfpq_two_kernels_equi_join_no_cartesian(q):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_lake_token_quantiles_read_stored_buckets_not_text(q):
+    """a14: the quantile serve must come from the STORED hist facet —
+    the merged bucket table (pinned) drives the cumulative window and
+    the target join, corpus text never rescans, the bounded bucket
+    side broadcasts, and no Python appears anywhere."""
+    import re
+
+    plan = q("a14_lake_token_quantiles")
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    # the only parquet scans are the facet's stored bucket rows
+    # (re-read per join leg) — never the documents table
+    assert "documents" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # target <= bucket rows
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+
+
+def test_dsir_model_broadcasts_to_scoring_join(q):
+    """t31: the <= n_buckets ratio model must BROADCAST to the
+    occurrence-stream scoring join — the corpus-sized stream never
+    shuffles on the bucket key — and everything stays JVM-side."""
+    plan = q("t31_dsir_weights")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_edit_verified_dups_stay_banded_no_cartesian(q):
+    """d10: the pair volume must come from the LSH band equi-join
+    (reused from the shared signature lake — no shingle recompute),
+    never a cartesian; the Levenshtein verify is a JVM expression, no
+    Python anywhere."""
+    plan = q("d10_edit_verified_dups")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
