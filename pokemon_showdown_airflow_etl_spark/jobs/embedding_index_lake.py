@@ -429,6 +429,18 @@ def init_embedding_index(
             v.orderBy("cell_id").limit(n_cells).withColumn("n_members", F.lit(0).cast("long"))
         )
         n_iters = 0
+    # the drift BASELINE: per-dimension statistics of the seed corpus
+    # the quantizer was initialized from (the estats schema) —
+    # quantizer_drift compares the served corpus statistics against
+    # these rows to decide when a reindex is due. Written BEFORE the
+    # centroids commit marker, so an initialized root always carries
+    # its baseline; roots initialized before this facet simply have no
+    # train_stats/ and quantizer_drift reports no baseline.
+    batch_embedding_stats_rows(seed_emb, id_col, vec_col).coalesce(
+        1
+    ).write.mode("overwrite").parquet(
+        os.path.join(index_root, TRAIN_STATS_TABLE)
+    )
     # overwrite, not error: immutability is enforced by the _SUCCESS
     # check above, so the only way this write sees an existing dir is a
     # PARTIAL one left by a crashed init (no _SUCCESS) — mode("error")
@@ -445,6 +457,11 @@ def init_embedding_index(
         "n_train_iters": n_iters,
         "already_initialized": False,
     }
+
+
+TRAIN_STATS_TABLE = "train_stats"  # the drift BASELINE: estats-schema
+#                                    rows of the corpus the quantizer
+#                                    was trained/initialized on
 
 
 def batch_embedding_stats_rows(
@@ -504,6 +521,112 @@ def read_index_estats(spark: SparkSession, index_root: str) -> DataFrame | None:
     if not paths:
         return None
     return merge_estats_rows(spark.read.parquet(*paths))
+
+
+def read_train_stats(spark: SparkSession, index_root: str) -> DataFrame | None:
+    """The drift baseline committed at init/reindex time (estats-schema
+    rows over the quantizer's training corpus), or None on a root
+    initialized before the baseline existed."""
+    d = os.path.join(index_root, TRAIN_STATS_TABLE)
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        return None
+    return spark.read.parquet(d)
+
+
+def quantizer_drift(spark: SparkSession, index_root: str) -> DataFrame | None:
+    """Per-dimension drift of the served corpus relative to the
+    quantizer's training corpus — the NUMBER that decides when the a9
+    facet's warning becomes an s12 reindex. For each dimension:
+    z = |mean_now - mean_train| / max(std_train, 1 milli), the mean
+    shift in training-corpus standard deviations — the standard
+    two-sample drift gauge, computed entirely from the STORED
+    train_stats/ baseline and the STORED estats/ facet (<= dims rows
+    each; the corpus vectors stay cold).
+
+    Returns (d, n_train, n_now, mean_train_milli, mean_now_milli,
+    std_train_milli, z_milli) ordered by d, or None when either side
+    is missing (pre-baseline root / pre-facet corpus) — the caller
+    cannot judge drift and must say so rather than guess."""
+    base = read_train_stats(spark, index_root)
+    cur = read_index_estats(spark, index_root)
+    if base is None or cur is None:
+        return None
+
+    def _stats(df, prefix):
+        mean = F.col("s_milli") / F.col("n")
+        var = F.col("ss_milli") / F.col("n") - mean * mean
+        return df.select(
+            "d",
+            F.col("n").alias(f"n_{prefix}"),
+            mean.alias(f"_m_{prefix}"),
+            var.alias(f"_v_{prefix}"),
+        )
+
+    j = _stats(base, "train").join(_stats(cur, "now"), "d")
+    shift = F.abs(F.col("_m_now") - F.col("_m_train"))
+    std = F.greatest(F.sqrt(F.greatest(F.col("_v_train"), F.lit(0.0))), F.lit(1.0))
+    return j.select(
+        "d",
+        "n_train",
+        "n_now",
+        F.round("_m_train").cast("long").alias("mean_train_milli"),
+        F.round("_m_now").cast("long").alias("mean_now_milli"),
+        F.round(std).cast("long").alias("std_train_milli"),
+        F.round(shift / std * 1000).cast("long").alias("z_milli"),
+    ).orderBy("d")
+
+
+def refresh_if_drifted(
+    spark: SparkSession,
+    old_root: str,
+    new_root: str,
+    z_threshold_milli: int = 500,
+    n_cells: int = DEFAULT_N_CELLS,
+    train: bool = True,
+    max_iter: int = 10,
+    tol: float = 1e-3,
+) -> dict:
+    """The composition the drift facet exists FOR: read the stored
+    drift gauge (quantizer_drift — no corpus scan), and when any
+    dimension's mean has shifted past ``z_threshold_milli``
+    thousandths of a training-corpus standard deviation, run the s12
+    quantizer migration into ``new_root`` (retraining on the committed
+    corpus by default; the old root keeps serving until cutover).
+    Below the threshold — or when the root predates the baseline /
+    the corpus predates the facet — it is a cheap no-op that says why.
+
+    Single-writer like every maintenance job here. Returns counts
+    only: refreshed, has_drift_signal, max_z_milli, z_threshold_milli,
+    plus the reindex stats dict when a refresh ran."""
+    drift = quantizer_drift(spark, old_root)
+    if drift is None:
+        return {
+            "refreshed": False,
+            "has_drift_signal": False,
+            "max_z_milli": 0,
+            "z_threshold_milli": z_threshold_milli,
+        }
+    row = drift.agg(F.max("z_milli").alias("mx")).collect()[0]
+    mx = int(row["mx"] or 0)
+    out = {
+        "refreshed": False,
+        "has_drift_signal": True,
+        "max_z_milli": mx,
+        "z_threshold_milli": z_threshold_milli,
+    }
+    if mx >= z_threshold_milli:
+        st = reindex_embedding_index(
+            spark,
+            old_root,
+            new_root,
+            n_cells=n_cells,
+            train=train,
+            max_iter=max_iter,
+            tol=tol,
+        )
+        out["refreshed"] = True
+        out.update(st)
+    return out
 
 
 def ingest_embedding_batch(
@@ -776,6 +899,19 @@ def reindex_embedding_index(
         cents.coalesce(1).write.mode("overwrite").parquet(new_cent_dir)
         new_cents = spark.read.parquet(new_cent_dir)
     n_cells_committed = new_cents.count()
+    # refresh the drift BASELINE at the new root: the statistics of the
+    # corpus as of THIS migration (quantizer_drift then measures drift
+    # relative to the refresh, not the original seed). Deterministic,
+    # so the resume re-write is idempotent; skipped for an empty index
+    # (explicit-centroids path with nothing committed).
+    if old_asg is not None and not os.path.exists(
+        os.path.join(new_root, TRAIN_STATS_TABLE, "_SUCCESS")
+    ):
+        batch_embedding_stats_rows(
+            old_asg, id_col="vec_id", vec_col="v"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(new_root, TRAIN_STATS_TABLE)
+        )
 
     # retired ledger FIRST: from this point on, ids compacted away at
     # the old root are unusable at the new one even if we crash before
@@ -846,7 +982,19 @@ def reindex_embedding_index(
         reassigned.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("batch").parquet(os.path.join(new_root, "assignments"))
+        from .doc_signature_lake import ESTATS_TABLE
+
         for b in pending:
+            # the batch's estats facet is quantizer-INDEPENDENT corpus
+            # statistics — it migrates verbatim (before the marker, so
+            # the committed batch carries it); pre-facet batches have
+            # no dir and stay pre-facet at the new root
+            es_src = os.path.join(old_root, ESTATS_TABLE, f"batch={b}")
+            es_dst = os.path.join(new_root, ESTATS_TABLE, f"batch={b}")
+            if os.path.exists(
+                os.path.join(es_src, "_SUCCESS")
+            ) and not os.path.exists(os.path.join(es_dst, "_SUCCESS")):
+                _copy_dir_marker_last(es_src, es_dst)
             # members LAST: the batch's commit marker at the new root
             _copy_dir_marker_last(
                 os.path.join(old_root, "members", f"batch={b}"),

@@ -328,3 +328,98 @@ def test_reindex_many_batches_in_constant_spark_jobs(spark, tmp_path):
         r["vec_id"]
         for r in read_committed(spark, new, "assignments").collect()
     } == {100 + b for b in range(20)}
+
+
+def test_drift_gauge_triggers_refresh_only_past_threshold(spark, tmp_path):
+    """The composition the a9 facet exists for: the stored baseline
+    (train_stats/, committed at init) vs the stored estats facet gives
+    a per-dim z gauge with no vector scan; refresh_if_drifted is a
+    no-op below the threshold and runs the s12 migration above it —
+    carrying the estats facet forward and refreshing the baseline so
+    the NEW root reads as un-drifted."""
+    import random
+
+    from pokemon_showdown_airflow_etl_spark.jobs.embedding_index_lake import (
+        quantizer_drift,
+        read_index_estats,
+        read_train_stats,
+        refresh_if_drifted,
+    )
+
+    rng = random.Random(11)
+    seed_rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(
+        seed_rows, "vec_id long, embedding array<double>"
+    )
+    root = str(tmp_path / "idx")
+    init_embedding_index(spark, emb, root, n_cells=4, train=False)
+    assert read_train_stats(spark, root) is not None
+
+    # ingest the seed itself: served stats == baseline, z == 0
+    ingest_embedding_batch(spark, emb, root, "d1", threshold=2.0)
+    z0 = max(r["z_milli"] for r in quantizer_drift(spark, root).collect())
+    assert z0 <= 5  # milli rounding only
+    st = refresh_if_drifted(
+        spark, root, str(tmp_path / "never"), z_threshold_milli=500
+    )
+    assert st == {
+        "refreshed": False,
+        "has_drift_signal": True,
+        "max_z_milli": z0,
+        "z_threshold_milli": 500,
+    }
+
+    # a drop shifted +3.0 along dim 2: the corpus mean migrates ~1.5,
+    # the baseline std is ~0.58 -> z far past any sane threshold
+    drop = spark.createDataFrame(
+        [
+            (100 + i, [x + (3.0 if d == 2 else 0.0) for d, x in enumerate(v)])
+            for i, (_, v) in enumerate(seed_rows)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ingest_embedding_batch(spark, drop, root, "d2", threshold=2.0)
+    drift = {r["d"]: r["z_milli"] for r in quantizer_drift(spark, root).collect()}
+    assert drift[2] > 1000
+    assert all(z <= 5 for d, z in drift.items() if d != 2)
+
+    new_root = str(tmp_path / "idx2")
+    st2 = refresh_if_drifted(spark, root, new_root, z_threshold_milli=500)
+    assert st2["refreshed"] is True
+    assert st2["max_z_milli"] == drift[2]
+    assert st2["n_vectors_reindexed"] == 100
+    # the new root serves: retrained centroids, migrated estats facet,
+    # and a REFRESHED baseline under which the corpus is un-drifted
+    assert read_centroids(spark, new_root).count() > 0
+    assert read_index_estats(spark, new_root) is not None
+    z_new = max(
+        r["z_milli"] for r in quantizer_drift(spark, new_root).collect()
+    )
+    assert z_new <= 5
+
+
+def test_refresh_says_why_when_it_cannot_judge(spark, tmp_path):
+    import shutil
+
+    from pokemon_showdown_airflow_etl_spark.jobs.embedding_index_lake import (
+        TRAIN_STATS_TABLE,
+        quantizer_drift,
+        refresh_if_drifted,
+    )
+
+    emb = _emb(spark, OLD_AXES)
+    root = str(tmp_path / "idx")
+    init_embedding_index(spark, emb, root, n_cells=3, train=False)
+    # facet-less corpus: baseline exists but no estats to compare
+    ingest_embedding_batch(
+        spark, _emb(spark, B1), root, "d1", threshold=2.0, facets=False
+    )
+    assert quantizer_drift(spark, root) is None
+    st = refresh_if_drifted(spark, root, str(tmp_path / "n1"))
+    assert st["refreshed"] is False and st["has_drift_signal"] is False
+    # pre-baseline root (built before train_stats existed)
+    ingest_embedding_batch(spark, _emb(spark, B2), root, "d2", threshold=2.0)
+    shutil.rmtree(f"{root}/{TRAIN_STATS_TABLE}")
+    assert quantizer_drift(spark, root) is None
+    st = refresh_if_drifted(spark, root, str(tmp_path / "n2"))
+    assert st["refreshed"] is False and st["has_drift_signal"] is False
