@@ -168,6 +168,25 @@ def build_parser() -> argparse.ArgumentParser:
         "default: 0.5)",
     )
     cur.add_argument(
+        "--dsir-target",
+        default=None,
+        metavar="PATH",
+        help="DSIR importance resampling (t31, Xie et al. 2023): "
+        "parquet whose text column defines the TARGET distribution; "
+        "survivors score log p_target - log p_raw over hashed bigram "
+        "features and --dsir-k docs are kept by the Gumbel-top-k race "
+        "(sampling proportional to the importance weight; "
+        "deterministic; off when omitted)",
+    )
+    cur.add_argument(
+        "--dsir-k",
+        type=int,
+        default=None,
+        metavar="N",
+        help="how many docs survive --dsir-target's resample "
+        "(required with it)",
+    )
+    cur.add_argument(
         "--mixture-alpha",
         type=float,
         default=None,
@@ -307,6 +326,14 @@ def build_parser() -> argparse.ArgumentParser:
         "ENTIRELY from the stored hh/ + cms/ facets (stored candidates "
         "ranked by stored-cell estimates; no corpus scan)",
     )
+    skst.add_argument(
+        "--token-quantiles",
+        action="store_true",
+        help="also serve corpus token-length quantiles from the STORED "
+        "histogram facet (hist/): [q_ppm, est_lo, est_hi, n_le, "
+        "n_total] rows off the few-thousand-row bucket table — no "
+        "corpus scan",
+    )
 
     iimg = sub.add_parser(
         "ingest-images",
@@ -395,6 +422,40 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=8,
         help="how many highest-variance dimensions to list (default 8)",
+    )
+    ist.add_argument(
+        "--drift",
+        action="store_true",
+        help="also report per-dimension drift vs the quantizer's "
+        "training baseline (train_stats/): mean shift in training "
+        "standard deviations (z_milli) — the number that decides when "
+        "a reindex is due; served from stored rows only",
+    )
+
+    irf = sub.add_parser(
+        "index-refresh",
+        help="drift-driven quantizer refresh: read the STORED drift "
+        "gauge (train_stats/ baseline vs estats/ facet, no vector "
+        "scan) and run the s12 reindex into --new-root only when any "
+        "dimension's mean shifted past --z-threshold-milli "
+        "thousandths of a training standard deviation; below it, a "
+        "cheap no-op that reports the gauge",
+    )
+    irf.add_argument("--old-root", required=True, help="current index root")
+    irf.add_argument("--new-root", required=True, help="target root on refresh")
+    irf.add_argument(
+        "--z-threshold-milli",
+        type=int,
+        default=500,
+        help="refresh when max per-dim z >= this (default 500 = half a "
+        "training standard deviation)",
+    )
+    irf.add_argument("--n-cells", type=int, default=16)
+    irf.add_argument(
+        "--no-train",
+        action="store_true",
+        help="deterministic first-n-by-id centroids instead of the "
+        "Lloyd trainer",
     )
 
     rei = sub.add_parser(
@@ -584,6 +645,8 @@ def main(argv: list[str] | None = None) -> int:
             lm_root=args.lm_root,
             ml_in_domain=args.ml_in_domain,
             ml_keep_quantile=args.ml_keep_quantile,
+            dsir_target_path=args.dsir_target,
+            dsir_k=args.dsir_k,
             mixture_alpha=args.mixture_alpha,
             mixture_domain_col=args.mixture_domain_col,
             mixture_budget=tuple(args.mixture_budget),
@@ -656,6 +719,7 @@ def main(argv: list[str] | None = None) -> int:
                     grams=args.gram,
                     top_grams=args.top_grams,
                     segment_overlap=args.segment_overlap,
+                    token_quantiles=args.token_quantiles,
                 ),
                 sort_keys=True,
             )
@@ -838,7 +902,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "index-stats":
-        from .jobs.embedding_index_lake import read_index_estats
+        from .jobs.embedding_index_lake import quantizer_drift, read_index_estats
         from .session import get_spark
 
         spark = get_spark(app_name="etl-index-stats", master=args.master)
@@ -854,17 +918,54 @@ def main(argv: list[str] | None = None) -> int:
             var = ss / n - mean * mean
             stats.append((int(r["d"]), round(mean, 3), round(var, 3)))
         top = sorted(stats, key=lambda x: -x[2])[: args.top]
+        payload = {
+            "has_estats": True,
+            "n_vectors": int(rows[0]["n"]) if rows else 0,
+            "dim": len(rows),
+            "top_variance_dims": [
+                {"d": d, "mean_milli": m, "var_milli2": v}
+                for d, m, v in top
+            ],
+        }
+        if args.drift:
+            dr = quantizer_drift(spark, args.index_root)
+            if dr is None:
+                payload["has_drift_baseline"] = False
+            else:
+                drows = dr.collect()  # dim rows only
+                payload["has_drift_baseline"] = True
+                payload["max_z_milli"] = max(
+                    (int(r["z_milli"]) for r in drows), default=0
+                )
+                payload["top_drift_dims"] = [
+                    {
+                        "d": int(r["d"]),
+                        "z_milli": int(r["z_milli"]),
+                        "mean_train_milli": int(r["mean_train_milli"]),
+                        "mean_now_milli": int(r["mean_now_milli"]),
+                    }
+                    for r in sorted(
+                        drows, key=lambda r: -int(r["z_milli"])
+                    )[: args.top]
+                ]
+        print(json.dumps(payload, sort_keys=True))
+        return 0
+
+    if args.cmd == "index-refresh":
+        from .jobs.embedding_index_lake import refresh_if_drifted
+        from .session import get_spark
+
+        spark = get_spark(app_name="etl-index-refresh", master=args.master)
         print(
             json.dumps(
-                {
-                    "has_estats": True,
-                    "n_vectors": int(rows[0]["n"]) if rows else 0,
-                    "dim": len(rows),
-                    "top_variance_dims": [
-                        {"d": d, "mean_milli": m, "var_milli2": v}
-                        for d, m, v in top
-                    ],
-                },
+                refresh_if_drifted(
+                    spark,
+                    args.old_root,
+                    args.new_root,
+                    z_threshold_milli=args.z_threshold_milli,
+                    n_cells=args.n_cells,
+                    train=not args.no_train,
+                ),
                 sort_keys=True,
             )
         )
