@@ -504,7 +504,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="store RESIDUAL codes (s24/s25): every member encoded as "
         "v - centroid(its stored cell); pq-search then requires "
         "--n-probe and builds per-(query, cell) tables from the "
-        "query's own residual (not composable with --opq)",
+        "query's own residual; composes with --opq (s26: the "
+        "permutation trains on the residual sample)",
     )
     bpq.add_argument(
         "--opq",

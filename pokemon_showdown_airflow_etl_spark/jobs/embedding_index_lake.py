@@ -320,6 +320,48 @@ def sf_residual_index_root(spark: SparkSession, sf_dir: str) -> str:
     return str(out / "root")
 
 
+SF_OPQRES_VERSION = 1
+
+
+def sf_opq_residual_index_dir(sf_dir: str) -> Path:
+    from ..operators import similarity
+
+    return keyed_dir(
+        "embedding_index_opqres", SF_OPQRES_VERSION, sf_dir,
+        _sf_tag()
+        + "-"
+        + formula_tag(similarity.opq_snake_permutation)
+        + f"-opqres8x16sm{OPQ_SAMPLE_MOD}",
+    )
+
+
+def build_sf_opq_residual_index(
+    spark: SparkSession, sf_dir: str, out_dir: Path
+) -> None:
+    """The full FAISS stack demo (catalog s26): init + bulk ingest,
+    then ``build_pq_layer(residual=True, opq=True)`` — the committed
+    codes encode each member's PERMUTED residual, the permutation
+    trained on the residual sample."""
+    from ..io import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    corp = emb.filter(F.col("vec_id") % DEMO_BATCH_MOD != 0)
+    root = str(out_dir / "root")
+    init_embedding_index(spark, corp, root, n_cells=DEFAULT_N_CELLS, train=False)
+    ingest_embedding_batch(spark, corp, root, "bulk", threshold=2.0)
+    build_pq_layer(spark, root, residual=True, opq=True)
+
+
+def sf_opq_residual_index_root(spark: SparkSession, sf_dir: str) -> str:
+    """Root of the materialized OPQ+residual demo index, building on
+    first use (atomic, race-benign — jobs/_lake.py)."""
+    out = ensure_lake(
+        sf_opq_residual_index_dir(sf_dir),
+        lambda tmp: build_sf_opq_residual_index(spark, sf_dir, tmp),
+    )
+    return str(out / "root")
+
+
 SF_ESTATS_VERSION = 1
 
 
@@ -1106,16 +1148,20 @@ def build_pq_layer(
     codebook.json records residual=true so ``pq_layer_search`` builds
     its lookup tables from each query's per-probed-cell residual
     (n_probe becomes REQUIRED at search — without the cell structure a
-    residual has no meaning). Not composable with ``opq`` in one
-    layer (rejected loudly; train composes fine).
+    residual has no meaning).
 
     ``opq=True`` additionally trains the OPQ-lite variance-balancing
     coordinate permutation (operators/similarity.py::
     opq_snake_permutation, s21) on the ``vec_id % opq_sample_mod == 0``
-    sample of the committed corpus and stores it in codebook.json next
+    sample of the ENCODE SOURCE and stores it in codebook.json next
     to the codebook it permutes — codes then encode the PERMUTED
     vectors and ``pq_layer_search`` permutes queries the same way
-    before building its ADC tables. Composes with ``train``.
+    before building its ADC tables. Composes with ``train`` AND with
+    ``residual`` (s26, the full FAISS OPQ+IVF-PQ stack): for a
+    coordinate permutation residual and permute commute
+    (perm(v) - perm(c) = perm(v - c)), and the permutation trains on
+    the residual frame — the distribution the code budget actually
+    quantizes.
 
     Returns counts only: n_vectors, n_sub, n_codes, refreshed, opq.
     """
@@ -1124,12 +1170,6 @@ def build_pq_layer(
 
     from ..operators.similarity import pq_codebook, pq_encode
 
-    if residual and opq:
-        raise ValueError(
-            "residual and opq cannot combine in one PQ layer — the "
-            "permutation is trained on raw coordinates and the codes "
-            "would silently encode a third, untested geometry"
-        )
     d = _pq_dir(index_root)
     codes_dir = os.path.join(d, "codes")
     marker = os.path.join(codes_dir, "_SUCCESS")
@@ -1190,19 +1230,6 @@ def build_pq_layer(
     if os.path.isdir(d) and not committed:
         shutil.rmtree(d)
     os.makedirs(staging)
-    # OPQ-lite leg (s21/s22): train the variance-balancing coordinate
-    # permutation on the bounded deterministic sample of the committed
-    # corpus; the codebook slices PERMUTED vectors and every stored
-    # code encodes the permuted corpus, so the layer must persist the
-    # permutation beside the codebook — a search that forgot to
-    # permute its queries would ADC-score against the wrong subspaces
-    perm = None
-    if opq:
-        from ..operators.similarity import opq_snake_permutation
-
-        perm = opq_snake_permutation(
-            asg, n_sub=n_sub, vec_col="v", sample_mod=opq_sample_mod
-        )
     # residual leg (s24): the encode source becomes r = v - centroid
     # of the STORED rank-1 assignment — one broadcast-centroid zip_with
     # map over the committed rows, no shuffle; codebook rule unchanged,
@@ -1216,6 +1243,23 @@ def build_pq_layer(
             "r", F.zip_with("v", "_cv", lambda a, b: a - b)
         )
         src_col = "r"
+    # OPQ-lite leg (s21/s22): train the variance-balancing coordinate
+    # permutation on the bounded deterministic sample of the ENCODE
+    # SOURCE — the raw corpus for a plain layer, the residual frame
+    # for a residual one (s26: OPQ exists to balance the variance of
+    # what is being CODED, and for a coordinate permutation residual
+    # and permute commute: perm(v) - perm(c) = perm(v - c), so one
+    # consistent geometry). The codebook slices PERMUTED vectors and
+    # every stored code encodes the permuted source, so the layer must
+    # persist the permutation beside the codebook — a search that
+    # forgot to permute would ADC-score against the wrong subspaces
+    perm = None
+    if opq:
+        from ..operators.similarity import opq_snake_permutation
+
+        perm = opq_snake_permutation(
+            src, n_sub=n_sub, vec_col=src_col, sample_mod=opq_sample_mod
+        )
     if train:
         from ..operators.similarity import pq_train_codebook
 
@@ -1350,6 +1394,11 @@ def pq_layer_search(
                 if pdf.empty:
                     continue
                 mat = np.array(pdf["qr"].tolist(), dtype=np.float64)
+                if parr is not None:
+                    # OPQ+residual layer (s26): stored codes encode the
+                    # PERMUTED residuals, so the query residual permutes
+                    # the same way before its tables are built
+                    mat = mat[:, parr]
                 tabs = []
                 for row in mat:
                     t = np.empty((n_sub, len(cbs[0])), dtype=np.int64)

@@ -26,8 +26,8 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # (2) the entries with the OLDEST standing rows, oldest first. After
 # CORRECTNESS_r11 (50/50 green) the cumulative freshness is 50
 # r11-latest, 47 r10-latest, 43 r9-latest, 29 r8-latest. The r12
-# window (VERDICT r11 item 1): the ten new entries (m9, m9b, a13,
-# t30, s24, s25, x3, a14, t31, d10), the nine changed entries, then ALL 29
+# window (VERDICT r11 item 1): the eleven new entries (m9, m9b, a13,
+# t30, s24, s25, x3, a14, t31, d10, s26), the nine changed entries, then ALL 29
 # r8-latest names, then the alphabetically-first r9-latest names
 # filling the remaining slots — after CORRECTNESS_r12 no entry's
 # latest driver row predates r9.
@@ -86,6 +86,8 @@ _PRIORITY: list[str] = [
     #   weights (Xie et al. 2023) + Gumbel-top-k resampling in curate
     "d10_edit_verified_dups",  # NEW r12: LSH candidates verified by
     #   normalized Levenshtein (Ed-Join family) — order-sensitive dups
+    "s26_opq_residual_search",  # NEW r12: the full FAISS stack — OPQ
+    #   permutation trained on residuals, served from the stored layer
     "a12_hll_set_ops",
     "a10_lake_bloom_decontaminate",
     "m8_image_admission",
@@ -132,8 +134,8 @@ _PRIORITY: list[str] = [
     # to r13 — all green in r9 and re-verified by every local parity
     # sweep) --
     "c10_json_extract",
-    "c1_epoch_to_date",
     # ---- slot 50 boundary ----
+    "c1_epoch_to_date",
     "c4_batch_id",
     "c5_regex_extract",
     "c6_players_concat",

@@ -5261,3 +5261,163 @@ def s25_residual_lake_search(spark, sf_dir):
     return pq_layer_search(
         spark, root, batch, k=3, shortlist=PQ_SHORTLIST, n_probe=S11_N_PROBE
     )
+
+
+@q(
+    "s26_opq_residual_search",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), corp AS (
+        SELECT vec_id, v FROM e WHERE vec_id % {S11_BATCH_MOD} != 0
+    ), batch AS (
+        SELECT vec_id, v FROM e WHERE vec_id % {S11_BATCH_MOD} = 0
+    ), cents AS (
+        SELECT vec_id AS cell_id, v AS cv FROM corp ORDER BY vec_id LIMIT {S11_N_CELLS}
+    ), m_ranked AS (
+        SELECT vid, cell_id,
+               row_number() OVER (PARTITION BY vid ORDER BY cell_sim DESC, cell_id ASC)
+                   AS cell_rank
+        FROM (
+            SELECT corp.vec_id AS vid, cents.cell_id,
+                   list_dot_product(corp.v, cents.cv) /
+                       (sqrt(list_dot_product(corp.v, corp.v)) *
+                        sqrt(list_dot_product(cents.cv, cents.cv))) AS cell_sim
+            FROM corp CROSS JOIN cents
+        )
+    ), members AS (
+        SELECT vid AS nn_id, cell_id FROM m_ranked WHERE cell_rank = 1
+    ), res AS (
+        SELECT m.nn_id AS vec_id, m.cell_id,
+               list_transform(range(1, {PQ_N_SUB * PQ_SUB_DIM + 1}),
+                              i -> corp.v[i] - c.cv[i]) AS r
+        FROM members m JOIN corp ON corp.vec_id = m.nn_id
+        JOIN cents c USING (cell_id)
+    ), rsamp AS (
+        SELECT vec_id, r FROM res WHERE vec_id % {S13_SAMPLE_MOD} = 0
+    ), vars AS (
+        SELECT u.i AS d,
+               CAST(floor(var_pop(r[u.i]) * 1000000 + 0.5) AS BIGINT) AS vmic
+        FROM rsamp CROSS JOIN LATERAL (
+            SELECT unnest(range(1, {PQ_N_SUB * PQ_SUB_DIM} + 1)) AS i
+        ) u
+        GROUP BY u.i
+    ), snake AS (
+        SELECT d,
+               CAST(CASE WHEN ((r0 // {PQ_N_SUB}) % 2) = 0 THEN r0 % {PQ_N_SUB}
+                         ELSE {PQ_N_SUB - 1} - (r0 % {PQ_N_SUB}) END AS INT) AS m,
+               CAST(r0 // {PQ_N_SUB} AS INT) AS rnd
+        FROM (
+            SELECT d, row_number() OVER (ORDER BY vmic DESC, d ASC) - 1 AS r0
+            FROM vars
+        )
+    ), cb AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, r AS cw
+        FROM (SELECT vec_id, r FROM res ORDER BY vec_id LIMIT {PQ_N_CODES})
+    ), sub AS (
+        SELECT res.vec_id, sn.m, list(res.r[sn.d] ORDER BY sn.rnd) AS sv
+        FROM res CROSS JOIN snake sn GROUP BY 1, 2
+    ), cbsub AS (
+        SELECT cb.j, sn.m, list(cb.cw[sn.d] ORDER BY sn.rnd) AS cw
+        FROM cb CROSS JOIN snake sn GROUP BY 1, 2
+    ), best AS (
+        SELECT vec_id, m, j FROM (
+            SELECT s.vec_id, s.m, c.j,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY -2 * list_dot_product(s.sv, c.cw)
+                                  + list_dot_product(c.cw, c.cw) ASC, c.j ASC
+                   ) AS rnk
+            FROM sub s JOIN cbsub c USING (m)
+        ) WHERE rnk = 1
+    ), p_ranked AS (
+        SELECT vid, cell_id,
+               row_number() OVER (PARTITION BY vid ORDER BY cell_sim DESC, cell_id ASC)
+                   AS cell_rank
+        FROM (
+            SELECT batch.vec_id AS vid, cents.cell_id,
+                   list_dot_product(batch.v, cents.cv) /
+                       (sqrt(list_dot_product(batch.v, batch.v)) *
+                        sqrt(list_dot_product(cents.cv, cents.cv))) AS cell_sim
+            FROM batch CROSS JOIN cents
+        )
+    ), probes AS (
+        SELECT vid AS qid, cell_id FROM p_ranked WHERE cell_rank <= {S11_N_PROBE}
+    ), qres AS (
+        SELECT p.qid, p.cell_id,
+               list_transform(range(1, {PQ_N_SUB * PQ_SUB_DIM + 1}),
+                              i -> batch.v[i] - c.cv[i]) AS qr
+        FROM probes p JOIN batch ON batch.vec_id = p.qid
+        JOIN cents c USING (cell_id)
+    ), qsub AS (
+        SELECT qres.qid, qres.cell_id, sn.m,
+               list(qres.qr[sn.d] ORDER BY sn.rnd) AS qsv
+        FROM qres CROSS JOIN snake sn GROUP BY 1, 2, 3
+    ), adc AS (
+        SELECT p.qid, mem.nn_id,
+               CAST(sum(CAST(round((list_dot_product(q.qsv, q.qsv)
+                   + (-2 * list_dot_product(q.qsv, c.cw)
+                      + list_dot_product(c.cw, c.cw))) * 1000000) AS BIGINT))
+                    AS BIGINT) AS adc_micro
+        FROM probes p
+        JOIN members mem USING (cell_id)
+        JOIN best b ON b.vec_id = mem.nn_id
+        JOIN qsub q ON q.qid = p.qid AND q.cell_id = p.cell_id AND q.m = b.m
+        JOIN cbsub c ON c.m = b.m AND c.j = b.j
+        WHERE mem.nn_id != p.qid
+        GROUP BY 1, 2
+    ), short AS (
+        SELECT qid, nn_id, adc_micro FROM (
+            SELECT qid, nn_id, adc_micro,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY adc_micro ASC, nn_id ASC) AS srnk
+            FROM adc
+        ) WHERE srnk <= {PQ_SHORTLIST}
+    ), rescored AS (
+        SELECT s.qid AS query_id, s.nn_id, s.adc_micro,
+               list_dot_product(eq.v, ec.v) /
+                   (sqrt(list_dot_product(eq.v, eq.v)) *
+                    sqrt(list_dot_product(ec.v, ec.v))) AS cs
+        FROM short s
+        JOIN e eq ON eq.vec_id = s.qid
+        JOIN e ec ON ec.vec_id = s.nn_id
+    )
+    SELECT query_id, nn_id, CAST(rnk AS INT) AS rank,
+           ROUND(cs, 6) AS cos_sim, adc_micro
+    FROM (
+        SELECT query_id, nn_id, adc_micro, cs,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, nn_id ASC) AS rnk
+        FROM rescored
+    ) WHERE rnk <= 3
+    """,
+    doc="The full FAISS OPQ+IVF-PQ stack served from the LAKE "
+    "(jobs/embedding_index_lake.py::build_pq_layer residual=True, "
+    "opq=True + pq_layer_search): s25's residual layer with the s21 "
+    "variance-balancing permutation TRAINED ON THE RESIDUAL SAMPLE — "
+    "the distribution the code budget actually quantizes. For a "
+    "coordinate permutation residual and permute commute "
+    "(perm(v) - perm(c) = perm(v - c)), so the composition is one "
+    "consistent geometry: stored codes encode permuted residuals, "
+    "codebook.json records both perm and residual=true, and the "
+    "search permutes each query's per-probed-cell residual before "
+    "building its integer tables (the exact-cosine rescore uses raw "
+    "vectors, where the permutation cancels). Same staged-swap / "
+    "conflicting-request / n_probe-required rules as both parents. "
+    "The oracle composes s25's whole-state re-derivation with s22's "
+    "snake-permutation SQL over the residual frame — assignment, "
+    "residuals, permutation, codebook, codes, per-cell tables, both "
+    "rankings all re-derived from raw parquet.",
+)
+def s26_opq_residual_search(spark, sf_dir):
+    from ..jobs.embedding_index_lake import (
+        pq_layer_search,
+        sf_opq_residual_index_root,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % S11_BATCH_MOD == 0)
+    root = sf_opq_residual_index_root(spark, sf_dir)
+    return pq_layer_search(
+        spark, root, batch, k=3, shortlist=PQ_SHORTLIST, n_probe=S11_N_PROBE
+    )

@@ -1000,3 +1000,13 @@ def test_edit_verified_dups_stay_banded_no_cartesian(q):
         or "BroadcastHashJoin" in plan
         or "ShuffledHashJoin" in plan
     )
+
+
+def test_opq_residual_search_stays_cell_bounded(q):
+    """s26: candidates meet their probing query through the
+    (cell_id, query_id) equi-joins — the permutation is applied inside
+    the per-(query, cell) kernel, never as a plan node over the
+    corpus; no cartesian anywhere."""
+    plan = q("s26_opq_residual_search")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -677,9 +677,6 @@ def test_residual_pq_layer_serves_stored_residual_codes(spark, tmp_path):
     init_embedding_index(spark, emb, root, n_cells=4, train=False)
     ingest_embedding_batch(spark, emb, root, "bulk", threshold=2.0)
 
-    with pytest.raises(ValueError, match="residual and opq"):
-        build_pq_layer(spark, root, n_sub=4, n_codes=8, residual=True, opq=True)
-
     st = build_pq_layer(spark, root, n_sub=4, n_codes=8, residual=True)
     assert st["residual"] is True and st["n_vectors"] == 60
     with open(os.path.join(root, "pq", "codebook.json")) as f:
@@ -730,3 +727,77 @@ def test_residual_pq_layer_serves_stored_residual_codes(spark, tmp_path):
         spark, root2, n_sub=4, n_codes=8, residual=True, refresh=True
     )
     assert st2["residual"] and st2["refreshed"]
+
+
+def test_opq_residual_layer_composes_both_geometries(spark, tmp_path):
+    """build_pq_layer(residual=True, opq=True) — s26, the full FAISS
+    stack: the permutation trains on the RESIDUAL sample (what the
+    code budget actually quantizes), stored codes equal the hand
+    composition assign -> zip_with residual -> permute -> encode,
+    codebook.json records both flags, and the planted duplicate comes
+    back rank-1 through the permuted-residual tables."""
+    import json
+    import os
+
+    from pokemon_showdown_airflow_etl_spark.jobs.doc_signature_lake import (
+        read_committed,
+    )
+    from pokemon_showdown_airflow_etl_spark.jobs.embedding_index_lake import (
+        build_pq_layer,
+        ingest_embedding_batch,
+        init_embedding_index,
+        pq_layer_search,
+        read_centroids,
+    )
+    from pokemon_showdown_airflow_etl_spark.operators.similarity import (
+        assign_cells,
+        opq_snake_permutation,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = _planted_anisotropic(spark, n=60, dim=16, n_sub=4)
+    root = str(tmp_path / "idx")
+    init_embedding_index(spark, emb, root, n_cells=4, train=False)
+    ingest_embedding_batch(spark, emb, root, "bulk", threshold=2.0)
+    st = build_pq_layer(
+        spark, root, n_sub=4, n_codes=8, residual=True, opq=True,
+        opq_sample_mod=3,
+    )
+    assert st["residual"] is True and st["opq"] is True
+    with open(os.path.join(root, "pq", "codebook.json")) as f:
+        meta = json.load(f)
+    assert meta["residual"] is True and meta["perm"] is not None
+
+    cents = read_centroids(spark, root)
+    cvt = cents.select("cell_id", F.col("centroid").alias("_cv"))
+    asg = read_committed(spark, root, "assignments")
+    resid = (
+        assign_cells(asg.select("vec_id", F.col("v").alias("embedding")), cents, 1)
+        .join(F.broadcast(cvt), "cell_id")
+        .select(
+            "vec_id", F.zip_with("v", "_cv", lambda a, b: a - b).alias("r")
+        )
+    )
+    # the permutation must be the one trained on the RESIDUAL sample —
+    # a raw-coordinate permutation is a different bijection on this
+    # anisotropic corpus
+    perm = opq_snake_permutation(resid, n_sub=4, vec_col="r", sample_mod=3)
+    assert meta["perm"] == perm
+    cb = pq_codebook(resid, n_sub=4, n_codes=8, vec_col="r", perm=perm)
+    want = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(resid, cb, vec_col="r", perm=perm).collect()
+    }
+    got = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(os.path.join(root, "pq", "codes")).collect()
+    }
+    assert got == want
+
+    member9 = asg.filter(F.col("vec_id") == 9).select(
+        F.lit(1009).alias("vec_id"), F.col("v").alias("embedding")
+    )
+    top = pq_layer_search(spark, root, member9, k=1, n_probe=2).collect()
+    assert len(top) == 1
+    assert top[0]["nn_id"] == 9 and float(top[0]["cos_sim"]) == 1.0
