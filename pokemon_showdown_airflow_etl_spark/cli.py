@@ -450,7 +450,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="refresh when max per-dim z >= this (default 500 = half a "
         "training standard deviation)",
     )
-    irf.add_argument("--n-cells", type=int, default=16)
+    irf.add_argument("--n-cells", type=int, default=8)
     irf.add_argument(
         "--no-train",
         action="store_true",

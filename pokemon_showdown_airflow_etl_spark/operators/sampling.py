@@ -475,3 +475,58 @@ def gumbel_topk_sample(
         .over(Window.orderBy(F.desc("key_micro"), F.asc(id_col)))
         .cast("int"),
     ).orderBy("rank")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    bounds: dict[str, tuple[int, int]] | None = None,
+    signature_df: DataFrame | None = None,
+    shingle_df: DataFrame | None = None,
+) -> DataFrame:
+    """Holdout split keyed by near-dup CLUSTER, not by document: every
+    member of a near-duplicate cluster hashes on the cluster's min id,
+    so no near-dup pair can straddle train and the holdouts. The
+    doc-keyed split (t12/hash_split) silently leaks on a corpus that
+    KEEPS its near-dups — a train doc's 95%-identical sibling lands in
+    test with the holdout probability, and eval then measures
+    memorization (the benchmark-contamination path the dedup
+    literature warns about; Lee et al. 2022 §6.2 measure exactly this
+    train/val dup leakage). Dropping dups (curate) is one fix;
+    confining each cluster to one split is the other, for pipelines
+    that keep near-dups on purpose (e.g. quality-weighted sampling
+    over them later).
+
+    Composition — d8's machinery re-pointed at split assignment: LSH
+    band join -> exact verify -> connected components -> split_key =
+    cluster id (min member id; unclustered docs key on themselves) ->
+    the t12 bucket formula over the KEY. Deterministic end to end,
+    SQL-oracle-checkable including the recursive closure. Scale shape
+    is d8's (bounded candidate pairs, pointer-jumping components, no
+    all-pairs) plus one map for the split.
+
+    Returns ``df``'s rows + (split_key, bucket, split)."""
+    from .dedup import dup_clusters
+
+    clusters = dup_clusters(
+        df, id_col, text_col, n=n, threshold=threshold,
+        signature_df=signature_df, shingle_df=shingle_df,
+    )
+    keyed = (
+        df.join(
+            clusters.select(
+                F.col("doc_id").alias(id_col), "cluster_id"
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn(
+            "split_key",
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("long"),
+        )
+        .drop("cluster_id")
+    )
+    return hash_split(keyed, "split_key", bounds)

@@ -26,8 +26,8 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # (2) the entries with the OLDEST standing rows, oldest first. After
 # CORRECTNESS_r11 (50/50 green) the cumulative freshness is 50
 # r11-latest, 47 r10-latest, 43 r9-latest, 29 r8-latest. The r12
-# window (VERDICT r11 item 1): the eleven new entries (m9, m9b, a13,
-# t30, s24, s25, x3, a14, t31, d10, s26), the nine changed entries, then ALL 29
+# window (VERDICT r11 item 1): the twelve new entries (m9, m9b, a13,
+# t30, s24, s25, x3, a14, t31, d10, s26, t32), the nine changed entries, then ALL 29
 # r8-latest names, then the alphabetically-first r9-latest names
 # filling the remaining slots — after CORRECTNESS_r12 no entry's
 # latest driver row predates r9.
@@ -88,6 +88,8 @@ _PRIORITY: list[str] = [
     #   normalized Levenshtein (Ed-Join family) — order-sensitive dups
     "s26_opq_residual_search",  # NEW r12: the full FAISS stack — OPQ
     #   permutation trained on residuals, served from the stored layer
+    "t32_leakage_safe_split",  # NEW r12: holdout split keyed by
+    #   near-dup cluster — no dup pair straddles train and the holdouts
     "a12_hll_set_ops",
     "a10_lake_bloom_decontaminate",
     "m8_image_admission",
@@ -129,12 +131,11 @@ _PRIORITY: list[str] = [
     "w3_sorted_dates",
     "w5_session_windows",
     "x1_salted_agg",
-    # -- (3) the oldest r9-latest entries fill the remaining 5 slots
-    # (alphabetical within the tie; the other 38 r9-latest names spill
-    # to r13 — all green in r9 and re-verified by every local parity
-    # sweep) --
+    # ---- slot 50 boundary ---- (the twelve new + nine changed + 29
+    # r8-latest entries fill the window exactly; the r9-latest names
+    # spill to r13 — all green in r9 and re-verified by every local
+    # parity sweep)
     "c10_json_extract",
-    # ---- slot 50 boundary ----
     "c1_epoch_to_date",
     "c4_batch_id",
     "c5_regex_extract",

@@ -5421,3 +5421,60 @@ def s26_opq_residual_search(spark, sf_dir):
     return pq_layer_search(
         spark, root, batch, k=3, shortlist=PQ_SHORTLIST, n_probe=S11_N_PROBE
     )
+
+
+_T32_KEY_SQL = "coalesce(lab.cluster_id, d.doc_id)"
+_T32_BUCKET_SQL = (
+    f"CAST(('0x' || substr(md5(CAST({_T32_KEY_SQL} AS VARCHAR)), 1, 4)) "
+    "AS INT) % 100"
+)
+
+
+@q(
+    "t32_leakage_safe_split",
+    f"""
+    WITH RECURSIVE verified AS ({_D7_ORACLE}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM verified
+        UNION
+        SELECT doc_b, doc_a FROM verified
+    ),
+    reach(node, r) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node
+    ),
+    lab AS (
+        SELECT node, LEAST(node, MIN(r)) AS cluster_id
+        FROM reach GROUP BY node
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST({_T32_KEY_SQL} AS BIGINT) AS split_key,
+           CAST({_T32_BUCKET_SQL} AS INT) AS bucket,
+           CASE WHEN {_T32_BUCKET_SQL} < 90 THEN 'train'
+                WHEN {_T32_BUCKET_SQL} < 95 THEN 'val'
+                ELSE 'test'
+           END AS split
+    FROM documents d LEFT JOIN lab ON lab.node = d.doc_id
+    """,
+    doc="Leakage-safe holdout split (operators/sampling.py::"
+    "leakage_safe_split): split assignment keyed by the near-dup "
+    "CLUSTER id instead of the document id, so no near-duplicate pair "
+    "straddles train and the holdouts — the benchmark-contamination "
+    "path Lee et al. 2022 measure (a kept near-dup of a train doc "
+    "landing in test turns eval into memorization). d8's whole "
+    "machinery re-pointed at split assignment: band-join candidates, "
+    "exact verify, connected components, then the t12 bucket formula "
+    "over split_key = cluster min id (unclustered docs key on "
+    "themselves). The oracle carries the full recursive closure, so a "
+    "single doc split under the wrong key flips the hash.",
+)
+def t32_leakage_safe_split(spark, sf_dir):
+    from ..operators.sampling import leakage_safe_split
+
+    sig, _ = _sig_lake(spark, sf_dir)
+    return leakage_safe_split(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        threshold=JACCARD_THRESHOLD, n=SIG_SHINGLE_N,
+        signature_df=sig, shingle_df=sig.select("doc", "shingles"),
+    ).select("doc_id", "split_key", "bucket", "split")

@@ -1010,3 +1010,12 @@ def test_opq_residual_search_stays_cell_bounded(q):
     plan = q("s26_opq_residual_search")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_leakage_safe_split_is_banded_plus_map(q):
+    """t32: the split rides d8's bounded machinery — no cartesian, no
+    Python; the split assignment itself is a pure map over the keyed
+    rows."""
+    plan = q("t32_leakage_safe_split")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

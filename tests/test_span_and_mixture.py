@@ -297,3 +297,37 @@ def test_weighted_sample_matches_python_model_and_guards(spark):
     # weight monotonicity in aggregate: the top-20 of a 1..7-weighted
     # population should lean heavy (mean weight above the uniform 4)
     assert sum(w for _, w, *_ in got) / len(got) > 4.0
+
+
+def test_leakage_safe_split_confines_clusters_to_one_split(spark):
+    """t32: every member of a near-dup cluster gets the cluster's
+    split; unclustered docs key on themselves and match the plain
+    hash_split assignment."""
+    from pokemon_showdown_airflow_etl_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    base_a = " ".join(f"atok{i}" for i in range(40))
+    base_b = " ".join(f"btok{i}" for i in range(40))
+    rows = (
+        [(i, base_a + f" tail{i}") for i in range(4)]           # cluster A
+        + [(10 + i, base_b + f" end{i}") for i in range(3)]     # cluster B
+        + [(100 + i, " ".join(f"u{i}w{j}" for j in range(30))) for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["split_key"], r["split"])
+        for r in leakage_safe_split(df, "doc_id", "text").collect()
+    }
+    assert len(got) == len(rows)
+    # cluster members share the min-id key and hence the split
+    assert {got[i] for i in range(4)} == {got[0]} and got[0][0] == 0
+    assert {got[10 + i] for i in range(3)} == {got[10]} and got[10][0] == 10
+    # unclustered docs: identical to the doc-keyed split
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, "doc_id").collect()
+    }
+    for i in range(100, 106):
+        assert got[i] == (i, plain[i])
