@@ -900,3 +900,103 @@ def scene_frame_hashes(
         "ahash_lo",
         "ahash_hi",
     )
+
+
+AUDIO_FP_BITS = 64
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    frame_samples: int = 400,
+    hop_samples: int = 200,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    n_bits: int = AUDIO_FP_BITS,
+) -> DataFrame:
+    """Energy-delta audio fingerprint — the Haitsma-Kalker (2002)
+    family's core idea at its simplest: bit k is 1 iff the energy of
+    frame k+1 strictly exceeds frame k's, over the first ``n_bits``+1
+    frames. Small re-encodes perturb absolute energies but rarely flip
+    the up/down SHAPE of the envelope, which is why delta-sign bits
+    are the standard robust audio identity. Rides the m5 kernel
+    (audio_frame_energy), so the whole fingerprint is a pure integer
+    function of the payload that ANSI SQL re-derives.
+
+    Why the m5 digest energies and NOT m5b's synthesized-PCM ones: the
+    fingerprint MATH (delta-sign + pack + banding) is the real
+    component; the energy source is the deploy-boundary stub either
+    way, and m5b's golden-ratio arithmetic-progression synth has a
+    QUASI-PERIODIC envelope whose delta-signs collapse every asset to
+    one of a handful of phase-shifted bit patterns (measured: random
+    asset pairs at hamming 0) — the exact LCG-collapse failure the
+    image thumbnail synth documents (image_ahash). m5's per-frame
+    digest energies are iid per (asset, frame), so fingerprints are
+    diverse the way real audio's are; at deploy the real decoder's
+    spectral energies replace them and everything downstream runs
+    unchanged.
+
+    Bits pack into two positive 32-bit words (fp_lo, fp_hi) — the m6
+    packing rule (neither engine can shift into bit 63 of a signed
+    BIGINT) — which makes the fingerprints drop-in compatible with the
+    banded-Hamming machinery (audio_near_dups). Assets with fewer
+    than ``n_bits``+1 frames are too short to carry a fixed-length
+    fingerprint and emit no row (real systems demand a minimum
+    duration for exactly this reason).
+
+    Plan shape: the kernel's one crossing per asset, a frame filter,
+    ONE exchange for the per-asset lead window (<= n_bits+1 rows per
+    asset), and a conditional-sum pack — media bytes never pass the
+    kernel boundary. Returns (asset_id, n_frames, fp_lo, fp_hi)."""
+    from pyspark.sql.window import Window
+
+    e = audio_frame_energy(
+        df, frame_samples, hop_samples, id_col=id_col, payload_col=payload_col
+    ).withColumn("energy", F.col("energy_u32"))
+    f = e.filter(F.col("n_frames") >= n_bits + 1).filter(
+        F.col("frame_idx") <= n_bits
+    )
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    bits = (
+        f.withColumn("_nxt", F.lead("energy").over(w))
+        .filter(F.col("frame_idx") < n_bits)
+        .withColumn("_bit", (F.col("_nxt") > F.col("energy")).cast("long"))
+    )
+    # conditional-sum packing: distinct powers of two below 2^32 are
+    # exact in the double pow, the m6 rule in aggregate form
+    lo_w = F.when(
+        (F.col("frame_idx") < 32) & (F.col("_bit") == 1),
+        F.pow(F.lit(2.0), F.col("frame_idx").cast("double")).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    hi_w = F.when(
+        (F.col("frame_idx") >= 32) & (F.col("_bit") == 1),
+        F.pow(
+            F.lit(2.0), (F.col("frame_idx") - 32).cast("double")
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return bits.groupBy("asset_id").agg(
+        F.max("n_frames").cast("long").alias("n_frames"),
+        F.sum(lo_w).cast("long").alias("fp_lo"),
+        F.sum(hi_w).cast("long").alias("fp_hi"),
+    )
+
+
+def audio_near_dups(
+    fps: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Near-duplicate audio pairs by banded Hamming blocking over the
+    energy-delta fingerprints — the SAME pigeonhole-complete machinery
+    as the image pair scan (ahash_near_dups): with max_hamming <
+    n_bands two fingerprints within the threshold agree exactly on at
+    least one 16-bit band, so the equi-join blocking has complete
+    recall and candidate volume stays O(collisions per key).
+    ``fps`` is audio_fingerprint's output; returns (asset_a, asset_b,
+    hamming)."""
+    return ahash_near_dups(
+        fps.select(
+            "asset_id",
+            F.col("fp_lo").alias("ahash_lo"),
+            F.col("fp_hi").alias("ahash_hi"),
+        ),
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+    )

@@ -132,9 +132,13 @@ _PRIORITY: list[str] = [
     "w5_session_windows",
     "x1_salted_agg",
     # ---- slot 50 boundary ---- (the twelve new + nine changed + 29
-    # r8-latest entries fill the window exactly; the r9-latest names
-    # spill to r13 — all green in r9 and re-verified by every local
-    # parity sweep)
+    # r8-latest entries fill the window exactly; m10/m10b — the two
+    # youngest additions — take the first spill slots and debut in the
+    # r13 window rather than displace the r8 rotation the r11 verdict
+    # mandated; like every spilled entry they are oracle-verified by
+    # the local parity sweep this round)
+    "m10_audio_fingerprint",
+    "m10b_audio_near_dups",
     "c10_json_extract",
     "c1_epoch_to_date",
     "c4_batch_id",

@@ -5478,3 +5478,145 @@ def t32_leakage_safe_split(spark, sf_dir):
         threshold=JACCARD_THRESHOLD, n=SIG_SHINGLE_N,
         signature_df=sig, shingle_df=sig.select("doc", "shingles"),
     ).select("doc_id", "split_key", "bucket", "split")
+
+
+# The energy-delta fingerprint rows of an asset set CTE named
+# {src}(asset_id, text): m5's digest energy per frame (iid per
+# (asset, frame) — see audio_fingerprint's docstring for why NOT the
+# m5b synth, whose quasi-periodic envelope collapses delta-signs),
+# bit k = 1 iff energy[k+1] > energy[k], packed in two positive
+# 32-bit words. Shared by the m10 fingerprint oracle and the m10b
+# pair oracle.
+_M10_FP_SQL = f"""a AS (
+        SELECT asset_id, md5(text) AS cmd5,
+               1000 + CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT)
+                   AS n_samples
+        FROM {{src}}
+    ), f AS (
+        SELECT asset_id, cmd5,
+               (n_samples - {M5_FRAME}) // {M5_HOP} + 1 AS n_frames
+        FROM a
+    ), en AS (
+        SELECT asset_id, n_frames, u.k AS frame_idx,
+               CAST(('0x' || substr(md5(cmd5 || ':' || CAST(u.k AS VARCHAR)),
+                                    1, 8)) AS BIGINT) AS energy
+        FROM f CROSS JOIN LATERAL (SELECT unnest(range(0, n_frames)) AS k) u
+        WHERE n_frames >= 65 AND u.k <= 64
+    ), bits AS (
+        SELECT asset_id, n_frames, frame_idx,
+               CASE WHEN lead(energy) OVER (PARTITION BY asset_id
+                                            ORDER BY frame_idx) > energy
+                    THEN 1 ELSE 0 END AS bit
+        FROM en
+    ), fp AS (
+        SELECT asset_id,
+               CAST(any_value(n_frames) AS BIGINT) AS n_frames,
+               CAST(coalesce(sum(CASE WHEN frame_idx < 32 AND bit = 1
+                    THEN 1::BIGINT << CAST(frame_idx AS INT) ELSE 0 END), 0)
+                    AS BIGINT) AS fp_lo,
+               CAST(coalesce(sum(CASE WHEN frame_idx >= 32 AND bit = 1
+                    THEN 1::BIGINT << CAST(frame_idx - 32 AS INT) ELSE 0 END),
+                    0) AS BIGINT) AS fp_hi
+        FROM bits WHERE frame_idx < 64 GROUP BY asset_id
+    )"""
+
+
+@q(
+    "m10_audio_fingerprint",
+    f"""
+    WITH src AS (
+        SELECT CAST(doc_id AS VARCHAR) AS asset_id, text
+        FROM documents WHERE text IS NOT NULL
+    ), {_M10_FP_SQL.format(src="src")}
+    SELECT asset_id, n_frames, fp_lo, fp_hi FROM fp
+    """,
+    doc="Energy-delta audio fingerprint (operators/multimodal.py::"
+    "audio_fingerprint; the Haitsma-Kalker 2002 family): bit k = 1 "
+    "iff frame k+1's energy strictly exceeds frame k's over the first "
+    "65 frames — small re-encodes perturb absolute energies but "
+    "rarely flip the envelope's up/down shape, which is why "
+    "delta-sign bits are the standard robust audio identity. Rides "
+    "the m5 framing kernel; energies are the per-frame digest stub "
+    "(iid per (asset, frame) — the m5b PCM synth's quasi-periodic "
+    "envelope would collapse every asset to a few phase-shifted "
+    "patterns, the documented image-LCG failure mode, so the stub "
+    "choice here is load-bearing and measured). Packed in two "
+    "positive 32-bit words (the m6 rule), drop-in compatible with "
+    "the banded-Hamming pair machinery. Assets under 65 frames are "
+    "too short to fingerprint and emit no row. One kernel crossing "
+    "per asset, one bounded per-asset lead window, conditional-sum "
+    "pack — audio bytes never leave the kernel.",
+)
+def m10_audio_fingerprint(spark, sf_dir):
+    from ..operators.multimodal import audio_fingerprint
+
+    assets = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return audio_fingerprint(
+        assets, frame_samples=M5_FRAME, hop_samples=M5_HOP
+    )
+
+
+@q(
+    "m10b_audio_near_dups",
+    f"""
+    WITH src AS (
+        SELECT CAST(doc_id AS VARCHAR) AS asset_id, text
+        FROM documents WHERE text IS NOT NULL
+        UNION ALL
+        SELECT CAST(doc_id + {M6B_COPY_OFFSET} AS VARCHAR), text
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id % {M6B_COPY_EVERY} = 0
+    ), {_M10_FP_SQL.format(src="src")}, keyed AS (
+        SELECT asset_id, fp_lo, fp_hi, b.b AS band,
+               CASE b.b
+                   WHEN 0 THEN fp_lo & 65535
+                   WHEN 1 THEN fp_lo >> 16
+                   WHEN 2 THEN fp_hi & 65535
+                   ELSE fp_hi >> 16
+               END AS key
+        FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    )
+    SELECT DISTINCT l.asset_id AS asset_a, r.asset_id AS asset_b,
+           CAST(bit_count(xor(l.fp_lo, r.fp_lo))
+                + bit_count(xor(l.fp_hi, r.fp_hi)) AS INT) AS hamming
+    FROM keyed l JOIN keyed r ON l.band = r.band AND l.key = r.key
+    WHERE l.asset_id < r.asset_id
+      AND bit_count(xor(l.fp_lo, r.fp_lo))
+          + bit_count(xor(l.fp_hi, r.fp_hi)) <= {M6B_MAX_HAMMING}
+    """,
+    doc="Near-duplicate AUDIO pairs by banded Hamming blocking over "
+    "the m10 fingerprints (operators/multimodal.py::audio_near_dups) "
+    "— the m6b machinery re-pointed at the audio modality, completing "
+    "the text/image/audio dedup triad: four 16-bit bands, pigeonhole-"
+    "complete recall at max_hamming < n_bands, XOR+popcount verify. "
+    "The asset set plants a re-encoded copy of every 50th document "
+    "(same payload -> identical envelope -> hamming 0), so the pair "
+    "output is non-empty at every SF and each planted pair survives "
+    "the full kernel -> window -> pack -> band -> verify path. Same "
+    "scale shape as m6b: O(collisions per 16-bit key) candidates, "
+    "narrow integer rows, audio bytes never shuffle.",
+)
+def m10b_audio_near_dups(spark, sf_dir):
+    from ..operators.multimodal import audio_fingerprint, audio_near_dups
+
+    docs = t(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % M6B_COPY_EVERY == 0).select(
+            (F.col("doc_id") + M6B_COPY_OFFSET).cast("string").alias("asset_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
+    # pinned: the fingerprint frame feeds BOTH sides of the band
+    # self-join — unpinned, the whole m5 kernel chain would run twice
+    fps = pin(
+        audio_fingerprint(
+            assets, frame_samples=M5_FRAME, hop_samples=M5_HOP
+        ).select("asset_id", "fp_lo", "fp_hi")
+    )
+    return audio_near_dups(fps, max_hamming=M6B_MAX_HAMMING)

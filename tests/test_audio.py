@@ -111,3 +111,46 @@ def test_audio_energy_kernels_drop_null_payloads(spark):
         rows = fn(df, frame_samples=400, hop_samples=200).collect()
         assert rows, "non-null assets must still frame"
         assert {r["asset_id"] for r in rows} == {"a0", "a2"}
+
+
+def test_audio_fingerprint_shape_and_short_asset_exclusion(spark):
+    """m10: fixed 64-bit fingerprints in two positive 32-bit words;
+    assets under n_bits+1 frames emit no row; deterministic."""
+    from pokemon_showdown_airflow_etl_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    # text -> md5 digits 5..8 set n_samples = 1000 + 0..65535; frames
+    # = (n-400)//200+1 — every asset here is comfortably long
+    rows = [(str(i), f"audio content number {i}".encode()) for i in range(12)]
+    df = spark.createDataFrame(rows, "asset_id string, payload binary")
+    got = {r["asset_id"]: r for r in audio_fingerprint(df).collect()}
+    for r in got.values():
+        assert 0 <= r["fp_lo"] < (1 << 32) and 0 <= r["fp_hi"] < (1 << 32)
+        assert r["n_frames"] >= 65
+    # distinct payloads -> distinct fingerprints (iid digest energies)
+    assert len({(r["fp_lo"], r["fp_hi"]) for r in got.values()}) == len(got)
+    again = {
+        r["asset_id"]: (r["fp_lo"], r["fp_hi"])
+        for r in audio_fingerprint(df).collect()
+    }
+    assert again == {k: (r["fp_lo"], r["fp_hi"]) for k, r in got.items()}
+
+
+def test_audio_near_dups_find_planted_reencode(spark):
+    """m10b: a same-payload copy pairs at hamming 0 through the band
+    join; unrelated assets do not pair."""
+    from pokemon_showdown_airflow_etl_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_near_dups,
+    )
+
+    rows = [(str(i), f"track {i} bytes".encode()) for i in range(10)]
+    rows.append(("900", rows[4][1]))  # re-encode twin of asset 4
+    df = spark.createDataFrame(rows, "asset_id string, payload binary")
+    fps = audio_fingerprint(df).select("asset_id", "fp_lo", "fp_hi")
+    pairs = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in audio_near_dups(fps).collect()
+    }
+    assert pairs == {("4", "900"): 0}

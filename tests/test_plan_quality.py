@@ -1019,3 +1019,29 @@ def test_leakage_safe_split_is_banded_plus_map(q):
     plan = q("t32_leakage_safe_split")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_audio_fingerprint_one_kernel_one_exchange(q):
+    """m10: one Arrow crossing (the m5 framing kernel), one exchange
+    for the bounded per-asset lead window, no row-Python."""
+    import re
+
+    plan = q("m10_audio_fingerprint")
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_audio_near_dups_band_join_is_equi(q):
+    """m10b: the pinned fingerprint frame feeds an equi band join —
+    no cartesian, no re-derivation of the kernel chain per side."""
+    import re
+
+    plan = q("m10b_audio_near_dups")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0  # pinned
+    assert (
+        "SortMergeJoin" in plan
+        or "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
