@@ -473,7 +473,7 @@ def test_facet_coverage_tracks_pre_facet_batches(spark, tmp_path):
     st = corpus_sketch_stats(spark, root)
     assert st["facet_coverage"] == {
         "sketches": [1, 2], "lm": [1, 2], "cms": [1, 2], "hh": [1, 2],
-        "bloom": [1, 2],
+        "bloom": [1, 2], "hist": [1, 2],
         # these docs carry no lang column, so no batch wrote hllg/
         "hllg": [0, 2],
     }
