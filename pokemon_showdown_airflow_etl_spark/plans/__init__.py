@@ -38,6 +38,20 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # changed query can no longer coast on a stale green row (the t8/g16/s6
 # gap VERDICT r3 flagged).
 CHANGED_SINCE_LAST_ROW: list[str] = [
+    # -- r12 OPTIMIZATION-round changes (value-identical restructures,
+    # each re-proven against the DuckDB oracle on a bare session the
+    # day it changed — tools/raw_oracle_sweep.py; see
+    # OPTIMIZATION_r12.md for the before/after evidence) --
+    "m5_audio_frame_energy",  # scale-adaptive kernel spread + capped
+    #   frame emission parameter (pinning.spread; max_frames)
+    "m5b_audio_pcm_energy",  # spread + uint32 PCM synth (exact wrap)
+    "s9_embedding_dup_clusters",  # CC convergence probe fused into the
+    #   round checkpoint (one join+job less per round)
+    "d8_dup_clusters",  # same connected_components change
+    "s13_ann_recall_audit",  # one multi-probe scored pass replaces the
+    #   three per-n_probe ivf_topk legs (ivf_topk_multi_probe)
+    "t24_bpe_encode",  # type-level encode (no per-subword explode),
+    #   TakeOrderedAndProject word-type top-K in bpe_train
     "a12_hll_set_ops",  # r12: the pairwise union/estimate math moved
     #   into the shared operators/sketches.py::hll_pairwise_overlap
     #   (a13 serves the lake facet through the same derivation) and the
@@ -99,6 +113,15 @@ _PRIORITY: list[str] = [
     "t26_lake_bigram_nll",
     "a7_lake_cms_heavy_hitters",
     "a8_lake_heavy_hitters",
+    # -- r12 optimization-round restructures (CHANGED_SINCE_LAST_ROW):
+    # changed code outranks stale rotation per the standing rule, so
+    # these take window slots ahead of five more r8-stale entries
+    # (s13 already holds a slot in the r8 block below) --
+    "m5_audio_frame_energy",
+    "m5b_audio_pcm_energy",
+    "s9_embedding_dup_clusters",
+    "d8_dup_clusters",
+    "t24_bpe_encode",
     # -- (2) the 29 r8-latest entries owed since r11 (VERDICT r11
     # item 1: after CORRECTNESS_r12 no entry's latest driver row may
     # predate r9) --
@@ -124,6 +147,17 @@ _PRIORITY: list[str] = [
     "t7_quality_score",
     "t9_decontaminate",
     "t10_repetition_ratio",
+    # m10/m10b have NO driver row yet — a new entry may never spill out
+    # of the window (test_driver_window caught exactly this on the
+    # interrupted r11 build's HEAD; fixed as the r12 optimization
+    # round's inherited-state repair).
+    "m10_audio_fingerprint",
+    "m10b_audio_near_dups",
+    # ---- slot 50 boundary ---- (the 5 changed-entry slots above plus
+    # m10/m10b displace seven r8-stale entries to the r13 rotation;
+    # each keeps its standing r8 green row, and all seven — like the
+    # whole catalog — are oracle-verified by this round's local parity
+    # sweep)
     "t11_pack_sequences",
     "t21_domain_mixture",
     "u4_except",
@@ -131,14 +165,6 @@ _PRIORITY: list[str] = [
     "w3_sorted_dates",
     "w5_session_windows",
     "x1_salted_agg",
-    # ---- slot 50 boundary ---- (the twelve new + nine changed + 29
-    # r8-latest entries fill the window exactly; m10/m10b — the two
-    # youngest additions — take the first spill slots and debut in the
-    # r13 window rather than displace the r8 rotation the r11 verdict
-    # mandated; like every spilled entry they are oracle-verified by
-    # the local parity sweep this round)
-    "m10_audio_fingerprint",
-    "m10b_audio_near_dups",
     "c10_json_extract",
     "c1_epoch_to_date",
     "c4_batch_id",
