@@ -72,9 +72,10 @@ def tokenize_corpus(
     output_dirs is fine."""
     from ..operators.text import (
         bpe_encode,
-        bpe_subwords,
         bpe_symbol_vocab,
+        bpe_token_stream,
         bpe_train,
+        bpe_type_table,
         build_vocab,
         vocab_encode,
     )
@@ -130,9 +131,10 @@ def tokenize_corpus(
         merges = bpe_train(
             docs, text_col, n_merges=n_merges, max_word_types=max_word_types
         )
-        # one pinned segment+explode pass shared by vocab + encode
-        sub = pin(bpe_subwords(docs, merges, id_col, text_col))
-        vocab = pin(bpe_symbol_vocab(docs, merges, id_col, text_col, sub=sub))
+        # one pinned tokenize pass + type table shared by vocab + encode
+        flat = bpe_token_stream(docs, id_col, text_col)
+        types = bpe_type_table(flat, merges)
+        vocab = pin(bpe_symbol_vocab(docs, merges, id_col, text_col, types=types))
         syms = {r["sym"]: r["sym_id"] for r in vocab.collect()}
         with open(vocab_path, "w") as f:
             json.dump(
@@ -146,7 +148,9 @@ def tokenize_corpus(
                 f,
                 sort_keys=True,
             )
-        enc = bpe_encode(docs, merges, id_col, text_col, vocab=vocab, sub=sub)
+        enc = bpe_encode(
+            docs, merges, id_col, text_col, vocab=vocab, types=types, flat=flat
+        )
         enc.write.mode("overwrite").parquet(encoded_dir)
         row = spark.read.parquet(encoded_dir).agg(
             F.count("*").alias("n_docs"),

@@ -565,8 +565,15 @@ def connected_components(
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the PREVIOUS label through the round so the convergence
+        # probe is a filter over this round's own checkpointed rows —
+        # the old formulation re-joined new labels against old labels
+        # per round, a whole extra shuffle+job just to ask "did anything
+        # move?" (optimization guide §2.4: two operations keyed the
+        # same way should share one pass)
         stepped = labels.join(nbr, "node", "left").select(
             "node",
+            F.col("label").alias("_prev"),
             F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
         )
         # pointer jumping: label <- label(label). Every label is itself a
@@ -587,17 +594,14 @@ def connected_components(
                 jump, stepped["label"] == jump["jnode"], "left"
             ).select(
                 "node",
+                "_prev",
                 F.coalesce("jlabel", F.col("label")).alias("label"),
             )
         new_labels = stepped.localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("label") != F.col("_prev")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")

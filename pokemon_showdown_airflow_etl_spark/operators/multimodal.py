@@ -345,6 +345,7 @@ def audio_frame_energy(
     hop_samples: int = 200,
     id_col: str = "asset_id",
     payload_col: str = "payload",
+    max_frames: int | None = None,
 ) -> DataFrame:
     """Audio feature-extraction plumbing: decode each asset's PCM
     stream (STUB — the deterministic ``_fake_audio_decode`` header
@@ -370,15 +371,31 @@ def audio_frame_energy(
     At 100 TB the ~hundreds-per-asset row fan-out happens AFTER the
     binary column is dropped, so the shuffle downstream carries narrow
     numeric rows, never media bytes.
+
+    ``max_frames`` caps how many LEADING frames are emitted per asset
+    (``n_frames`` still reports the true total): a consumer that only
+    reads a fixed-length prefix (the m10 fingerprint reads n_bits + 1
+    frames) skips the digest work and the fan-out rows for the tail it
+    would filter out anyway.
+
+    The scan-side ``spread`` parallelizes the digest kernel when the
+    input's physical layout under-parallelizes it (a small/single-file
+    scan); at production split counts it is the identity, so media
+    bytes still never shuffle (pinning.spread).
     """
     import hashlib
+
+    from ..pinning import spread
 
     # null payloads (e.g. a null text encoded upstream) have no frames
     # and would TypeError inside bytes(p); filter at the scan so the
     # pushdown reaches parquet, matching hll_registers' null handling
-    pruned = df.select(
-        F.col(id_col).alias("asset_id"), F.col(payload_col).alias("payload")
-    ).filter(F.col("payload").isNotNull())
+    pruned = spread(
+        df.select(
+            F.col(id_col).alias("asset_id"), F.col(payload_col).alias("payload")
+        ).filter(F.col("payload").isNotNull()),
+        "asset_id",
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -391,7 +408,7 @@ def audio_frame_energy(
             # row-tuple loop building the ~300x explosion cost ~4 s at
             # sf0.1; only the per-frame digests stay a Python loop
             # (they ARE the stub workload a real energy kernel replaces)
-            aids, nsamp, nfrm, cmd5s, rates = [], [], [], [], []
+            aids, nsamp, nfrm, nemit, cmd5s, rates = [], [], [], [], [], []
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
                 b = bytes(p)
                 sample_rate, n_samples = _fake_audio_decode(b)
@@ -401,30 +418,34 @@ def audio_frame_energy(
                 aids.append(aid)
                 nsamp.append(n_samples)
                 nfrm.append(n_frames)
+                nemit.append(
+                    n_frames if max_frames is None else min(n_frames, max_frames)
+                )
                 rates.append(sample_rate)
                 cmd5s.append(hashlib.md5(b).hexdigest())
             nfrm_arr = np.asarray(nfrm, dtype=np.int64)
+            nemit_arr = np.asarray(nemit, dtype=np.int64)
             idx = np.concatenate(
-                [np.arange(n, dtype=np.int64) for n in nfrm]
-            ) if nfrm else np.array([], dtype=np.int64)
+                [np.arange(n, dtype=np.int64) for n in nemit]
+            ) if nemit else np.array([], dtype=np.int64)
             energy = np.fromiter(
                 (
                     int(hashlib.md5(f"{c}:{k}".encode()).hexdigest()[:8], 16)
-                    for c, n in zip(cmd5s, nfrm)
+                    for c, n in zip(cmd5s, nemit)
                     for k in range(n)
                 ),
                 dtype=np.int64,
-                count=int(nfrm_arr.sum()),
+                count=int(nemit_arr.sum()),
             )
-            rates_rep = np.repeat(np.asarray(rates, dtype=np.int64), nfrm_arr)
+            rates_rep = np.repeat(np.asarray(rates, dtype=np.int64), nemit_arr)
             yield pd.DataFrame(
                 {
-                    "asset_id": np.repeat(np.asarray(aids, dtype=object), nfrm_arr),
+                    "asset_id": np.repeat(np.asarray(aids, dtype=object), nemit_arr),
                     "sample_rate": rates_rep,
                     "n_samples": np.repeat(
-                        np.asarray(nsamp, dtype=np.int64), nfrm_arr
+                        np.asarray(nsamp, dtype=np.int64), nemit_arr
                     ),
-                    "n_frames": np.repeat(nfrm_arr, nfrm_arr),
+                    "n_frames": np.repeat(nfrm_arr, nemit_arr),
                     "frame_idx": idx,
                     "start_ms": idx * hop_samples * 1000 // rates_rep,
                     "energy_u32": energy,
@@ -482,11 +503,19 @@ def audio_pcm_frame_energy(
     """
     import hashlib
 
+    from ..pinning import spread
+
     # same null-payload guard as audio_frame_energy: no payload, no
-    # frames — and bytes(None) must never reach the Arrow kernel
-    pruned = df.select(
-        F.col(id_col).alias("asset_id"), F.col(payload_col).alias("payload")
-    ).filter(F.col("payload").isNotNull())
+    # frames — and bytes(None) must never reach the Arrow kernel.
+    # spread: parallelize the synth+cumsum kernel when a small scan
+    # would otherwise run it on one core (identity at production split
+    # counts — media bytes still never shuffle at scale)
+    pruned = spread(
+        df.select(
+            F.col(id_col).alias("asset_id"), F.col(payload_col).alias("payload")
+        ).filter(F.col("payload").isNotNull()),
+        "asset_id",
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -509,8 +538,16 @@ def audio_pcm_frame_energy(
                     energies.append(np.array([], dtype=np.int64))
                     continue
                 seed = int(hashlib.md5(b).hexdigest()[:8], 16)
-                i = np.arange(n_samples, dtype=np.int64)
-                smp = ((seed + (i + 1) * PCM_MULT) % 2**31) % 65536 - 32768
+                # uint32 wrap-around is exact here: ((seed + (i+1)*A)
+                # mod 2^32) mod 2^31 == (seed + (i+1)*A) mod 2^31
+                # because 2^31 divides 2^32 — half the memory traffic
+                # of the old int64 formulation (measured ~1.7x on this
+                # kernel), identical values
+                i1 = np.arange(1, n_samples + 1, dtype=np.uint32)
+                lcg = (np.uint32(seed) + i1 * np.uint32(PCM_MULT)) & np.uint32(
+                    0x7FFFFFFF
+                )
+                smp = (lcg & np.uint32(0xFFFF)).astype(np.int64) - 32768
                 csum = np.concatenate(
                     [np.zeros(1, dtype=np.int64), np.cumsum(smp * smp)]
                 )
@@ -950,7 +987,16 @@ def audio_fingerprint(
     from pyspark.sql.window import Window
 
     e = audio_frame_energy(
-        df, frame_samples, hop_samples, id_col=id_col, payload_col=payload_col
+        df,
+        frame_samples,
+        hop_samples,
+        id_col=id_col,
+        payload_col=payload_col,
+        # the fingerprint reads exactly the first n_bits+1 frames;
+        # capping the kernel's emission skips the digest work and the
+        # fan-out rows for the tail the filter below would drop anyway
+        # (n_frames still reports the asset's true total)
+        max_frames=n_bits + 1,
     ).withColumn("energy", F.col("energy_u32"))
     f = e.filter(F.col("n_frames") >= n_bits + 1).filter(
         F.col("frame_idx") <= n_bits

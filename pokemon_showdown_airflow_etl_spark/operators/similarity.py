@@ -421,6 +421,132 @@ def ivf_topk(
     )
 
 
+def ivf_topk_multi_probe(
+    emb: DataFrame,
+    probe_values: list[int],
+    k: int = 1,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Every ``n_probe`` in ``probe_values`` from ONE scored pass — the
+    recall-audit shape (s13 sweeps the n_probe dial). Running
+    :func:`ivf_topk` per probe value re-assigns, re-shuffles and
+    re-scores the identical candidate blocks each time; here the cells
+    are probed once at ``max(probe_values)``, the kernel keeps each
+    query row's own cell rank (its probe rank for that cell's
+    candidates), and the per-probe results are filters + windows over
+    the ONE pinned candidate frame. Per (n_probe, query) rows are
+    row-identical to the per-leg formulation: filtering candidates to
+    probe_rank <= p yields exactly the cells an n_probe=p run probes,
+    with the same per-cell top-k survivors feeding the same global
+    window.
+
+    Returns (n_probe int, query_id, nn_id, rank, cos_sim) — ivf_topk's
+    output schema prefixed with the probe value.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..pinning import pin
+
+    max_probe = max(probe_values)
+    v = emb.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    cents = (
+        v.orderBy("vid")
+        .limit(n_cells)
+        .select(
+            F.col("vid").alias("cell_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+        )
+    )
+    scored_cells = v.crossJoin(F.broadcast(cents)).withColumn(
+        "cell_sim", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    )
+    w_cell = Window.partitionBy("vid").orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    ranked = scored_cells.withColumn("cell_rank", F.row_number().over(w_cell)).select(
+        "vid", "v", "cell_id", "cell_rank"
+    )
+    if query_ids is not None:
+        qflag = (
+            query_ids.select(F.col(id_col).alias("vid"))
+            .distinct()
+            .withColumn("_isq", F.lit(True))
+        )
+        ranked = ranked.join(F.broadcast(qflag), "vid", "left").withColumn(
+            "is_query", F.coalesce(F.col("_isq"), F.lit(False))
+        )
+        probes = ranked.filter(
+            (F.col("cell_rank") == 1)
+            | (F.col("is_query") & (F.col("cell_rank") <= max_probe))
+        )
+    else:
+        probes = ranked.filter(F.col("cell_rank") <= max_probe).withColumn(
+            "is_query", F.lit(True)
+        )
+
+    cand_schema = "query_id long, probe_rank int, nn_id long, cos_sim double"
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        member = pdf["cell_rank"].to_numpy() == 1
+        qmask = pdf["is_query"].to_numpy() & (
+            pdf["cell_rank"].to_numpy() <= max_probe
+        )
+        if not member.any() or not qmask.any():
+            return pd.DataFrame(
+                columns=["query_id", "probe_rank", "nn_id", "cos_sim"]
+            )
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        ids = pdf["vid"].to_numpy()
+        m_unit, m_ids = unit[member], ids[member]
+        perm = np.argsort(m_ids, kind="stable")
+        m_unit, m_ids = m_unit[perm], m_ids[perm]
+        q_unit, q_ids = unit[qmask], ids[qmask]
+        q_rank = pdf["cell_rank"].to_numpy()[qmask]
+        sims = q_unit @ m_unit.T
+        sims[q_ids[:, None] == m_ids[None, :]] = -np.inf
+        kk = min(k, m_ids.shape[0])
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        qi = np.repeat(q_ids, kk)
+        pr = np.repeat(q_rank, kk)
+        nn = m_ids[top.ravel()]
+        cs = np.take_along_axis(sims, top, axis=1).ravel()
+        keep = cs != -np.inf
+        return pd.DataFrame(
+            {
+                "query_id": qi[keep],
+                "probe_rank": pr[keep].astype(np.int32),
+                "nn_id": nn[keep],
+                "cos_sim": cs[keep],
+            }
+        )
+
+    cand = pin(probes.groupBy("cell_id").applyInPandas(score_cell, cand_schema))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
+    legs = [
+        cand.filter(F.col("probe_rank") <= p)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.lit(p).cast("int").alias("n_probe"),
+            "query_id",
+            "nn_id",
+            "rank",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+        for p in probe_values
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float,

@@ -587,21 +587,18 @@ def bpe_train(
 
     Returns ``[(left, right, pair_count), ...]`` in merge order.
     """
-    from pyspark.sql.window import Window
-
     toks = df.select(F.explode(tokens(F.col(text_col))).alias("token")).filter(
         F.col("token") != ""
     )
     counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
-    shard = F.conv(F.substring(F.md5("token"), 1, 2), 16, 10).cast("int") % n_shards
-    w_shard = Window.partitionBy("_shard").orderBy(F.desc("n"), F.asc("token"))
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    # top-K via orderBy+limit = TakeOrderedAndProject: each partition
+    # keeps its own top-K and the driver merges K x partitions rows —
+    # the same never-a-global-window scale shape as the old two-phase
+    # shard rank, two window stages (one of them a single-partition
+    # exchange) cheaper (optimization guide §2.4; OPTIMIZATION_r12.md)
     types = (
-        counts.withColumn("_shard", shard)
-        .withColumn("_sr", F.row_number().over(w_shard))
-        .filter(F.col("_sr") <= max_word_types)
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= max_word_types)
+        counts.orderBy(F.desc("n"), F.asc("token"))
+        .limit(max_word_types)
         .select("token", "n")
         .collect()
     )
@@ -658,30 +655,53 @@ def bpe_segment(text_col: Column, merges: list[tuple[str, str, int]]) -> Column:
     return F.trim(F.replace(seg, F.lit("  "), F.lit(" ")))
 
 
-def bpe_subwords(
-    df: DataFrame, merges: list[tuple[str, str, int]], id_col: str = "doc_id", text_col: str = "text"
+def bpe_token_stream(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id_col, pos, i, sym): every subword occurrence in stream order.
-
-    Segmentation runs once per word TYPE, not per occurrence — the
-    tokenizer-cache standard (HF/sentencepiece memoize segmentations):
-    the chained merge replaces cost O(merges * chars) per input, and a
-    zipfian corpus has orders of magnitude fewer types than
-    occurrences. The type table equi-joins back to the occurrence
-    stream (AQE broadcasts it when it fits; at worst one shuffle on
-    the token key). Measured 2.4x over per-occurrence segmentation at
-    sf0.1. The occurrence frame is pinned — it feeds both the type
-    extraction and the join, and would otherwise tokenize twice."""
-    flat = pin(
+    """(id_col, pos, token): the pinned occurrence stream every BPE
+    apply-side consumer derives from — pinned because the type
+    extraction and the encode join both read it, and unpinned the
+    tokenize+posexplode would run once per consumer."""
+    return pin(
         df.select(
             F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "token")
         ).filter(F.col("token") != "")
     )
-    segs = (
-        flat.select("token")
-        .distinct()
-        .select("token", F.split(bpe_segment(F.col("token"), merges), " ").alias("_syms"))
+
+
+def bpe_type_table(
+    flat: DataFrame, merges: list[tuple[str, str, int]]
+) -> DataFrame:
+    """(token, n_occ, _syms): one row per word TYPE with its occurrence
+    count and its segmentation under ``merges``. Segmentation runs once
+    per type, not per occurrence — the tokenizer-cache standard
+    (HF/sentencepiece memoize segmentations): the chained merge
+    replaces cost O(merges * chars) per input, and a zipfian corpus has
+    orders of magnitude fewer types than occurrences. The occurrence
+    count rides the same map-side-combinable aggregation that
+    deduplicates the types, so the symbol vocabulary can be derived
+    from this table alone (count x multiplicity) without exploding
+    subwords per occurrence (optimization guide §2.3: aggregate before
+    you shuffle). Pinned: the symbol vocab and the token->ids map both
+    read it."""
+    return pin(
+        flat.groupBy("token")
+        .agg(F.count("*").cast("long").alias("n_occ"))
+        .withColumn(
+            "_syms", F.split(bpe_segment(F.col("token"), merges), " ")
+        )
     )
+
+
+def bpe_subwords(
+    df: DataFrame, merges: list[tuple[str, str, int]], id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id_col, pos, i, sym): every subword occurrence in stream order
+    (the per-occurrence view; the t24/tokenize artifact path works from
+    :func:`bpe_type_table` instead and never materializes this
+    fan-out)."""
+    flat = bpe_token_stream(df, id_col, text_col)
+    segs = bpe_type_table(flat, merges).select("token", "_syms")
     return flat.join(segs, "token").select(
         id_col, "pos", F.posexplode("_syms").alias("i", "sym")
     )
@@ -692,24 +712,27 @@ def bpe_symbol_vocab(
     merges: list[tuple[str, str, int]],
     id_col: str = "doc_id",
     text_col: str = "text",
-    sub: DataFrame | None = None,
+    types: DataFrame | None = None,
 ) -> DataFrame:
     """(sym, n, sym_id) over the whole corpus stream. The symbol table
     is PROVABLY bounded — every symbol is a single corpus character or
     one of the ``len(merges)`` merged symbols — so the dense-rank window
     (count desc, symbol asc) runs over a constant-size input, not the
-    corpus. Pass ``sub`` (a pinned :func:`bpe_subwords` frame) when the
-    caller also encodes: the tokenize -> segment -> explode pass then
-    materializes once instead of twice. Measured ~15% on the full t24
-    artifact at sf0.1 (the local checkpoint's disk round-trip gives
-    back part of the dedup win at this scale); the saving grows with
-    text cost, which dominates at corpus scale."""
+    corpus. ``n`` counts OCCURRENCES, derived as count x multiplicity
+    from the TYPE table: the old formulation exploded one row per
+    subword occurrence and re-aggregated that corpus-scale stream; this
+    explodes the type table only (distinct tokens x symbols-per-type
+    rows) — value-identical, one corpus-scale explode+shuffle less
+    (OPTIMIZATION_r12.md). Pass ``types`` (a pinned
+    :func:`bpe_type_table`) when the caller also encodes."""
     from pyspark.sql.window import Window
 
+    if types is None:
+        types = bpe_type_table(bpe_token_stream(df, id_col, text_col), merges)
     return (
-        (sub if sub is not None else bpe_subwords(df, merges, id_col, text_col))
+        types.select("n_occ", F.explode("_syms").alias("sym"))
         .groupBy("sym")
-        .agg(F.count("*").cast("long").alias("n"))
+        .agg(F.sum("n_occ").cast("long").alias("n"))
         .withColumn(
             "sym_id",
             (F.row_number().over(Window.orderBy(F.desc("n"), F.asc("sym"))) - 1).cast(
@@ -725,7 +748,8 @@ def bpe_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
     vocab: DataFrame | None = None,
-    sub: DataFrame | None = None,
+    types: DataFrame | None = None,
+    flat: DataFrame | None = None,
 ) -> DataFrame:
     """Encode each document's token stream to subword ids under a
     trained merge table. The symbol vocabulary is PROVABLY bounded:
@@ -734,30 +758,56 @@ def bpe_encode(
     symbol asc -> dense ids) is a constant-size step — unlike t23 there
     is no OOV, every token segments to known symbols.
 
-    Scale shape: posexplode tokens (map) -> merge application as a pure
-    column expression (map, constant folded) -> subword explode + one
-    combinable count agg over the bounded symbol table -> broadcast
-    symbol->id join -> one doc-keyed reassembly. Two shuffles total
-    regardless of corpus size.
+    Scale shape (OPTIMIZATION_r12.md — the old path exploded one row
+    per SUBWORD occurrence and reassembled the corpus from that
+    fan-out): posexplode tokens once (map) -> type table (one
+    combinable count agg; merge application constant-folded per TYPE)
+    -> token -> id-array map built entirely at type level (bounded
+    explode + broadcast vocab join + per-type reassembly) -> one
+    equi-join back to the token stream -> one doc-keyed reassembly of
+    token-level id ARRAYS. The corpus-scale shuffles carry token rows
+    and flattened arrays, never per-subword rows — value-identical
+    output, ~subwords-per-token x fewer shuffled rows.
 
     Returns (id_col, n_tokens, n_subwords, ids array<int> in stream
     order), anchored on the INPUT ids (empty/null docs -> empty array).
     Callers producing the vocab AND the encode (the t24 entry,
-    jobs/tokenize.py) should pass one pinned ``sub`` to both so the
-    segment+explode pass materializes once."""
-    if sub is None:
-        sub = bpe_subwords(df, merges, id_col, text_col)
+    jobs/tokenize.py) should pass one pinned ``types`` (+ ``flat``) to
+    both so the tokenize+segment pass materializes once."""
+    if flat is None:
+        flat = bpe_token_stream(df, id_col, text_col)
+    if types is None:
+        types = bpe_type_table(flat, merges)
     if vocab is None:
         # bounded symbol table: <= distinct corpus chars + len(merges)
-        vocab = bpe_symbol_vocab(df, merges, id_col, text_col, sub=sub)
-    enc = sub.join(F.broadcast(vocab.select("sym", "sym_id")), "sym")
-    agg = enc.groupBy(id_col).agg(
-        F.countDistinct("pos").cast("long").alias("n_tokens"),
-        F.count("*").cast("long").alias("n_subwords"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "i", "sym_id"))),
-            lambda x: x["sym_id"],
-        ).alias("ids"),
+        vocab = bpe_symbol_vocab(df, merges, id_col, text_col, types=types)
+    # token -> dense-id array, built once per word TYPE: explode the
+    # type table's segmentations (bounded), attach ids via the
+    # broadcast vocab, reassemble each type's array in symbol order
+    type_ids = (
+        types.select("token", F.posexplode("_syms").alias("i", "sym"))
+        .join(F.broadcast(vocab.select("sym", "sym_id")), "sym")
+        .groupBy("token")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "sym_id"))),
+                lambda x: x["sym_id"],
+            ).alias("_tok_ids")
+        )
+    )
+    agg = (
+        flat.join(type_ids, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.size("_tok_ids")).cast("long").alias("n_subwords"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_tok_ids"))),
+                    lambda x: x["_tok_ids"],
+                )
+            ).alias("ids"),
+        )
     )
     return df.select(id_col).join(agg, id_col, "left").select(
         id_col,

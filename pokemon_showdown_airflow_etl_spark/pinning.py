@@ -54,6 +54,52 @@ def pin(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+def spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Scale-adaptive compute spread (optimization guide §2: derive
+    partitioning from the input, never a constant): hash-repartition a
+    frame across the session's cores before an expensive per-row kernel
+    WHEN — and only when — its current physical layout would
+    under-parallelize that kernel.
+
+    The problem this solves: a small input (one parquet file, one row
+    group) scans as ONE split, so a ``mapInPandas``/``mapInArrow``
+    kernel downstream runs serially on one core however many the
+    session has. At production scale the scan has orders of magnitude
+    more splits than cores and this helper is the IDENTITY — no
+    exchange is added, media/payload bytes are never shuffled. It is a
+    plan-time decision from the scan's split count vs
+    ``defaultParallelism``, not a tuned constant.
+
+    Only safe for kernels whose per-row outputs are independent of
+    partition boundaries (decode/hash/score-per-row). Do NOT use it
+    above cross-partition float reductions (e.g. k-means sufficient
+    statistics): re-grouping float sums reorders the additions and can
+    drift the last ulp, which breaks bit-exact oracle parity.
+
+    ``keys``: optional hash-partitioning columns (deterministic row ->
+    partition mapping under task retries); without keys, round-robin
+    (Spark's sort-before-repartition keeps retries deterministic).
+    ``SPARK_GRAFT_SPREAD=0`` disables spreading globally.
+    """
+    if os.environ.get("SPARK_GRAFT_SPREAD") == "0" or not _ENABLED:
+        return df
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if cur >= target:
+        return df
+    from pyspark.sql import functions as F
+
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df.repartition(target)
+
+
 @contextlib.contextmanager
 def disabled() -> Iterator[None]:
     """Context manager: build plans without pinning so ``explain()``

@@ -3274,19 +3274,13 @@ def s13_ann_recall_audit(spark, sf_dir):
             "query_id", F.col("nn_id").alias("exact_nn")
         )
     )
-    legs = [
-        similarity.ivf_topk(
-            emb, k=1, n_cells=8, n_probe=p, query_ids=sample
-        ).select(
-            F.lit(p).cast("int").alias("n_probe"),
-            "query_id",
-            F.col("nn_id").alias("ivf_nn"),
-        )
-        for p in S13_PROBE_VALUES
-    ]
-    ivf_all = legs[0]
-    for leg in legs[1:]:
-        ivf_all = ivf_all.unionByName(leg)
+    # one scored pass for all probe values (operators/similarity.py::
+    # ivf_topk_multi_probe): per-leg ivf_topk calls re-assigned and
+    # re-scored the identical candidate blocks 3x — row-identical, 3x
+    # less kernel/shuffle work (OPTIMIZATION_r12.md)
+    ivf_all = similarity.ivf_topk_multi_probe(
+        emb, list(S13_PROBE_VALUES), k=1, n_cells=8, query_ids=sample
+    ).select("n_probe", "query_id", F.col("nn_id").alias("ivf_nn"))
     pvals = spark.createDataFrame(
         [(p,) for p in S13_PROBE_VALUES], "n_probe int"
     )
@@ -4485,21 +4479,26 @@ def _t24_oracle() -> str:
 def t24_bpe_encode(spark, sf_dir):
     from ..operators.text import (
         bpe_encode,
-        bpe_subwords,
         bpe_symbol_vocab,
+        bpe_token_stream,
         bpe_train,
+        bpe_type_table,
     )
 
     docs = t(spark, sf_dir, "documents")
     merges = bpe_train(
         docs, "text", n_merges=T24_MERGES, max_word_types=T24_WORD_TYPES
     )
-    # ONE pinned segment+explode pass feeds both the vocab aggregation
-    # and the encode join instead of two independent lineages running
-    # it twice (~15% at sf0.1; grows with text cost at corpus scale)
-    sub = pin(bpe_subwords(docs, merges, "doc_id", "text"))
-    vocab = pin(bpe_symbol_vocab(docs, merges, sub=sub))
-    enc = bpe_encode(docs, merges, "doc_id", "text", vocab=vocab, sub=sub)
+    # ONE pinned tokenize pass + ONE pinned type table feed the vocab
+    # aggregation, the token->ids map and the encode join — the
+    # per-subword explode the old sub frame materialized is gone
+    # (operators/text.py::bpe_encode, OPTIMIZATION_r12.md)
+    flat = bpe_token_stream(docs, "doc_id", "text")
+    types = bpe_type_table(flat, merges)
+    vocab = pin(bpe_symbol_vocab(docs, merges, types=types))
+    enc = bpe_encode(
+        docs, merges, "doc_id", "text", vocab=vocab, types=types, flat=flat
+    )
     merge_rows = spark.createDataFrame(
         [("merge", f"{k:02d}", f"{l}|{r}|{c}") for k, (l, r, c) in enumerate(merges, 1)],
         "kind string, item string, payload string",

@@ -723,10 +723,15 @@ def test_lake_pq_search_pairs_by_equi_join(q):
     assert "CartesianProduct" not in plan
 
 
-def test_audio_kernels_single_crossing_no_shuffle(q):
-    """m5/m5b: one Arrow crossing per asset and NO exchange anywhere —
-    the frame fan-out happens inside the kernel AFTER the binary
-    column drops, so no shuffle ever carries media bytes."""
+def test_audio_kernels_single_crossing_no_fanout_shuffle(q):
+    """m5/m5b: one Arrow crossing per asset, and the frame fan-out —
+    which happens inside the kernel AFTER the binary column drops —
+    must never shuffle: no Exchange is allowed ABOVE the MapInPandas.
+    Below it, the only admissible Exchange is pinning.spread's
+    scale-adaptive hash spread of the (asset_id, payload) scan — the
+    identity at production split counts (test_pinning_spread proves the
+    no-op side) — which exists exactly so a small single-split scan
+    does not serialize the kernel on one core."""
     import re
 
     for name in ("m5_audio_frame_energy", "m5b_audio_pcm_energy"):
@@ -734,8 +739,35 @@ def test_audio_kernels_single_crossing_no_shuffle(q):
         # the formatted plan names each node twice (tree + detail
         # section); count detail headers for the true node count
         assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, name
-        assert "Exchange" not in plan, f"{name} shuffles its fan-out"
+        tree_end = plan.index("MapInPandas")
+        assert "Exchange" not in plan[:tree_end], (
+            f"{name} shuffles its fan-out (Exchange above the kernel)"
+        )
+        exchanges = re.findall(r"\(\d+\) Exchange", plan)
+        assert len(exchanges) <= 1, f"{name}: more than the spread exchange"
+        if exchanges:
+            assert "hashpartitioning(asset_id" in plan, (
+                f"{name}: the only allowed exchange is the deterministic "
+                "asset_id spread"
+            )
         assert "CartesianProduct" not in plan, name
+
+
+def test_pinning_spread_is_identity_when_already_parallel(spark):
+    """pinning.spread must be a plan no-op whenever the input already
+    has >= defaultParallelism partitions — the production case (a
+    100 TB scan has orders of magnitude more splits than cores), which
+    is what keeps 'media bytes never shuffle at scale' true with the
+    spread in place."""
+    from pokemon_showdown_airflow_etl_spark.pinning import spread
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000).repartition(target + 4)
+    assert spread(wide, "id") is wide
+    narrow = spark.range(0, 1000).coalesce(1)
+    spread_df = spread(narrow, "id")
+    assert spread_df is not narrow
+    assert spread_df.rdd.getNumPartitions() == target
 
 
 def test_lake_sketch_read_is_bounded_merge(q):
