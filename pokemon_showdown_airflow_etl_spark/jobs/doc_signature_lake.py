@@ -1009,19 +1009,22 @@ def ingest_signature_batch(
     decision = spark.read.parquet(os.path.join(adm_dir, f"batch={batch_id}"))
 
     accepted = decision.filter(F.col("status") == "accepted").select("doc")
-    batch_sig.join(accepted, "doc").write.mode("overwrite").parquet(
-        os.path.join(sig_dir, f"batch={batch_id}")
-    )
+
+    def _sig_write():
+        # the accepted signatures' registration — independent of the
+        # facet writes below, so it joins the same overlap pool
+        spark.sparkContext.setJobDescription("ingest: register signatures")
+        batch_sig.join(accepted, "doc").write.mode("overwrite").parquet(
+            os.path.join(sig_dir, f"batch={batch_id}")
+        )
+        spark.sparkContext.setJobDescription(None)
+
+    if not facets:
+        _sig_write()
     # the batch's intake facets — before the members marker, so the
     # marker commits the whole batch including them; each facet's own
     # _SUCCESS additionally lets readers skip pre-facet batches
     if facets:
-        # sketches: HLL registers + KMV bottom-k over the CONSIDERED docs
-        batch_sketch_rows(fresh_docs, id_col, text_col).coalesce(
-            1
-        ).write.mode("overwrite").parquet(
-            os.path.join(sig_root, SKETCH_TABLE, f"batch={batch_id}")
-        )
         # the three bigram-keyed facets (lm counts, cms cells, hh
         # candidates) share ONE pinned occurrence stream — unshared,
         # each would re-tokenize and re-explode the batch. coalesce(1)
@@ -1036,51 +1039,95 @@ def ingest_signature_batch(
 
         staged = _bigram_staged(fresh_docs, id_col, text_col)
         occ = pin(_bigram_occurrences(staged, id_col))
+        # materialize the shared occurrence pin ONCE before the pool:
+        # three facet jobs would otherwise race to compute it
+        # concurrently (cache puts are idempotent but the compute is
+        # duplicated inside the overlap window)
+        occ.count()
         grams = _batch_grams(fresh_docs, id_col, text_col, _occ=occ)
-        # lm: additive bigram-type counts + distinct vocab rows
-        bigram_lm_rows(
-            fresh_docs, id_col, text_col, _staged=staged, _occ=occ
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(sig_root, LM_TABLE, f"batch={batch_id}")
-        )
-        # cms: additive md5-variant cells over the token-bigram stream
-        batch_cms_rows(fresh_docs, id_col, text_col, _grams=grams).coalesce(
-            1
-        ).write.mode("overwrite").parquet(
-            os.path.join(sig_root, CMS_TABLE, f"batch={batch_id}")
-        )
-        # hh: the batch's exact top-m candidate grams
-        batch_hh_rows(fresh_docs, id_col, text_col, _grams=grams).coalesce(
-            1
-        ).write.mode("overwrite").parquet(
-            os.path.join(sig_root, HH_TABLE, f"batch={batch_id}")
-        )
-        # bloom: the decontamination membership facet over the batch's
-        # word 4-grams (a DIFFERENT key than the bigram facets — t9's
-        # collision gram — so it builds its own stream)
-        batch_bloom_rows(fresh_docs, id_col, text_col).coalesce(
-            1
-        ).write.mode("overwrite").parquet(
-            os.path.join(sig_root, BLOOM_TABLE, f"batch={batch_id}")
-        )
-        # hist: the additive token-length histogram facet (decimal
-        # buckets — a14's quantile serve), riding the same staged
-        # token array as the bigram facets
-        batch_hist_rows(fresh_docs, id_col, text_col, _staged=staged).coalesce(
-            1
-        ).write.mode("overwrite").parquet(
-            os.path.join(sig_root, HIST_TABLE, f"batch={batch_id}")
-        )
-        # hllg: per-segment distinct-content registers (a11/a12 served
-        # from storage) — only when the batch carries the segment key.
-        # One lake must group every batch by ONE column (the
-        # HLLG_GROUP_COL contract) — rows store group VALUES only
-        if hllg_group_col in fresh_docs.columns:
-            batch_hllg_rows(fresh_docs, hllg_group_col, text_col).coalesce(
-                1
-            ).write.mode("overwrite").parquet(
-                os.path.join(sig_root, HLLG_TABLE, f"batch={batch_id}")
+
+        # The seven facet writes are INDEPENDENT jobs over shared
+        # pinned inputs writing to disjoint directories; running them
+        # sequentially left the cluster idle through each job's tail
+        # (optimization guide §2.6: overlap independent jobs — actions
+        # are only sequential because driver code calls them
+        # sequentially). A small pool overlaps them; any failure
+        # propagates before the members/ commit marker below, so crash
+        # semantics are unchanged (facets-then-marker ordering holds).
+        # Shared lazy pins (occ/grams) may materialize concurrently —
+        # cache puts are idempotent, so that trades a little duplicate
+        # compute inside the overlap, still strictly faster than the
+        # serial chain (measured in OPTIMIZATION_r12.md).
+        def _facet_writes():
+            yield (
+                # sketches: HLL registers + KMV bottom-k (CONSIDERED docs)
+                "sketch",
+                batch_sketch_rows(fresh_docs, id_col, text_col),
+                SKETCH_TABLE,
             )
+            # lm: additive bigram-type counts + distinct vocab rows
+            yield (
+                "lm",
+                bigram_lm_rows(
+                    fresh_docs, id_col, text_col, _staged=staged, _occ=occ
+                ),
+                LM_TABLE,
+            )
+            # cms: additive md5-variant cells over the token-bigram stream
+            yield (
+                "cms",
+                batch_cms_rows(fresh_docs, id_col, text_col, _grams=grams),
+                CMS_TABLE,
+            )
+            # hh: the batch's exact top-m candidate grams
+            yield (
+                "hh",
+                batch_hh_rows(fresh_docs, id_col, text_col, _grams=grams),
+                HH_TABLE,
+            )
+            # bloom: the decontamination membership facet over the
+            # batch's word 4-grams (a DIFFERENT key than the bigram
+            # facets — t9's collision gram — so it builds its own stream)
+            yield (
+                "bloom",
+                batch_bloom_rows(fresh_docs, id_col, text_col),
+                BLOOM_TABLE,
+            )
+            # hist: the additive token-length histogram facet (decimal
+            # buckets — a14's quantile serve), riding the staged tokens
+            yield (
+                "hist",
+                batch_hist_rows(fresh_docs, id_col, text_col, _staged=staged),
+                HIST_TABLE,
+            )
+            # hllg: per-segment distinct-content registers (a11/a12
+            # served from storage) — only when the batch carries the
+            # segment key. One lake must group every batch by ONE
+            # column (the HLLG_GROUP_COL contract) — rows store group
+            # VALUES only
+            if hllg_group_col in fresh_docs.columns:
+                yield (
+                    "hllg",
+                    batch_hllg_rows(fresh_docs, hllg_group_col, text_col),
+                    HLLG_TABLE,
+                )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write(item):
+            name, df, table_name = item
+            spark.sparkContext.setJobDescription(f"ingest facet: {name}")
+            df.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(sig_root, table_name, f"batch={batch_id}")
+            )
+            spark.sparkContext.setJobDescription(None)
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            sig_fut = pool.submit(_sig_write)
+            # list() drains the iterator: any facet failure raises HERE,
+            # before the members marker commits the batch
+            list(pool.map(_write, _facet_writes()))
+            sig_fut.result()
     counts = {
         r["status"]: r["n"]
         for r in decision.groupBy("status")
