@@ -1411,15 +1411,13 @@ def pq_layer_search(
                     {
                         "query_id": pdf["query_id"].to_numpy(),
                         "cell_id": pdf["cell_id"].to_numpy(),
-                        "qv": pdf["v"],
                         "qtab": tabs,
                     }
                 )
 
         qtab_r = probes.mapInPandas(
             rkernel,
-            "query_id long, cell_id long, qv array<double>, "
-            "qtab array<array<long>>",
+            "query_id long, cell_id long, qtab array<array<long>>",
         )
         # candidates = stored members of a probed cell, scored under
         # THAT cell's (query, cell) table — equi-join on both keys
@@ -1436,11 +1434,18 @@ def pq_layer_search(
         w_short = Window.partitionBy("query_id").orderBy(
             F.asc("adc_micro"), F.asc("nn_id")
         )
+        # narrow rows through the top-k exchange; qv re-attached to
+        # the bounded shortlist from the query frame (guide §2.3)
+        qvf_r = queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qv"),
+        )
         short = (
-            pairs.select("query_id", "nn_id", "qv", adc.alias("adc_micro"))
+            pairs.select("query_id", "nn_id", adc.alias("adc_micro"))
             .withColumn("_srnk", F.row_number().over(w_short))
             .filter(F.col("_srnk") <= shortlist)
             .drop("_srnk")
+            .join(F.broadcast(qvf_r), "query_id")
         )
         vecs = read_committed(spark, index_root, "assignments").select(
             F.col("vec_id").alias("nn_id"), F.col("v").alias("cv")
@@ -1503,11 +1508,11 @@ def pq_layer_search(
                     t[m] = np.floor(dd * 1_000_000.0 + 0.5).astype(np.int64)
                 tabs.append(list(t))
             yield pd.DataFrame(
-                {"query_id": pdf["query_id"].to_numpy(), "qv": pdf["qv"], "qtab": tabs}
+                {"query_id": pdf["query_id"].to_numpy(), "qtab": tabs}
             )
 
     qtab = qv.mapInPandas(
-        qkernel, "query_id long, qv array<double>, qtab array<array<long>>"
+        qkernel, "query_id long, qtab array<array<long>>"
     )
     if n_probe is not None:
         # candidate rows already carry the probing query's id, so the
@@ -1528,11 +1533,14 @@ def pq_layer_search(
     w_short = Window.partitionBy("query_id").orderBy(
         F.asc("adc_micro"), F.asc("nn_id")
     )
+    # narrow rows through the top-k exchange; qv re-attached to the
+    # bounded shortlist from the query frame (guide §2.3)
     short = (
-        pairs.select("query_id", "nn_id", "qv", adc.alias("adc_micro"))
+        pairs.select("query_id", "nn_id", adc.alias("adc_micro"))
         .withColumn("_srnk", F.row_number().over(w_short))
         .filter(F.col("_srnk") <= shortlist)
         .drop("_srnk")
+        .join(F.broadcast(qv), "query_id")
     )
     vecs = read_committed(spark, index_root, "assignments").select(
         F.col("vec_id").alias("nn_id"), F.col("v").alias("cv")

@@ -1355,8 +1355,12 @@ def pq_adc_scores(
     every (query, candidate) pair's integer asymmetric distance —
     corpus as PQ codes (pure map), per-query micro-unit lookup tables
     built in one Arrow kernel and broadcast, per pair ``n_sub`` JVM
-    array lookups + integer adds. Returns
-    (query_id, nn_id, adc_micro, qv)."""
+    array lookups + integer adds. Returns (query_id, nn_id, adc_micro)
+    — deliberately WITHOUT the query vector: the pair stream feeds a
+    per-query top-k exchange, and a 512-byte qv on every candidate row
+    multiplied the shuffle ~20x (optimization guide §2.3: project
+    before the exchange). Callers re-attach qv to the bounded
+    shortlist via a broadcast join on query_id."""
     import numpy as np
     import pandas as pd
 
@@ -1388,14 +1392,13 @@ def pq_adc_scores(
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"].to_numpy(),
-                    "qv": pdf["qv"],
                     "qtab": tabs,
                 }
             )
 
     qtab = qv.mapInPandas(
         qkernel,
-        "query_id long, qv array<double>, qtab array<array<long>>",
+        "query_id long, qtab array<array<long>>",
     )
 
     pairs = codes.crossJoin(F.broadcast(qtab)).filter(
@@ -1404,7 +1407,7 @@ def pq_adc_scores(
     adc = F.get(F.element_at("qtab", 1), F.element_at("codes", 1))
     for m in range(1, n_sub):
         adc = adc + F.get(F.element_at("qtab", m + 1), F.element_at("codes", m + 1))
-    return pairs.select("query_id", "nn_id", adc.alias("adc_micro"), "qv")
+    return pairs.select("query_id", "nn_id", adc.alias("adc_micro"))
 
 
 def pq_adc_topk(
@@ -1444,10 +1447,18 @@ def pq_adc_topk(
     w_short = Window.partitionBy("query_id").orderBy(
         F.asc("adc_micro"), F.asc("nn_id")
     )
+    # the top-k exchange ranks narrow (id, id, long) rows; the query
+    # vector is re-attached to the <= |q| x shortlist survivors only
+    # (guide §2.3 — the rescore still works for external queries
+    # because qv comes from the QUERY frame, never the corpus)
+    qvf = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
     short = (
         scored.withColumn("_srnk", F.row_number().over(w_short))
         .filter(F.col("_srnk") <= shortlist)
         .drop("_srnk")
+        .join(F.broadcast(qvf), "query_id")
     )
     cand = (
         emb.select(
@@ -1536,20 +1547,18 @@ def hamming_scores(
 ) -> DataFrame:
     """The Hamming scoring stage of ``hamming_topk``, exposed for the
     s18 audit: every (query, candidate) pair's popcount distance over
-    the packed sign sketches. The query's full vector rides the
-    broadcast alongside its sketch — the rescore must work for
-    EXTERNAL queries too, so it can never re-derive qv from the
-    corpus. Returns (query_id, nn_id, hamming, qv)."""
+    the packed sign sketches. Returns (query_id, nn_id, hamming) —
+    deliberately WITHOUT the query vector: the pair stream feeds a
+    per-query top-k exchange, and a 512-byte qv on every candidate
+    row multiplied the shuffle ~20x (guide §2.3: project before the
+    exchange). Callers re-attach qv to the bounded shortlist via a
+    broadcast join on query_id — from the QUERY frame, so external
+    queries still rescore."""
     sk = sign_sketch(emb, id_col, vec_col)
     qsk = sign_sketch(queries, id_col, vec_col).select(
         F.col("vec_id").alias("query_id"),
         F.col("b0").alias("q0"),
         F.col("b1").alias("q1"),
-    ).join(
-        queries.select(
-            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-        ),
-        "query_id",
     )
     return (
         sk.withColumnRenamed("vec_id", "nn_id")
@@ -1562,7 +1571,7 @@ def hamming_scores(
                 + F.bit_count(F.col("b1").bitwiseXOR(F.col("q1")))
             ).cast("int"),
         )
-        .select("query_id", "nn_id", "hamming", "qv")
+        .select("query_id", "nn_id", "hamming")
     )
 
 
@@ -1592,10 +1601,16 @@ def hamming_topk(
     w_short = Window.partitionBy("query_id").orderBy(
         F.asc("hamming"), F.asc("nn_id")
     )
+    # narrow rows through the top-k exchange; qv re-attached to the
+    # bounded shortlist from the query frame (guide §2.3)
+    qvf = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
     short = (
         pairs.withColumn("_srnk", F.row_number().over(w_short))
         .filter(F.col("_srnk") <= shortlist)
-        .select("query_id", "nn_id", "hamming", "qv")
+        .select("query_id", "nn_id", "hamming")
+        .join(F.broadcast(qvf), "query_id")
     )
     c = emb.select(
         F.col(id_col).alias("nn_id"), as_double(F.col(vec_col)).alias("cv")
@@ -1703,11 +1718,11 @@ def ivfpq_topk(
                     t[m] = np.floor(dd * 1_000_000.0 + 0.5).astype(np.int64)
                 tabs.append(list(t))
             yield pd.DataFrame(
-                {"query_id": pdf["query_id"].to_numpy(), "qv": pdf["qv"], "qtab": tabs}
+                {"query_id": pdf["query_id"].to_numpy(), "qtab": tabs}
             )
 
     qtab = qv.mapInPandas(
-        qkernel, "query_id long, qv array<double>, qtab array<array<long>>"
+        qkernel, "query_id long, qtab array<array<long>>"
     )
 
     cand = (
@@ -1719,7 +1734,9 @@ def ivfpq_topk(
     adc = F.get(F.element_at("qtab", 1), F.element_at("codes", 1))
     for m in range(1, n_sub):
         adc = adc + F.get(F.element_at("qtab", m + 1), F.element_at("codes", m + 1))
-    scored = cand.select("query_id", "nn_id", "qv", adc.alias("adc_micro"))
+    # narrow rows through the top-k exchange; qv re-attached to the
+    # bounded shortlist from the query frame (guide §2.3)
+    scored = cand.select("query_id", "nn_id", adc.alias("adc_micro"))
     w_short = Window.partitionBy("query_id").orderBy(
         F.asc("adc_micro"), F.asc("nn_id")
     )
@@ -1727,6 +1744,7 @@ def ivfpq_topk(
         scored.withColumn("_srnk", F.row_number().over(w_short))
         .filter(F.col("_srnk") <= shortlist)
         .drop("_srnk")
+        .join(F.broadcast(qv), "query_id")
     )
     rescored = (
         emb.select(
@@ -1916,14 +1934,13 @@ def residual_ivfpq_topk(
                 {
                     "query_id": pdf["query_id"].to_numpy(),
                     "cell_id": pdf["cell_id"].to_numpy(),
-                    "qv": pdf["v"],
                     "qtab": tabs,
                 }
             )
 
     qtab = probes.mapInPandas(
         qkernel,
-        "query_id long, cell_id long, qv array<double>, qtab array<array<long>>",
+        "query_id long, cell_id long, qtab array<array<long>>",
     )
 
     cand = (
@@ -1934,7 +1951,12 @@ def residual_ivfpq_topk(
     adc = F.get(F.element_at("qtab", 1), F.element_at("codes", 1))
     for m in range(1, n_sub):
         adc = adc + F.get(F.element_at("qtab", m + 1), F.element_at("codes", m + 1))
-    scored = cand.select("query_id", "nn_id", "qv", adc.alias("adc_micro"))
+    # narrow rows through the top-k exchange; qv re-attached to the
+    # bounded shortlist from the query frame (guide §2.3)
+    qvf = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = cand.select("query_id", "nn_id", adc.alias("adc_micro"))
     w_short = Window.partitionBy("query_id").orderBy(
         F.asc("adc_micro"), F.asc("nn_id")
     )
@@ -1942,6 +1964,7 @@ def residual_ivfpq_topk(
         scored.withColumn("_srnk", F.row_number().over(w_short))
         .filter(F.col("_srnk") <= shortlist)
         .drop("_srnk")
+        .join(F.broadcast(qvf), "query_id")
     )
     rescored = (
         emb.select(

@@ -3923,6 +3923,14 @@ def s18_compression_recall_audit(spark, sf_dir):
     cv = emb.select(
         F.col("vec_id").alias("nn_id"), similarity.as_double(F.col("embedding")).alias("cv")
     )
+    # the score stages emit narrow (query_id, nn_id, score) pairs; the
+    # query vector is re-attached to the bounded <= |q| x max_l
+    # shortlist only (guide §2.3 — qv on every pair row multiplied the
+    # top-k exchange ~20x)
+    qvf = sample.select(
+        F.col("vec_id").alias("query_id"),
+        similarity.as_double(F.col("embedding")).alias("qv"),
+    )
     legs = []
     for method, scored, score_col in (
         ("pq_adc", similarity.pq_adc_scores(emb, sample, cb), "adc_micro"),
@@ -3934,6 +3942,7 @@ def s18_compression_recall_audit(spark, sf_dir):
         short = (
             scored.withColumn("_srnk", F.row_number().over(w_short))
             .filter(F.col("_srnk") <= max_l)
+            .join(F.broadcast(qvf), "query_id")
         )
         rescored = pin(
             cv.join(F.broadcast(short), "nn_id").withColumn(
