@@ -95,18 +95,24 @@ def build_battlelog_lake(spark: SparkSession, sf_dir: str, out_dir: Path) -> Non
     from ..plans.battlelog import corpus
 
     docs = corpus(spark, sf_dir)
-    lines = battle_events(docs)
+    # ONE exchange, of the COMPACT docs (guide §3: explode after the
+    # shuffle, never before): hashing on id — the bucket key, same
+    # murmur3 % 32 as the bucket spec — means the explode, the
+    # event-time window (alias-aware: replay_id IS id) and the
+    # bucketed write all run fan-out-wide with the bucket partitioning
+    # already in place. The previous shape parsed the whole corpus in
+    # the scan's single input split and shuffled the EXPLODED lines
+    # twice (window exchange + bucket repartition) — ~20x the bytes.
+    lines = battle_events(docs.repartition(_LINE_BUCKETS, "id"))
     # bucketBy requires saveAsTable: write through a scratch EXTERNAL
     # table (files land under out_dir, carrying bucket ids in their
     # names), then drop the catalog entry — the files, names included,
-    # are what the reader re-registers against. The repartition uses
-    # the same murmur3(replay_id) % 32 as the bucket spec, so every
-    # task holds exactly one bucket -> one file per bucket, which is
-    # what lets the scan also report the sortBy order.
+    # are what the reader re-registers against. Each task holds
+    # exactly one bucket -> one file per bucket, which is what lets
+    # the scan also report the sortBy order.
     scratch = f"battlelog_lines_build_{os.getpid()}_{int(time.time() * 1000)}"
     (
-        lines.repartition(_LINE_BUCKETS, "replay_id")
-        .write.bucketBy(_LINE_BUCKETS, "replay_id")
+        lines.write.bucketBy(_LINE_BUCKETS, "replay_id")
         .sortBy("replay_id", "line_no")
         .option("path", str(out_dir / "lines"))
         .mode("overwrite")
