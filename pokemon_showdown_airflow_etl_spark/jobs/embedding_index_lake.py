@@ -761,26 +761,51 @@ def ingest_embedding_batch(
     accepted = decision.filter(F.col("status") == "accepted").select(
         F.col("vec").alias(id_col)
     )
-    assign_cells(
-        fresh.join(accepted, id_col), cents, 1, id_col, vec_col
-    ).select("vec_id", "v", "cell_id").write.mode("overwrite").parquet(
-        os.path.join(asg_dir, f"batch={batch_id}")
-    )
+    # the assignment write, the drift facet and the status counts are
+    # independent jobs over the pinned fresh frame / the written
+    # decision — overlap them (guide §2.6) so one job's tail
+    # back-fills the others; any failure raises before the members
+    # marker below, so crash semantics are unchanged
+    def _write_assignments():
+        spark.sparkContext.setJobDescription("embed ingest: assignments")
+        assign_cells(
+            fresh.join(accepted, id_col), cents, 1, id_col, vec_col
+        ).select("vec_id", "v", "cell_id").write.mode("overwrite").parquet(
+            os.path.join(asg_dir, f"batch={batch_id}")
+        )
+        spark.sparkContext.setJobDescription(None)
+
     # the batch's intake drift facet over the CONSIDERED vectors —
     # before the members marker, so the marker commits it with the
     # batch (the doc lake's facet convention)
-    if facets:
+    def _write_estats():
         from .doc_signature_lake import ESTATS_TABLE
 
+        spark.sparkContext.setJobDescription("embed ingest: estats facet")
         batch_embedding_stats_rows(fresh, id_col, vec_col).coalesce(
             1
         ).write.mode("overwrite").parquet(
             os.path.join(index_root, ESTATS_TABLE, f"batch={batch_id}")
         )
-    counts = {
-        r["status"]: r["n"]
-        for r in decision.groupBy("status").agg(F.count("*").alias("n")).collect()
-    }
+        spark.sparkContext.setJobDescription(None)
+
+    def _count_statuses():
+        return {
+            r["status"]: r["n"]
+            for r in decision.groupBy("status")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(_write_assignments), pool.submit(_count_statuses)]
+        if facets:
+            futs.append(pool.submit(_write_estats))
+        counts = futs[1].result()
+        for f in futs:
+            f.result()
     # members LAST: its presence is the batch's commit marker
     fresh_ids.write.mode("overwrite").parquet(
         os.path.join(mem_dir, f"batch={batch_id}")
