@@ -62,10 +62,13 @@ def _dynamic_overwrite(df: DataFrame, path: str, partition_cols: list[str]) -> N
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         # localCheckpoint materializes rows read from `path` before the
-        # overwrite clobbers their source files.
-        df.localCheckpoint(eager=True).write.partitionBy(*partition_cols).mode(
-            "overwrite"
-        ).parquet(path)
+        # overwrite clobbers their source files. REBALANCE on the
+        # partition columns right-sizes output files (one task's rows
+        # per leaf instead of every-task-touches-every-leaf, AQE
+        # splitting any hot partition) — small-file hygiene, guide §6.
+        df.localCheckpoint(eager=True).hint(
+            "rebalance", *partition_cols
+        ).write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -106,7 +109,13 @@ def _atomic_partition_swap(df: DataFrame, path: str, partition_cols: list[str]) 
     """
     staging = path + "__staging"
     shutil.rmtree(staging, ignore_errors=True)
-    df.write.partitionBy(*partition_cols).mode("overwrite").parquet(staging)
+    # REBALANCE on the partition columns: without it every upstream
+    # shuffle task writes a sliver into every touched leaf (tasks x
+    # leaves files); with it each leaf gets one right-sized file and
+    # AQE still splits a skewed month into several (guide §6).
+    df.hint("rebalance", *partition_cols).write.partitionBy(*partition_cols).mode(
+        "overwrite"
+    ).parquet(staging)
     for rel in _leaf_partition_dirs(staging, len(partition_cols)):
         live = os.path.join(path, rel)
         parent = os.path.dirname(live)
@@ -186,8 +195,15 @@ class MetadataStore:
         Appends only add files under (format_id, um) leaf dirs — no
         existing file is rewritten."""
         rows = rows.select(*[f.name for f in REPLAY_STATUS.fields])
+        # rebalance BEFORE the pin: the checkpoint then materializes one
+        # right-sized partition per (format_id, um) leaf, so the count
+        # and the append below reuse it with no extra exchange (§6)
         if not self.exists():
-            new = self._with_month(rows).localCheckpoint(eager=True)
+            new = (
+                self._with_month(rows)
+                .hint("rebalance", *self.PARTITION_COLS)
+                .localCheckpoint(eager=True)
+            )
             n = new.count()
             if n:
                 new.write.partitionBy(*self.PARTITION_COLS).mode("overwrite").parquet(
@@ -196,7 +212,11 @@ class MetadataStore:
             return n
         existing_keys = self.read().select("replay_id", "format_id")
         new = rows.join(existing_keys, ["replay_id", "format_id"], "left_anti")
-        new = self._with_month(new).localCheckpoint(eager=True)
+        new = (
+            self._with_month(new)
+            .hint("rebalance", *self.PARTITION_COLS)
+            .localCheckpoint(eager=True)
+        )
         n = new.count()
         if n:
             new.write.partitionBy(*self.PARTITION_COLS).mode("append").parquet(
@@ -234,9 +254,11 @@ class MetadataStore:
         months; both sides must rewrite or the old copy survives)."""
         rows = rows.select(*[f.name for f in REPLAY_STATUS.fields])
         if not self.exists():
-            self._with_month(rows).write.partitionBy(*self.PARTITION_COLS).mode(
-                "overwrite"
-            ).parquet(self.path)
+            self._with_month(rows).hint(
+                "rebalance", *self.PARTITION_COLS
+            ).write.partitionBy(*self.PARTITION_COLS).mode("overwrite").parquet(
+                self.path
+            )
             return
         touched_fmt = [r[0] for r in rows.select("format_id").distinct().collect()]
         raw = self._read_raw().filter(F.col("format_id").isin(touched_fmt))

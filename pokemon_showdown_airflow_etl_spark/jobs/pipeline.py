@@ -237,7 +237,15 @@ def download(
 
     fetched = _distributed_fetch(work, client, parallelism)
     docs = _docs_from_fetch(fetched)
-    docs.write.partitionBy("format", "date").mode("append").parquet(lake.replays_path)
+    # REBALANCE on the partition columns before the partitioned append:
+    # without it every fetch task writes a sliver into every (format,
+    # date) leaf it saw — tasks x days tiny files that every later scan
+    # (compaction's semi-join, the b-lake build) pays to list and open.
+    # With it each leaf gets one right-sized file per batch and AQE
+    # still splits a skewed day across tasks (guide §6).
+    docs.hint("rebalance", "format", "date").write.partitionBy(
+        "format", "date"
+    ).mode("append").parquet(lake.replays_path)
 
     # db.py:736-830: success -> is_downloaded + details "(batch X)";
     # failure -> details "Failed: ..." (C8 prefix convention, db.py:366).
@@ -285,7 +293,10 @@ def retry_failed(
 
     fetched = _distributed_fetch(work, client, parallelism)
     docs = _docs_from_fetch(fetched)
-    docs.write.partitionBy("format", "date").mode("append").parquet(lake.replays_path)
+    # same small-file hygiene as download's landing write (guide §6)
+    docs.hint("rebalance", "format", "date").write.partitionBy(
+        "format", "date"
+    ).mode("append").parquet(lake.replays_path)
 
     patch = fetched.select(
         "replay_id",
@@ -377,28 +388,34 @@ def compact(spark: SparkSession, lake: ReplayLake, format_id: str) -> dict:
         existing = spark.read.parquet(lake.compacted_path).filter(
             F.col("format") == format_id
         )
-        fresh = compact_fresh(todo, existing)  # J3
+        # the anti-join reads the compacted files the overwrite below
+        # replaces, so it must pin; todo's pin does NOT cover it
+        fresh = compact_fresh(todo, existing).localCheckpoint(eager=True)  # J3
+        n_fresh = fresh.count()
     else:
         existing = None
+        # first compaction: fresh IS todo, already pinned and counted —
+        # re-checkpointing it would materialize the same rows again
         fresh = todo
-
-    fresh = fresh.localCheckpoint(eager=True)
-    n_fresh = fresh.count()
+        n_fresh = n_todo
     if n_fresh:
         if existing is not None:
             # union existing rows of the touched days so the dynamic
-            # overwrite rewrites complete partitions (U1, compaction.py:219)
+            # overwrite rewrites complete partitions (U1, compaction.py:219);
+            # keep reads the live compacted files -> pin the union before
+            # the overwrite clobbers them
             days = fresh.select("format", "date").distinct()
             keep = compact_keep(existing, days)
-            out = keep.unionByName(fresh)
+            out = keep.unionByName(fresh).localCheckpoint(eager=True)
         else:
-            out = fresh
+            out = fresh  # already pinned; nothing below reads the target
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            out.localCheckpoint(eager=True).write.partitionBy("format", "date").mode(
-                "overwrite"
-            ).parquet(lake.compacted_path)
+            # one right-sized file per rewritten day partition (guide §6)
+            out.hint("rebalance", "format", "date").write.partitionBy(
+                "format", "date"
+            ).mode("overwrite").parquet(lake.compacted_path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
