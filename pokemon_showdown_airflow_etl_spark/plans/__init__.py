@@ -27,10 +27,11 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # CORRECTNESS_r11 (50/50 green) the cumulative freshness is 50
 # r11-latest, 47 r10-latest, 43 r9-latest, 29 r8-latest. The r12
 # window (VERDICT r11 item 1): the twelve new entries (m9, m9b, a13,
-# t30, s24, s25, x3, a14, t31, d10, s26, t32), the nine changed entries, then ALL 29
-# r8-latest names, then the alphabetically-first r9-latest names
-# filling the remaining slots — after CORRECTNESS_r12 no entry's
-# latest driver row predates r9.
+# t30, s24, s25, x3, a14, t31, d10, s26, t32), m10/m10b (new, no row
+# yet), the changed entries below, then the r8-latest names oldest
+# debt first — the optimization round's changed-entry slots displace
+# nine r8-stale names to the r13 rotation (see the boundary comment),
+# each keeping its standing green row.
 # Entries whose implementation changed since their latest driver row —
 # maintained by hand when editing query code, cleared when the next
 # CORRECTNESS file greens them. tests/test_driver_window.py asserts
@@ -75,6 +76,13 @@ CHANGED_SINCE_LAST_ROW: list[str] = [
     #   value-identical under the rebuilt lake)
     "a7_lake_cms_heavy_hitters",  # r12: same ingest-path change
     "a8_lake_heavy_hitters",  # r12: same ingest-path change
+    "s20_lake_pq_search",  # r12: the qv-projection restructure
+    #   (narrow shortlist exchange + broadcast qv re-attach) runs
+    #   inside pq_layer_search's serve path — value-identical
+    #   (183/183 bare-session sweep), rotated per the a12 standing
+    #   rule: changed serve expression = fresh driver row
+    "s22_opq_lake_search",  # r12: same pq_layer_search change (the
+    #   OPQ-permuted path shares the scoring stage)
 ]
 
 _PRIORITY: list[str] = [
@@ -122,6 +130,8 @@ _PRIORITY: list[str] = [
     "s9_embedding_dup_clusters",
     "d8_dup_clusters",
     "t24_bpe_encode",
+    "s20_lake_pq_search",
+    "s22_opq_lake_search",
     # -- (2) the 29 r8-latest entries owed since r11 (VERDICT r11
     # item 1: after CORRECTNESS_r12 no entry's latest driver row may
     # predate r9) --
@@ -145,19 +155,19 @@ _PRIORITY: list[str] = [
     "t4_fingerprint",
     "t6_token_explode",
     "t7_quality_score",
-    "t9_decontaminate",
-    "t10_repetition_ratio",
     # m10/m10b have NO driver row yet — a new entry may never spill out
     # of the window (test_driver_window caught exactly this on the
     # interrupted r11 build's HEAD; fixed as the r12 optimization
     # round's inherited-state repair).
     "m10_audio_fingerprint",
     "m10b_audio_near_dups",
-    # ---- slot 50 boundary ---- (the 5 changed-entry slots above plus
-    # m10/m10b displace seven r8-stale entries to the r13 rotation;
-    # each keeps its standing r8 green row, and all seven — like the
+    # ---- slot 50 boundary ---- (the 7 changed-entry slots above plus
+    # m10/m10b displace nine r8-stale entries to the r13 rotation;
+    # each keeps its standing r8 green row, and all nine — like the
     # whole catalog — are oracle-verified by this round's local parity
     # sweep)
+    "t9_decontaminate",
+    "t10_repetition_ratio",
     "t11_pack_sequences",
     "t21_domain_mixture",
     "u4_except",
