@@ -190,6 +190,12 @@ def main() -> None:
     # the prior round always ends with one untracked straggler — commit
     # it before this run does anything else
     _commit_artifacts(os.path.dirname(os.path.abspath(__file__)))
+    # host-state evidence (VERDICT r12 item 2): the r12 driver run took
+    # co-tenant load and its per-query numbers read as a 12-entry
+    # regression that code diffs disprove — record the load average at
+    # start and end so a loaded run is visible IN the artifact instead
+    # of needing cross-round archaeology
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     spark = _SPARK = get_spark(
         app_name="bench",
@@ -567,6 +573,14 @@ def main() -> None:
         "metric": "headline_query_set_wall_time",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
+        # scaling-probe evidence (VERDICT r12 item 2): the bench honors
+        # $SPARK_GRAFT_CPUS (the master line above) — recording the
+        # session's actual defaultParallelism in the artifact makes that
+        # checkable from the payload alone, retiring the
+        # suspect_cpus_ignored false alarm
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "queries": times,
         # per-entry repeat noise band, percent (max-min)/min across the
         # interleaved passes — compare a round-over-round delta on an
@@ -622,6 +636,16 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(times),
         "queries": {k: slowest[k] for k in sorted(slowest)},
+        # per-entry repeat noise band for the queries shown (the full
+        # 183-entry map lives in BENCH_local.json): a delta smaller
+        # than an entry's own spread is instrument noise, not a
+        # regression (VERDICT r12 item 2)
+        "query_spread_pct": {
+            k: spread_pct[k] for k in sorted(slowest) if k in spread_pct
+        },
+        "default_parallelism": payload["default_parallelism"],
+        "loadavg_start": loadavg_start,
+        "loadavg_end": payload["loadavg_end"],
         "queries_full": "BENCH_local.json",
         "pipeline_replays_per_sec": pipe["replays_per_sec"],
         "curate_docs_per_sec": curate["docs_per_sec"],
@@ -645,6 +669,13 @@ def main() -> None:
     # shorter queries map) — shed slowest-query entries until the line
     # fits the ~2000-char capture window
     line = json.dumps(headline, separators=(",", ":"))
+    # shed spread entries BEFORE query entries: the driver's per-query
+    # round-over-round view reads the queries map, so the new spread
+    # evidence must never crowd out a timing entry it would have shown
+    while len(line) >= 1900 and headline["query_spread_pct"]:
+        drop = min(headline["query_spread_pct"], key=lambda k: slowest[k])
+        del headline["query_spread_pct"][drop]
+        line = json.dumps(headline, separators=(",", ":"))
     while len(line) >= 1900 and headline["queries"]:
         drop = min(headline["queries"], key=lambda k: slowest[k])
         del headline["queries"][drop]

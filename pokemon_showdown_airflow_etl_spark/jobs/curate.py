@@ -229,11 +229,24 @@ def curate_corpus(
     score — deterministic (md5-uniform race keys), so re-runs keep the
     same docs. Docs with quality <= 0 cannot race and are dropped."""
     docs = spark.read.parquet(input_path)
-    n_input = docs.count()
+
+    # Stage-count audits are DEFERRED to one block after the final write
+    # (r13, guide §1.4/§2.4): each eager ``.count()`` here used to run a
+    # separate full job that serialized the stage chain; the write
+    # materializes every pinned stage anyway, so the audits now read the
+    # already-pinned frames afterwards. ``n_input`` needs no scan of its
+    # own at all: the exact-dedup window carries ``_n_copies`` (rows per
+    # keeper, same window partitioning — no extra shuffle) whose sum IS
+    # the input row count. Counts a later stage's CONTROL FLOW needs
+    # (optional legs' gates) resolve on demand via the helpers below —
+    # values are identical either way because the pinned frames are
+    # immutable. The stats dict is byte-identical to the eager version.
 
     # 1. exact dedup — keep the min-id row per normalized content
-    exact = drop_exact_dups(docs, "doc_id", "text").transform(pin)
-    n_after_exact = exact.count()
+    exact_audit = drop_exact_dups(
+        docs, "doc_id", "text", with_copies=True
+    ).transform(pin)
+    exact = exact_audit.drop("_n_copies")
 
     # 2. near-dup clusters over the exact survivors; drop every cluster
     #    member except the min-id keeper (anti-join on the non-keeper
@@ -249,7 +262,13 @@ def curate_corpus(
             "left_anti",
         )
     ).transform(pin)
-    n_after_near = near.count()
+    near_stage2 = near
+    _n_near: list[int | None] = [None]
+
+    def _n_after_near() -> int:
+        if _n_near[0] is None:
+            _n_near[0] = near_stage2.count()
+        return _n_near[0]
 
     # 2b. decontamination against the held-out benchmark (if given):
     #     anti-join on the contaminated-doc set
@@ -261,7 +280,7 @@ def curate_corpus(
             near, eval_df, "doc_id", "text", n=decontam_ngram
         ).select("doc_id")
         near = near.join(contaminated, "doc_id", "left_anti").transform(pin)
-    n_after_decontam = near.count() if eval_path is not None else n_after_near
+    n_after_decontam = near.count() if eval_path is not None else None
 
     # 2b2. cross-corpus dedup (optional, d9 read-only): drop survivors
     #      that are verified near-dups of the EXISTING corpus's
@@ -273,6 +292,8 @@ def curate_corpus(
     #      full-corpus LSH pass Spark can't eliminate on its own.
     n_after_corpus = n_after_decontam
     if corpus_sig_root is not None:
+        if n_after_corpus is None:
+            n_after_corpus = _n_after_near()
         import os
 
         from ..operators.dedup import dedup_against_corpus
@@ -315,6 +336,10 @@ def curate_corpus(
     n_semantic_dups = 0
     n_after_semantic = n_after_corpus
     if embed_admit_root is not None:
+        if n_after_corpus is None:
+            # no prior optional leg ran — the pre-semantic survivor
+            # count IS the stage-2 count, resolved on demand
+            n_after_corpus = _n_after_near()
         if embeddings_path is None:
             raise ValueError(
                 "embed_admit_root requires embeddings_path — the docs "
@@ -362,6 +387,12 @@ def curate_corpus(
     n_semantic_pruned = 0
     n_after_semantic_prune = n_after_semantic
     if semantic_prune_threshold is not None:
+        if n_after_semantic is None:
+            # resolve the pre-prune survivor count on demand (the
+            # embed-admit leg's rule)
+            n_after_semantic = (
+                n_after_corpus if n_after_corpus is not None else _n_after_near()
+            )
         if not (0.0 < semantic_prune_threshold <= 1.0):
             raise ValueError(
                 f"semantic_prune_threshold must be in (0, 1]; got "
@@ -441,14 +472,21 @@ def curate_corpus(
     else:
         near = near.withColumn("was_redacted", F.lit(False))
     staged = with_quality(near, "text").transform(pin)
-    row = staged.agg(
-        F.sum(F.col("was_redacted").cast("long")).alias("n_red"),
-        F.sum((F.col("quality") >= min_quality).cast("long")).alias("n_q"),
-        F.sum("_span_dropped").alias("n_sp"),
-    ).first()
-    n_redacted = int(row["n_red"] or 0) if scrub else 0
-    n_after_quality = int(row["n_q"] or 0)
-    n_paragraphs_dropped = int(row["n_sp"] or 0)
+    _staged_row: list = [None]
+
+    def _get_staged_row():
+        # the scrub/quality stats action, computed once — on demand when
+        # a later leg's gate needs n_after_quality mid-flight, otherwise
+        # in the deferred audit block after the write (where staged is
+        # already materialized and the agg is a cached-partition scan)
+        if _staged_row[0] is None:
+            _staged_row[0] = staged.agg(
+                F.sum(F.col("was_redacted").cast("long")).alias("n_red"),
+                F.sum((F.col("quality") >= min_quality).cast("long")).alias("n_q"),
+                F.sum("_span_dropped").alias("n_sp"),
+            ).first()
+        return _staged_row[0]
+
     curated = staged.filter(F.col("quality") >= min_quality).drop(
         "n_emails", "n_urls_canonicalized", "n_phones", "was_redacted",
         "_span_dropped",
@@ -507,7 +545,7 @@ def curate_corpus(
     n_ppl_cut_high = 0
     ppl_band_micro: list[int] = []
     ppl_lm_source = ""
-    n_after_perplexity = n_after_quality
+    n_after_perplexity = None  # resolves to n_after_quality in the audit
     if perplexity_band is not None:
         # validate BEFORE the survivor-count gate: a malformed band must
         # fail on an empty/filtered smoke slice exactly as it would on
@@ -518,7 +556,7 @@ def curate_corpus(
                 f"perplexity_band must be quantiles with 0 <= low < "
                 f"high <= 1; got {perplexity_band!r}"
             )
-    if perplexity_band is not None and n_after_quality > 0:
+    if perplexity_band is not None and int(_get_staged_row()["n_q"] or 0) > 0:
         from ..operators.sketches import bottomk_sample
         from ..operators.text import bigram_logprob
 
@@ -557,7 +595,9 @@ def curate_corpus(
                 cut.select("doc_id"), "doc_id", "left_anti"
             ).transform(pin)
             n_after_perplexity = (
-                n_after_quality - n_ppl_cut_low - n_ppl_cut_high
+                int(_get_staged_row()["n_q"] or 0)
+                - n_ppl_cut_low
+                - n_ppl_cut_high
             )
 
     # 3c. Moore-Lewis contrastive domain selection (optional, t28):
@@ -581,6 +621,11 @@ def curate_corpus(
                 f"ml_keep_quantile must be in (0, 1]; got "
                 f"{ml_keep_quantile!r}"
             )
+    if ml_in_domain is not None and n_after_perplexity is None:
+        # the band leg didn't run (or didn't judge) — resolve the
+        # pre-ML survivor count on demand
+        n_after_perplexity = int(_get_staged_row()["n_q"] or 0)
+        n_after_ml = n_after_perplexity
     if ml_in_domain is not None and n_after_perplexity > 0:
         from ..operators.sketches import bottomk_sample
         from ..operators.text import moore_lewis_score
@@ -636,6 +681,11 @@ def curate_corpus(
     if dsir_k is not None and dsir_k < 0:
         raise ValueError(f"dsir_k must be >= 0; got {dsir_k!r}")
     n_after_dsir = n_after_ml
+    if dsir_target_path is not None and n_after_ml is None:
+        # neither the band nor the ML leg resolved a count — the pre-
+        # DSIR survivor count is the quality-stage count, on demand
+        n_after_ml = int(_get_staged_row()["n_q"] or 0)
+        n_after_dsir = n_after_ml
     if dsir_target_path is not None and n_after_ml > 0:
         from ..operators.sampling import gumbel_topk_sample
         from ..operators.text import dsir_weights
@@ -812,6 +862,39 @@ def curate_corpus(
         )
 
     split_docs.write.mode("overwrite").partitionBy("split").parquet(output_path)
+
+    # ---- deferred stage-count audit (r13) ----
+    # The write above materialized every pinned stage frame, so these
+    # audits are cached-partition scans, not the separate full jobs the
+    # old eager per-stage counts paid. Values are identical: the pins
+    # are immutable snapshots of each stage's survivors.
+    ex_row = exact_audit.agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.coalesce(F.sum("_n_copies"), F.lit(0)).cast("long").alias("n_in"),
+    ).first()
+    n_input = int(ex_row["n_in"])
+    n_after_exact = int(ex_row["n_exact"])
+    n_after_near = _n_after_near()
+    if n_after_decontam is None:
+        n_after_decontam = n_after_near
+    if n_after_corpus is None:
+        n_after_corpus = n_after_decontam
+    if n_after_semantic is None:
+        n_after_semantic = n_after_corpus
+    if n_after_semantic_prune is None:
+        n_after_semantic_prune = n_after_semantic
+    row = _get_staged_row()
+    n_redacted = int(row["n_red"] or 0) if scrub else 0
+    n_after_quality = int(row["n_q"] or 0)
+    n_paragraphs_dropped = int(row["n_sp"] or 0)
+    if n_after_perplexity is None:
+        n_after_perplexity = n_after_quality
+    if n_after_ml is None:
+        n_after_ml = n_after_perplexity
+    if n_after_dsir is None:
+        n_after_dsir = n_after_ml
+    if n_after_sample is None:
+        n_after_sample = n_after_dsir
 
     stats = {
         "n_input": n_input,

@@ -81,12 +81,34 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def drop_exact_dups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep exactly one row (min id) per distinct normalized content."""
+def drop_exact_dups(
+    df: DataFrame, id_col: str, text_col: str, with_copies: bool = False
+) -> DataFrame:
+    """Keep exactly one row (min id) per distinct normalized content.
+
+    ``with_copies=True`` additionally emits ``_n_copies`` — the number
+    of input rows that collapsed into each keeper, computed over the
+    SAME window partitioning (no extra shuffle or pass). Its sum over
+    the keepers equals the input row count, which lets a caller derive
+    its input-size audit from this stage's output instead of paying a
+    separate full scan for ``df.count()`` (jobs/curate.py does exactly
+    that). Default output schema is unchanged (d6 and other consumers
+    depend on it)."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(F.md5(normalize_text(F.col(text_col)))).orderBy(id_col)
-    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    key = F.md5(normalize_text(F.col(text_col)))
+    w = Window.partitionBy(key).orderBy(id_col)
+    out = df.withColumn("_rn", F.row_number().over(w))
+    if with_copies:
+        out = out.withColumn(
+            "_n_copies",
+            F.count("*").over(
+                Window.partitionBy(key).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).cast("long"),
+        )
+    return out.filter(F.col("_rn") == 1).drop("_rn")
 
 
 # --- n-gram Jaccard near-dup ------------------------------------------------
@@ -127,23 +149,63 @@ def shingle_jaccard_pairs(
         .transform(pin)
     )
     prefix_len = F.col("sz") - F.ceil(F.col("sz") * threshold).cast("int") + 1
+    # posexplode: the 0-based position of each prefix shingle in the
+    # sorted full array rides along for the PPJoin positional filter
     ex = sh.select(
-        "doc", "sz", F.explode(F.slice(F.col("shingles"), F.lit(1), prefix_len)).alias("shingle")
+        "doc",
+        "sz",
+        F.posexplode(F.slice(F.col("shingles"), F.lit(1), prefix_len)).alias(
+            "pos", "shingle"
+        ),
     )
     a, b = ex.alias("a"), ex.alias("b")
     # PPJoin length filter: jaccard >= t forces t*|a| <= |b| <= |a|/t, so
     # size-incompatible pairs are pruned inside the join before the
     # (more expensive) exact verification. No false negatives.
+    matched = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc") < F.col("b.doc"))
+        & (F.col("b.sz") >= F.col("a.sz") * threshold)
+        & (F.col("a.sz") >= F.col("b.sz") * threshold),
+    ).select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("b.doc").alias("doc_b"),
+        F.col("a.sz").alias("sz_a"),
+        F.col("b.sz").alias("sz_b"),
+        F.col("a.pos").alias("pos_a"),
+        F.col("b.pos").alias("pos_b"),
+        F.col("a.shingle").alias("shingle"),
+    )
+    # PPJoin POSITIONAL filter (Xiao et al., WWW 2008 §3.2; r13): for a
+    # pair's MINIMAL shared prefix shingle x (shingles are distinct and
+    # both arrays share one global sort order, so any common shingle
+    # smaller than x would itself sit inside both prefixes — x is the
+    # global minimum of the intersection), every common shingle is x or
+    # sorts after it, so the overlap is at most
+    # 1 + min(|a| - pos_a, |b| - pos_b) (1-based positions). Jaccard
+    # >= t needs overlap >= t/(1+t) * (|a| + |b|); candidates whose
+    # positional bound cannot reach that are dropped BEFORE the
+    # array_intersect verification — the expensive per-pair step. The
+    # epsilon keeps a float-boundary case on the KEEP side (false
+    # positives only cost a verify; a false negative would change the
+    # result). The min_by pick is deterministic: shingles are distinct
+    # per doc, so each (pair, shingle) match is unique.
+    m = F.min_by(
+        F.struct("pos_a", "pos_b", "sz_a", "sz_b"), "shingle"
+    ).alias("m")
+    ub = F.lit(1) + F.least(
+        F.col("m.sz_a") - F.col("m.pos_a") - 1,
+        F.col("m.sz_b") - F.col("m.pos_b") - 1,
+    )
+    need = F.lit(threshold / (1.0 + threshold)) * (
+        F.col("m.sz_a") + F.col("m.sz_b")
+    )
     cands = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc") < F.col("b.doc"))
-            & (F.col("b.sz") >= F.col("a.sz") * threshold)
-            & (F.col("a.sz") >= F.col("b.sz") * threshold),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
+        matched.groupBy("doc_a", "doc_b")
+        .agg(m)
+        .filter(ub.cast("double") >= need - F.lit(1e-9))
+        .select("doc_a", "doc_b")
     )
     sa = sh.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"), F.col("sz").alias("sz_a"))
     sb = sh.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"), F.col("sz").alias("sz_b"))
@@ -527,6 +589,14 @@ def dedup_against_corpus(
 
 # --- duplicate clustering (connected components) ----------------------------
 
+# Propagation rounds per checkpoint+probe job pair. 2 measured best on
+# the driver-shaped instrument (sf0.1, local[32]): 1 restores the r12
+# per-round chain; 3+ recomputes the chunk's un-checkpointed prefix too
+# many times inside one materialization. Not scale-sensitive: the
+# trade is (fixed job cost saved) vs (two extra narrow joins of
+# checkpointed frames recomputed), both of which shrink/grow together.
+CC_ROUNDS_PER_CHECKPOINT = 2
+
 
 def connected_components(
     edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iterations: int = 25
@@ -557,46 +627,86 @@ def connected_components(
     # carrying the (possibly expensive) edge-producer lineage through the
     # loop would re-run it per iteration
     und = und.localCheckpoint(eager=True)
+    # scale-adaptive loop-frame width (r13, guide §2 — derive
+    # partitioning from the input, the coalesce mirror of
+    # pinning.spread): a near-dup edge list is usually FAR smaller than
+    # the corpus that produced it, and every loop round below launches
+    # several stages over these frames — at the default parallelism a
+    # 4k-row graph paid 32 tasks of scheduling per stage for microseconds
+    # of work each (measured ~1.7x of s9's loop). The count is O(1) on
+    # the just-materialized checkpoint; coalesce is narrow (no shuffle,
+    # cached blocks are kept). A big edge list keeps its layout: the
+    # target only shrinks partitions when the rows genuinely don't need
+    # the session's cores, never below one task per ~200k edge rows.
+    n_und = und.count()
+    target = max(1, n_und // 200_000)
+    sc = und.sparkSession.sparkContext
+    if target < sc.defaultParallelism and target < und.rdd.getNumPartitions():
+        und = und.coalesce(target)
     labels = und.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
     labels = labels.localCheckpoint(eager=True)
-    for rnd in range(max_iterations):
-        nbr = (
-            und.join(labels, und["u"] == labels["node"])
-            .groupBy(F.col("v").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # carry the PREVIOUS label through the round so the convergence
-        # probe is a filter over this round's own checkpointed rows —
-        # the old formulation re-joined new labels against old labels
-        # per round, a whole extra shuffle+job just to ask "did anything
-        # move?" (optimization guide §2.4: two operations keyed the
-        # same way should share one pass)
-        stepped = labels.join(nbr, "node", "left").select(
-            "node",
-            F.col("label").alias("_prev"),
-            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
-        )
-        # pointer jumping: label <- label(label). Every label is itself a
-        # node of the same component (labels start as node ids and only
-        # ever take component-member mins), so the lookup stays inside
-        # the component while halving label-chain depth per round —
-        # long-chain graphs (low-threshold similarity edges: s9 measured
-        # diameter ~23 at sf0.1) drop from 23 to ~13 rounds. Gated to
-        # kick in from round 3: near-clique dup clusters (d8) converge
-        # by then and never pay the extra label self-join. One jump per
-        # round only — nesting more self-joins of the un-checkpointed
-        # frame doubles the logical plan per jump.
-        if rnd >= 2:
-            jump = stepped.select(
-                F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+    # rounds per checkpoint+probe (r13, guide §2.4/§5): each eager
+    # localCheckpoint + convergence probe is a JOB pair, and at ~13
+    # rounds (s9's low-threshold similarity graph) the per-job fixed
+    # cost dominated the loop. Running CC_ROUNDS_PER_CHECKPOINT
+    # propagation rounds between checkpoints halves the job count; the
+    # un-checkpointed first round of a pair is recomputed a bounded
+    # number of times inside the pair's one materialization (its inputs
+    # are the checkpointed frames, so the recompute is two cheap narrow
+    # joins — nothing like the unbounded plan-doubling that made the
+    # r12 two-jumps-per-round variant catastrophically slow).
+    # Convergence stays exact: the probe compares the chunk's LAST
+    # round against its own input labels, and "one full propagation
+    # round moved nothing" is precisely the min-label fixed point —
+    # converging mid-chunk just makes the chunk's remaining rounds
+    # identity maps of the same fixed point (labels are bit-identical;
+    # the loop stops one probe later).
+    rnd = 0
+    while rnd < max_iterations:
+        cur = labels
+        stepped = None
+        for _ in range(CC_ROUNDS_PER_CHECKPOINT):
+            if rnd >= max_iterations:
+                break
+            nbr = (
+                und.join(cur, und["u"] == cur["node"])
+                .groupBy(F.col("v").alias("node"))
+                .agg(F.min("label").alias("nbr_label"))
             )
-            stepped = stepped.join(
-                jump, stepped["label"] == jump["jnode"], "left"
-            ).select(
+            # carry the round's INPUT label through as _prev so the
+            # convergence probe is a filter over the chunk's own
+            # checkpointed rows — the pre-r12 formulation re-joined
+            # new-vs-old labels per round, a whole extra shuffle+job
+            # just to ask "did anything move?" (guide §2.4)
+            stepped = cur.join(nbr, "node", "left").select(
                 "node",
-                "_prev",
-                F.coalesce("jlabel", F.col("label")).alias("label"),
+                F.col("label").alias("_prev"),
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
             )
+            # pointer jumping: label <- label(label). Every label is
+            # itself a node of the same component (labels start as node
+            # ids and only ever take component-member mins), so the
+            # lookup stays inside the component while halving
+            # label-chain depth per round — long-chain graphs
+            # (low-threshold similarity edges: s9 measured diameter ~23
+            # at sf0.1) drop from 23 to ~13 rounds. Gated to kick in
+            # from round 3: near-clique dup clusters (d8) converge by
+            # then and never pay the extra label self-join. One jump
+            # per round only — nesting more self-joins of the
+            # un-checkpointed frame doubles the logical plan per jump.
+            if rnd >= 2:
+                jump = stepped.select(
+                    F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+                )
+                stepped = stepped.join(
+                    jump, stepped["label"] == jump["jnode"], "left"
+                ).select(
+                    "node",
+                    "_prev",
+                    F.coalesce("jlabel", F.col("label")).alias("label"),
+                )
+            cur = stepped.select("node", "label")
+            rnd += 1
         new_labels = stepped.localCheckpoint(eager=True)
         changed = (
             new_labels.filter(F.col("label") != F.col("_prev")).limit(1).count()

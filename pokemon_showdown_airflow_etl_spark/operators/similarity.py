@@ -1636,6 +1636,180 @@ def hamming_topk(
     )
 
 
+def compression_audit_scores(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[float]]],
+    shortlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE Arrow kernel pass over the corpus scoring every (query,
+    candidate) pair under all three compression-ladder rungs at once —
+    the s18 audit's scoring stage (r13, guide §4): PQ ADC (s15's
+    integer tables), binary Hamming (s16's packed-sign popcounts), and
+    exact cosine (s1's GEMM). The previous shape ran THREE separate
+    corpus passes (pq_encode kernel, sign-sketch expressions, brute
+    kernel) plus two full |corpus| x |queries| JVM pair streams into
+    the shortlist windows; this kernel scores each Arrow batch once
+    and emits only per-partition shortlists — for each query, the
+    batch-local top-``shortlist`` by ADC, by Hamming, and the local
+    exact top-1 — which are SUPERSETS of the global winners under the
+    same total orders, so the downstream windows rank
+    partitions x |q| x (2*shortlist + 1) narrow tagged rows instead of
+    full pair streams, and the results are row-identical.
+
+    Determinism: the ADC tables, code assignment, sign packing and
+    popcounts are the exact integer formulas of ``pq_adc_scores`` /
+    ``pq_encode`` / ``sign_sketch`` (copied op for op); the exact leg
+    is ``brute_force_topk``'s GEMM and lexsort tie-break. Ties break by
+    candidate id everywhere, like the operators this fuses.
+
+    Returns tagged rows (method, query_id, nn_id, score, cos_sim):
+    score carries adc_micro / hamming for the approx methods (cos_sim
+    null), cos_sim carries the exact leg's cosine (score null)."""
+    import numpy as np
+    import pandas as pd
+
+    n_sub = len(codebook)
+    sd = len(codebook[0][0])
+    cbs = [np.asarray(words, dtype=np.float64) for words in codebook]
+    cns = [(cb * cb).sum(axis=1) for cb in cbs]
+
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv")
+        )
+        .orderBy("qid")
+        .collect()
+    )
+    c = emb.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    out_schema = (
+        "method string, query_id long, nn_id long, score long, cos_sim double"
+    )
+    if not qrows:
+        return c.limit(0).select(
+            F.lit("exact").alias("method"),
+            F.col("vec_id").alias("query_id"),
+            F.col("vec_id").alias("nn_id"),
+            F.lit(None).cast("long").alias("score"),
+            F.lit(0.0).alias("cos_sim"),
+        )
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    dim = Q.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
+    if dim != 64:
+        # the sign-sketch rung packs exactly two 32-bit words
+        # (sign_sketch's guard, kept loud here too)
+        raise ValueError(f"compression audit requires dim-64 vectors, got {dim}")
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    if (qn == 0.0).any():
+        bad = [int(q) for q, n in zip(qids, qn) if n == 0.0]
+        raise ValueError(f"zero-norm query vectors (cosine undefined): {bad}")
+    nq = len(qids)
+    # per-query integer ADC tables — pq_adc_scores.qkernel's exact
+    # formula, built once on the driver from the collected queries
+    # (previously a mapInPandas over the query frame + a broadcast)
+    qtab = np.empty((nq, n_sub, len(cbs[0])), dtype=np.int64)
+    for i in range(nq):
+        row = Q[i]
+        for m in range(n_sub):
+            qsv = row[m * sd:(m + 1) * sd]
+            d = (qsv * qsv).sum() + (-2.0 * (cbs[m] @ qsv) + cns[m])
+            qtab[i, m] = np.floor(d * 1_000_000.0 + 0.5).astype(np.int64)
+    # packed query sign bits — sign_sketch's packing (indicator dot
+    # powers-of-two, exact in doubles below 2^32)
+    pow32 = (2.0 ** np.arange(32)).astype(np.float64)
+
+    def _pack(mat: "np.ndarray") -> "np.ndarray":
+        ind = (mat > 0).astype(np.float64)
+        b0 = (ind[:, :32] @ pow32).astype(np.int64)
+        b1 = (ind[:, 32:] @ pow32).astype(np.int64)
+        return b0, b1
+
+    q0, q1 = _pack(Q)
+    L = int(shortlist)
+
+    def _popcount(x: "np.ndarray") -> "np.ndarray":
+        # numpy 1.26 has no bitwise_count; unpack the 8 bytes of each
+        # int64 and sum — exact integer popcount
+        b = x.astype(np.int64).view(np.uint8).reshape(*x.shape, 8)
+        return np.unpackbits(b, axis=-1).sum(axis=-1).astype(np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            n = mat.shape[0]
+            rows = np.arange(n)
+            # --- PQ codes (pq_encode's exact argmin) + ADC scores ---
+            codes = np.empty((n, n_sub), dtype=np.int64)
+            for m in range(n_sub):
+                sv = mat[:, m * sd:(m + 1) * sd]
+                d2 = -2.0 * (sv @ cbs[m].T) + cns[m]
+                codes[:, m] = np.argmin(d2, axis=1)
+            adc = np.zeros((n, nq), dtype=np.int64)
+            for m in range(n_sub):
+                # qtab[:, m, :] is (nq, n_codes); gather per candidate code
+                adc += qtab[:, m, :][:, codes[:, m]].T
+            # --- Hamming over packed signs (sign_sketch + bit_count) ---
+            b0, b1 = _pack(mat)
+            ham = _popcount(b0[:, None] ^ q0[None, :]) + _popcount(
+                b1[:, None] ^ q1[None, :]
+            )
+            # --- exact cosine (brute_force_topk's GEMM) ---
+            cn = np.sqrt((mat * mat).sum(axis=1))
+            if (cn == 0.0).any():
+                bad = [int(i) for i, nn in zip(ids, cn) if nn == 0.0]
+                raise ValueError(
+                    f"zero-norm corpus vectors (cosine undefined): {bad[:5]}"
+                )
+            sims = (mat @ Q.T) / np.outer(cn, qn)
+            meth, outq, outn, outs, outc = [], [], [], [], []
+            for j in range(nq):
+                mask = ids != qids[j]
+                cand_ids = ids[mask]
+                if not len(cand_ids):
+                    continue
+                # batch-local top-L by (score asc, id asc) — a superset
+                # of the global top-L under the same order
+                o = np.lexsort((cand_ids, adc[mask, j]))[:L]
+                meth.extend(["pq_adc"] * len(o))
+                outq.extend([qids[j]] * len(o))
+                outn.extend(cand_ids[o])
+                outs.extend(adc[mask, j][o])
+                outc.extend([None] * len(o))
+                o = np.lexsort((cand_ids, ham[mask, j]))[:L]
+                meth.extend(["hamming"] * len(o))
+                outq.extend([qids[j]] * len(o))
+                outn.extend(cand_ids[o])
+                outs.extend(ham[mask, j][o])
+                outc.extend([None] * len(o))
+                o = np.lexsort((cand_ids, -sims[mask, j]))[:1]
+                meth.extend(["exact"] * len(o))
+                outq.extend([qids[j]] * len(o))
+                outn.extend(cand_ids[o])
+                outs.extend([None] * len(o))
+                outc.extend(sims[mask, j][o])
+            yield pd.DataFrame(
+                {
+                    "method": meth,
+                    "query_id": outq,
+                    "nn_id": outn,
+                    "score": pd.array(outs, dtype="Int64"),
+                    "cos_sim": pd.array(outc, dtype="float64"),
+                }
+            )
+
+    return c.mapInPandas(kernel, out_schema)
+
+
 def ivfpq_topk(
     emb: DataFrame,
     queries: DataFrame,

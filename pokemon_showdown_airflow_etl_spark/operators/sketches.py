@@ -345,6 +345,31 @@ def hll_rank(hash_hex: Column) -> Column:
     return (F.lit(61) - bitlen).cast("int")
 
 
+# SQL-string forms of the register route and capped rank (r13, guide
+# §1.2 step 2 applied to the DRIVER: the Column-API builders cost one
+# py4j round trip per expression node, ~0.3-0.5 s of build time per
+# sketch leg; one selectExpr string parses the whole tree JVM-side in
+# a single call). Semantics are op-for-op the Column versions' —
+# hll_rank stays as the reference implementation and the equivalence
+# is pinned by tests/test_hll_and_bigram.py and the a4/a6/a11-13
+# oracle parity sweeps.
+_HLL_NZ_SQL = "regexp_replace(substring(h, 3, 15), '^0*', '') AS nz"
+_HLL_REG_SQL = (
+    f"(CAST(conv(substring(h, 1, 2), 16, 10) AS INT) % {HLL_M}) AS reg"
+)
+_HLL_RANK_SQL = (
+    "least(CAST(61 - (CASE WHEN length(nz) = 0 THEN 0 "
+    "ELSE (length(nz) - 1) * 4 + "
+    "(CASE WHEN substring(nz, 1, 1) IN "
+    "('8','9','a','b','c','d','e','f') THEN 4 "
+    "WHEN substring(nz, 1, 1) IN ('4','5','6','7') THEN 3 "
+    "WHEN substring(nz, 1, 1) IN ('2','3') THEN 2 "
+    "WHEN substring(nz, 1, 1) = '1' THEN 1 "
+    "ELSE 0 END) END) AS INT), "
+    f"{HLL_RANK_CAP}) AS rank"
+)
+
+
 def hll_registers(df: DataFrame, key: Column) -> DataFrame:
     """The HLL register table of a key expression: md5 the key string,
     route on the first hex byte % 64, keep max(first-1-bit rank) per
@@ -357,10 +382,8 @@ def hll_registers(df: DataFrame, key: Column) -> DataFrame:
     return (
         df.select(h.alias("h"))
         .filter(F.col("h").isNotNull())
-        .select(
-            (F.conv(F.substring("h", 1, 2), 16, 10).cast("int") % HLL_M).alias("reg"),
-            F.least(hll_rank(F.col("h")), F.lit(HLL_RANK_CAP)).alias("rank"),
-        )
+        .selectExpr("h", _HLL_NZ_SQL)
+        .selectExpr(_HLL_REG_SQL, _HLL_RANK_SQL)
         .groupBy("reg")
         .agg(F.max("rank").alias("max_rank"))
     )
@@ -386,28 +409,30 @@ def hll_summary_of_registers(regs: DataFrame) -> DataFrame:
     texts) is a valid zero sketch, not an error: the sum coalesces to
     0 so S = m * 2^cap and V = m, which the linear-counting branch
     maps to estimate 0."""
+    # one-parse SQL forms of the same expressions (see _HLL_REG_SQL's
+    # rationale); literals embed via repr, which round-trips doubles,
+    # and the D suffix keeps them DoubleType (a bare decimal literal
+    # parses as DECIMAL)
     m = HLL_M
     cap = HLL_RANK_CAP
     summ = regs.agg(
-        (
-            F.coalesce(
-                F.sum(F.pow(F.lit(2.0), F.lit(cap) - F.col("max_rank")).cast("long")),
-                F.lit(0).cast("long"),
-            )
-            + (F.lit(m) - F.count("*")) * F.lit(2**cap)
-        ).cast("long").alias("s_sum"),
-        (F.lit(m) - F.count("*")).cast("long").alias("v_zero"),
+        F.expr(
+            f"CAST(coalesce(sum(CAST(pow(2.0, {cap} - max_rank) AS BIGINT)), "
+            f"CAST(0 AS BIGINT)) + ({m} - count(*)) * {2**cap} AS BIGINT)"
+        ).alias("s_sum"),
+        F.expr(f"CAST({m} - count(*) AS BIGINT)").alias("v_zero"),
     )
-    raw = F.lit(HLL_ALPHA * m * m * float(2**cap)) / F.col("s_sum")
-    est = F.when(
-        (raw <= 2.5 * m) & (F.col("v_zero") > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
-    ).otherwise(raw)
-    return summ.select(
-        F.lit(m).cast("long").alias("n_registers"),
+    raw = f"({HLL_ALPHA * m * m * float(2**cap)!r}D / s_sum)"
+    est = (
+        f"(CASE WHEN {raw} <= {2.5 * m!r}D AND v_zero > 0 "
+        f"THEN {float(m)!r}D * ln({float(m)!r}D / v_zero) "
+        f"ELSE {raw} END)"
+    )
+    return summ.selectExpr(
+        f"CAST({m} AS BIGINT) AS n_registers",
         "s_sum",
         "v_zero",
-        F.round(est * 1000).cast("long").alias("est_milli"),
+        f"CAST(round({est} * 1000, 0) AS BIGINT) AS est_milli",
     )
 
 
@@ -530,30 +555,29 @@ def sampled_quantile_audit(
             .cast("long")
             .alias(f"_below_{q}")
         )
-    # pinned: the per-quantile legs below UNION four projections of this
-    # one-row frame — unpinned, the full-table count aggregation would
-    # re-execute once per quantile (ReuseExchange does not dedupe
-    # repeated aggregation subplans)
-    row = pin(df.agg(*aggs))
+    # one aggregation row, fanned out by explode(array(struct...)) —
+    # the agg subtree appears exactly ONCE in the plan, so no pin is
+    # needed (r13; the previous shape localCheckpoint-pinned the agg
+    # row and UNIONed four projections of it: one extra materialization
+    # job + four plan branches for the same four rows this single
+    # Generate emits)
+    row = df.agg(*aggs)
     legs = []
     for q, est in ests.items():
         # integer division end to end: a double divide could land an
         # exact multiple a ulp low and floor() off by one cross-engine
         rank_bp = F.expr(f"(_below_{q} * 10000L) div n_rows").cast("long")
         legs.append(
-            row.select(
+            F.struct(
                 F.lit(q).cast("int").alias("q_bp"),
                 F.lit(est).alias("est_value"),
-                "n_rows",
+                F.col("n_rows").alias("n_rows"),
                 F.col(f"_below_{q}").alias("n_below"),
                 rank_bp.alias("rank_bp"),
                 F.abs(rank_bp - q).cast("long").alias("err_bp"),
             )
         )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+    return row.select(F.explode(F.array(*legs)).alias("_r")).select("_r.*")
 
 
 # --- Bloom filter (decontamination membership) -------------------------------
@@ -680,13 +704,8 @@ def hll_registers_by(df: DataFrame, group_col: str, key: Column) -> DataFrame:
     return (
         df.select(F.col(group_col).alias("grp"), h.alias("h"))
         .filter(F.col("h").isNotNull())
-        .select(
-            "grp",
-            (F.conv(F.substring("h", 1, 2), 16, 10).cast("int") % HLL_M).alias(
-                "reg"
-            ),
-            F.least(hll_rank(F.col("h")), F.lit(HLL_RANK_CAP)).alias("rank"),
-        )
+        .selectExpr("grp", "h", _HLL_NZ_SQL)
+        .selectExpr("grp", _HLL_REG_SQL, _HLL_RANK_SQL)
         .groupBy("grp", "reg")
         .agg(F.max("rank").alias("max_rank"))
     )
@@ -699,30 +718,27 @@ def hll_summary_by(regs: DataFrame) -> DataFrame:
     counting branches) in milli-units. Same math as the global
     summary; a group absent from the frame simply has no row (its
     sketch is empty — the caller decides whether absent means 0)."""
+    # one-parse SQL forms — hll_summary_of_registers' rationale
     m = HLL_M
     cap = HLL_RANK_CAP
     summ = regs.groupBy("grp").agg(
-        (
-            F.coalesce(
-                F.sum(
-                    F.pow(F.lit(2.0), F.lit(cap) - F.col("max_rank")).cast("long")
-                ),
-                F.lit(0).cast("long"),
-            )
-            + (F.lit(m) - F.count("*")) * F.lit(2**cap)
-        ).cast("long").alias("s_sum"),
-        (F.lit(m) - F.count("*")).cast("long").alias("v_zero"),
+        F.expr(
+            f"CAST(coalesce(sum(CAST(pow(2.0, {cap} - max_rank) AS BIGINT)), "
+            f"CAST(0 AS BIGINT)) + ({m} - count(*)) * {2**cap} AS BIGINT)"
+        ).alias("s_sum"),
+        F.expr(f"CAST({m} - count(*) AS BIGINT)").alias("v_zero"),
     )
-    raw = F.lit(HLL_ALPHA * m * m * float(2**cap)) / F.col("s_sum")
-    est = F.when(
-        (raw <= 2.5 * m) & (F.col("v_zero") > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
-    ).otherwise(raw)
-    return summ.select(
+    raw = f"({HLL_ALPHA * m * m * float(2**cap)!r}D / s_sum)"
+    est = (
+        f"(CASE WHEN {raw} <= {2.5 * m!r}D AND v_zero > 0 "
+        f"THEN {float(m)!r}D * ln({float(m)!r}D / v_zero) "
+        f"ELSE {raw} END)"
+    )
+    return summ.selectExpr(
         "grp",
         "s_sum",
         "v_zero",
-        F.round(est * 1000).cast("long").alias("est_milli"),
+        f"CAST(round({est} * 1000, 0) AS BIGINT) AS est_milli",
     )
 
 
@@ -742,21 +758,35 @@ def hll_pairwise_overlap(regs: DataFrame) -> DataFrame:
     built the registers."""
     from ..pinning import pin
 
+    # ONE pin — the register frame, the only subtree that may contain a
+    # corpus scan. Everything downstream (group keys, pairs, union
+    # merges, estimates) is bounded at <= HLL_M rows per group, so
+    # recomputing those branches from the pinned registers costs
+    # bounded work at any scale, while each extra lazy-localCheckpoint
+    # pin costs ~0.5 s of JVM planning at build time (measured r13 —
+    # the a12 family's dominant cost was four pins' plan-time, not
+    # execution).
     regs = pin(regs)
     groups = regs.select("grp").distinct()
     pairs = (
         groups.select(F.col("grp").alias("grp_a"))
         .join(groups.select(F.col("grp").alias("grp_b")))
         .filter(F.col("grp_a") < F.col("grp_b"))
-        .transform(pin)
     )
     # union registers: max per (pair, reg) over BOTH sides' stored
-    # rows — the merge law, never the data
+    # rows — the merge law, never the data. The doubled pair-key frame
+    # (each pair listed once under grp_a and once under grp_b) is
+    # broadcast and equi-joined against the registers in ONE hash join
+    # (r13, guide §3): the previous OR-predicate join
+    # (grp == grp_a OR grp == grp_b) could only plan as a nested loop
+    # over |regs| x |pairs|, and grp_a < grp_b means a register row
+    # matches exactly one side of each pair, so this produces the
+    # identical multiset.
+    pkeys = pairs.select(
+        F.col("grp_a").alias("grp"), "grp_a", "grp_b"
+    ).unionByName(pairs.select(F.col("grp_b").alias("grp"), "grp_a", "grp_b"))
     uregs = (
-        pairs.join(
-            regs,
-            (F.col("grp") == F.col("grp_a")) | (F.col("grp") == F.col("grp_b")),
-        )
+        regs.join(F.broadcast(pkeys), "grp")
         .groupBy("grp_a", "grp_b", "reg")
         .agg(F.max("max_rank").alias("max_rank"))
     )

@@ -1478,7 +1478,10 @@ def a12_hll_set_ops(spark, sf_dir):
     # estimates + unions from registers alone (the shared derivation —
     # operators/sketches.py::hll_pairwise_overlap, also serving the
     # lake's stored hllg facet in a13)
-    ov = hll_pairwise_overlap(regs).transform(pin)
+    # ov is bounded (k^2 pairs) and derives from the operator's pinned
+    # register frame — its three downstream references recompute bounded
+    # joins, which costs less than another ~0.5 s plan-time pin (r13)
+    ov = hll_pairwise_overlap(regs)
     pe = ev.select(F.col("event_type").alias("grp"), F.col("user_id").alias("uid"))
     return _with_exact_overlap_audit(ov, pe)
 
@@ -1486,20 +1489,34 @@ def a12_hll_set_ops(spark, sf_dir):
 def _with_exact_overlap_audit(ov: DataFrame, pe: DataFrame) -> DataFrame:
     """Join the exact per-pair distinct audit (n_a, n_b, n_union,
     n_overlap) onto a pairwise-overlap estimate frame — the a12/a13
-    verification legs share this so the audit math cannot drift."""
+    verification legs share this so the audit math cannot drift.
+
+    Shape (r13, guide §3): the raw (grp, uid) stream is DISTINCTED
+    once before touching the pairs — after that every per-side uid is
+    unique, so the two per-side tallies are plain counts (the old
+    three-countDistinct aggregation expanded every row 3x through the
+    exchange). The old OR-predicate join (grp == grp_a OR grp == grp_b)
+    could only plan as a nested-loop over |rows| x |pairs|; the doubled
+    pair-key frame (each pair listed once under each side's grp, with a
+    side flag) broadcasts and hash-joins the distincted stream ONCE —
+    grp_a < grp_b means a row matches exactly one side of a pair, so
+    the join output is the identical multiset, consumed in a single
+    pass (no pin, no second distinct)."""
     pairs = ov.select("grp_a", "grp_b")
-    ex = (
-        pairs.join(
-            pe, (F.col("grp") == F.col("grp_a")) | (F.col("grp") == F.col("grp_b"))
+    pkeys = pairs.select(
+        F.col("grp_a").alias("grp"), "grp_a", "grp_b", F.lit(1).alias("_a")
+    ).unionByName(
+        pairs.select(
+            F.col("grp_b").alias("grp"), "grp_a", "grp_b", F.lit(0).alias("_a")
         )
+    )
+    ex = (
+        pe.distinct()
+        .join(F.broadcast(pkeys), "grp")
         .groupBy("grp_a", "grp_b")
         .agg(
-            F.countDistinct(
-                F.when(F.col("grp") == F.col("grp_a"), F.col("uid"))
-            ).cast("long").alias("n_a"),
-            F.countDistinct(
-                F.when(F.col("grp") == F.col("grp_b"), F.col("uid"))
-            ).cast("long").alias("n_b"),
+            F.sum("_a").cast("long").alias("n_a"),
+            F.sum(1 - F.col("_a")).cast("long").alias("n_b"),
             F.countDistinct("uid").cast("long").alias("n_union"),
         )
     )
@@ -1558,7 +1575,9 @@ def a13_lake_segment_overlap(spark, sf_dir):
     from ..operators.dedup import normalize_text
 
     root = sf_sketch_root(spark, sf_dir)
-    ov = corpus_segment_overlap(spark, root).transform(pin)
+    # unpinned for the same reason as a12's ov: bounded rows off the
+    # operator-pinned stored registers (r13)
+    ov = corpus_segment_overlap(spark, root)
     # exact audit from raw parquet (the a12 rule: estimates are
     # verified against exact distincts — here, distinct normalized
     # contents per language segment)

@@ -3909,21 +3909,34 @@ def s18_compression_recall_audit(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     sample = emb.filter(F.col("vec_id") % S13_SAMPLE_MOD == 0)
     cb = similarity.pq_codebook(emb, n_sub=PQ_N_SUB, n_codes=PQ_N_CODES)
-    exact = pin(
-        similarity.brute_force_topk(emb, sample, k=1).select(
-            "query_id", F.col("nn_id").alias("exact_nn")
-        )
-    )
-    # each method scores its (sample x corpus) pairs ONCE; both
-    # shortlist sizes derive from the SAME ranking (srnk <= L before
-    # the rescore pick), and the cosine rescore of the max-L shortlist
-    # is shared too — calling the top-k operators per (method, L)
-    # measured 9.5 s vs ~4 s for this shape at sf0.1
+    # ONE fused Arrow kernel pass scores every pair under all three
+    # rungs and emits batch-local shortlists (r13, guide §4 — the
+    # previous shape ran three separate corpus passes plus two full
+    # |q| x |corpus| JVM pair streams; see
+    # similarity.compression_audit_scores for the superset argument
+    # that keeps results row-identical). Pinned: the exact leg and the
+    # two method branches below all read this one stream.
     max_l = max(S18_SHORTLISTS)
+    fused = pin(
+        similarity.compression_audit_scores(emb, sample, cb, shortlist=max_l)
+    )
+    exact = (
+        fused.filter(F.col("method") == "exact")
+        .withColumn(
+            "_rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cos_sim"), F.asc("nn_id")
+                )
+            ),
+        )
+        .filter(F.col("_rnk") == 1)
+        .select("query_id", F.col("nn_id").alias("exact_nn"))
+    )
     cv = emb.select(
         F.col("vec_id").alias("nn_id"), similarity.as_double(F.col("embedding")).alias("cv")
     )
-    # the score stages emit narrow (query_id, nn_id, score) pairs; the
+    # the score stream is narrow (query_id, nn_id, score) rows; the
     # query vector is re-attached to the bounded <= |q| x max_l
     # shortlist only (guide §2.3 — qv on every pair row multiplied the
     # top-k exchange ~20x)
@@ -3932,12 +3945,12 @@ def s18_compression_recall_audit(spark, sf_dir):
         similarity.as_double(F.col("embedding")).alias("qv"),
     )
     legs = []
-    for method, scored, score_col in (
-        ("pq_adc", similarity.pq_adc_scores(emb, sample, cb), "adc_micro"),
-        ("hamming", similarity.hamming_scores(emb, sample), "hamming"),
-    ):
+    for method in ("pq_adc", "hamming"):
+        scored = fused.filter(F.col("method") == method).select(
+            "query_id", "nn_id", "score"
+        )
         w_short = Window.partitionBy("query_id").orderBy(
-            F.asc(score_col), F.asc("nn_id")
+            F.asc("score"), F.asc("nn_id")
         )
         short = (
             scored.withColumn("_srnk", F.row_number().over(w_short))

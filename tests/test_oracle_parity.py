@@ -73,6 +73,17 @@ def test_matches_oracle(query, spark, duck, sf_dir):
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
+    # vacuity gate, folded into the parity pass (r13: the separate
+    # test re-EXECUTED all 183 queries just to ask limit(1).count(),
+    # doubling the sweep's wall time — the rows are already in hand
+    # here): an empty result hash-matches an empty oracle even when
+    # the operator is broken, so every oracle-checked query must
+    # return at least one row at test scale (a census once found two
+    # vacuous checks).
+    assert len(spark_rows) > 0, (
+        f"{query.name} returns no rows — the parity check is vacuous"
+    )
+
     rel = duck.sql(query.oracle)
     duck_cols = list(rel.columns)
     duck_rows = rel.fetchall()
@@ -109,12 +120,10 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
-@pytest.mark.parametrize("query", ORACLE_QUERIES, ids=lambda q: q.name)
-def test_result_is_not_vacuous(query, spark, sf_dir):
-    """Every oracle-checked query must return at least one row at test
-    scale: an empty result hash-matches an empty oracle even when the
-    operator is broken, so vacuous checks are forbidden (a census once
-    found two)."""
-    assert query.spark(spark, sf_dir).limit(1).count() > 0, (
-        f"{query.name} returns no rows — the parity check is vacuous"
-    )
+# The standalone vacuity test (test_result_is_not_vacuous) was folded
+# into test_matches_oracle above in r13: it re-executed every cataloged
+# query a second time only to count one row, and the full suite had
+# outgrown the driver's pytest budget (VERIFY_r12 tests_ok=false with
+# the run truncated at ~92% and zero failures). Coverage is identical —
+# the same per-entry "returns at least one row" assertion now runs on
+# the rows the parity pass already collected.

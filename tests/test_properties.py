@@ -711,3 +711,71 @@ def test_hist_sketch_matches_model_merges_and_brackets_quantiles(
         exact = svals[target - 1]
         assert r["est_lo"] <= exact <= r["est_hi"]
         assert r["n_total"] == len(svals)
+
+
+_doc_word = st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split())
+_doc_text = st.lists(_doc_word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(_doc_text, min_size=2, max_size=14))
+def test_ppjoin_positional_filter_has_no_false_negatives(spark_prop, texts):
+    """shingle_jaccard_pairs (r13: PPJoin positional prefix filter)
+    against the naive all-pairs exact jaccard over random small
+    corpora — the filter may only prune pairs the exact verification
+    would reject, never a qualifying pair."""
+    from pokemon_showdown_airflow_etl_spark.operators.dedup import (
+        shingle_jaccard_pairs,
+    )
+
+    spark = spark_prop
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in shingle_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.5).collect()
+    }
+
+    def shingles(t):
+        tk = [w for w in t.split(" ") if w]
+        return {" ".join(tk[i:i + 2]) for i in range(len(tk) - 1)} if len(tk) >= 2 else set()
+
+    want = {}
+    for i, ta in docs:
+        for j, tb in docs:
+            if i >= j:
+                continue
+            sa, sb = shingles(ta), shingles(tb)
+            if not sa or not sb:
+                continue
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= 0.5:
+                want[(i, j)] = round(jac, 9)
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(st.sampled_from(["aa bb", "cc dd", "ee ff", "", "aa  bb"]), min_size=1, max_size=12)
+)
+def test_drop_exact_dups_with_copies_sums_to_input(spark_prop, texts):
+    """r13: the with_copies audit column — its sum over the keepers is
+    the input row count (what lets curate skip a separate full input
+    scan), and the keeper set/schema match the default path exactly."""
+    from pyspark.sql import functions as F
+
+    from pokemon_showdown_airflow_etl_spark.operators.dedup import drop_exact_dups
+
+    spark = spark_prop
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    plain = drop_exact_dups(df, "doc_id", "text")
+    audited = drop_exact_dups(df, "doc_id", "text", with_copies=True)
+    assert plain.columns == ["doc_id", "text"]
+    assert audited.columns == ["doc_id", "text", "_n_copies"]
+    rows = audited.collect()
+    assert sum(r["_n_copies"] for r in rows) == len(texts)
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in plain.collect()
+    )
