@@ -39,133 +39,54 @@ from . import relational, joins, llm, battlelog, extras, tpch
 # changed query can no longer coast on a stale green row (the t8/g16/s6
 # gap VERDICT r3 flagged).
 CHANGED_SINCE_LAST_ROW: list[str] = [
-    # -- r12 OPTIMIZATION-round changes (value-identical restructures,
+    # -- r13 OPTIMIZATION-round changes (value-identical restructures,
     # each re-proven against the DuckDB oracle on a bare session the
-    # day it changed — tools/raw_oracle_sweep.py; see
-    # OPTIMIZATION_r12.md for the before/after evidence) --
-    "m5_audio_frame_energy",  # scale-adaptive kernel spread + capped
-    #   frame emission parameter (pinning.spread; max_frames)
-    "m5b_audio_pcm_energy",  # spread + uint32 PCM synth (exact wrap)
-    "s9_embedding_dup_clusters",  # CC convergence probe fused into the
-    #   round checkpoint (one join+job less per round)
+    # day it changed — tools/raw_oracle_sweep.py 183/183 green; see
+    # OPTIMIZATION_r13.md for the before/after evidence). The 17 r12
+    # names that used to sit here were all greened by CORRECTNESS_r12
+    # (err=null, hash_match=true) and are cleared per this list's own
+    # rule (ADVICE r12 item 2). --
+    "s9_embedding_dup_clusters",  # connected_components: 2 propagation
+    #   rounds per checkpoint+probe pair + scale-adaptive loop-frame
+    #   coalesce (derived from edge-row count; identity at scale)
     "d8_dup_clusters",  # same connected_components change
-    "s13_ann_recall_audit",  # one multi-probe scored pass replaces the
-    #   three per-n_probe ivf_topk legs (ivf_topk_multi_probe)
-    "t24_bpe_encode",  # type-level encode (no per-subword explode),
-    #   TakeOrderedAndProject word-type top-K in bpe_train
-    "a12_hll_set_ops",  # r12: the pairwise union/estimate math moved
-    #   into the shared operators/sketches.py::hll_pairwise_overlap
-    #   (a13 serves the lake facet through the same derivation) and the
-    #   pair key became a STRUCT through the summary (ADVICE r11) —
-    #   value-identical, re-oracled locally; rotated for the hard
-    #   driver signal (the standing rule)
-    "a10_lake_bloom_decontaminate",  # r12: bloom_maybe_contains now
-    #   decides sum(hit)==count(*) instead of ==k (ADVICE r11
-    #   duplicate-candidate false negative) — identical on the distinct
-    #   probes a10 sends, rotated because the verdict expression changed
-    "m8_image_admission",  # r12: image_ahash gained a passthrough
-    #   parameter (m9 carries scene context through the kernel) — the
-    #   default path is expression-identical, rotated anyway
-    "m6_image_ahash",  # r12: same image_ahash signature change
-    "m6b_image_near_dups",  # r12: same image_ahash signature change
-    "a6_lake_sketch",  # r12: ingest_signature_batch now also writes
-    #   the hllg facet, so the sf demo lake rebuilds under a new cache
-    #   tag — a6's rows are value-identical (verified on a bare
-    #   session), rotated because the ingest path changed
-    "t26_lake_bigram_nll",  # r12: same ingest-path change (lm/ rows
-    #   value-identical under the rebuilt lake)
-    "a7_lake_cms_heavy_hitters",  # r12: same ingest-path change
-    "a8_lake_heavy_hitters",  # r12: same ingest-path change
-    "s20_lake_pq_search",  # r12: the qv-projection restructure
-    #   (narrow shortlist exchange + broadcast qv re-attach) runs
-    #   inside pq_layer_search's serve path — value-identical
-    #   (183/183 bare-session sweep), rotated per the a12 standing
-    #   rule: changed serve expression = fresh driver row
-    "s22_opq_lake_search",  # r12: same pq_layer_search change (the
-    #   OPQ-permuted path shares the scoring stage)
+    "t32_leakage_safe_split",  # same (leakage split keys on d8's
+    #   clustering machinery)
+    "d2_ngram_jaccard_pairs",  # PPJoin positional prefix filter before
+    #   the array_intersect verification (no false negatives —
+    #   property-tested + oracle green)
+    "a5_sampled_quantiles",  # audit legs fan out of ONE aggregation row
+    #   via explode(array(structs)) — the pinned-row 4-way union is gone
+    "s18_compression_recall_audit",  # ONE fused Arrow kernel scores
+    #   ADC/Hamming/exact in a single corpus pass, emitting batch-local
+    #   shortlists (supersets of the global ones — row-identical)
+    "a12_hll_set_ops",  # hll_pairwise_overlap: one pin (registers),
+    #   broadcast doubled-pair-key equi-joins replace OR-joins; exact
+    #   audit distincts (grp, uid) once and counts per side
+    "a13_lake_segment_overlap",  # same shared derivation + audit
+    "a4_hll_distinct",  # HLL register/rank/summary expressions build as
+    #   single-parse SQL strings (same ops, one py4j round trip)
+    "a6_lake_sketch",  # same: the stored-register summary serve uses
+    #   the SQL-string hll_summary_of_registers
+    "a11_grouped_hll_distinct",  # same: hll_registers_by/hll_summary_by
 ]
 
 _PRIORITY: list[str] = [
-    # -- (1) new entries, then every entry in CHANGED_SINCE_LAST_ROW --
-    "m9_scene_frame_hashes",  # NEW r12: scene-representative frame
-    #   sampling + perceptual hashing (m7 -> first-frame rule -> m6)
-    "m9b_scene_clip_dups",  # NEW r12: cross-asset scene/clip dedup
-    #   (m9 hashes -> m6b banded pair scan)
-    "a13_lake_segment_overlap",  # NEW r12: grouped-HLL lake facet +
-    #   stored-row pairwise segment overlap serve
-    "t30_weighted_sample",  # NEW r12: deterministic weighted sampling
-    #   without replacement (Efraimidis-Spirakis exponential race)
-    "s24_residual_ivfpq",  # NEW r12: residual-encoded IVF-PQ (the
-    #   FAISS-default refinement; per-(query, cell) LUTs)
-    "s25_residual_lake_search",  # NEW r12: s24 served from the lake's
-    #   stored residual codes (the s14->s20 promotion)
-    "x3_zorder_key",  # NEW r12: Z-order clustering key (multi-dim
-    #   file-skipping layout; pruning measured in test_bucketing)
-    "a14_lake_token_quantiles",  # NEW r12: mergeable quantile-histogram
-    #   lake facet (hist/) — token-length quantiles served from stored
-    #   decimal buckets
-    "t31_dsir_weights",  # NEW r12: DSIR hashed-ngram importance
-    #   weights (Xie et al. 2023) + Gumbel-top-k resampling in curate
-    "d10_edit_verified_dups",  # NEW r12: LSH candidates verified by
-    #   normalized Levenshtein (Ed-Join family) — order-sensitive dups
-    "s26_opq_residual_search",  # NEW r12: the full FAISS stack — OPQ
-    #   permutation trained on residuals, served from the stored layer
-    "t32_leakage_safe_split",  # NEW r12: holdout split keyed by
-    #   near-dup cluster — no dup pair straddles train and the holdouts
-    "a12_hll_set_ops",
-    "a10_lake_bloom_decontaminate",
-    "m8_image_admission",
-    "m6_image_ahash",
-    "m6b_image_near_dups",
-    "a6_lake_sketch",
-    "t26_lake_bigram_nll",
-    "a7_lake_cms_heavy_hitters",
-    "a8_lake_heavy_hitters",
-    # -- r12 optimization-round restructures (CHANGED_SINCE_LAST_ROW):
-    # changed code outranks stale rotation per the standing rule, so
-    # these take window slots ahead of five more r8-stale entries
-    # (s13 already holds a slot in the r8 block below) --
-    "m5_audio_frame_energy",
-    "m5b_audio_pcm_energy",
+    # -- (1) every entry in CHANGED_SINCE_LAST_ROW (r13 changed code
+    # outranks stale rotation per the standing rule) --
     "s9_embedding_dup_clusters",
     "d8_dup_clusters",
-    "t24_bpe_encode",
-    "s20_lake_pq_search",
-    "s22_opq_lake_search",
-    # -- (2) the 29 r8-latest entries owed since r11 (VERDICT r11
-    # item 1: after CORRECTNESS_r12 no entry's latest driver row may
-    # predate r9) --
-    "q8_market_share",
-    "q9_product_profit",
-    "s1_similarity_topk",
-    "s2_ann_srp_topk",
-    "s4_ivf_ann_topk",
-    "s5_gemm_ann_topk",
-    "s7_ivf_kmeans_quality",
-    "s11_embed_admit_batch",
-    "s12_reindexed_admit_batch",
-    "s13_ann_recall_audit",
-    "s15_pq_adc_topk",
-    "s16_hamming_topk",
-    "s17_ivfpq_topk",
+    "t32_leakage_safe_split",
+    "d2_ngram_jaccard_pairs",
+    "a5_sampled_quantiles",
     "s18_compression_recall_audit",
-    "s19_pq_train_quality",
-    "t2_lang_id",
-    "t3_token_counts",
-    "t4_fingerprint",
-    "t6_token_explode",
-    "t7_quality_score",
-    # m10/m10b have NO driver row yet — a new entry may never spill out
-    # of the window (test_driver_window caught exactly this on the
-    # interrupted r11 build's HEAD; fixed as the r12 optimization
-    # round's inherited-state repair).
-    "m10_audio_fingerprint",
-    "m10b_audio_near_dups",
-    # ---- slot 50 boundary ---- (the 7 changed-entry slots above plus
-    # m10/m10b displace nine r8-stale entries to the r13 rotation;
-    # each keeps its standing r8 green row, and all nine — like the
-    # whole catalog — are oracle-verified by this round's local parity
-    # sweep)
+    "a12_hll_set_ops",
+    "a13_lake_segment_overlap",
+    "a4_hll_distinct",
+    "a6_lake_sketch",
+    "a11_grouped_hll_distinct",
+    # -- (2) the nine r8-stale entries displaced from the r12 window
+    # (VERDICT r12 item 9 / ADVICE item 1: they take the freed slots) --
     "t9_decontaminate",
     "t10_repetition_ratio",
     "t11_pack_sequences",
@@ -175,6 +96,8 @@ _PRIORITY: list[str] = [
     "w3_sorted_dates",
     "w5_session_windows",
     "x1_salted_agg",
+    # -- (3) the r9-latest block, oldest debt first: the 13 names
+    # queued since r12, then the rest in name order --
     "c10_json_extract",
     "c1_epoch_to_date",
     "c4_batch_id",
@@ -188,6 +111,41 @@ _PRIORITY: list[str] = [
     "f4_failed_retry_predicate",
     "f6_point_lookup",
     "f7_partition_filter",
+    "g10_throughput_metrics",
+    "g11_lifecycle_cube",
+    "g1_high_watermark",
+    "g2_low_watermark",
+    "g3_lifecycle_stats",
+    "g4_duplicate_detection",
+    "g5_ids_by_date",
+    "g6_dedup_keep_one",
+    "g7_daily_counters",
+    "j1_existence_flag",
+    "j2_ingest_anti_join",
+    "j3_compaction_anti_join",
+    "j4_reconcile_semi_join",
+    "j5_broadcast_lookup",
+    "j7_membership_flag",
+    "j8_star_join_revenue",
+    "q12_priority_shipping",
+    # ---- slot 50 boundary ---- (the 11 changed-entry slots displace
+    # the remaining 13 r9-latest names to the r14 rotation; each keeps
+    # its standing r9 green row and — like the whole catalog — is
+    # oracle-verified by this round's local parity sweep. After
+    # CORRECTNESS_r13 no entry's latest driver row predates r9.)
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "s21_opq_audit",
+    "t12_hash_split",
+    "t13_domain_mix",
+    "t15_domain_cap",
+    "t20b_separator_dedup",
+    "t22_domain_mixture_exact",
+    "t23_vocab_encode",
+    "w1_latest_per_key",
 ]
 
 
