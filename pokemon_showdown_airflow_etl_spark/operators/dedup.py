@@ -609,15 +609,21 @@ def connected_components(
     size; from round 3 each round ALSO pointer-jumps (label <-
     label(label)), so long-chain graphs halve their remaining depth per
     round instead of advancing one hop (a diameter-23 similarity graph
-    measured 23 -> 13 rounds). Each round is two shuffles (edge-label
-    join + per-node min) plus the label self-join once jumping starts,
-    all map-side combinable; per-round ``localCheckpoint`` truncates the
-    lineage so plans stay flat, and the convergence check is a scalar
-    existence probe, not a result collect. The fully logarithmic
-    alternative is alternating large-star/small-star rounds (Kiveris et
-    al., "Connected components in MapReduce and beyond", SoCC 2014) —
-    same join shape, O(log n) rounds — worth swapping in if component
-    diameters grow past a few dozen.
+    measured 23 -> 13 rounds). Each round is an edge-label join +
+    per-node min (+ the label self-join once jumping starts), all
+    map-side combinable; ``localCheckpoint`` every
+    CC_ROUNDS_PER_CHECKPOINT rounds truncates the lineage so plans stay
+    flat, and the convergence check is a scalar existence probe over
+    the checkpoint's own rows, not a result collect. Loop frames derive
+    their width and join strategy from the MEASURED edge count (a
+    coalesce when the graph is far smaller than the session's cores,
+    broadcast-hinted loop joins when the whole label frame fits) — both
+    identity at corpus scale. The fully logarithmic alternative is
+    alternating large-star/small-star rounds (Kiveris et al.,
+    "Connected components in MapReduce and beyond", SoCC 2014) — same
+    join shape, O(log n) rounds — simulated on the s9 graph this round
+    at 6 L+S pairs = 12 half-rounds, no better than the 13-14
+    jump-assisted rounds here, so not swapped in.
 
     Returns (node, label) with label = min node id reachable.
     """
@@ -643,6 +649,15 @@ def connected_components(
     sc = und.sparkSession.sparkContext
     if target < sc.defaultParallelism and target < und.rdd.getNumPartitions():
         und = und.coalesce(target)
+    # deliberate join strategy for the loop (r13, guide §3.1): the node
+    # and neighbor-min frames are bounded by the edge count we just
+    # MEASURED, so when the whole graph is broadcastable the loop's
+    # joins get explicit broadcast hints — the static plan then has no
+    # join exchanges at all, instead of AQE discovering the same thing
+    # one materialized exchange at a time. Gated on the measured count
+    # (~64 MB of (node,label) rows), never a config constant: a
+    # corpus-scale edge list keeps the shuffled shape.
+    bcast = (lambda df: F.broadcast(df)) if n_und < 4_000_000 else (lambda df: df)
     labels = und.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
     labels = labels.localCheckpoint(eager=True)
     # rounds per checkpoint+probe (r13, guide §2.4/§5): each eager
@@ -669,7 +684,7 @@ def connected_components(
             if rnd >= max_iterations:
                 break
             nbr = (
-                und.join(cur, und["u"] == cur["node"])
+                und.join(bcast(cur), und["u"] == cur["node"])
                 .groupBy(F.col("v").alias("node"))
                 .agg(F.min("label").alias("nbr_label"))
             )
@@ -678,7 +693,7 @@ def connected_components(
             # checkpointed rows — the pre-r12 formulation re-joined
             # new-vs-old labels per round, a whole extra shuffle+job
             # just to ask "did anything move?" (guide §2.4)
-            stepped = cur.join(nbr, "node", "left").select(
+            stepped = cur.join(bcast(nbr), "node", "left").select(
                 "node",
                 F.col("label").alias("_prev"),
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
@@ -699,7 +714,7 @@ def connected_components(
                     F.col("node").alias("jnode"), F.col("label").alias("jlabel")
                 )
                 stepped = stepped.join(
-                    jump, stepped["label"] == jump["jnode"], "left"
+                    bcast(jump), stepped["label"] == jump["jnode"], "left"
                 ).select(
                     "node",
                     "_prev",

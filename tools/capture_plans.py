@@ -35,17 +35,34 @@ def main() -> None:
         extra_conf={"spark.driver.memory": "8g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    for name in names:
+    # pins (lazy localCheckpoint) replace their subtree with an opaque
+    # Scan ExistingRDD, hiding the operators a plan claim may be about;
+    # SPARK_GRAFT_CAPTURE_NOPIN=1 additionally captures each plan with
+    # pinning disabled (the full logical tree) as <name>_<suffix>_nopin.txt
+    nopin = os.environ.get("SPARK_GRAFT_CAPTURE_NOPIN") == "1"
+    from pokemon_showdown_airflow_etl_spark import pinning
+
+    def grab(name: str) -> str:
         try:
             df = ALL_QUERIES[name].spark(spark, SF_DIR)
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
-            txt = buf.getvalue()
+            return buf.getvalue()
         except Exception as exc:  # capture must not die mid-sweep
-            txt = f"EXPLAIN FAILED: {exc!r}\n"
+            return f"EXPLAIN FAILED: {exc!r}\n"
+
+    for name in names:
+        txt = grab(name)
         with open(os.path.join(out_dir, f"{name}_{suffix}.txt"), "w") as f:
             f.write(txt)
+        if nopin:
+            with pinning.disabled():
+                ntxt = grab(name)
+            with open(
+                os.path.join(out_dir, f"{name}_{suffix}_nopin.txt"), "w"
+            ) as f:
+                f.write(ntxt)
         print(name, "ok" if "FAILED" not in txt else "FAILED", flush=True)
     spark.stop()
 
